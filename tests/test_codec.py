@@ -1,0 +1,113 @@
+"""Codec property tests: round-trip, block access, seek-vs-scan equivalence
+(SURVEY.md §5 item 2; reference invariants google_codec.cpp:27-30)."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from trinity_ray.codec import (
+    BLOCK,
+    PostingsBlob,
+    encode_postings,
+    varint_decode,
+    varint_encode,
+)
+
+
+def _random_postings(rng, n, with_positions=True, max_gap=1 << 20):
+    gaps = rng.integers(1, max_gap, size=n, dtype=np.uint64)
+    doc_ids = np.cumsum(gaps, dtype=np.uint64)
+    freqs = rng.integers(1, 300, size=n, dtype=np.uint64)
+    if not with_positions:
+        return doc_ids, freqs, None
+    positions = []
+    for f in freqs:
+        p = np.sort(rng.choice(np.arange(1, 1 << 14, dtype=np.uint64), size=int(f), replace=False))
+        positions.append(p)
+    return doc_ids, freqs, np.concatenate(positions)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=(1 << 63) - 1), min_size=0, max_size=200))
+@settings(max_examples=50, deadline=None)
+def test_varint_roundtrip(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    assert np.array_equal(varint_decode(varint_encode(arr), len(arr)), arr)
+
+
+@pytest.mark.parametrize("n", [1, 2, BLOCK - 1, BLOCK, BLOCK + 1, 5 * BLOCK + 17, 3000])
+@pytest.mark.parametrize("with_positions", [True, False])
+def test_roundtrip(n, with_positions):
+    rng = np.random.default_rng(n)
+    doc_ids, freqs, positions = _random_postings(rng, n, with_positions)
+    blob = PostingsBlob(encode_postings(doc_ids, freqs, positions))
+    d, f = blob.decode_docs_freqs()
+    assert np.array_equal(d, doc_ids)
+    assert np.array_equal(f, freqs)
+    assert blob.doc_count == n
+    if with_positions:
+        pos, offs = blob.decode_positions(f)
+        assert np.array_equal(pos, positions)
+        assert np.array_equal(np.diff(offs), freqs.astype(np.int64))
+    else:
+        with pytest.raises(ValueError):
+            blob.decode_positions()
+
+
+def test_huge_docids():
+    doc_ids = np.array([0, 1, 10**12, 2**63], dtype=np.uint64)
+    freqs = np.array([1, 2, 3, 65600], dtype=np.uint64)
+    blob = PostingsBlob(encode_postings(doc_ids, freqs))
+    d, f = blob.decode_docs_freqs()
+    assert np.array_equal(d, doc_ids)
+    assert np.array_equal(f, freqs)
+    assert int(blob.max_tf[0]) == 0xFFFF  # saturated block-max
+
+
+def test_rejects_unsorted():
+    with pytest.raises(ValueError):
+        encode_postings(np.array([3, 2], dtype=np.uint64), np.array([1, 1], dtype=np.uint64))
+    with pytest.raises(ValueError):
+        encode_postings(np.array([2, 2], dtype=np.uint64), np.array([1, 1], dtype=np.uint64))
+    with pytest.raises(ValueError):
+        encode_postings(np.array([], dtype=np.uint64), np.array([], dtype=np.uint64))
+
+
+def test_block_decode_equals_full_decode():
+    rng = np.random.default_rng(7)
+    n = 10 * BLOCK + 31
+    doc_ids, freqs, _ = _random_postings(rng, n, with_positions=False)
+    blob = PostingsBlob(encode_postings(doc_ids, freqs))
+    got_d, got_f = [], []
+    for i in range(blob.n_blocks):
+        d, f = blob.decode_block(i)
+        got_d.append(d)
+        got_f.append(f)
+    assert np.array_equal(np.concatenate(got_d), doc_ids)
+    assert np.array_equal(np.concatenate(got_f), freqs)
+    # block directory invariants
+    assert np.array_equal(blob.last_docid, doc_ids[np.minimum(np.arange(1, blob.n_blocks + 1) * BLOCK, n) - 1])
+    assert int(blob.counts.sum()) == n
+    for i in range(blob.n_blocks):
+        s, e = i * BLOCK, min((i + 1) * BLOCK, n)
+        assert int(blob.max_tf[i]) == min(int(freqs[s:e].max()), 0xFFFF)
+        assert int(blob.hit_base[i]) == int(freqs[:s].sum())
+
+
+def test_seek_block_vs_linear_scan():
+    rng = np.random.default_rng(11)
+    n = 7 * BLOCK + 5
+    doc_ids, freqs, _ = _random_postings(rng, n, with_positions=False, max_gap=50)
+    blob = PostingsBlob(encode_postings(doc_ids, freqs))
+    targets = rng.integers(0, int(doc_ids[-1]) + 10, size=200, dtype=np.uint64)
+    for t in targets:
+        bi = blob.seek_block(int(t))
+        # linear-scan reference: first block with last_docid >= t
+        ref = next((i for i in range(blob.n_blocks) if int(blob.last_docid[i]) >= t), blob.n_blocks)
+        assert bi == ref
+        if bi < blob.n_blocks:
+            d, _ = blob.decode_block(bi)
+            # first doc >= t in this block equals first doc >= t globally
+            expect = doc_ids[np.searchsorted(doc_ids, t)]
+            if (d >= t).any():
+                assert d[d >= t][0] == expect

@@ -1,0 +1,77 @@
+"""Tokenizer golden cases lifted from the reference parser's documented
+behaviors (/root/reference/queries.cpp:2098-2341)."""
+
+import pytest
+
+from trinity_ray.tokenizer import (
+    MAX_TERM_LEN,
+    simple_tokenize,
+    tokenize_with_positions,
+    trinity_tokenize,
+)
+
+
+GOLDEN = [
+    # acronyms (queries.cpp:2120-2149)
+    ("I.B.M", ["IBM"]),
+    ("U.S.A. rules", ["USA", "RULES"]),
+    ("M.P.ACT", ["MPACT"]),
+    # word:domain (queries.cpp:2152-2166)
+    ("site:x-box.com ok", ["SITE:X-BOX.COM", "OK"]),
+    ("site:.gr", ["SITE:.GR"]),
+    ("video games", ["VIDEO", "GAMES"]),
+    # single-letter contraction (queries.cpp:2167-2185)
+    ("L'Oreal Revitalift", ["LOREAL", "REVITALIFT"]),
+    # numbers (queries.cpp:2187-2256; code behavior, not the stale comment)
+    ("9.000", ["9000"]),
+    ("1.0", ["1"]),
+    ("8.25", ["8.25"]),
+    ("8,25", ["8.25"]),
+    ("1,500", ["1.500"]),
+    ("42", ["42"]),
+    # genitive apostrophe (queries.cpp:2266-2290)
+    ("John's boat", ["JOHNS", "BOAT"]),
+    ("it's", ["ITS"]),
+    # single-letter & pairs (queries.cpp:2297-2309)
+    ("d&d night", ["D&D", "NIGHT"]),
+    ("x&y", ["X&Y"]),
+    ("ab&c", ["AB", "C"]),  # lead must be a single letter
+    # +/# suffixes (queries.cpp:2318-2325)
+    ("C++ and C# code", ["C++", "AND", "C#", "CODE"]),
+    ("c++11", ["C++11"]),
+    # hyphens are separators (queries.cpp:2310-2317)
+    ("x-men pre-processing", ["X", "MEN", "PRE", "PROCESSING"]),
+    ("New York-based", ["NEW", "YORK", "BASED"]),
+    # code-ish input
+    ("def foo(bar): return baz_qux + 42", ["DEF", "FOO", "BAR", "RETURN", "BAZ", "QUX", "42"]),
+    ("#include <stdio.h>", ["INCLUDE", "STDIO", "H"]),
+    ("", []),
+    ("   \t\n  ", []),
+]
+
+
+@pytest.mark.parametrize("text,expected", GOLDEN, ids=[repr(t[:24]) for t, _ in GOLDEN])
+def test_trinity_tokenize_golden(text, expected):
+    assert trinity_tokenize(text) == expected
+
+
+def test_long_terms_dropped():
+    long = "b" * (MAX_TERM_LEN + 1)
+    assert trinity_tokenize(f"a {long} c") == ["A", "C"]
+    assert trinity_tokenize("b" * MAX_TERM_LEN) == ["B" * MAX_TERM_LEN]
+    assert simple_tokenize(f"a {long} c") == ["A", "C"]
+
+
+def test_simple_tokenize():
+    assert simple_tokenize("Foo bar-baz 12.5") == ["FOO", "BAR", "BAZ", "12", "5"]
+
+
+def test_positions_are_one_based():
+    assert tokenize_with_positions("a b c", trinity_tokenize) == [("A", 1), ("B", 2), ("C", 3)]
+
+
+def test_position_cap():
+    text = " ".join(f"t{i}" for i in range(20000))
+    pairs = tokenize_with_positions(text, simple_tokenize)
+    assert len(pairs) == (1 << 14) - 1
+    assert pairs[-1][1] == (1 << 14) - 1
