@@ -111,3 +111,42 @@ def test_seek_block_vs_linear_scan():
             expect = doc_ids[np.searchsorted(doc_ids, t)]
             if (d >= t).any():
                 assert d[d >= t][0] == expect
+
+
+def test_encode_many_matches_single_term_encoder():
+    from trinity_ray.codec import encode_many
+
+    rng = np.random.default_rng(3)
+    term_lens = [1, 2, BLOCK, BLOCK + 5, 700, 3]
+    offs = np.concatenate(([0], np.cumsum(term_lens)))
+    all_docs, all_freqs, all_pos = [], [], []
+    for tl in term_lens:
+        d, f, p = _random_postings(rng, tl, with_positions=True, max_gap=1000)
+        all_docs.append(d)
+        all_freqs.append(f)
+        all_pos.append(p)
+    doc_ids = np.concatenate(all_docs)
+    freqs = np.concatenate(all_freqs)
+    positions = np.concatenate(all_pos)
+    blobs = encode_many(offs, doc_ids, freqs, positions)
+    assert len(blobs) == len(term_lens)
+    for i, blob in enumerate(blobs):
+        expect = encode_postings(all_docs[i], all_freqs[i], all_pos[i])
+        assert blob == expect, f"term {i} blob mismatch"
+    # positionless variant
+    blobs = encode_many(offs, doc_ids, freqs, None)
+    for i, blob in enumerate(blobs):
+        assert blob == encode_postings(all_docs[i], all_freqs[i], None)
+
+
+def test_encode_many_rejects_unsorted_within_term():
+    from trinity_ray.codec import encode_many
+
+    offs = np.array([0, 2, 4])
+    docs = np.array([1, 5, 9, 2], dtype=np.uint64)  # second term descends? no: 9,2 descends
+    freqs = np.ones(4, dtype=np.uint64)
+    with pytest.raises(ValueError):
+        encode_many(offs, docs, freqs)
+    # descending across term boundary is fine (resets)
+    docs = np.array([5, 9, 2, 3], dtype=np.uint64)
+    assert len(encode_many(offs, docs, freqs)) == 2

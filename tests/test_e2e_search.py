@@ -1,0 +1,157 @@
+"""E2E: build index with Ray Data -> query -> rank-identical to the oracle
+(SURVEY.md §5 item 1; BASELINE.md invariant rows)."""
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from trinity_ray.fixtures import REFERENCE_QUERIES, write_corpus
+from trinity_ray.index.build import build_index
+from trinity_ray.oracle import OracleIndex
+from trinity_ray.search import LocalSearcher, RaySearcher
+
+N_DOCS = 1200
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("corpus")
+    write_corpus(str(d), N_DOCS, n_files=3, seed=42, row_group_size=256)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def index_dir(ray_session, corpus_dir, tmp_path_factory):
+    d = tmp_path_factory.mktemp("index")
+    build_index(
+        corpus_dir,
+        str(d),
+        content_column="content",
+        id_columns=("repo", "path", "commit", "lang"),
+        tokenizer="trinity",
+        positions=True,
+        target_rows_per_partition=300,
+        concurrency=3,
+    )
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus_dir):
+    idx = OracleIndex(tokenizer="trinity")
+    doc_id = 0
+    for f in sorted(os.listdir(corpus_dir)):
+        tbl = pq.read_table(os.path.join(corpus_dir, f), columns=["content"])
+        for text in tbl.column("content").to_pylist():
+            idx.add(doc_id, text)
+            doc_id += 1
+    return idx
+
+
+def test_manifest_covers_all_docs(index_dir):
+    s = LocalSearcher(index_dir)
+    assert int(s.n_docs) == N_DOCS
+    segs = s.manifest.segments
+    assert segs[0].doc_base == 0
+    for a, b in zip(segs, segs[1:]):
+        assert b.doc_base == a.doc_end  # contiguous per-partition docID ranges
+
+
+def test_sha256_invariant(index_dir, corpus_dir):
+    """Per-row content sha256 equality vs reference through every stage
+    (BASELINE.json input_hint)."""
+    import glob
+
+    expected = {}
+    doc_id = 0
+    for f in sorted(os.listdir(corpus_dir)):
+        for text in pq.read_table(os.path.join(corpus_dir, f), columns=["content"]).column("content").to_pylist():
+            expected[doc_id] = hashlib.sha256(text.encode()).hexdigest()
+            doc_id += 1
+    got = {}
+    for p in glob.glob(os.path.join(index_dir, "segments", "*", "docs.parquet")):
+        t = pq.read_table(p, columns=["doc_id", "content_sha256"])
+        for d, h in zip(t.column("doc_id").to_pylist(), t.column("content_sha256").to_pylist()):
+            got[d] = h
+    assert got == expected
+
+
+@pytest.mark.parametrize("name,kind,text", REFERENCE_QUERIES,
+                         ids=[q[0] for q in REFERENCE_QUERIES])
+def test_rank_identity_vs_oracle(index_dir, oracle, name, kind, text):
+    s = LocalSearcher(index_dir)
+    got = s.search(text, k=10)
+    want = oracle.search(text, k=10)
+    got_ids = [int(d) for d in got.doc_ids]
+    want_ids = [d for d, _ in want]
+    assert got_ids == want_ids, f"{name}: doc ranking differs"
+    np.testing.assert_allclose(
+        got.scores, [sc for _, sc in want], rtol=1e-12, atol=1e-12,
+        err_msg=f"{name}: scores differ",
+    )
+
+
+def test_full_result_set_matches(index_dir, oracle):
+    """Not just top-10: the complete matched doc set agrees (k=0 = all)."""
+    for _, _, text in REFERENCE_QUERIES[:8]:
+        got = LocalSearcher(index_dir).search(text, k=0)
+        want = oracle.search(text, k=0)
+        assert [int(d) for d in got.doc_ids] == [d for d, _ in want]
+
+
+def test_ray_searcher_matches_local(ray_session, index_dir):
+    rs = RaySearcher(index_dir, num_actors=2)
+    ls = LocalSearcher(index_dir)
+    queries = [t for _, _, t in REFERENCE_QUERIES[:10]]
+    many = rs.search_many(queries, k=10)
+    for q, rr in zip(queries, many):
+        lr = ls.search(q, k=10)
+        assert [int(d) for d in rr.doc_ids] == [int(d) for d in lr.doc_ids]
+        np.testing.assert_allclose(rr.scores, lr.scores, rtol=0, atol=0)
+
+
+def test_build_determinism_across_parallelism(ray_session, corpus_dir, tmp_path):
+    """Same corpus at different parallelism/partitioning -> identical results
+    (SURVEY.md §5 item 5)."""
+    d1, d2 = str(tmp_path / "i1"), str(tmp_path / "i2")
+    build_index(corpus_dir, d1, id_columns=("repo",), target_rows_per_partition=200,
+                concurrency=1)
+    build_index(corpus_dir, d2, id_columns=("repo",), target_rows_per_partition=1000,
+                concurrency=3)
+    s1, s2 = LocalSearcher(d1), LocalSearcher(d2)
+    for _, _, text in REFERENCE_QUERIES[:8]:
+        r1, r2 = s1.search(text, k=10), s2.search(text, k=10)
+        assert [int(x) for x in r1.doc_ids] == [int(x) for x in r2.doc_ids]
+        np.testing.assert_allclose(r1.scores, r2.scores, rtol=0, atol=0)
+
+
+def test_resume_skips_complete_segments(ray_session, corpus_dir, tmp_path):
+    d = str(tmp_path / "resumed")
+    m1 = build_index(corpus_dir, d, target_rows_per_partition=300)
+    # second run over the same dir must resume every partition
+    import ray.data as rd
+
+    from trinity_ray.index.build import SegmentBuilder, plan_partitions
+
+    specs = plan_partitions(corpus_dir, target_rows=300)
+    b = SegmentBuilder(d, "content", (), "trinity", True, 0)
+    res = [b._build_one(s.to_row()) for s in specs]
+    assert all(r["resumed"] for r in res)
+    assert [r["name"] for r in res] == [s.name for s in m1.segments]
+
+
+def test_topk_tie_break_across_cutoff(index_dir, oracle):
+    """Score ties straddling the k cutoff must break (score desc, doc_id asc).
+
+    A MatchAll-style query gives every doc the same (zero) score — the
+    harshest tie case; regression for the argpartition tie bug."""
+    s = LocalSearcher(index_dir)
+    r = s.search("", k=7)
+    assert [int(d) for d in r.doc_ids] == [0, 1, 2, 3, 4, 5, 6]
+    # hot term: many equal-tf docs -> equal scores; compare vs oracle
+    r2 = s.search("return", k=25)
+    want = oracle.search("return", k=25)
+    assert [int(d) for d in r2.doc_ids] == [d for d, _ in want]

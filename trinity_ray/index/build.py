@@ -1,0 +1,409 @@
+"""Ray-Data index build: Parquet corpus → per-partition posting-list segments.
+
+Pipeline shape (the reference's SegmentIndexSession commit pipeline,
+/root/reference/indexer.cpp:311-564, re-expressed Ray-Data-first per
+SURVEY.md §3.1)::
+
+    plan_partitions(parquet metadata)            # driver, deterministic
+      → ray.data.from_items(partition specs)
+      → map_batches(SegmentBuilder, concurrency=N, batch_size=1)
+      → per-partition segment dirs + stats rows
+    write_manifest                               # driver
+
+Key design points for 100 TB scale:
+
+- **Deterministic docIDs independent of parallelism** (SURVEY.md §7.4): the
+  driver plans partitions from Parquet file/row-group metadata only — each
+  partition is a contiguous run of row groups of one file, and owns the
+  contiguous docID range ``[doc_base, doc_base + rows)`` derived from the
+  global cumulative row count in (sorted-path, row-group) order.  Any
+  parallelism produces byte-identical segments.
+- **No shuffle.** Tokenize + sort + encode are partition-local (the
+  reference sorts 32 sub-partitions in one process; we sort one partition
+  per task).  The only wide op in the system is segment *merge*
+  (trinity_ray.index.merge).
+- **Checkpoint/resume** (north_rule): a partition whose segment directory is
+  already complete (stats.json present) is skipped — its stats are read
+  back; reruns after failure only build missing partitions.  Segment dirs
+  are written atomically (tmp + rename, like indexer.cpp:284-299).
+- **Streaming within a partition:** the builder reads its row groups
+  batch-by-batch via pyarrow (only the content + id columns — prune at the
+  read), tokenizes, and accumulates compact numpy arrays (term ids via a
+  per-partition dict), then does ONE lexsort + vectorized encode_many at
+  the end — the analogue of the reference's scan/sort/encode trio
+  (indexer.cpp:337-478) with the 11.8 s PFOR encode phase replaced by
+  global numpy varint passes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from dataclasses import dataclass
+from typing import Any, Iterable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from trinity_ray.codec import encode_many
+from trinity_ray.rayutil import package_runtime_env
+from trinity_ray.index.segment import (
+    DOCS_FILE,
+    POSTINGS_FILE,
+    STATS_FILE,
+    TERMS_ROW_GROUP,
+    FieldStatistics,
+    IndexManifest,
+    SegmentMeta,
+    read_segment_stats,
+    segment_dir,
+    segment_is_complete,
+    write_manifest,
+    write_segment_atomic,
+)
+from trinity_ray.tokenizer import MAX_POSITION, get_tokenizer
+
+
+@dataclass
+class PartitionSpec:
+    part_id: int
+    path: str
+    row_groups: list[int]
+    doc_base: int
+    rows: int
+
+    def to_row(self) -> dict:
+        return {
+            "part_id": self.part_id,
+            "path": self.path,
+            "row_groups": json.dumps(self.row_groups),
+            "doc_base": self.doc_base,
+            "rows": self.rows,
+        }
+
+
+def plan_partitions(
+    paths: str | Iterable[str],
+    target_rows: int = 250_000,
+) -> list[PartitionSpec]:
+    """Deterministic partition plan from Parquet metadata (driver-side).
+
+    Partitions never span files (so a partition reads one file's row groups)
+    and are built greedily from consecutive row groups up to ``target_rows``.
+    docID bases are global cumulative row counts in (sorted path, row group)
+    order — the per-partition contiguous docID range invariant the codecs
+    and the merge's ordered-concat depend on (SURVEY.md §4 ordering row).
+    """
+    if isinstance(paths, str):
+        if os.path.isdir(paths):
+            files = sorted(
+                os.path.join(paths, f) for f in os.listdir(paths) if f.endswith(".parquet")
+            )
+        else:
+            files = [paths]
+    else:
+        files = sorted(paths)
+    specs: list[PartitionSpec] = []
+    doc_base = 0
+    part_id = 0
+    for path in files:
+        meta = pq.read_metadata(path)
+        cur_rgs: list[int] = []
+        cur_rows = 0
+        for rg in range(meta.num_row_groups):
+            nrows = meta.row_group(rg).num_rows
+            if cur_rows and cur_rows + nrows > target_rows:
+                specs.append(PartitionSpec(part_id, path, cur_rgs, doc_base, cur_rows))
+                part_id += 1
+                doc_base += cur_rows
+                cur_rgs, cur_rows = [], 0
+            cur_rgs.append(rg)
+            cur_rows += nrows
+        if cur_rgs:
+            specs.append(PartitionSpec(part_id, path, cur_rgs, doc_base, cur_rows))
+            part_id += 1
+            doc_base += cur_rows
+    return specs
+
+
+def segment_name(generation: int, part_id: int) -> str:
+    return f"g{generation:06d}-p{part_id:05d}"
+
+
+class SegmentBuilder:
+    """Stateful actor stage: one partition spec in → one segment dir + stats row.
+
+    The analogue of SegmentIndexSession (indexer.h:76-94): per-actor state
+    (tokenizer, config) initialised once; per-partition accumulation lives
+    inside one __call__.
+    """
+
+    def __init__(
+        self,
+        index_dir: str,
+        content_column: str,
+        id_columns: tuple[str, ...],
+        tokenizer: str,
+        positions: bool,
+        generation: int,
+        read_batch_rows: int = 8192,
+    ):
+        self.index_dir = index_dir
+        self.content_column = content_column
+        self.id_columns = tuple(id_columns)
+        self.tokenizer_name = tokenizer
+        self.tokenize = get_tokenizer(tokenizer)
+        self.positions = positions
+        self.generation = generation
+        self.read_batch_rows = read_batch_rows
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_rows = []
+        for row in batch.to_pylist():
+            out_rows.append(self._build_one(row))
+        return pa.Table.from_pylist(out_rows)
+
+    # -- one partition → one segment ----------------------------------------
+    def _build_one(self, spec: dict) -> dict:
+        name = segment_name(self.generation, spec["part_id"])
+        if segment_is_complete(self.index_dir, name):  # checkpoint/resume
+            st = read_segment_stats(self.index_dir, name)
+            return {"name": name, "resumed": True, **{k: st[k] for k in
+                    ("docs_cnt", "sum_term_hits", "total_terms", "sum_terms_docs")},
+                    "part_id": spec["part_id"], "doc_base": spec["doc_base"],
+                    "doc_count": spec["rows"], "generation": self.generation}
+
+        row_groups = json.loads(spec["row_groups"])
+        pf = pq.ParquetFile(spec["path"])
+        columns = [self.content_column, *self.id_columns]
+
+        # vocabulary dict: term -> dense local id (SegmentIndexSession's
+        # term<->id dicts, indexer.h:90-91)
+        vocab: dict[str, int] = {}
+        term_ids_parts: list[np.ndarray] = []
+        doc_ids_parts: list[np.ndarray] = []
+        pos_parts: list[np.ndarray] = []
+        doc_meta_batches: list[pa.Table] = []
+        doc_lens_parts: list[np.ndarray] = []
+
+        next_doc = spec["doc_base"]
+        for rb in pf.iter_batches(batch_size=self.read_batch_rows,
+                                  row_groups=row_groups, columns=columns):
+            texts = rb.column(self.content_column).to_pylist()
+            n = len(texts)
+            tok_lists = [self.tokenize(t or "") for t in texts]
+            counts = np.fromiter((min(len(l), MAX_POSITION - 1) for l in tok_lists),
+                                 dtype=np.int64, count=n)
+            flat: list[int] = []
+            for toks, c in zip(tok_lists, counts):
+                v = vocab
+                flat.extend(
+                    v.setdefault(t, len(v)) for t in (toks[: int(c)])
+                )
+            term_ids_parts.append(np.asarray(flat, dtype=np.int64))
+            batch_docs = np.arange(next_doc, next_doc + n, dtype=np.uint64)
+            doc_ids_parts.append(np.repeat(batch_docs, counts))
+            # positions restart at 1 per doc
+            pos = np.arange(1, int(counts.sum()) + 1, dtype=np.uint64)
+            cum = np.concatenate(([0], np.cumsum(counts)))
+            pos -= np.repeat(cum[:-1], counts).astype(np.uint64)
+            pos_parts.append(pos)
+            doc_lens_parts.append(counts)
+
+            sha = pa.array(
+                [hashlib.sha256((t or "").encode()).hexdigest() for t in texts]
+            )
+            meta_cols = {"doc_id": pa.array(batch_docs, type=pa.uint64())}
+            for c in self.id_columns:
+                meta_cols[c] = rb.column(c)
+            meta_cols["content_sha256"] = sha
+            meta_cols["doc_len"] = pa.array(counts, type=pa.uint32())
+            doc_meta_batches.append(pa.table(meta_cols))
+            next_doc += n
+
+        doc_count = next_doc - spec["doc_base"]
+        assert doc_count == spec["rows"], (doc_count, spec)
+
+        term_ids = np.concatenate(term_ids_parts) if term_ids_parts else np.empty(0, np.int64)
+        hit_docs = np.concatenate(doc_ids_parts) if doc_ids_parts else np.empty(0, np.uint64)
+        hit_pos = np.concatenate(pos_parts) if pos_parts else np.empty(0, np.uint64)
+        del term_ids_parts, doc_ids_parts, pos_parts
+
+        stats, tables = self._encode_segment(vocab, term_ids, hit_docs, hit_pos)
+        postings_table, = tables
+        # N for BM25 = ALL documents in the partition, including token-less
+        # ones (our definition, mirrored by the oracle): deterministic and
+        # independent of tokenizer edge cases.
+        stats.docs_cnt = doc_count
+
+        def write(tmp_dir: str) -> None:
+            pq.write_table(postings_table, os.path.join(tmp_dir, POSTINGS_FILE),
+                           row_group_size=TERMS_ROW_GROUP, compression="zstd")
+            pq.write_table(pa.concat_tables(doc_meta_batches) if doc_meta_batches
+                           else pa.table({"doc_id": pa.array([], pa.uint64())}),
+                           os.path.join(tmp_dir, DOCS_FILE), compression="zstd")
+            with open(os.path.join(tmp_dir, STATS_FILE), "w") as f:
+                json.dump({"docs_cnt": stats.docs_cnt,
+                           "sum_term_hits": stats.sum_term_hits,
+                           "total_terms": stats.total_terms,
+                           "sum_terms_docs": stats.sum_terms_docs,
+                           "doc_base": spec["doc_base"],
+                           "doc_count": doc_count,
+                           "generation": self.generation}, f)
+
+        write_segment_atomic(segment_dir(self.index_dir, name), write)
+        return {"name": name, "resumed": False, "part_id": spec["part_id"],
+                "doc_base": spec["doc_base"], "doc_count": doc_count,
+                "generation": self.generation,
+                "docs_cnt": stats.docs_cnt, "sum_term_hits": stats.sum_term_hits,
+                "total_terms": stats.total_terms, "sum_terms_docs": stats.sum_terms_docs}
+
+    def _encode_segment(
+        self,
+        vocab: dict[str, int],
+        term_ids: np.ndarray,
+        hit_docs: np.ndarray,
+        hit_pos: np.ndarray,
+    ) -> tuple[FieldStatistics, tuple[pa.Table, ...]]:
+        """Sort hits by (term, doc, pos) and encode — indexer.cpp:396-478."""
+        n_hits = term_ids.size
+        if n_hits == 0:
+            empty = pa.table({
+                "term": pa.array([], pa.string()),
+                "df": pa.array([], pa.uint32()),
+                "max_tf": pa.array([], pa.uint32()),
+                "blob": pa.array([], pa.binary()),
+            })
+            return FieldStatistics(), (empty,)
+
+        # terms must be encoded in lexicographic order (sorted dictionary,
+        # terms.cpp:126-172): remap local ids to sorted-term order first
+        terms_sorted = sorted(vocab, key=lambda t: t)
+        rank = np.empty(len(vocab), dtype=np.int64)
+        for r, t in enumerate(terms_sorted):
+            rank[vocab[t]] = r
+        term_ids = rank[term_ids]
+
+        order = np.lexsort((hit_pos, hit_docs, term_ids))
+        term_ids = term_ids[order]
+        hit_docs = hit_docs[order]
+        hit_pos = hit_pos[order]
+
+        # collapse hits → postings (term, doc, tf) with per-posting hit slices
+        key_change = np.empty(n_hits, dtype=bool)
+        key_change[0] = True
+        np.not_equal(term_ids[1:], term_ids[:-1], out=key_change[1:])
+        doc_change = np.empty(n_hits, dtype=bool)
+        doc_change[0] = True
+        np.not_equal(hit_docs[1:], hit_docs[:-1], out=doc_change[1:])
+        posting_start = key_change | doc_change
+        p_idx = np.flatnonzero(posting_start)
+        p_term = term_ids[p_idx]
+        p_doc = hit_docs[p_idx]
+        p_tf = np.diff(np.concatenate((p_idx, [n_hits]))).astype(np.uint64)
+
+        term_start_mask = np.empty(p_idx.size, dtype=bool)
+        term_start_mask[0] = True
+        np.not_equal(p_term[1:], p_term[:-1], out=term_start_mask[1:])
+        term_offsets = np.concatenate(
+            (np.flatnonzero(term_start_mask), [p_idx.size])
+        ).astype(np.int64)
+
+        blobs = encode_many(term_offsets, p_doc, p_tf,
+                            hit_pos if self.positions else None)
+
+        dfs = np.diff(term_offsets).astype(np.uint64)
+        max_tf = np.maximum.reduceat(p_tf, term_offsets[:-1]).astype(np.uint64)
+        # distinct terms present, in sorted order (vocab may contain terms
+        # only seen beyond the position cap — use actual encoded terms)
+        present_ranks = p_term[term_offsets[:-1]]
+        term_arr = [terms_sorted[r] for r in present_ranks]
+
+        stats = FieldStatistics(
+            docs_cnt=int(np.unique(p_doc).size),
+            sum_term_hits=int(n_hits),
+            total_terms=int(len(term_arr)),
+            sum_terms_docs=int(dfs.sum()),
+        )
+        table = pa.table({
+            "term": pa.array(term_arr, pa.string()),
+            "df": pa.array(dfs, pa.uint32()),
+            "max_tf": pa.array(np.minimum(max_tf, 0xFFFFFFFF), pa.uint32()),
+            "blob": pa.array(blobs, pa.binary()),
+        })
+        return stats, (table,)
+
+
+def build_index(
+    input_paths: str | Iterable[str],
+    index_dir: str,
+    *,
+    content_column: str = "content",
+    id_columns: tuple[str, ...] = (),
+    tokenizer: str = "trinity",
+    positions: bool = True,
+    generation: int = 0,
+    target_rows_per_partition: int = 250_000,
+    concurrency: int | None = None,
+    read_batch_rows: int = 8192,
+) -> IndexManifest:
+    """Build (or resume) an index over a Parquet corpus.  Ray must already
+    be initialised by the caller; this function never calls ray.init()."""
+    import ray
+    import ray.data as rd
+
+    os.makedirs(os.path.join(index_dir, "segments"), exist_ok=True)
+    specs = plan_partitions(input_paths, target_rows=target_rows_per_partition)
+    if not specs:
+        raise ValueError(f"no parquet input found at {input_paths!r}")
+
+    if concurrency is None:
+        concurrency = max(1, min(len(specs), int(ray.cluster_resources().get("CPU", 4))))
+
+    ds = rd.from_items([s.to_row() for s in specs])
+    builder_results = ds.map_batches(
+        SegmentBuilder,
+        fn_constructor_kwargs=dict(
+            index_dir=index_dir,
+            content_column=content_column,
+            id_columns=id_columns,
+            tokenizer=tokenizer,
+            positions=positions,
+            generation=generation,
+            read_batch_rows=read_batch_rows,
+        ),
+        batch_size=1,           # one partition per task invocation
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+        runtime_env=package_runtime_env(),
+    ).take_all()
+
+    segments = [
+        SegmentMeta(
+            name=r["name"],
+            generation=r["generation"],
+            part_id=r["part_id"],
+            doc_base=r["doc_base"],
+            doc_count=r["doc_count"],
+            stats=FieldStatistics(
+                docs_cnt=r["docs_cnt"],
+                sum_term_hits=r["sum_term_hits"],
+                total_terms=r["total_terms"],
+                sum_terms_docs=r["sum_terms_docs"],
+            ),
+        )
+        for r in sorted(builder_results, key=lambda r: r["part_id"])
+    ]
+    manifest = IndexManifest(
+        version=1,
+        tokenizer=tokenizer,
+        positions=positions,
+        segments=segments,
+        content_column=content_column,
+        id_columns=tuple(id_columns),
+    )
+    write_manifest(index_dir, manifest)
+    return manifest

@@ -1,0 +1,450 @@
+"""Query AST, parser and normalizer.
+
+The reference models a query as an AST over {BinOp{AND, STRICT_AND, OR, NOT},
+Token, Phrase, UnaryOp, ConstFalse, ConstTrueExpr, MatchSome}
+(/root/reference/queries.h:10-16, 36-202), parsed by an operator-precedence
+recursive-descent parser (queries.cpp:30-538; priorities AND=NOT=8 > OR=7,
+queries.cpp:11-28) and canonicalized by a normalization fixpoint
+(normalize_root, queries.cpp:553-1343).
+
+Ours is n-ary (And/Or hold child lists) because batch set-evaluation doesn't
+need binary trees.  Supported syntax::
+
+    a b c            implicit AND
+    a AND b          explicit AND (STRICT_AND folds to the same node)
+    a OR b, a | b    OR
+    a NOT b, a -b    AND-NOT
+    "a b c"          phrase (adjacent positions; MaxPhraseSize=16,
+                     trinity_limits.h:12 — longer phrases are truncated)
+    ( ... )          grouping
+    < ... >          ConstTrueExpr: always matches, contributes to score
+                     (queries.h:76-89)
+    [k a b c]        MatchSome: match >= k of the subexpressions
+                     (queries.h:91-96; the reference builds these
+                     programmatically — we give them a surface syntax)
+
+Query terms go through the SAME tokenizer as documents (parser-parity
+requirement, queries.h:246-247).  A parsed query with no positive,
+satisfiable component normalizes to ConstFalse.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from typing import Callable, Iterator
+
+from trinity_ray.tokenizer import TOKEN_RE, get_tokenizer
+
+MAX_PHRASE_SIZE = 16  # trinity_limits.h:12
+MAX_QUERY_TOKENS = 32  # trinity_limits.h:5-13 (query::trim, queries.cpp:1503-1525)
+
+
+class Node:
+    __slots__ = ()
+
+
+@dataclass(frozen=True)
+class Token(Node):
+    term: str
+
+
+@dataclass(frozen=True)
+class Phrase(Node):
+    terms: tuple[str, ...]
+
+
+@dataclass(frozen=True)
+class And(Node):
+    children: tuple[Node, ...]
+
+
+@dataclass(frozen=True)
+class Or(Node):
+    children: tuple[Node, ...]
+
+
+@dataclass(frozen=True)
+class Not(Node):
+    """Negation; meaningful inside And (anti-join) — queries.h BinOp NOT."""
+
+    child: Node
+
+
+@dataclass(frozen=True)
+class Optional_(Node):
+    """ConstTrueExpr: matches everything, child only contributes to score."""
+
+    child: Node
+
+
+@dataclass(frozen=True)
+class MatchSome(Node):
+    min_match: int
+    children: tuple[Node, ...]
+
+
+@dataclass(frozen=True)
+class ConstFalse(Node):
+    pass
+
+
+@dataclass(frozen=True)
+class MatchAll(Node):
+    pass
+
+
+CONST_FALSE = ConstFalse()
+MATCH_ALL = MatchAll()
+
+
+# ---------------------------------------------------------------------------
+# lexer
+# ---------------------------------------------------------------------------
+
+_LEX = re.compile(
+    rf"(?P<tok>{TOKEN_RE.pattern})|(?P<sy>[\"()|<>\[\]“”-])",
+    re.X,
+)
+
+_KEYWORDS = {"AND", "OR", "NOT"}
+
+
+def _lex(text: str, tokenize: Callable[[str], list[str]]) -> list[tuple[str, object]]:
+    """Yield (kind, value): kind in {'term','phrase_term','sy','kw'}."""
+    out: list[tuple[str, object]] = []
+    for m in _LEX.finditer(text):
+        if m.lastgroup == "sy":
+            ch = m.group()
+            if ch in "“”":
+                ch = '"'
+            out.append(("sy", ch))
+        else:
+            toks = tokenize(m.group())  # normalizes exactly like documents
+            for t in toks:
+                if t in _KEYWORDS:
+                    out.append(("kw", t))
+                else:
+                    out.append(("term", t))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# parser (recursive descent, AND > OR — queries.cpp:11-28)
+# ---------------------------------------------------------------------------
+
+class _Parser:
+    def __init__(self, items: list[tuple[str, object]]):
+        self.items = items
+        self.i = 0
+
+    def peek(self):
+        return self.items[self.i] if self.i < len(self.items) else (None, None)
+
+    def next(self):
+        it = self.peek()
+        self.i += 1
+        return it
+
+    def parse_expr(self) -> Node:
+        return self.parse_or()
+
+    def parse_or(self) -> Node:
+        children = [self.parse_and()]
+        while True:
+            kind, val = self.peek()
+            if (kind == "kw" and val == "OR") or (kind == "sy" and val == "|"):
+                self.next()
+                children.append(self.parse_and())
+            else:
+                break
+        return Or(tuple(children)) if len(children) > 1 else children[0]
+
+    def parse_and(self) -> Node:
+        children: list[Node] = []
+        while True:
+            kind, val = self.peek()
+            if kind is None:
+                break
+            if kind == "kw" and val == "AND":
+                self.next()
+                continue
+            if kind == "kw" and val == "NOT":
+                self.next()
+                children.append(Not(self.parse_unary()))
+                continue
+            if (kind == "kw" and val == "OR") or (kind == "sy" and val in ")|>]"):
+                break
+            children.append(self.parse_unary())
+        if not children:
+            return MATCH_ALL
+        return And(tuple(children)) if len(children) > 1 else children[0]
+
+    def parse_unary(self) -> Node:
+        kind, val = self.next()
+        if kind == "sy":
+            if val == "-":
+                return Not(self.parse_unary())
+            if val == "(":
+                node = self.parse_expr()
+                self._expect(")")
+                return node
+            if val == "<":
+                node = self.parse_expr()
+                self._expect(">")
+                return Optional_(node)
+            if val == '"':
+                terms: list[str] = []
+                while True:
+                    k, v = self.peek()
+                    if k is None:
+                        break
+                    self.next()
+                    if k == "sy" and v == '"':
+                        break
+                    if k in ("term", "kw"):
+                        terms.append(str(v))
+                terms = terms[:MAX_PHRASE_SIZE]
+                if not terms:
+                    return MATCH_ALL  # empty phrase is a no-op ("")
+                if len(terms) == 1:
+                    return Token(terms[0])
+                return Phrase(tuple(terms))
+            if val == "[":
+                # [k expr expr ...] — first bare numeric term is min_match
+                parts: list[Node] = []
+                min_match = 1
+                first = True
+                while True:
+                    k, v = self.peek()
+                    if k is None:
+                        break
+                    if k == "sy" and v == "]":
+                        self.next()
+                        break
+                    sub = self.parse_unary()
+                    if first and isinstance(sub, Token) and str(sub.term).isdigit():
+                        min_match = max(1, int(sub.term))
+                    else:
+                        parts.append(sub)
+                    first = False
+                if not parts:
+                    return MATCH_ALL
+                return MatchSome(min_match, tuple(parts))
+            # stray syntax char: skip
+            return MATCH_ALL
+        if kind in ("term", "kw"):
+            return Token(str(val))
+        return MATCH_ALL
+
+    def _expect(self, ch: str) -> None:
+        kind, val = self.peek()
+        if kind == "sy" and val == ch:
+            self.next()
+
+
+def parse_query(text: str, tokenizer: str = "trinity") -> Node:
+    """Parse + normalize a query string."""
+    items = _lex(text, get_tokenizer(tokenizer))
+    node = _Parser(items).parse_expr()
+    return normalize(trim(node))
+
+
+# ---------------------------------------------------------------------------
+# normalization fixpoint (normalize_root analogue, queries.cpp:553-1343)
+# ---------------------------------------------------------------------------
+
+def normalize(node: Node) -> Node:
+    prev = None
+    while prev != node:
+        prev = node
+        node = _normalize_one(node)
+    if isinstance(node, Not):  # pure-negative query matches nothing
+        return CONST_FALSE
+    return node
+
+
+def _normalize_one(node: Node) -> Node:
+    if isinstance(node, (Token, Phrase, ConstFalse, MatchAll)):
+        return node
+    if isinstance(node, Not):
+        child = _normalize_one(node.child)
+        if isinstance(child, Not):       # NOT NOT a -> a
+            return child.child
+        if isinstance(child, ConstFalse):
+            return MATCH_ALL
+        if isinstance(child, MatchAll):
+            return CONST_FALSE
+        return Not(child)
+    if isinstance(node, Optional_):
+        child = _normalize_one(node.child)
+        if isinstance(child, (ConstFalse, MatchAll)):
+            return MATCH_ALL
+        return Optional_(child)
+    if isinstance(node, And):
+        out: list[Node] = []
+        seen: set[Node] = set()
+        for c in node.children:
+            c = _normalize_one(c)
+            if isinstance(c, And):       # flatten
+                grand = c.children
+            else:
+                grand = (c,)
+            for g in grand:
+                if isinstance(g, MatchAll):
+                    continue
+                if isinstance(g, ConstFalse):
+                    return CONST_FALSE
+                if isinstance(g, Not) and isinstance(g.child, ConstFalse):
+                    continue
+                if g in seen:            # (a AND a) -> a (queries.cpp collapse)
+                    continue
+                seen.add(g)
+                out.append(g)
+        # a AND NOT a -> constfalse
+        positives = {c for c in out if not isinstance(c, Not)}
+        for c in out:
+            if isinstance(c, Not) and c.child in positives:
+                return CONST_FALSE
+        if not out:
+            return MATCH_ALL
+        if len(out) == 1:
+            only = out[0]
+            if isinstance(only, Not):    # pure-negative query -> no matches
+                return CONST_FALSE
+            if isinstance(only, Optional_):
+                return only
+            return only
+        if all(isinstance(c, Not) for c in out):
+            return CONST_FALSE
+        return And(tuple(out))
+    if isinstance(node, Or):
+        out = []
+        seen = set()
+        for c in node.children:
+            c = _normalize_one(c)
+            grand = c.children if isinstance(c, Or) else (c,)
+            for g in grand:
+                if isinstance(g, ConstFalse):
+                    continue
+                if isinstance(g, MatchAll):
+                    return MATCH_ALL
+                if g in seen:
+                    continue
+                seen.add(g)
+                out.append(g)
+        if not out:
+            return CONST_FALSE
+        if len(out) == 1:
+            c = out[0]
+            return CONST_FALSE if isinstance(c, Not) else c
+        # `a OR -b` — a negation cannot stand alone in a union; drop it
+        # (the reference's normalizer rewrites these forms, queries.cpp:553+)
+        kept = [c for c in out if not isinstance(c, Not)]
+        if not kept:
+            return CONST_FALSE
+        if len(kept) == 1:
+            return kept[0]
+        return Or(tuple(kept))
+    if isinstance(node, MatchSome):
+        children = tuple(_normalize_one(c) for c in node.children)
+        children = tuple(c for c in children if not isinstance(c, ConstFalse))
+        k = node.min_match
+        if not children or k > len(children):
+            return CONST_FALSE
+        if k <= 1:
+            return Or(children) if len(children) > 1 else children[0]
+        if k == len(children):           # min==size -> AND chain
+            return And(children)         # (compilation_ctx.cpp matchsome spec.)
+        return MatchSome(k, children)
+    raise TypeError(f"unknown node {node!r}")
+
+
+def trim(node: Node, limit: int = MAX_QUERY_TOKENS) -> Node:
+    """Cap distinct query tokens (query::trim, queries.cpp:1503-1525)."""
+    seen: list[str] = []
+
+    def walk(n: Node) -> Node:
+        if isinstance(n, Token):
+            if n.term not in seen:
+                if len(seen) >= limit:
+                    return MATCH_ALL
+                seen.append(n.term)
+            return n
+        if isinstance(n, Phrase):
+            for t in n.terms:
+                if t not in seen:
+                    if len(seen) >= limit:
+                        return MATCH_ALL
+                    seen.append(t)
+            return n
+        if isinstance(n, And):
+            return And(tuple(walk(c) for c in n.children))
+        if isinstance(n, Or):
+            return Or(tuple(walk(c) for c in n.children))
+        if isinstance(n, Not):
+            return Not(walk(n.child))
+        if isinstance(n, Optional_):
+            return Optional_(walk(n.child))
+        if isinstance(n, MatchSome):
+            return MatchSome(n.min_match, tuple(walk(c) for c in n.children))
+        return n
+
+    return walk(node)
+
+
+# ---------------------------------------------------------------------------
+# term collection
+# ---------------------------------------------------------------------------
+
+def _iter_nodes(node: Node) -> Iterator[Node]:
+    yield node
+    if isinstance(node, (And, Or, MatchSome)):
+        for c in node.children:
+            yield from _iter_nodes(c)
+    elif isinstance(node, (Not, Optional_)):
+        yield from _iter_nodes(node.child)
+
+
+def collect_terms(node: Node) -> list[str]:
+    """All distinct terms (incl. under NOT), in first-appearance order."""
+    out: list[str] = []
+    for n in _iter_nodes(node):
+        if isinstance(n, Token):
+            if n.term not in out:
+                out.append(n.term)
+        elif isinstance(n, Phrase):
+            for t in n.terms:
+                if t not in out:
+                    out.append(t)
+    return out
+
+
+def collect_scorable_terms(node: Node) -> list[str]:
+    """Distinct terms contributing to BM25 — everything NOT under a Not.
+
+    Our scoring model (documented deviation from the reference's per-iterator
+    accumulation, exec.h AccumulatedScoreScheme): score(d) = sum over distinct
+    positive query terms t present in d of idf_t * tf/(tf+k1)
+    (similarity.h:228-235).  Both the engine and the oracle implement exactly
+    this, so rank-identity is well-defined.
+    """
+    out: list[str] = []
+
+    def walk(n: Node) -> None:
+        if isinstance(n, Token):
+            if n.term not in out:
+                out.append(n.term)
+        elif isinstance(n, Phrase):
+            for t in n.terms:
+                if t not in out:
+                    out.append(t)
+        elif isinstance(n, (And, Or, MatchSome)):
+            for c in n.children:
+                walk(c)
+        elif isinstance(n, Optional_):
+            walk(n.child)
+        # Not: excluded
+
+    walk(node)
+    return out

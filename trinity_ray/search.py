@@ -1,0 +1,221 @@
+"""Index search: scatter per-segment execution, gather global top-k.
+
+The reference's collection query path (exec_query over an
+IndexSourcesCollection, /root/reference/exec.h:63-177) runs one isolated
+execution per index source — "they are isolated so parallel processing them
+requires no coordination" (exec.h:57-62) — and the app merges per-source
+top-k.  Ours is the same scatter-gather:
+
+    driver: parse -> normalize -> resolve global df (dictionary probes)
+          -> broadcast (plan, idf) to per-segment executors
+    segment: match (numpy set algebra) -> mask deletes -> BM25 -> local top-k
+    driver: k-way merge on (score desc, doc_id asc)
+
+Two execution backends:
+- ``LocalSearcher``: driver-side loop over SegmentReaders (tests, small runs)
+- ``RaySearcher``: an actor pool (``SegmentSearchActor``) where each actor
+  owns a shard of segments with warm postings caches — the "stateful stage
+  loaded once per worker" pattern; queries fan out to every actor, partial
+  top-k's stream back.  Plans and idf maps are tiny and ship per query;
+  postings never leave their actor.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from trinity_ray.index.segment import (
+    DELETES_FILE,
+    IndexManifest,
+    SegmentMeta,
+    read_manifest,
+    segment_dir,
+)
+from trinity_ray.query.ast import (
+    Node,
+    collect_scorable_terms,
+    collect_terms,
+    parse_query,
+)
+from trinity_ray.query.exec import EMPTY_U64, SegmentReader, bm25_idf
+
+
+@dataclass
+class SearchResult:
+    doc_ids: np.ndarray
+    scores: np.ndarray
+
+    def to_rows(self) -> list[dict]:
+        return [
+            {"rank": i + 1, "doc_id": int(d), "score": float(s)}
+            for i, (d, s) in enumerate(zip(self.doc_ids, self.scores))
+        ]
+
+
+def _segment_masks(manifest: IndexManifest, index_dir: str) -> dict[str, np.ndarray]:
+    """Per-segment deleted-doc masks from NEWER generations' delete lists
+    (masked_documents_registry semantics, docidupdates.h:90-191: a source is
+    masked only by sources with a greater generation)."""
+    deleters = [s for s in manifest.segments if s.has_deletes]
+    if not deleters:
+        return {}
+    by_gen: list[tuple[int, np.ndarray]] = []
+    for s in deleters:
+        path = os.path.join(segment_dir(index_dir, s.name), DELETES_FILE)
+        ids = pq.read_table(path, columns=["doc_id"]).column("doc_id").to_numpy()
+        by_gen.append((s.generation, np.sort(ids.astype(np.uint64))))
+    masks: dict[str, np.ndarray] = {}
+    for s in manifest.segments:
+        newer = [ids for gen, ids in by_gen if gen > s.generation]
+        if not newer:
+            continue
+        allm = np.unique(np.concatenate(newer))
+        lo = np.searchsorted(allm, s.doc_base)
+        hi = np.searchsorted(allm, s.doc_end)
+        if hi > lo:
+            masks[s.name] = allm[lo:hi]
+    return masks
+
+
+def merge_topk(parts: list[tuple[np.ndarray, np.ndarray]], k: int
+               ) -> SearchResult:
+    """Global merge with tie-break (score desc, doc_id asc)."""
+    if not parts:
+        return SearchResult(EMPTY_U64, np.empty(0, dtype=np.float64))
+    docs = np.concatenate([p[0] for p in parts])
+    scores = np.concatenate([p[1] for p in parts])
+    order = np.lexsort((docs, -scores))
+    if k:
+        order = order[:k]
+    return SearchResult(docs[order], scores[order])
+
+
+class LocalSearcher:
+    """Driver-side searcher over all segments (no Ray)."""
+
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        self.manifest = read_manifest(index_dir)
+        self.n_docs = float(self.manifest.total_stats().docs_cnt)
+        masks = _segment_masks(self.manifest, index_dir)
+        self.readers = [
+            SegmentReader(segment_dir(index_dir, s.name), s.doc_base, s.doc_count,
+                          mask=masks.get(s.name))
+            for s in self.manifest.segments
+        ]
+
+    def resolve_idf(self, node: Node) -> dict[str, float]:
+        """Global df across segments -> idf (similarity.h:238-250: stats and
+        df summed over ALL sources before any scoring — never partial-idf)."""
+        terms = collect_terms(node)
+        if not terms:
+            return {}
+        df = {t: 0 for t in terms}
+        for r in self.readers:
+            for t, d in r.lookup_terms(terms).items():
+                df[t] += d
+        scorable = collect_scorable_terms(node)
+        return {t: float(bm25_idf(float(df[t]), self.n_docs))
+                for t in scorable if df[t] > 0}
+
+    def search(self, query: str | Node, k: int = 10) -> SearchResult:
+        node = parse_query(query, self.manifest.tokenizer) if isinstance(query, str) else query
+        idf = self.resolve_idf(node)
+        parts = [r.execute(node, idf, k) for r in self.readers]
+        return merge_topk([p for p in parts if p[0].size], k)
+
+
+class SegmentSearchActor:
+    """One actor owns a shard of segments; postings caches stay warm."""
+
+    def __init__(self, index_dir: str, segments: list[dict],
+                 masks: dict[str, np.ndarray]):
+        self.readers = [
+            SegmentReader(segment_dir(index_dir, s["name"]), s["doc_base"],
+                          s["doc_count"], mask=masks.get(s["name"]))
+            for s in segments
+        ]
+
+    def lookup_terms(self, terms: list[str]) -> dict[str, int]:
+        out = {t: 0 for t in terms}
+        for r in self.readers:
+            for t, d in r.lookup_terms(terms).items():
+                out[t] += d
+        return out
+
+    def execute(self, node: Node, idf: dict[str, float], k: int
+                ) -> tuple[np.ndarray, np.ndarray]:
+        parts = [r.execute(node, idf, k) for r in self.readers]
+        parts = [p for p in parts if p[0].size]
+        merged = merge_topk(parts, k)
+        return merged.doc_ids, merged.scores
+
+    def execute_many(self, nodes: list[Node], idfs: list[dict], k: int
+                     ) -> list[tuple[np.ndarray, np.ndarray]]:
+        return [self.execute(n, i, k) for n, i in zip(nodes, idfs)]
+
+
+class RaySearcher:
+    """Scatter-gather over an actor pool (exec_query_par analogue,
+    exec.h:86-177, with std::async replaced by Ray actors)."""
+
+    def __init__(self, index_dir: str, num_actors: int = 4):
+        import ray
+
+        self.index_dir = index_dir
+        self.manifest = read_manifest(index_dir)
+        self.n_docs = float(self.manifest.total_stats().docs_cnt)
+        masks = _segment_masks(self.manifest, index_dir)
+        segs = [
+            {"name": s.name, "doc_base": s.doc_base, "doc_count": s.doc_count}
+            for s in self.manifest.segments
+        ]
+        num_actors = max(1, min(num_actors, len(segs)))
+        shards = [segs[i::num_actors] for i in range(num_actors)]
+        from trinity_ray.rayutil import package_runtime_env
+
+        Actor = ray.remote(num_cpus=1, runtime_env=package_runtime_env())(SegmentSearchActor)
+        self.actors = [
+            Actor.remote(index_dir, shard,
+                         {s["name"]: masks[s["name"]] for s in shard
+                          if s["name"] in masks})
+            for shard in shards
+        ]
+        self._ray = ray
+
+    def resolve_idf(self, node: Node) -> dict[str, float]:
+        terms = collect_terms(node)
+        if not terms:
+            return {}
+        futs = [a.lookup_terms.remote(terms) for a in self.actors]
+        df = {t: 0 for t in terms}
+        for part in self._ray.get(futs):
+            for t, d in part.items():
+                df[t] += d
+        scorable = collect_scorable_terms(node)
+        return {t: float(bm25_idf(float(df[t]), self.n_docs))
+                for t in scorable if df[t] > 0}
+
+    def search(self, query: str | Node, k: int = 10) -> SearchResult:
+        node = parse_query(query, self.manifest.tokenizer) if isinstance(query, str) else query
+        idf = self.resolve_idf(node)
+        futs = [a.execute.remote(node, idf, k) for a in self.actors]
+        parts = [p for p in self._ray.get(futs) if p[0].size]
+        return merge_topk(parts, k)
+
+    def search_many(self, queries: list[str | Node], k: int = 10
+                    ) -> list[SearchResult]:
+        nodes = [parse_query(q, self.manifest.tokenizer) if isinstance(q, str) else q
+                 for q in queries]
+        idfs = [self.resolve_idf(n) for n in nodes]
+        futs = [a.execute_many.remote(nodes, idfs, k) for a in self.actors]
+        per_actor = self._ray.get(futs)
+        out = []
+        for qi in range(len(nodes)):
+            parts = [pa[qi] for pa in per_actor if pa[qi][0].size]
+            out.append(merge_topk(parts, k))
+        return out
