@@ -86,13 +86,25 @@ class SegmentReader:
         self.doc_base = doc_base
         self.doc_count = doc_count
         self.mask = mask if mask is not None and len(mask) else None  # sorted deleted doc_ids
-        self._dataset = pads.dataset(os.path.join(seg_path, POSTINGS_FILE), format="parquet")
+        single = os.path.join(seg_path, POSTINGS_FILE)
+        sharded = os.path.join(seg_path, "postings")  # merged: term-sharded files
+        if os.path.exists(single):
+            self._dataset = pads.dataset(single, format="parquet")
+        elif os.path.isdir(sharded):
+            self._dataset = pads.dataset(sharded, format="parquet")
+        else:
+            self._dataset = None  # deletes-only segment
+        self._universe: np.ndarray | None = None
         self._cache: dict[str, TermPostings | None] = {}
 
     # -- dictionary probe ----------------------------------------------------
     def lookup_terms(self, terms: list[str]) -> dict[str, int]:
         """df per term (0 if absent) — resolve_term_ctx analogue."""
         missing = [t for t in terms if t not in self._cache]
+        if missing and self._dataset is None:
+            for t in missing:
+                self._cache[t] = None
+            missing = []
         if missing:
             tbl = self._dataset.to_table(
                 columns=["term", "df", "blob"],
@@ -118,7 +130,20 @@ class SegmentReader:
         return self._cache[term]
 
     def universe(self) -> np.ndarray:
-        return np.arange(self.doc_base, self.doc_base + self.doc_count, dtype=np.uint64)
+        """All live docIDs.  Built segments are dense ranges; merged segments
+        may have holes where deletes were applied, so prefer docs.parquet."""
+        if self._universe is None:
+            docs_path = os.path.join(self.seg_path, "docs.parquet")
+            if os.path.exists(docs_path):
+                import pyarrow.parquet as pq
+
+                ids = pq.read_table(docs_path, columns=["doc_id"]).column("doc_id")
+                self._universe = np.sort(ids.to_numpy().astype(np.uint64))
+            else:
+                self._universe = np.arange(
+                    self.doc_base, self.doc_base + self.doc_count, dtype=np.uint64
+                )
+        return self._universe
 
     # -- boolean evaluation --------------------------------------------------
     def match(self, node: Node) -> np.ndarray:
