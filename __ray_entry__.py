@@ -1,16 +1,12 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship index-build + BM25 search pipeline on
+sf0.001; ``queries()`` exposes one callable per implemented operator
+(SURVEY.md §2 + the training-data ops layer); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible operator.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in trinity_ray) calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -18,27 +14,175 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from trinity_ray.pipelines import docsearch as dsp
+
+K1 = 1.2
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: Ray-Data index build →
+    boolean/phrase/BM25 top-10 over the whole driver query set."""
+    return dsp.flagship("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        # -- inverted-index build + query engine (SURVEY.md §2.1-2.7) -----
+        "search_rare_top10": dsp.q_search_rare_top10,
+        "search_hot_top10": dsp.q_search_hot_top10,
+        "search_and_top10": dsp.q_search_and_top10,
+        "search_or_top10": dsp.q_search_or_top10,
+        "search_phrase_top10": dsp.q_search_phrase_top10,
+        "search_optional_top10": dsp.q_search_optional_top10,
+        "match_not": dsp.q_match_not,
+        "match_some": dsp.q_match_some,
+        "match_phrase3": dsp.q_match_phrase3,
+        # -- deletes + merge shuffle (SURVEY.md §2.8-2.9) ------------------
+        "search_deleted_top10": dsp.q_search_deleted_top10,
+        "search_merged_top10": dsp.q_search_merged_top10,
+        # -- dedup ops -----------------------------------------------------
+        "dedup_exact_groups": dsp.q_dedup_exact_groups,
+        "dedup_exact_keep": dsp.q_dedup_exact_keep,
+        "dedup_minhash_pairs": dsp.q_dedup_minhash_pairs,
+        "dedup_simhash_pairs": dsp.q_dedup_simhash_pairs,
+        "dedup_embedding_pairs": dsp.q_dedup_embedding_pairs,
+        # -- text analysis ---------------------------------------------------
+        "text_token_counts": dsp.q_text_token_counts,
+        "text_quality": dsp.q_text_quality,
+        "text_lang_id": dsp.q_text_lang_id,
+        "text_fingerprint": dsp.q_text_fingerprint,
+        # -- similarity search ----------------------------------------------
+        "ann_bruteforce_top10": dsp.q_ann_bruteforce_top10,
+        "ann_ivf_top10": dsp.q_ann_ivf_top10,
+        # -- multimodal plumbing --------------------------------------------
+        "multimodal_meta": dsp.q_multimodal_meta,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_TOKS = ("SELECT doc_id, unnest(regexp_extract_all(upper(text), '[A-Z0-9]+'))"
+         " AS tok FROM documents")
+_POS = ("SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts, 1) AS pos "
+        "FROM (SELECT doc_id, regexp_extract_all(upper(text), '[A-Z0-9]+') AS"
+        " ts FROM documents)")
+
+
+def _bm25_sql(terms: list[str], matched_sql: str, *,
+              live_filter: str | None = None, k: int = 10) -> str:
+    """BM25 top-k oracle.  score(d) = sum over scorable terms present in d of
+    ln(1+(N-df+0.5)/(df+0.5)) * tf/(tf+k1) — the engine formula
+    (similarity.h:228-235 with norm stubbed to k1).  ``live_filter`` narrows
+    the corpus itself (merged/compacted indexes); deletes-before-merge
+    instead restrict only ``matched_sql`` (masks don't change stats until a
+    merge, index_source.h:199-216)."""
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    docs_src = ("documents" if live_filter is None
+                else f"(SELECT * FROM documents WHERE {live_filter})")
+    return f"""
+WITH docs_src AS (SELECT * FROM {docs_src}),
+toks AS (SELECT doc_id, unnest(regexp_extract_all(upper(text), '[A-Z0-9]+')) AS tok FROM docs_src),
+pos AS (SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts, 1) AS pos
+        FROM (SELECT doc_id, regexp_extract_all(upper(text), '[A-Z0-9]+') AS ts FROM docs_src)),
+tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM toks
+       WHERE tok IN ({in_list}) GROUP BY doc_id, tok),
+df AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok),
+nn AS (SELECT count(*)::DOUBLE AS n FROM docs_src),
+matched AS ({matched_sql}),
+scores AS (
+  SELECT m.doc_id,
+         sum(ln(1.0 + (nn.n - df.df + 0.5) / (df.df + 0.5)) * tf.tf / (tf.tf + {K1})) AS score
+  FROM matched m
+  JOIN tf ON tf.doc_id = m.doc_id
+  JOIN df ON df.tok = tf.tok
+  CROSS JOIN nn
+  GROUP BY m.doc_id)
+SELECT doc_id, round(score, 4) AS score_r
+FROM scores ORDER BY score DESC, doc_id LIMIT {k}
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    # matched-set fragments (reference boolean semantics over the toks CTE)
+    m_term = lambda t: f"SELECT DISTINCT doc_id FROM tf WHERE tok = '{t}'"
+    m_and = ("SELECT doc_id FROM tf WHERE tok IN ('KEY', 'ORDER') "
+             "GROUP BY doc_id HAVING count(DISTINCT tok) = 2")
+    m_or = "SELECT DISTINCT doc_id FROM tf WHERE tok IN ('DUP', 'VECTOR')"
+    m_phrase2 = ("SELECT DISTINCT a.doc_id FROM pos a JOIN pos b "
+                 "ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
+                 "WHERE a.tok = 'KEY' AND b.tok = 'ORDER'")
+    return {
+        "search_rare_top10": _bm25_sql(["DUP"], m_term("DUP")),
+        "search_hot_top10": _bm25_sql(["KEY"], m_term("KEY")),
+        "search_and_top10": _bm25_sql(["KEY", "ORDER"], m_and),
+        "search_or_top10": _bm25_sql(["DUP", "VECTOR"], m_or),
+        "search_phrase_top10": _bm25_sql(["KEY", "ORDER"], m_phrase2),
+        # optional term scores but doesn't gate matching
+        "search_optional_top10": _bm25_sql(["WINDOW", "DUP"], m_term("DUP")),
+        "match_not": f"""
+WITH toks AS ({_TOKS})
+SELECT DISTINCT doc_id FROM toks WHERE tok = 'TABLE'
+AND doc_id NOT IN (SELECT doc_id FROM toks WHERE tok = 'SPARK')
+""",
+        "match_some": f"""
+WITH toks AS ({_TOKS})
+SELECT doc_id FROM (SELECT DISTINCT doc_id, tok FROM toks
+                    WHERE tok IN ('KEY', 'ORDER', 'DUP'))
+GROUP BY doc_id HAVING count(*) >= 2
+""",
+        "match_phrase3": f"""
+WITH pos AS ({_POS})
+SELECT DISTINCT a.doc_id
+FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+           JOIN pos c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+WHERE a.tok = 'TABLE' AND b.tok = 'SCAN' AND c.tok = 'MERGE'
+""",
+        # masked (pre-merge): matching excludes deleted docs, stats don't
+        "search_deleted_top10": _bm25_sql(
+            ["TABLE"],
+            "SELECT DISTINCT doc_id FROM tf WHERE tok = 'TABLE' AND doc_id % 7 != 3"),
+        # merged (post-compaction): stats recomputed over live docs only
+        "search_merged_top10": _bm25_sql(
+            ["WINDOW"], m_term("WINDOW"), live_filter="doc_id % 7 != 3"),
+        "dedup_exact_groups": """
+SELECT md5(text) AS content_hash, min(doc_id) AS keeper,
+       count(*) AS n_docs
+FROM documents GROUP BY md5(text)
+""",
+        "dedup_exact_keep": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "text_token_counts": """
+SELECT doc_id,
+       len(list_filter(regexp_extract_all(text, '[A-Za-z0-9]+'),
+                       x -> len(x) <= 64)) AS n_tokens
+FROM documents
+""",
+        "text_quality": """
+SELECT doc_id, length(text) AS n_chars_q,
+       len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_words
+FROM documents
+""",
+        # float64 math end-to-end (DuckDB's list_cosine_similarity
+        # accumulates in float32, which can flip the 4th decimal)
+        "ann_bruteforce_top10": """
+WITH ev AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+                   generate_subscripts(embedding, 1) AS i FROM embeddings),
+q AS (SELECT i, v AS qv FROM ev WHERE vec_id = 0),
+dots AS (SELECT e.vec_id, sum(e.v * q.qv) AS dot, sum(e.v * e.v) AS n2
+         FROM ev e JOIN q ON e.i = q.i WHERE e.vec_id <> 0 GROUP BY e.vec_id),
+qn AS (SELECT sum(qv * qv) AS qn2 FROM q)
+SELECT vec_id, round(dot / (sqrt(n2) * sqrt(qn2)), 4) AS cos_r
+FROM dots, qn
+ORDER BY dot / (sqrt(n2) * sqrt(qn2)) DESC, vec_id LIMIT 10
+""",
+        "multimodal_meta": """
+SELECT doc_id, 'application/octet-stream' AS media_type,
+       octet_length(encode(text)) AS n_bytes,
+       sha256(text) AS payload_sha256
+FROM documents
+""",
+        # no oracle (non-SQL-expressible, driver records rows-only):
+        # dedup_minhash_pairs, dedup_simhash_pairs, dedup_embedding_pairs,
+        # text_lang_id, text_fingerprint, ann_ivf_top10
+    }

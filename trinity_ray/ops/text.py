@@ -1,0 +1,185 @@
+"""Text-analysis operators: token counting, quality scoring, language ID,
+document fingerprinting.  All vectorized map_batches stages; the regex /
+tables are compiled once per actor (callable classes)."""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from trinity_ray.tokenizer import get_tokenizer
+
+_WORD_RE = re.compile(r"[A-Za-z0-9]+")
+
+# tiny per-language stopword profiles for the n-gram/stopword heuristic
+_LANG_PROFILES: dict[str, set[str]] = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for",
+           "was", "with", "as", "on", "be", "at", "by", "this", "have"},
+    "de": {"der", "die", "und", "das", "ist", "ein", "zu", "den", "mit",
+           "von", "nicht", "auf", "im", "sich", "des", "dem", "ich"},
+    "fr": {"le", "la", "les", "et", "des", "un", "une", "est", "dans",
+           "que", "qui", "pour", "pas", "sur", "au", "il", "ne", "je"},
+    "es": {"el", "la", "los", "las", "y", "de", "que", "en", "un", "una",
+           "es", "por", "con", "para", "no", "se", "su", "al", "lo"},
+}
+
+
+class TokenCounter:
+    """Adds ``n_tokens`` (whitespace+punct token count) and ``n_bpe_ish``
+    (a BPE-ish sub-word count: tokens split at case/digit boundaries)."""
+
+    def __init__(self, text_column: str = "text", tokenizer: str = "simple"):
+        self.col = text_column
+        self.tokenize = get_tokenizer(tokenizer)
+        self.bpe_re = re.compile(
+            r"[A-Z]{2,}(?=[A-Z][a-z]|\b)|[A-Z]?[a-z]+|[A-Z]+|[0-9]{1,4}"
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.col).to_pylist()
+        n_tok = [len(self.tokenize(t or "")) for t in texts]
+        n_bpe = [len(self.bpe_re.findall(t or "")) for t in texts]
+        return batch.append_column("n_tokens", pa.array(n_tok, pa.int64())) \
+                    .append_column("n_bpe_ish", pa.array(n_bpe, pa.int64()))
+
+
+class QualityScorer:
+    """Length / punctuation / stopword-ratio quality features + a combined
+    0..1 score; thresholds in the spirit of C4/Gopher-style filters."""
+
+    def __init__(self, text_column: str = "text"):
+        self.col = text_column
+        self.word_re = _WORD_RE
+        self.punct_re = re.compile(r"[^\w\s]")
+        self.stop = _LANG_PROFILES["en"]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.col).to_pylist()
+        n = len(texts)
+        n_chars = np.empty(n, np.int64)
+        n_words = np.empty(n, np.int64)
+        mean_wlen = np.empty(n, np.float64)
+        punct_ratio = np.empty(n, np.float64)
+        stop_ratio = np.empty(n, np.float64)
+        for i, t in enumerate(texts):
+            t = t or ""
+            words = self.word_re.findall(t)
+            lw = [w for w in words]
+            n_chars[i] = len(t)
+            n_words[i] = len(words)
+            mean_wlen[i] = (sum(len(w) for w in words) / len(words)) if words else 0.0
+            punct_ratio[i] = len(self.punct_re.findall(t)) / max(1, len(t))
+            stop_ratio[i] = (sum(1 for w in lw if w.lower() in self.stop)
+                             / max(1, len(words)))
+        # combined heuristic score: in-range word stats, some stopwords
+        score = (
+            np.clip(n_words / 50.0, 0, 1) * 0.25
+            + np.where((mean_wlen >= 3) & (mean_wlen <= 10), 0.25, 0.0)
+            + np.clip(stop_ratio / 0.2, 0, 1) * 0.25
+            + np.where(punct_ratio < 0.2, 0.25, 0.0)
+        )
+        return (batch
+                .append_column("n_chars_q", pa.array(n_chars, pa.int64()))
+                .append_column("n_words", pa.array(n_words, pa.int64()))
+                .append_column("mean_word_len", pa.array(mean_wlen, pa.float64()))
+                .append_column("punct_ratio", pa.array(punct_ratio, pa.float64()))
+                .append_column("stop_ratio", pa.array(stop_ratio, pa.float64()))
+                .append_column("quality_score", pa.array(score, pa.float64())))
+
+
+class LangId:
+    """Stopword/character n-gram heuristic language ID (no external models).
+    Emits ``lang_pred`` and ``lang_conf``."""
+
+    def __init__(self, text_column: str = "text"):
+        self.col = text_column
+        self.word_re = _WORD_RE
+        self.profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.col).to_pylist()
+        preds, confs = [], []
+        for t in texts:
+            words = [w.lower() for w in self.word_re.findall(t or "")][:2000]
+            if not words:
+                preds.append("und")
+                confs.append(0.0)
+                continue
+            best, best_hits = "und", 0
+            for lang, prof in self.profiles.items():
+                hits = sum(1 for w in words if w in prof)
+                if hits > best_hits:
+                    best, best_hits = lang, hits
+            preds.append(best if best_hits else "und")
+            confs.append(best_hits / len(words))
+        return batch.append_column("lang_pred", pa.array(preds, pa.string())) \
+                    .append_column("lang_conf", pa.array(confs, pa.float64()))
+
+
+class Fingerprinter:
+    """64-bit rolling-hash document fingerprint over the token stream
+    (order-sensitive, whitespace-insensitive): poly rolling hash mod 2^61-1."""
+
+    MOD = (1 << 61) - 1
+    BASE = 1_000_003
+
+    def __init__(self, text_column: str = "text", tokenizer: str = "simple"):
+        self.col = text_column
+        self.tokenize = get_tokenizer(tokenizer)
+
+    def fingerprint(self, text: str) -> int:
+        import zlib
+
+        h = 0
+        for tok in self.tokenize(text or ""):
+            th = zlib.crc32(tok.encode())  # process-stable, unlike hash()
+            h = (h * self.BASE + th) % self.MOD
+        return h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fps = [self.fingerprint(t) for t in batch.column(self.col).to_pylist()]
+        return batch.append_column("fingerprint", pa.array(fps, pa.uint64()))
+
+
+def token_count(ds, text_column: str = "text", tokenizer: str = "simple",
+                batch_size: int = 2048, concurrency: int | None = None):
+    kwargs = {} if concurrency is None else {"concurrency": concurrency}
+    return ds.map_batches(TokenCounter, fn_constructor_kwargs=dict(
+        text_column=text_column, tokenizer=tokenizer),
+        batch_format="pyarrow", batch_size=batch_size, **_act(kwargs))
+
+
+def quality_score(ds, text_column: str = "text", batch_size: int = 2048,
+                  concurrency: int | None = None):
+    kwargs = {} if concurrency is None else {"concurrency": concurrency}
+    return ds.map_batches(QualityScorer, fn_constructor_kwargs=dict(
+        text_column=text_column),
+        batch_format="pyarrow", batch_size=batch_size, **_act(kwargs))
+
+
+def lang_id(ds, text_column: str = "text", batch_size: int = 2048,
+            concurrency: int | None = None):
+    kwargs = {} if concurrency is None else {"concurrency": concurrency}
+    return ds.map_batches(LangId, fn_constructor_kwargs=dict(
+        text_column=text_column),
+        batch_format="pyarrow", batch_size=batch_size, **_act(kwargs))
+
+
+def fingerprint(ds, text_column: str = "text", tokenizer: str = "simple",
+                batch_size: int = 2048, concurrency: int | None = None):
+    kwargs = {} if concurrency is None else {"concurrency": concurrency}
+    return ds.map_batches(Fingerprinter, fn_constructor_kwargs=dict(
+        text_column=text_column, tokenizer=tokenizer),
+        batch_format="pyarrow", batch_size=batch_size, **_act(kwargs))
+
+
+def _act(kwargs: dict) -> dict:
+    from trinity_ray.rayutil import package_runtime_env
+
+    out = dict(kwargs)
+    out.setdefault("concurrency", 2)
+    out["runtime_env"] = package_runtime_env()
+    return out
