@@ -34,6 +34,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_or_top10": dsp.q_search_or_top10,
         "search_phrase_top10": dsp.q_search_phrase_top10,
         "search_optional_top10": dsp.q_search_optional_top10,
+        "search_tfidf_top10": dsp.q_search_tfidf_top10,
+        "search_trivial_top10": dsp.q_search_trivial_top10,
         "match_not": dsp.q_match_not,
         "match_some": dsp.q_match_some,
         "match_phrase3": dsp.q_match_phrase3,
@@ -104,6 +106,30 @@ FROM scores ORDER BY score DESC, doc_id LIMIT {k}
 """
 
 
+def _scored_sql(terms: list[str], matched_sql: str, score_expr: str,
+                k: int = 10) -> str:
+    """Top-k oracle with a caller-supplied aggregate score expression over
+    the tf/df/nn CTEs (used for the non-BM25 scorer seam)."""
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH toks AS ({_TOKS}),
+tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM toks
+       WHERE tok IN ({in_list}) GROUP BY doc_id, tok),
+df AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok),
+nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+matched AS ({matched_sql}),
+scores AS (
+  SELECT m.doc_id, {score_expr} AS score
+  FROM matched m
+  JOIN tf ON tf.doc_id = m.doc_id
+  JOIN df ON df.tok = tf.tok
+  CROSS JOIN nn
+  GROUP BY m.doc_id)
+SELECT doc_id, round(score, 4) AS score_r
+FROM scores ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     # matched-set fragments (reference boolean semantics over the toks CTE)
     m_term = lambda t: f"SELECT DISTINCT doc_id FROM tf WHERE tok = '{t}'"
@@ -121,6 +147,12 @@ def oracle_sql() -> dict[str, str]:
         "search_phrase_top10": _bm25_sql(["KEY", "ORDER"], m_phrase2),
         # optional term scores but doesn't gate matching
         "search_optional_top10": _bm25_sql(["WINDOW", "DUP"], m_term("DUP")),
+        # pluggable scorers (similarity.h:56-163): tfidf / trivial weights
+        "search_tfidf_top10": _scored_sql(
+            ["DUP", "VECTOR"], m_or,
+            "sum((ln((nn.n + 1.0) / (df.df + 1.0)) + 1.0) * sqrt(tf.tf))"),
+        "search_trivial_top10": _scored_sql(
+            ["KEY", "ORDER"], m_and, "sum(tf.tf)"),
         "match_not": f"""
 WITH toks AS ({_TOKS})
 SELECT DISTINCT doc_id FROM toks WHERE tok = 'TABLE'

@@ -113,17 +113,25 @@ class OracleIndex:
         return out
 
     # -- scoring -------------------------------------------------------------
-    def idf(self, term: str) -> float:
+    def idf(self, term: str, scorer: str = "bm25") -> float:
+        """Per-term weight; formulas per scorer (similarity.h:56-132,179-181)."""
         df = len(self.postings.get(term, ()))
         if df == 0:
             return 0.0
         n = len(self.docs)
-        return math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        if scorer == "bm25":
+            return math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        if scorer == "tfidf":
+            return math.log((n + 1.0) / (df + 1.0)) + 1.0
+        if scorer == "trivial":
+            return 1.0
+        raise ValueError(scorer)
 
-    def search(self, query: str | Node, k: int = 10) -> list[tuple[int, float]]:
+    def search(self, query: str | Node, k: int = 10,
+               scorer: str = "bm25") -> list[tuple[int, float]]:
         node = parse_query(query, self.tokenizer_name) if isinstance(query, str) else query
         matched = self.match(node)
-        scorable = [(t, self.idf(t)) for t in collect_scorable_terms(node)]
+        scorable = [(t, self.idf(t, scorer)) for t in collect_scorable_terms(node)]
         results = []
         for d in matched:
             score = 0.0
@@ -131,7 +139,12 @@ class OracleIndex:
                 pos = self.postings.get(t, {}).get(d)
                 if pos:
                     tf = float(len(pos))
-                    score += w * tf / (tf + K1)
+                    if scorer == "bm25":
+                        score += w * tf / (tf + K1)
+                    elif scorer == "tfidf":
+                        score += w * math.sqrt(tf)
+                    else:  # trivial: score = freq (similarity.h:56-72)
+                        score += tf
             results.append((d, score))
         results.sort(key=lambda r: (-r[1], r[0]))
         return results[:k] if k else results

@@ -144,8 +144,9 @@ def _searcher(index_dir: str) -> LocalSearcher:
     return _memo[key]
 
 
-def topk_table(index_dir: str, query: str, k: int = TOPK) -> pa.Table:
-    res = _searcher(index_dir).search(query, k=k)
+def topk_table(index_dir: str, query: str, k: int = TOPK,
+               scorer: str = "bm25") -> pa.Table:
+    res = _searcher(index_dir).search(query, k=k, scorer=scorer)
     return pa.table({
         "doc_id": pa.array(res.doc_ids.astype(np.int64), pa.int64()),
         "score_r": pa.array(np.round(res.scores, 4), pa.float64()),
@@ -191,6 +192,16 @@ def q_search_phrase_top10(sf_dir: str) -> pa.Table:
 
 def q_search_optional_top10(sf_dir: str) -> pa.Table:
     return topk_table(base_index(sf_dir), DRIVER_QUERIES["optional"])
+
+
+def q_search_tfidf_top10(sf_dir: str) -> pa.Table:
+    """Pluggable-scorer seam (similarity.h:75-163): TF-IDF instead of BM25."""
+    return topk_table(base_index(sf_dir), DRIVER_QUERIES["or2"], scorer="tfidf")
+
+
+def q_search_trivial_top10(sf_dir: str) -> pa.Table:
+    """Trivial scorer: score = freq (similarity.h:56-72)."""
+    return topk_table(base_index(sf_dir), DRIVER_QUERIES["and2"], scorer="trivial")
 
 
 def q_match_not(sf_dir: str) -> pa.Table:

@@ -16,22 +16,37 @@ vectorized sorted-set kernels:
     phrase     -> positional adjacency join          (Phrase + DocWordsSpace,
                   docset_iterators.h:374-413, docwordspace.h:8-139)
 
-Scoring is the reference BM25 with the length norm stubbed to k1
-(similarity.h:165-255):  score(d) = sum_t idf_t * tf/(tf + k1),
-idf_t = ln(1 + (N - df + 0.5)/(df + 0.5)), k1 = 1.2, df/N GLOBAL across
-segments (summed in reset(), similarity.h:238-250) — never partial-idf,
-so cross-partition results are rank-identical to a single-node run.
+Two skiplist-style refinements on top of the full-decode baseline:
+
+* **selective block gather** — when a candidate set is much smaller than a
+  term's df, tf lookup / membership decodes only the candidates' blocks
+  (searchsorted on the blob's last_docid directory = the reference's
+  ``advance(target)`` skiplist seek, google_codec.cpp:146-158);
+* **max-score / block-max WAND pruning** — scored flat disjunctions
+  (Token / OR-of-Tokens, the BM25 top-k hot path) run a TAAT max-score
+  loop: terms processed in descending upper-bound order
+  (``scorer.bound(w, max_tf)`` from the codec's block-max directory);
+  once the remaining terms' bound sum cannot lift a *new* doc past the
+  current kth score, tail terms only refine surviving candidates via
+  selective block gather.  Survivors are re-scored canonically, so results
+  are bit-identical to the exhaustive path (verified by property tests).
+
+Scoring is pluggable (scorers.py); default is the reference BM25 with the
+length norm stubbed to k1 (similarity.h:165-255):
+score(d) = sum_t idf_t * tf/(tf + k1), idf_t = ln(1 + (N - df + 0.5)/(df + 0.5)),
+k1 = 1.2, df/N GLOBAL across segments (summed in reset(),
+similarity.h:238-250) — never partial-idf, so cross-partition results are
+rank-identical to a single-node run.
 """
 
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass
 
 import numpy as np
 import pyarrow.dataset as pads
 
-from trinity_ray.codec import PostingsBlob
+from trinity_ray.codec import BLOCK, PostingsBlob
 from trinity_ray.index.segment import POSTINGS_FILE
 from trinity_ray.query.ast import (
     And,
@@ -45,11 +60,13 @@ from trinity_ray.query.ast import (
     Phrase,
     Token,
 )
+from trinity_ray.query.scorers import K1, Scorer, get_scorer
 
-K1 = 1.2  # similarity.h:169-172 (b = 0.75 unused: norm stubbed to k1)
 _POS_SHIFT = 15  # > log2(MAX_POSITION)+1 headroom for pos+phrase-offset keys
+_PRUNE_EPS = 1e-9  # float-associativity slack for max-score bounds
 
 EMPTY_U64 = np.empty(0, dtype=np.uint64)
+EMPTY_F64 = np.empty(0, dtype=np.float64)
 
 
 def bm25_idf(df: np.ndarray | float, n_docs: float) -> np.ndarray | float:
@@ -57,19 +74,97 @@ def bm25_idf(df: np.ndarray | float, n_docs: float) -> np.ndarray | float:
     return np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
 
-@dataclass
 class TermPostings:
-    doc_ids: np.ndarray   # sorted uint64
-    freqs: np.ndarray     # uint64
-    blob: PostingsBlob | None = None
-    _pos: tuple[np.ndarray, np.ndarray] | None = None
+    """Lazily-decoded view over one term's postings blob.
+
+    The dictionary probe (df lookup) only parses the blob header; full
+    doc/freq decode happens on first ``doc_ids``/``freqs`` access, and the
+    selective paths (``gather_tfs``/``member``) decode single blocks through
+    the skiplist directory without ever materializing the full list.
+    """
+
+    __slots__ = ("blob", "_docs", "_freqs", "_pos", "_blocks")
+
+    def __init__(self, blob: PostingsBlob):
+        self.blob = blob
+        self._docs: np.ndarray | None = None
+        self._freqs: np.ndarray | None = None
+        self._pos: tuple[np.ndarray, np.ndarray] | None = None
+        self._blocks: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    @property
+    def df(self) -> int:
+        return self.blob.doc_count
+
+    @property
+    def max_tf(self) -> int:
+        return int(self.blob.max_tf.max())
+
+    def _decode(self) -> None:
+        if self._docs is None:
+            self._docs, self._freqs = self.blob.decode_docs_freqs()
+
+    @property
+    def doc_ids(self) -> np.ndarray:
+        self._decode()
+        return self._docs
+
+    @property
+    def freqs(self) -> np.ndarray:
+        self._decode()
+        return self._freqs
 
     def positions(self) -> tuple[np.ndarray, np.ndarray]:
         if self._pos is None:
-            if self.blob is None or not self.blob.has_positions:
+            if not self.blob.has_positions:
                 raise ValueError("no positions available")
             self._pos = self.blob.decode_positions(self.freqs)
         return self._pos
+
+    # -- skiplist-selective access ------------------------------------------
+    def _use_selective(self, n_cand: int) -> bool:
+        """Selective block decode pays off when candidate blocks cover much
+        less than the full list (2x hysteresis for the directory overhead)."""
+        return self._docs is None and n_cand * BLOCK * 2 < self.df
+
+    def gather_tfs(self, cand: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(tf, found) for a sorted candidate doc array; tf is float64 with
+        0 where not found."""
+        tf = np.zeros(cand.size, dtype=np.float64)
+        found = np.zeros(cand.size, dtype=bool)
+        if cand.size == 0 or self.df == 0:
+            return tf, found
+        if not self._use_selective(cand.size):
+            d, f = self.doc_ids, self.freqs
+            idx = np.searchsorted(d, cand)
+            idx_c = np.minimum(idx, d.size - 1)
+            found = d[idx_c] == cand
+            tf[found] = f[idx_c[found]].astype(np.float64)
+            return tf, found
+        blob = self.blob
+        bidx = np.searchsorted(blob.last_docid, cand)  # advance() seek
+        valid = bidx < blob.n_blocks
+        for b in np.unique(bidx[valid]):
+            blk = self._blocks.get(int(b))
+            if blk is None:
+                blk = blob.decode_block(int(b))
+                self._blocks[int(b)] = blk
+            d, f = blk
+            sel = valid & (bidx == b)
+            idx = np.searchsorted(d, cand[sel])
+            idx_c = np.minimum(idx, d.size - 1)
+            hit = d[idx_c] == cand[sel]
+            where = np.flatnonzero(sel)
+            found[where[hit]] = True
+            tf[where[hit]] = f[idx_c[hit]].astype(np.float64)
+        return tf, found
+
+    def member(self, cand: np.ndarray) -> np.ndarray:
+        """Boolean membership of sorted candidates (skiplist leapfrog)."""
+        if not self._use_selective(cand.size):
+            return _member(cand, self.doc_ids)
+        _, found = self.gather_tfs(cand)
+        return found
 
 
 class SegmentReader:
@@ -99,7 +194,8 @@ class SegmentReader:
 
     # -- dictionary probe ----------------------------------------------------
     def lookup_terms(self, terms: list[str]) -> dict[str, int]:
-        """df per term (0 if absent) — resolve_term_ctx analogue."""
+        """df per term (0 if absent) — resolve_term_ctx analogue.  Only blob
+        headers are parsed; posting decode is deferred to first use."""
         missing = [t for t in terms if t not in self._cache]
         if missing and self._dataset is None:
             for t in missing:
@@ -116,12 +212,10 @@ class SegmentReader:
                 found[term] = blob
             for t in missing:
                 if t in found:
-                    pb = PostingsBlob(found[t])
-                    d, f = pb.decode_docs_freqs()
-                    self._cache[t] = TermPostings(d, f, pb)
+                    self._cache[t] = TermPostings(PostingsBlob(found[t]))
                 else:
                     self._cache[t] = None
-        return {t: (0 if self._cache[t] is None else int(self._cache[t].doc_ids.size))
+        return {t: (0 if self._cache[t] is None else self._cache[t].df)
                 for t in terms}
 
     def postings(self, term: str) -> TermPostings | None:
@@ -162,25 +256,7 @@ class SegmentReader:
         if isinstance(node, Optional_):
             return self.universe()
         if isinstance(node, And):
-            positives = [c for c in node.children
-                         if not isinstance(c, (Not, Optional_))]
-            negatives = [c.child for c in node.children if isinstance(c, Not)]
-            if positives:
-                # cost-ordered: intersect in ascending-cardinality order
-                # (reorder_execnodes, exec.cpp:27-131)
-                sets = sorted((self.match(c) for c in positives), key=len)
-                cur = sets[0]
-                for s in sets[1:]:
-                    if cur.size == 0:
-                        break
-                    cur = _intersect(cur, s)
-            else:
-                cur = self.universe()
-            for c in negatives:
-                if cur.size == 0:
-                    break
-                cur = _setdiff(cur, self.match(c))  # FilteredDocsSetSpan analogue
-            return cur
+            return self._match_and(node)
         if isinstance(node, Or):
             parts = [self.match(c) for c in node.children]
             parts = [p for p in parts if p.size]
@@ -198,6 +274,53 @@ class SegmentReader:
             return vals[counts >= node.min_match]
         raise TypeError(f"unknown node {node!r}")
 
+    def _match_and(self, node: And) -> np.ndarray:
+        """Cost-ordered intersection (reorder_execnodes, exec.cpp:27-131):
+        cheapest side first; Token sides with large df are probed through the
+        skiplist (``TermPostings.member``) instead of fully decoded — the
+        leapfrog ``advance(target)`` of ConjuctionAllPLI."""
+        positives = [c for c in node.children
+                     if not isinstance(c, (Not, Optional_))]
+        negatives = [c.child for c in node.children if isinstance(c, Not)]
+        if positives:
+            token_tps: list[TermPostings] = []
+            other_sets: list[np.ndarray] = []
+            for c in positives:
+                if isinstance(c, Token):
+                    tp = self.postings(c.term)
+                    if tp is None:
+                        return EMPTY_U64
+                    token_tps.append(tp)
+                else:
+                    s = self.match(c)
+                    if s.size == 0:
+                        return EMPTY_U64
+                    other_sets.append(s)
+            token_tps.sort(key=lambda tp: tp.df)
+            other_sets.sort(key=len)
+            if other_sets and (not token_tps or
+                               len(other_sets[0]) <= token_tps[0].df):
+                cur = other_sets[0]
+                other_sets = other_sets[1:]
+            else:
+                cur = token_tps[0].doc_ids
+                token_tps = token_tps[1:]
+            for s in other_sets:
+                if cur.size == 0:
+                    return EMPTY_U64
+                cur = _intersect(cur, s)
+            for tp in token_tps:
+                if cur.size == 0:
+                    return EMPTY_U64
+                cur = cur[tp.member(cur)]
+        else:
+            cur = self.universe()
+        for c in negatives:
+            if cur.size == 0:
+                break
+            cur = _setdiff(cur, self.match(c))  # FilteredDocsSetSpan analogue
+        return cur
+
     def _match_phrase(self, terms: tuple[str, ...]) -> np.ndarray:
         tps = []
         for t in terms:
@@ -205,13 +328,13 @@ class SegmentReader:
             if tp is None:
                 return EMPTY_U64
             tps.append(tp)
-        # candidates: intersection, rarest-first
-        order = np.argsort([tp.doc_ids.size for tp in tps], kind="stable")
+        # candidates: intersection, rarest-first, skiplist probes for the rest
+        order = np.argsort([tp.df for tp in tps], kind="stable")
         cand = tps[order[0]].doc_ids
         for i in order[1:]:
             if cand.size == 0:
                 return EMPTY_U64
-            cand = _intersect(cand, tps[i].doc_ids)
+            cand = cand[tps[i].member(cand)]
         if cand.size == 0:
             return EMPTY_U64
         # positional verification: occurrence keys rank*2^15 + pos; the chain
@@ -238,42 +361,130 @@ class SegmentReader:
         return cand[ranks.astype(np.int64)]
 
     # -- scoring -------------------------------------------------------------
-    def score(self, matched: np.ndarray, idf: dict[str, float]) -> np.ndarray:
-        """BM25 with norm stubbed to k1 (similarity.h:228-235)."""
+    def score(self, matched: np.ndarray, weights: dict[str, float],
+              scorer: str | Scorer = "bm25") -> np.ndarray:
+        """Sum of per-term contributions over the matched set (default:
+        BM25 with norm stubbed to k1, similarity.h:228-235)."""
+        sc = get_scorer(scorer) if isinstance(scorer, str) else scorer
         scores = np.zeros(matched.size, dtype=np.float64)
-        for term, w in idf.items():
+        for term, w in weights.items():
             tp = self.postings(term)
             if tp is None or w == 0.0:
                 continue
-            idx = np.searchsorted(tp.doc_ids, matched)
-            idx_c = np.minimum(idx, tp.doc_ids.size - 1)
-            valid = tp.doc_ids[idx_c] == matched
-            tf = tp.freqs[idx_c[valid]].astype(np.float64)
-            scores[valid] += w * tf / (tf + K1)
+            tf, found = tp.gather_tfs(matched)
+            scores[found] += sc.contrib(w, tf[found])
         return scores
 
-    def execute(self, node: Node, idf: dict[str, float], k: int,
+    def execute(self, node: Node, weights: dict[str, float], k: int,
+                scorer: str | Scorer = "bm25",
                 ) -> tuple[np.ndarray, np.ndarray]:
-        """Match + mask + score + local top-k; returns (doc_ids, scores)."""
+        """Match + mask + score + local top-k; returns (doc_ids, scores).
+
+        Scored flat disjunctions take the max-score/WAND-pruned path; its
+        output is identical to the exhaustive path (canonical re-score)."""
+        sc = get_scorer(scorer) if isinstance(scorer, str) else scorer
+        flat = _flat_or_terms(node) if k else None
+        if flat is not None and weights:
+            return self._execute_maxscore(flat, weights, k, sc)
         matched = self.match(node)
         if self.mask is not None and matched.size:
             matched = _setdiff(matched, self.mask)
         if matched.size == 0:
-            return EMPTY_U64, np.empty(0, dtype=np.float64)
-        scores = self.score(matched, idf)
-        if k and matched.size > k:
-            # O(n) partial selection, then widen to include every doc tied
-            # with the k-th score so the (score desc, doc_id asc) tie-break
-            # stays exact across the cutoff
-            part = np.argpartition(-scores, k - 1)
-            kth = scores[part[k - 1]]
-            tied = part[k:][scores[part[k:]] == kth]
-            sel = np.concatenate((part[:k], tied))
-            matched, scores = matched[sel], scores[sel]
-        order = np.lexsort((matched, -scores))  # (score desc, doc_id asc)
-        if k:
-            order = order[:k]
-        return matched[order], scores[order]
+            return EMPTY_U64, EMPTY_F64
+        scores = self.score(matched, weights, sc)
+        return _topk(matched, scores, k)
+
+    def _execute_maxscore(self, terms: list[str], weights: dict[str, float],
+                          k: int, sc: Scorer,
+                          ) -> tuple[np.ndarray, np.ndarray]:
+        """TAAT max-score over a flat term bag (Turtle & Flood max_score;
+        the batch analogue of block-max WAND): process terms in descending
+        score-bound order; once the tail bound sum cannot lift a NEW doc past
+        the kth accumulated score, stop admitting docs and only refine
+        survivors through skiplist block gathers.  Exactness: candidates are
+        pruned only when their bound-augmented score provably misses the
+        top-k (with _PRUNE_EPS slack), and survivors are re-scored through
+        the canonical ``score()`` so float addition order matches the
+        exhaustive path bit-for-bit."""
+        tps: list[tuple[TermPostings, float]] = []
+        for t in dict.fromkeys(terms):
+            tp = self.postings(t)
+            w = weights.get(t, 0.0)
+            if tp is not None and w != 0.0:
+                tps.append((tp, w))
+        if not tps:
+            return EMPTY_U64, EMPTY_F64
+        ubs = np.array([sc.bound(w, float(tp.max_tf)) for tp, w in tps])
+        order = np.argsort(-ubs, kind="stable")
+        tps = [tps[i] for i in order]
+        ubs = ubs[order]
+        suffix = np.zeros(len(tps) + 1)
+        suffix[:-1] = np.cumsum(ubs[::-1])[::-1]  # suffix[i] = sum(ubs[i:])
+
+        acc_docs = EMPTY_U64
+        acc_scores = EMPTY_F64
+        closed = False
+        for i, (tp, w) in enumerate(tps):
+            if closed:
+                if acc_docs.size == 0:
+                    break
+                tf, found = tp.gather_tfs(acc_docs)
+                contrib = np.asarray(sc.contrib(w, tf), dtype=np.float64)
+                contrib[~found] = 0.0
+                acc_scores = acc_scores + contrib
+            else:
+                d = tp.doc_ids
+                f = tp.freqs
+                if self.mask is not None and d.size:
+                    keep = ~_member(d, self.mask)
+                    d, f = d[keep], f[keep]
+                c = sc.contrib(w, f.astype(np.float64))
+                if acc_docs.size == 0:
+                    acc_docs, acc_scores = d, c.astype(np.float64)
+                else:
+                    alld = np.concatenate((acc_docs, d))
+                    alls = np.concatenate((acc_scores, c))
+                    acc_docs, inv = np.unique(alld, return_inverse=True)
+                    acc_scores = np.bincount(inv, weights=alls)
+            rem = suffix[i + 1]
+            if acc_docs.size >= k:
+                theta = np.partition(acc_scores, acc_docs.size - k)[acc_docs.size - k]
+                if not closed and rem < theta - _PRUNE_EPS:
+                    closed = True
+                if closed:
+                    keep = acc_scores + rem >= theta - _PRUNE_EPS
+                    acc_docs = acc_docs[keep]
+                    acc_scores = acc_scores[keep]
+        if acc_docs.size == 0:
+            return EMPTY_U64, EMPTY_F64
+        scores = self.score(acc_docs, weights, sc)  # canonical float order
+        return _topk(acc_docs, scores, k)
+
+
+def _flat_or_terms(node: Node) -> list[str] | None:
+    """Terms of a scored flat disjunction (Token or OR of Tokens), else None."""
+    if isinstance(node, Token):
+        return [node.term]
+    if isinstance(node, Or) and all(isinstance(c, Token) for c in node.children):
+        return [c.term for c in node.children]
+    return None
+
+
+def _topk(matched: np.ndarray, scores: np.ndarray, k: int,
+          ) -> tuple[np.ndarray, np.ndarray]:
+    """Top-k with exact (score desc, doc_id asc) tie-break across the cutoff."""
+    if k and matched.size > k:
+        # O(n) partial selection, then widen to include every doc tied with
+        # the k-th score so the tie-break stays exact across the cutoff
+        part = np.argpartition(-scores, k - 1)
+        kth = scores[part[k - 1]]
+        tied = part[k:][scores[part[k:]] == kth]
+        sel = np.concatenate((part[:k], tied))
+        matched, scores = matched[sel], scores[sel]
+    order = np.lexsort((matched, -scores))  # (score desc, doc_id asc)
+    if k:
+        order = order[:k]
+    return matched[order], scores[order]
 
 
 # ---------------------------------------------------------------------------

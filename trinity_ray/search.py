@@ -42,6 +42,7 @@ from trinity_ray.query.ast import (
     parse_query,
 )
 from trinity_ray.query.exec import EMPTY_U64, SegmentReader, bm25_idf
+from trinity_ray.query.scorers import get_scorer
 
 
 @dataclass
@@ -108,24 +109,27 @@ class LocalSearcher:
             for s in self.manifest.segments
         ]
 
-    def resolve_idf(self, node: Node) -> dict[str, float]:
-        """Global df across segments -> idf (similarity.h:238-250: stats and
-        df summed over ALL sources before any scoring — never partial-idf)."""
+    def resolve_idf(self, node: Node, scorer: str = "bm25") -> dict[str, float]:
+        """Global df across segments -> per-term weight (similarity.h:238-250:
+        stats and df summed over ALL sources before any scoring — never
+        partial-idf).  Weight formula comes from the pluggable scorer."""
         terms = collect_terms(node)
         if not terms:
             return {}
+        sc = get_scorer(scorer)
         df = {t: 0 for t in terms}
         for r in self.readers:
             for t, d in r.lookup_terms(terms).items():
                 df[t] += d
         scorable = collect_scorable_terms(node)
-        return {t: float(bm25_idf(float(df[t]), self.n_docs))
+        return {t: sc.weight(float(df[t]), self.n_docs)
                 for t in scorable if df[t] > 0}
 
-    def search(self, query: str | Node, k: int = 10) -> SearchResult:
+    def search(self, query: str | Node, k: int = 10,
+               scorer: str = "bm25") -> SearchResult:
         node = parse_query(query, self.manifest.tokenizer) if isinstance(query, str) else query
-        idf = self.resolve_idf(node)
-        parts = [r.execute(node, idf, k) for r in self.readers]
+        idf = self.resolve_idf(node, scorer)
+        parts = [r.execute(node, idf, k, scorer) for r in self.readers]
         return merge_topk([p for p in parts if p[0].size], k)
 
 
@@ -147,16 +151,17 @@ class SegmentSearchActor:
                 out[t] += d
         return out
 
-    def execute(self, node: Node, idf: dict[str, float], k: int
-                ) -> tuple[np.ndarray, np.ndarray]:
-        parts = [r.execute(node, idf, k) for r in self.readers]
+    def execute(self, node: Node, idf: dict[str, float], k: int,
+                scorer: str = "bm25") -> tuple[np.ndarray, np.ndarray]:
+        parts = [r.execute(node, idf, k, scorer) for r in self.readers]
         parts = [p for p in parts if p[0].size]
         merged = merge_topk(parts, k)
         return merged.doc_ids, merged.scores
 
-    def execute_many(self, nodes: list[Node], idfs: list[dict], k: int
+    def execute_many(self, nodes: list[Node], idfs: list[dict], k: int,
+                     scorer: str = "bm25"
                      ) -> list[tuple[np.ndarray, np.ndarray]]:
-        return [self.execute(n, i, k) for n, i in zip(nodes, idfs)]
+        return [self.execute(n, i, k, scorer) for n, i in zip(nodes, idfs)]
 
 
 class RaySearcher:
@@ -187,32 +192,34 @@ class RaySearcher:
         ]
         self._ray = ray
 
-    def resolve_idf(self, node: Node) -> dict[str, float]:
+    def resolve_idf(self, node: Node, scorer: str = "bm25") -> dict[str, float]:
         terms = collect_terms(node)
         if not terms:
             return {}
+        sc = get_scorer(scorer)
         futs = [a.lookup_terms.remote(terms) for a in self.actors]
         df = {t: 0 for t in terms}
         for part in self._ray.get(futs):
             for t, d in part.items():
                 df[t] += d
         scorable = collect_scorable_terms(node)
-        return {t: float(bm25_idf(float(df[t]), self.n_docs))
+        return {t: sc.weight(float(df[t]), self.n_docs)
                 for t in scorable if df[t] > 0}
 
-    def search(self, query: str | Node, k: int = 10) -> SearchResult:
+    def search(self, query: str | Node, k: int = 10,
+               scorer: str = "bm25") -> SearchResult:
         node = parse_query(query, self.manifest.tokenizer) if isinstance(query, str) else query
-        idf = self.resolve_idf(node)
-        futs = [a.execute.remote(node, idf, k) for a in self.actors]
+        idf = self.resolve_idf(node, scorer)
+        futs = [a.execute.remote(node, idf, k, scorer) for a in self.actors]
         parts = [p for p in self._ray.get(futs) if p[0].size]
         return merge_topk(parts, k)
 
-    def search_many(self, queries: list[str | Node], k: int = 10
-                    ) -> list[SearchResult]:
+    def search_many(self, queries: list[str | Node], k: int = 10,
+                    scorer: str = "bm25") -> list[SearchResult]:
         nodes = [parse_query(q, self.manifest.tokenizer) if isinstance(q, str) else q
                  for q in queries]
-        idfs = [self.resolve_idf(n) for n in nodes]
-        futs = [a.execute_many.remote(nodes, idfs, k) for a in self.actors]
+        idfs = [self.resolve_idf(n, scorer) for n in nodes]
+        futs = [a.execute_many.remote(nodes, idfs, k, scorer) for a in self.actors]
         per_actor = self._ray.get(futs)
         out = []
         for qi in range(len(nodes)):
