@@ -36,6 +36,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_optional_top10": dsp.q_search_optional_top10,
         "search_tfidf_top10": dsp.q_search_tfidf_top10,
         "search_trivial_top10": dsp.q_search_trivial_top10,
+        "search_rewrite_top10": dsp.q_search_rewrite_top10,
+        "percolate_matches": dsp.q_percolate_matches,
         "match_not": dsp.q_match_not,
         "match_some": dsp.q_match_some,
         "match_phrase3": dsp.q_match_phrase3,
@@ -153,6 +155,23 @@ def oracle_sql() -> dict[str, str]:
             "sum((ln((nn.n + 1.0) / (df.df + 1.0)) + 1.0) * sqrt(tf.tf))"),
         "search_trivial_top10": _scored_sql(
             ["KEY", "ORDER"], m_and, "sum(tf.tf)"),
+        # synonym rewrite 'dup' -> (dup OR vector) == the manual OR query
+        "search_rewrite_top10": _bm25_sql(["DUP", "VECTOR"], m_or),
+        # reverse search: one row per (doc, standing query) match
+        "percolate_matches": f"""
+WITH toks AS ({_TOKS}),
+pos AS ({_POS}),
+p_and AS (SELECT doc_id, 'p_and' AS query_name FROM toks WHERE tok IN ('KEY','ORDER')
+          GROUP BY doc_id HAVING count(DISTINCT tok) = 2),
+p_or AS (SELECT DISTINCT doc_id, 'p_or' AS query_name FROM toks WHERE tok IN ('DUP','VECTOR')),
+p_phrase AS (SELECT DISTINCT a.doc_id, 'p_phrase' AS query_name FROM pos a
+             JOIN pos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+             WHERE a.tok = 'KEY' AND b.tok = 'ORDER'),
+p_not AS (SELECT DISTINCT doc_id, 'p_not' AS query_name FROM toks WHERE tok = 'TABLE'
+          AND doc_id NOT IN (SELECT doc_id FROM toks WHERE tok = 'SPARK'))
+SELECT * FROM p_and UNION ALL SELECT * FROM p_or
+UNION ALL SELECT * FROM p_phrase UNION ALL SELECT * FROM p_not
+""",
         "match_not": f"""
 WITH toks AS ({_TOKS})
 SELECT DISTINCT doc_id FROM toks WHERE tok = 'TABLE'

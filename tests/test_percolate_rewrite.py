@@ -1,0 +1,127 @@
+"""Percolator (reverse search, percolator.h:19-86) and the query-rewrite
+hook (queries_rewrite.h:992) — matched against the forward engine / oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from trinity_ray.index.build import build_index
+from trinity_ray.ops.percolate import Percolator, match_doc, percolate
+from trinity_ray.oracle import OracleIndex
+from trinity_ray.query.ast import Or, Phrase, Token, parse_query
+from trinity_ray.query.rewrite import rewrite_query
+from trinity_ray.search import LocalSearcher
+
+DOCS = [
+    "the quick brown fox jumps",          # 0
+    "a quick search engine",              # 1
+    "fast search engine design",          # 2
+    "brown table scan merge",             # 3
+    "fox and table",                      # 4
+    "merge table scan brown fox",         # 5
+    "",                                   # 6
+]
+
+STANDING = {
+    "q_and": "quick AND search",
+    "q_or": "fox OR merge",
+    "q_phrase": '"table scan"',
+    "q_not": "table NOT merge",
+    "q_some": "[2 fox table brown]",
+}
+
+
+def oracle_matches(query: str) -> set[int]:
+    o = OracleIndex("simple")
+    for i, d in enumerate(DOCS):
+        o.add(i, d)
+    return o.match(parse_query(query, "simple"))
+
+
+def test_match_doc_against_oracle():
+    """Per-doc percolation == forward oracle matching for every query."""
+    from trinity_ray.tokenizer import get_tokenizer
+
+    tok = get_tokenizer("simple")
+    for name, q in STANDING.items():
+        node = parse_query(q, "simple")
+        want = oracle_matches(q)
+        for i, d in enumerate(DOCS):
+            term_pos: dict[str, list[int]] = {}
+            for p, t in enumerate(tok(d), start=1):
+                term_pos.setdefault(t, []).append(p)
+            assert match_doc(node, term_pos) == (i in want), (name, i)
+
+
+def test_percolate_dataset(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(DOCS)), pa.int64()),
+        "text": pa.array(DOCS, pa.string()),
+    }))
+    got = percolate(ds, STANDING, concurrency=2).to_pandas()
+    got_pairs = {(int(r.doc_id), r.query_name) for r in got.itertuples()}
+    want_pairs = {(d, name) for name, q in STANDING.items()
+                  for d in oracle_matches(q)}
+    assert got_pairs == want_pairs
+
+
+def test_percolator_phrase_positions():
+    p = Percolator({"ph": '"brown fox"'}, tokenizer="simple")
+    t = pa.table({"doc_id": pa.array([0, 5], pa.int64()),
+                  "text": pa.array([DOCS[0], DOCS[5]], pa.string())})
+    out = p(t)
+    assert out.column("doc_id").to_pylist() == [0, 5]
+
+
+SYNONYMS = {("QUICK",): ["FAST"], ("TABLE", "SCAN"): ["FULL SCAN"]}
+
+
+def _cb(gram):
+    return SYNONYMS.get(gram)
+
+
+def test_rewrite_builds_or_tree():
+    node = parse_query("quick search", "simple")
+    rw = rewrite_query(node, k=2, callback=_cb)
+    # quick -> (QUICK OR FAST), search untouched
+    terms = {c for c in getattr(rw, "children", [rw])}
+    assert any(isinstance(c, Or) and Token("FAST") in c.children
+               and Token("QUICK") in c.children for c in terms)
+    assert Token("SEARCH") in terms
+
+
+def test_rewrite_longest_gram_first():
+    node = parse_query("table scan merge", "simple")
+    rw = rewrite_query(node, k=2, callback=_cb)
+    ors = [c for c in rw.children if isinstance(c, Or)]
+    assert len(ors) == 1
+    assert Phrase(("TABLE", "SCAN")) in ors[0].children
+    assert Phrase(("FULL", "SCAN")) in ors[0].children
+    assert Token("MERGE") in rw.children
+
+
+def test_rewrite_budget_zero_is_identity():
+    node = parse_query("quick search", "simple")
+    assert rewrite_query(node, 2, _cb, budget=0) == node
+
+
+def test_rewritten_query_equals_manual_or(tmp_path, ray_session):
+    """Searching the rewritten AST == searching the manually-expanded query
+    (rank-identical docIDs + scores)."""
+    pq.write_table(pa.table({"text": pa.array(DOCS * 40, pa.string())}),
+                   str(tmp_path / "d.parquet"), row_group_size=70)
+    idx = str(tmp_path / "idx")
+    build_index(str(tmp_path / "d.parquet"), idx, content_column="text",
+                tokenizer="simple", positions=True)
+    s = LocalSearcher(idx)
+    rw = rewrite_query(parse_query("quick search", "simple"), 2, _cb)
+    manual = parse_query("(quick OR fast) search", "simple")
+    a = s.search(rw, k=20)
+    b = s.search(manual, k=20)
+    np.testing.assert_array_equal(a.doc_ids, b.doc_ids)
+    np.testing.assert_array_equal(a.scores, b.scores)

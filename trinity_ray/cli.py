@@ -1,0 +1,144 @@
+"""Command-line entry point — the ``ray job submit`` surface.
+
+    ray job submit -- python -m trinity_ray build  --input corpus/ --index idx/
+    ray job submit -- python -m trinity_ray merge  --index idx/ --out merged/
+    ray job submit -- python -m trinity_ray search --index idx/ --query 'a AND b'
+    ray job submit -- python -m trinity_ray percolate --input corpus/ \
+        --query name1='a AND b' --query name2='"x y"' --out matches/
+
+On a cluster, ``ray job submit`` sets RAY_ADDRESS and the driver connects to
+the running cluster; standalone, Ray auto-initialises in local mode.  The
+library itself never calls ray.init() — only this CLI owns the session, and
+only when one isn't already provided (guarded init per the driver contract).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ensure_ray() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(include_dashboard=False, logging_level="ERROR")
+
+
+def cmd_build(args: argparse.Namespace) -> int:
+    from trinity_ray.index.build import build_index
+
+    _ensure_ray()
+    manifest = build_index(
+        args.input, args.index,
+        content_column=args.content_column,
+        tokenizer=args.tokenizer,
+        positions=not args.no_positions,
+        target_rows_per_partition=args.target_rows,
+        concurrency=args.concurrency,
+    )
+    st = manifest.total_stats()
+    print(json.dumps({"segments": len(manifest.segments),
+                      "docs": st.docs_cnt, "hits": st.sum_term_hits}))
+    return 0
+
+
+def cmd_merge(args: argparse.Namespace) -> int:
+    from trinity_ray.index.merge import merge_index
+
+    _ensure_ray()
+    manifest = merge_index(args.index, args.out)
+    print(json.dumps({"segments": len(manifest.segments),
+                      "docs": manifest.total_stats().docs_cnt}))
+    return 0
+
+
+def cmd_search(args: argparse.Namespace) -> int:
+    _ensure_ray()
+    if args.actors > 0:
+        from trinity_ray.search import RaySearcher
+
+        searcher = RaySearcher(args.index, num_actors=args.actors)
+    else:
+        from trinity_ray.search import LocalSearcher
+
+        searcher = LocalSearcher(args.index)
+    res = searcher.search(args.query, k=args.k, scorer=args.scorer)
+    for row in res.to_rows():
+        print(json.dumps(row))
+    return 0
+
+
+def cmd_percolate(args: argparse.Namespace) -> int:
+    import ray.data as rd
+
+    from trinity_ray.ops.percolate import percolate
+
+    _ensure_ray()
+    queries = {}
+    for spec in args.query:
+        name, _, q = spec.partition("=")
+        if not q:
+            raise SystemExit(f"--query must be name='query text', got {spec!r}")
+        queries[name] = q
+    ds = percolate(rd.read_parquet(args.input), queries,
+                   tokenizer=args.tokenizer,
+                   text_column=args.content_column,
+                   id_column=args.id_column)
+    if args.out:
+        ds.write_parquet(args.out)
+        print(json.dumps({"out": args.out}))
+    else:
+        for row in ds.take(args.limit):
+            print(json.dumps({k: (v.item() if hasattr(v, "item") else v)
+                              for k, v in row.items()}))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="trinity_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build an index over a Parquet corpus")
+    b.add_argument("--input", required=True)
+    b.add_argument("--index", required=True)
+    b.add_argument("--content-column", default="content")
+    b.add_argument("--tokenizer", default="trinity", choices=["trinity", "simple"])
+    b.add_argument("--no-positions", action="store_true")
+    b.add_argument("--target-rows", type=int, default=250_000)
+    b.add_argument("--concurrency", type=int, default=None)
+    b.set_defaults(fn=cmd_build)
+
+    m = sub.add_parser("merge", help="compact an index (groupby(term) shuffle)")
+    m.add_argument("--index", required=True)
+    m.add_argument("--out", required=True)
+    m.set_defaults(fn=cmd_merge)
+
+    s = sub.add_parser("search", help="boolean/phrase query with top-k scoring")
+    s.add_argument("--index", required=True)
+    s.add_argument("--query", required=True)
+    s.add_argument("-k", type=int, default=10)
+    s.add_argument("--scorer", default="bm25", choices=["bm25", "tfidf", "trivial"])
+    s.add_argument("--actors", type=int, default=0,
+                   help="RaySearcher actor count (0 = driver-local)")
+    s.set_defaults(fn=cmd_search)
+
+    pc = sub.add_parser("percolate", help="reverse search: stream docs "
+                                          "through standing queries")
+    pc.add_argument("--input", required=True)
+    pc.add_argument("--query", action="append", required=True,
+                    metavar="NAME=QUERY")
+    pc.add_argument("--tokenizer", default="trinity", choices=["trinity", "simple"])
+    pc.add_argument("--content-column", default="content")
+    pc.add_argument("--id-column", default="doc_id")
+    pc.add_argument("--out", default=None)
+    pc.add_argument("--limit", type=int, default=100)
+    pc.set_defaults(fn=cmd_percolate)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

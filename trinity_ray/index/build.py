@@ -40,6 +40,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import time
 from dataclasses import dataclass
 from typing import Any, Iterable
 
@@ -173,8 +174,10 @@ class SegmentBuilder:
             return {"name": name, "resumed": True, **{k: st[k] for k in
                     ("docs_cnt", "sum_term_hits", "total_terms", "sum_terms_docs")},
                     "part_id": spec["part_id"], "doc_base": spec["doc_base"],
-                    "doc_count": spec["rows"], "generation": self.generation}
+                    "doc_count": spec["rows"], "generation": self.generation,
+                    "tokenize_s": 0.0, "encode_s": 0.0, "persist_s": 0.0}
 
+        t_start = time.perf_counter()
         row_groups = json.loads(spec["row_groups"])
         pf = pq.ParquetFile(spec["path"])
         columns = [self.content_column, *self.id_columns]
@@ -230,8 +233,10 @@ class SegmentBuilder:
         hit_docs = np.concatenate(doc_ids_parts) if doc_ids_parts else np.empty(0, np.uint64)
         hit_pos = np.concatenate(pos_parts) if pos_parts else np.empty(0, np.uint64)
         del term_ids_parts, doc_ids_parts, pos_parts
+        t_tokenized = time.perf_counter()
 
         stats, tables = self._encode_segment(vocab, term_ids, hit_docs, hit_pos)
+        t_encoded = time.perf_counter()
         postings_table, = tables
         # N for BM25 = ALL documents in the partition, including token-less
         # ones (our definition, mirrored by the oracle): deterministic and
@@ -251,14 +256,29 @@ class SegmentBuilder:
                            "sum_terms_docs": stats.sum_terms_docs,
                            "doc_base": spec["doc_base"],
                            "doc_count": doc_count,
-                           "generation": self.generation}, f)
+                           "generation": self.generation,
+                           # per-partition lineage: exactly which input bytes
+                           # produced this segment (resume/audit; north_rule)
+                           "lineage": {"input_path": spec["path"],
+                                       "row_groups": row_groups},
+                           # phase timings — the reference profiles the same
+                           # trio (collect/sort+encode/persist,
+                           # indexer.cpp:303-306)
+                           "timings_s": {
+                               "tokenize": round(t_tokenized - t_start, 4),
+                               "encode": round(t_encoded - t_tokenized, 4),
+                           }}, f)
 
         write_segment_atomic(segment_dir(self.index_dir, name), write)
+        t_done = time.perf_counter()
         return {"name": name, "resumed": False, "part_id": spec["part_id"],
                 "doc_base": spec["doc_base"], "doc_count": doc_count,
                 "generation": self.generation,
                 "docs_cnt": stats.docs_cnt, "sum_term_hits": stats.sum_term_hits,
-                "total_terms": stats.total_terms, "sum_terms_docs": stats.sum_terms_docs}
+                "total_terms": stats.total_terms, "sum_terms_docs": stats.sum_terms_docs,
+                "tokenize_s": round(t_tokenized - t_start, 4),
+                "encode_s": round(t_encoded - t_tokenized, 4),
+                "persist_s": round(t_done - t_encoded, 4)}
 
     def _encode_segment(
         self,
@@ -406,4 +426,24 @@ def build_index(
         id_columns=tuple(id_columns),
     )
     write_manifest(index_dir, manifest)
+    # per-partition metrics sidecar (lineage lives in each segment's
+    # stats.json; this is the run-level roll-up for dashboards / audits)
+    metrics = {
+        "partitions": [
+            {k: r.get(k) for k in ("name", "part_id", "resumed", "doc_count",
+                                   "sum_term_hits", "total_terms",
+                                   "tokenize_s", "encode_s", "persist_s")}
+            for r in sorted(builder_results, key=lambda r: r["part_id"])
+        ],
+        "totals": {
+            "docs": sum(r["doc_count"] for r in builder_results),
+            "hits": sum(r["sum_term_hits"] for r in builder_results),
+            "resumed_partitions": sum(1 for r in builder_results if r["resumed"]),
+            "built_partitions": sum(1 for r in builder_results if not r["resumed"]),
+        },
+    }
+    tmp = os.path.join(index_dir, "build_metrics.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(metrics, f, indent=1)
+    os.replace(tmp, os.path.join(index_dir, "build_metrics.json"))
     return manifest

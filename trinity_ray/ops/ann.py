@@ -23,7 +23,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from trinity_ray.rayutil import package_runtime_env
+from trinity_ray.rayutil import actor_pool, package_runtime_env
 
 
 def _gather(cands, id_column: str) -> pa.Table:
@@ -105,7 +105,7 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10, *,
         BruteForceTopK,
         fn_constructor_kwargs=dict(queries=queries, k=k, vec_column=vec_column,
                                    id_column=id_column, exclude_ids=exclude_ids),
-        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
+        batch_format="pyarrow", batch_size=batch_size, concurrency=actor_pool(concurrency),
         runtime_env=package_runtime_env(),
     )
     t = _gather(cands, id_column)
@@ -187,7 +187,7 @@ def ivf_build(ds, *, n_clusters: int = 16, sample_size: int = 2048,
         IvfAssign,
         fn_constructor_kwargs=dict(centroids=cent, vec_column=vec_column,
                                    id_column=id_column),
-        batch_format="pyarrow", concurrency=concurrency,
+        batch_format="pyarrow", concurrency=actor_pool(concurrency),
         runtime_env=package_runtime_env(),
     )
     return cent, assigned

@@ -26,8 +26,9 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
-from trinity_ray.rayutil import package_runtime_env
+from trinity_ray.rayutil import actor_pool, package_runtime_env
 from trinity_ray.tokenizer import get_tokenizer
 
 _WORD_RE = re.compile(r"[A-Za-z0-9]+")
@@ -49,51 +50,121 @@ def add_content_hash(ds, text_column: str = "text", algo: str = "md5"):
     return ds.map_batches(hash_batch, batch_format="pyarrow")
 
 
-def exact_dedup(ds, id_column: str = "doc_id", text_column: str = "text"):
+def exact_dedup(ds, id_column: str = "doc_id", text_column: str = "text",
+                num_partitions: int = 16, broadcast_max_losers: int = 5_000_000):
     """Keep the lowest-id doc per identical content; returns the deduped
-    Dataset (all columns, winners only).  groupby ships only (hash, row)."""
+    Dataset (all columns, winners only).
+
+    Winner selection is a native hash aggregate (partial Min/Count per
+    block, then one small shuffle of (hash, partials) — NOT per-group
+    Python).  The duplicate *losers* are usually a small minority, so the
+    default elimination path broadcasts the loser-id set once (ray.put) and
+    anti-filters the corpus with a vectorized np.isin — no second
+    all-to-all.  Corpora with more than ``broadcast_max_losers`` duplicates
+    (degenerate boilerplate) fall back to a hash-partitioned semi-join on
+    (content_hash, keeper id).
+    """
+    import ray
+    from ray.data.aggregate import Count, Min
+
     hashed = add_content_hash(ds, text_column)
+    groups = hashed.groupby("content_hash").aggregate(
+        Min(id_column, alias_name=id_column), Count(alias_name="n_docs"))
+    dup_groups = groups.filter(expr="n_docs >= 2")
+    n_losers = 0
+    dup_batches = []
+    for b in dup_groups.iter_batches(batch_format="pyarrow", batch_size=65536):
+        dup_batches.append(b)
+        n_losers += int(pc.sum(b.column("n_docs")).as_py() or 0) - b.num_rows
+        if n_losers > broadcast_max_losers:
+            break
+    if n_losers > broadcast_max_losers:  # scale fallback: semi-join winners
+        winners = groups.select_columns(["content_hash", id_column])
+        return hashed.join(winners, "inner", num_partitions=num_partitions,
+                           on=("content_hash", id_column),
+                           ).drop_columns(["content_hash", "n_docs"])
+    if n_losers == 0:
+        return ds
+    dup_tbl = pa.concat_tables(dup_batches)
+    dup_hashes = set(dup_tbl.column("content_hash").to_pylist())
+    keeper = dict(zip(dup_tbl.column("content_hash").to_pylist(),
+                      dup_tbl.column(id_column).to_pylist()))
+    # second cheap pass: collect loser ids (dup-group members that are not
+    # the keeper) — only dup-group rows ever leave the workers
+    losers: list[int] = []
+    for b in hashed.select_columns(["content_hash", id_column]).iter_batches(
+            batch_format="pyarrow", batch_size=65536):
+        hs = b.column("content_hash").to_pylist()
+        ids = b.column(id_column).to_pylist()
+        losers.extend(int(i) for h, i in zip(hs, ids)
+                      if h in dup_hashes and int(i) != keeper[h])
+    loser_ref = ray.put(np.sort(np.asarray(losers, dtype=np.int64)))
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_column).head(1)
+    def drop_losers(batch: pa.Table) -> pa.Table:
+        lo = ray.get(loser_ref)
+        ids = batch.column(id_column).to_numpy().astype(np.int64)
+        return batch.filter(pa.array(~np.isin(ids, lo, assume_unique=False)))
 
-    return hashed.groupby("content_hash").map_groups(
-        keep_first, batch_format="pandas", runtime_env=package_runtime_env(),
-    ).drop_columns(["content_hash"])
+    return ds.map_batches(drop_losers, batch_format="pyarrow",
+                          runtime_env=package_runtime_env())
 
 
 def exact_dup_groups(ds, id_column: str = "doc_id", text_column: str = "text"):
     """(content_hash, keeper, n_dups) per distinct content — the SQL-checkable
-    summary of exact dedup."""
+    summary of exact dedup.  Pure native aggregate: Ray pre-aggregates
+    per block map-side, then shuffles only (hash, partial) rows."""
+    from ray.data.aggregate import Count, Min
+
     hashed = add_content_hash(ds, text_column).select_columns(
         ["content_hash", id_column])
-
-    def summarize(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "content_hash": [g["content_hash"].iloc[0]],
-            "keeper": [int(g[id_column].min())],
-            "n_docs": [len(g)],
-        })
-
-    return hashed.groupby("content_hash").map_groups(
-        summarize, batch_format="pandas", runtime_env=package_runtime_env())
+    return hashed.groupby("content_hash").aggregate(
+        Min(id_column, alias_name="keeper"),
+        Count(alias_name="n_docs"))
 
 
 # ---------------------------------------------------------------------------
 # shingles + minhash
 # ---------------------------------------------------------------------------
 
+_TOKEN_CACHE: dict[str, int] = {}
+_TOKEN_CACHE_MAX = 1_000_000
+_SHINGLE_A = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _token_hashes(tokens: list[str]) -> np.ndarray:
+    """Stable 64-bit token hashes, memoized per process/actor (tokens repeat
+    heavily, so the blake2b cost amortizes to once per distinct token)."""
+    if len(_TOKEN_CACHE) > _TOKEN_CACHE_MAX:
+        _TOKEN_CACHE.clear()
+    out = np.empty(len(tokens), dtype=np.uint64)
+    get = _TOKEN_CACHE.get
+    for i, t in enumerate(tokens):
+        h = get(t)
+        if h is None:
+            h = int.from_bytes(
+                hashlib.blake2b(t.encode(), digest_size=8).digest(), "little")
+            _TOKEN_CACHE[t] = h
+        out[i] = h
+    return out
+
+
 def _shingle_hashes(tokens: list[str], k: int) -> np.ndarray:
-    """Stable 64-bit hashes of k-token shingles."""
-    if len(tokens) < k:
-        joined = ["\x1f".join(tokens)] if tokens else []
-    else:
-        joined = ["\x1f".join(tokens[i:i + k]) for i in range(len(tokens) - k + 1)]
-    out = np.empty(len(joined), dtype=np.uint64)
-    for i, s in enumerate(joined):
-        out[i] = int.from_bytes(
-            hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
-    return np.unique(out)
+    """Stable 64-bit hashes of k-token shingles: cached per-token blake2b
+    combined by a vectorized positional polynomial (uint64 wraparound) —
+    k numpy passes instead of one blake2b per shingle."""
+    th = _token_hashes(tokens)
+    if th.size == 0:
+        return th
+    if th.size < k:
+        acc = np.zeros(1, dtype=np.uint64)
+        for v in th:
+            acc = acc * _SHINGLE_A + v
+        return acc
+    n = th.size - k + 1
+    acc = np.zeros(n, dtype=np.uint64)
+    for j in range(k):
+        acc = acc * _SHINGLE_A + th[j:j + n]
+    return np.unique(acc)
 
 
 _MERSENNE = (1 << 61) - 1
@@ -135,22 +206,61 @@ class MinHasher:
 def minhash_signatures(ds, *, num_perm: int = 64, shingle_k: int = 3,
                        text_column: str = "text", id_column: str = "doc_id",
                        tokenizer: str = "simple", batch_size: int = 1024,
-                       concurrency: int = 2):
+                       concurrency: int = 8):
     return ds.map_batches(
         MinHasher,
         fn_constructor_kwargs=dict(num_perm=num_perm, shingle_k=shingle_k,
                                    text_column=text_column, id_column=id_column,
                                    tokenizer=tokenizer),
-        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
+        batch_format="pyarrow", batch_size=batch_size, concurrency=actor_pool(concurrency),
         runtime_env=package_runtime_env(),
     )
+
+
+def _hot_buckets_only(exploded, keys: list[str], max_hot: int = 2_000_000):
+    """Restrict an exploded (bucket-key, member) dataset to buckets with >= 2
+    members.  Bucket sizes come from a native Count aggregate (map-side
+    partial + tiny shuffle); the hot-key set — near-dup buckets are a small
+    fraction of all buckets — is broadcast once via ray.put and applied as a
+    vectorized membership filter, avoiding a second all-to-all of the full
+    exploded set.  ``max_hot`` guards the broadcast: above it (degenerate
+    boilerplate corpora) fall back to returning ``exploded`` unfiltered and
+    let the downstream groupby see all buckets."""
+    import ray
+    from ray.data.aggregate import Count
+
+    sizes = exploded.groupby(keys).aggregate(Count(alias_name="bucket_n"))
+    hot = sizes.filter(expr="bucket_n >= 2").select_columns(keys)
+    hot_tbl = pa.concat_tables(
+        [b for b in hot.iter_batches(batch_format="pyarrow", batch_size=65536)]
+        or [pa.table({k: pa.array([], pa.int64()) for k in keys})])
+    if hot_tbl.num_rows == 0:
+        return exploded.limit(0)
+    if hot_tbl.num_rows > max_hot:
+        return exploded
+    # pack composite keys into one uint64 set for np.isin
+    def pack(tbl: pa.Table) -> np.ndarray:
+        acc = np.zeros(tbl.num_rows, dtype=np.uint64)
+        for k in keys:
+            col = tbl.column(k).to_numpy().astype(np.uint64)
+            acc = (acc * np.uint64(0x9E3779B97F4A7C15)) ^ col
+        return acc
+    hot_keys = ray.put(np.unique(pack(hot_tbl)))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        hk = ray.get(hot_keys)
+        mask = np.isin(pack(batch), hk, assume_unique=False)
+        return batch.filter(pa.array(mask))
+
+    return exploded.map_batches(keep, batch_format="pyarrow",
+                                runtime_env=package_runtime_env())
 
 
 def minhash_lsh_pairs(ds, *, num_perm: int = 64, bands: int = 8,
                       threshold: float = 0.5, shingle_k: int = 3,
                       text_column: str = "text", id_column: str = "doc_id",
                       tokenizer: str = "simple", max_bucket: int = 200,
-                      concurrency: int = 2):
+                      concurrency: int = 8):
     """Candidate near-dup pairs via banded MinHash LSH, verified by the
     estimated Jaccard (fraction of equal minhash components).
 
@@ -175,12 +285,15 @@ def minhash_lsh_pairs(ds, *, num_perm: int = 64, bands: int = 8,
             hs = [hashlib.blake2b(chunk[i].tobytes(), digest_size=8).digest()
                   for i in range(n)]
             band_ids.append(np.full(n, b, dtype=np.int32))
-            band_hashes.extend(int.from_bytes(h, "little") for h in hs)
+            # int64 (63-bit) so the hash survives every groupby/aggregate
+            # round-trip without object/pickle fallbacks
+            band_hashes.extend(
+                int.from_bytes(h, "little") & 0x7FFFFFFFFFFFFFFF for h in hs)
             doc_ids.append(ids)
             sig_rows.extend(sig[i].tolist() for i in range(n))
         return pa.table({
             "band": pa.array(np.concatenate(band_ids), pa.int32()),
-            "band_hash": pa.array(band_hashes, pa.uint64()),
+            "band_hash": pa.array(band_hashes, pa.int64()),
             id_column: pa.array(np.concatenate(doc_ids)),
             "minhash": pa.array(sig_rows, pa.list_(pa.uint64(), num_perm)),
         })
@@ -204,15 +317,16 @@ def minhash_lsh_pairs(ds, *, num_perm: int = 64, bands: int = 8,
                 out_j.append(float(eq[j]))
         return pd.DataFrame({"id_a": out_a, "id_b": out_b, "est_jaccard": out_j})
 
-    pairs = exploded.groupby(["band", "band_hash"]).map_groups(
+    hot = _hot_buckets_only(exploded, ["band", "band_hash"])
+    pairs = hot.groupby(["band", "band_hash"]).map_groups(
         bucket_pairs, batch_format="pandas", runtime_env=package_runtime_env())
 
-    # dedup pairs found in multiple bands
-    def pair_dedup(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    # dedup pairs found in multiple bands (est_jaccard is computed from the
+    # full signature, so it is identical in every band: Max == the value)
+    from ray.data.aggregate import Max
 
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        pair_dedup, batch_format="pandas", runtime_env=package_runtime_env())
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Max("est_jaccard", alias_name="est_jaccard"))
 
 
 # ---------------------------------------------------------------------------
@@ -232,13 +346,14 @@ class SimHasher:
         toks = self.tokenize(text or "")
         if not toks:
             return 0
-        acc = np.zeros(64, dtype=np.int64)
-        for t in toks:
-            h = int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(),
-                               "little")
-            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            acc += np.where(bits.astype(bool), 1, -1)
-        return int(sum(1 << i for i in range(64) if acc[i] > 0))
+        th = _token_hashes(toks)  # cached blake2b per distinct token
+        bits = (th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]
+                ) & np.uint64(1)
+        acc = 2 * bits.sum(axis=0, dtype=np.int64) - len(toks)
+        sig = np.uint64(0)
+        for i in np.flatnonzero(acc > 0):
+            sig |= np.uint64(1) << np.uint64(i)
+        return int(sig)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         hs = [self.simhash(t) for t in batch.column(self.text_column).to_pylist()]
@@ -250,13 +365,13 @@ class SimHasher:
 
 def simhash_pairs(ds, *, max_hamming: int = 3, text_column: str = "text",
                   id_column: str = "doc_id", tokenizer: str = "simple",
-                  max_bucket: int = 500, concurrency: int = 2):
+                  max_bucket: int = 500, concurrency: int = 8):
     """Near-dup pairs with Hamming distance <= max_hamming, blocked by 4
     16-bit bands (pigeonhole: <=3 differing bits ⇒ >=1 identical band)."""
     sigs = ds.map_batches(
         SimHasher, fn_constructor_kwargs=dict(
             text_column=text_column, id_column=id_column, tokenizer=tokenizer),
-        batch_format="pyarrow", concurrency=concurrency, batch_size=1024,
+        batch_format="pyarrow", concurrency=actor_pool(concurrency), batch_size=1024,
         runtime_env=package_runtime_env(),
     )
 
@@ -294,14 +409,15 @@ def simhash_pairs(ds, *, max_hamming: int = 3, text_column: str = "text",
                 out_h.append(int(ham[j]))
         return pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": out_h})
 
-    pairs = exploded.groupby(["band", "band_val"]).map_groups(
+    hot = _hot_buckets_only(exploded, ["band", "band_val"])
+    pairs = hot.groupby(["band", "band_val"]).map_groups(
         bucket_pairs, batch_format="pandas", runtime_env=package_runtime_env())
 
-    def pair_dedup(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    # dedup pairs found via multiple bands (hamming identical everywhere)
+    from ray.data.aggregate import Min
 
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        pair_dedup, batch_format="pandas", runtime_env=package_runtime_env())
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Min("hamming", alias_name="hamming"))
 
 
 # ---------------------------------------------------------------------------
@@ -405,5 +521,6 @@ def embedding_dup_pairs(ds, *, vec_column: str = "embedding",
             "cosine": sims[iu][sel],
         })
 
-    return assigned.groupby("bucket").map_groups(
+    hot = _hot_buckets_only(assigned, ["bucket"])
+    return hot.groupby("bucket").map_groups(
         bucket_pairs, batch_format="pandas", runtime_env=package_runtime_env())

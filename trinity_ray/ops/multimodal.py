@@ -26,7 +26,7 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-from trinity_ray.rayutil import package_runtime_env
+from trinity_ray.rayutil import actor_pool, package_runtime_env
 
 _MAGIC = [
     (b"\x89PNG\r\n\x1a\n", "image/png"),
@@ -189,7 +189,7 @@ def attach_binary_meta(ds, binary_column: str = "payload",
                        batch_size: int = 256, concurrency: int = 2):
     return ds.map_batches(
         BinaryMeta, fn_constructor_kwargs=dict(binary_column=binary_column),
-        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
+        batch_format="pyarrow", batch_size=batch_size, concurrency=actor_pool(concurrency),
         runtime_env=package_runtime_env())
 
 
@@ -200,7 +200,7 @@ def decode_images(ds, binary_column: str = "payload", height: int = 32,
         FakeDecode, fn_constructor_kwargs=dict(
             binary_column=binary_column, height=height, width=width,
             channels=channels),
-        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
+        batch_format="pyarrow", batch_size=batch_size, concurrency=actor_pool(concurrency),
         runtime_env=package_runtime_env())
 
 
@@ -208,7 +208,7 @@ def resize_images(ds, target_h: int, target_w: int, batch_size: int = 128,
                   concurrency: int = 2):
     return ds.map_batches(
         Resize, fn_constructor_kwargs=dict(target_h=target_h, target_w=target_w),
-        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
+        batch_format="pyarrow", batch_size=batch_size, concurrency=actor_pool(concurrency),
         runtime_env=package_runtime_env())
 
 
@@ -218,5 +218,5 @@ def sample_frames(ds, binary_column: str = "payload", every_n: int = 10,
     return ds.map_batches(
         FrameSample, fn_constructor_kwargs=dict(
             binary_column=binary_column, every_n=every_n, max_frames=max_frames),
-        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
+        batch_format="pyarrow", batch_size=batch_size, concurrency=actor_pool(concurrency),
         runtime_env=package_runtime_env())

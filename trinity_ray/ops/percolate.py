@@ -1,0 +1,119 @@
+"""Percolator: reverse search — match a stream of documents against a
+registry of standing queries.
+
+Re-expresses the reference's percolator (/root/reference/percolator.h:19-86,
+percolator.cpp:5-137: compile a query to an exec_node tree once, then
+evaluate it against each document's term set — the Twitter predicate-index
+pattern) as an idiomatic Ray Data stage: a stateful actor pool
+(``map_batches(Percolator, concurrency=N)``) that parses/normalizes every
+standing query ONCE in ``__init__`` and evaluates the compiled ASTs against
+each tokenized document in ``__call__``.
+
+Documents never shuffle; the (tiny) query registry ships once per actor.
+This is the canonical broadcast-small-side shape: at 10^12 docs the stage
+stays embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from trinity_ray.query.ast import (
+    And,
+    ConstFalse,
+    MatchAll,
+    MatchSome,
+    Node,
+    Not,
+    Optional_,
+    Or,
+    Phrase,
+    Token,
+    parse_query,
+)
+from trinity_ray.rayutil import actor_pool, package_runtime_env
+from trinity_ray.tokenizer import MAX_POSITION, get_tokenizer
+
+
+def match_doc(node: Node, term_pos: dict[str, list[int]]) -> bool:
+    """Evaluate a compiled query AST against one document's term->positions
+    map (the document_proxy term-set evaluation of percolator.cpp:44-137)."""
+    if isinstance(node, ConstFalse):
+        return False
+    if isinstance(node, (MatchAll, Optional_)):
+        return True
+    if isinstance(node, Token):
+        return node.term in term_pos
+    if isinstance(node, Phrase):
+        first = term_pos.get(node.terms[0])
+        if first is None:
+            return False
+        rest = [term_pos.get(t) for t in node.terms[1:]]
+        if any(r is None for r in rest):
+            return False
+        rest_sets = [set(r) for r in rest]
+        return any(all(p + i + 1 in s for i, s in enumerate(rest_sets))
+                   for p in first)
+    if isinstance(node, Not):
+        return not match_doc(node.child, term_pos)
+    if isinstance(node, And):
+        positives = [c for c in node.children if not isinstance(c, (Not, Optional_))]
+        negatives = [c.child for c in node.children if isinstance(c, Not)]
+        return (all(match_doc(c, term_pos) for c in positives)
+                and not any(match_doc(c, term_pos) for c in negatives))
+    if isinstance(node, Or):
+        return any(match_doc(c, term_pos) for c in node.children)
+    if isinstance(node, MatchSome):
+        n = sum(1 for c in node.children if match_doc(c, term_pos))
+        return n >= node.min_match
+    raise TypeError(f"unknown node {node!r}")
+
+
+class Percolator:
+    """Stateful map_batches stage: standing queries compiled once per actor
+    (__init__), documents evaluated per batch (__call__).
+
+    Emits one row (id, query_name) per (document, matching query).
+    """
+
+    def __init__(self, queries: dict[str, str], tokenizer: str = "simple",
+                 text_column: str = "text", id_column: str = "doc_id"):
+        self.tokenize = get_tokenizer(tokenizer)
+        self.plans: list[tuple[str, Node]] = [
+            (name, parse_query(q, tokenizer)) for name, q in sorted(queries.items())
+        ]
+        self.text_column = text_column
+        self.id_column = id_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_column).to_pylist()
+        texts = batch.column(self.text_column).to_pylist()
+        out_ids, out_names = [], []
+        for i, text in zip(ids, texts):
+            toks = self.tokenize(text or "")[: MAX_POSITION - 1]
+            term_pos: dict[str, list[int]] = {}
+            for p, t in enumerate(toks, start=1):
+                term_pos.setdefault(t, []).append(p)
+            for name, plan in self.plans:
+                if match_doc(plan, term_pos):
+                    out_ids.append(i)
+                    out_names.append(name)
+        return pa.table({
+            self.id_column: pa.array(out_ids,
+                                     batch.column(self.id_column).type),
+            "query_name": pa.array(out_names, pa.string()),
+        })
+
+
+def percolate(ds, queries: dict[str, str], *, tokenizer: str = "simple",
+              text_column: str = "text", id_column: str = "doc_id",
+              batch_size: int = 1024, concurrency: int = 8):
+    """(id, query_name) rows for every document matching a standing query."""
+    return ds.map_batches(
+        Percolator,
+        fn_constructor_kwargs=dict(queries=queries, tokenizer=tokenizer,
+                                   text_column=text_column,
+                                   id_column=id_column),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=actor_pool(concurrency), runtime_env=package_runtime_env(),
+    )

@@ -10,6 +10,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from trinity_ray.rayutil import actor_pool
 from trinity_ray.tokenizer import get_tokenizer
 
 _WORD_RE = re.compile(r"[A-Za-z0-9]+")
@@ -146,7 +147,7 @@ class Fingerprinter:
 
 def token_count(ds, text_column: str = "text", tokenizer: str = "simple",
                 batch_size: int = 2048, concurrency: int | None = None):
-    kwargs = {} if concurrency is None else {"concurrency": concurrency}
+    kwargs = {} if concurrency is None else {"concurrency": actor_pool(concurrency)}
     return ds.map_batches(TokenCounter, fn_constructor_kwargs=dict(
         text_column=text_column, tokenizer=tokenizer),
         batch_format="pyarrow", batch_size=batch_size, **_act(kwargs))
@@ -154,7 +155,7 @@ def token_count(ds, text_column: str = "text", tokenizer: str = "simple",
 
 def quality_score(ds, text_column: str = "text", batch_size: int = 2048,
                   concurrency: int | None = None):
-    kwargs = {} if concurrency is None else {"concurrency": concurrency}
+    kwargs = {} if concurrency is None else {"concurrency": actor_pool(concurrency)}
     return ds.map_batches(QualityScorer, fn_constructor_kwargs=dict(
         text_column=text_column),
         batch_format="pyarrow", batch_size=batch_size, **_act(kwargs))
@@ -162,7 +163,7 @@ def quality_score(ds, text_column: str = "text", batch_size: int = 2048,
 
 def lang_id(ds, text_column: str = "text", batch_size: int = 2048,
             concurrency: int | None = None):
-    kwargs = {} if concurrency is None else {"concurrency": concurrency}
+    kwargs = {} if concurrency is None else {"concurrency": actor_pool(concurrency)}
     return ds.map_batches(LangId, fn_constructor_kwargs=dict(
         text_column=text_column),
         batch_format="pyarrow", batch_size=batch_size, **_act(kwargs))
@@ -170,7 +171,7 @@ def lang_id(ds, text_column: str = "text", batch_size: int = 2048,
 
 def fingerprint(ds, text_column: str = "text", tokenizer: str = "simple",
                 batch_size: int = 2048, concurrency: int | None = None):
-    kwargs = {} if concurrency is None else {"concurrency": concurrency}
+    kwargs = {} if concurrency is None else {"concurrency": actor_pool(concurrency)}
     return ds.map_batches(Fingerprinter, fn_constructor_kwargs=dict(
         text_column=text_column, tokenizer=tokenizer),
         batch_format="pyarrow", batch_size=batch_size, **_act(kwargs))

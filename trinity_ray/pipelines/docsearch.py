@@ -204,6 +204,38 @@ def q_search_trivial_top10(sf_dir: str) -> pa.Table:
     return topk_table(base_index(sf_dir), DRIVER_QUERIES["and2"], scorer="trivial")
 
 
+PERCOLATE_QUERIES = {
+    "p_and": "key AND order",
+    "p_or": "dup OR vector",
+    "p_phrase": '"key order"',
+    "p_not": "table NOT spark",
+}
+
+
+def q_percolate_matches(sf_dir: str):
+    """Reverse search (percolator.h:19-86): standing queries evaluated
+    against the document stream by a stateful actor pool."""
+    from trinity_ray.ops.percolate import percolate
+
+    return percolate(read_documents(sf_dir), PERCOLATE_QUERIES,
+                     tokenizer="simple", id_column="doc_id")
+
+
+def q_search_rewrite_top10(sf_dir: str) -> pa.Table:
+    """Synonym rewrite hook (queries_rewrite.h:992): 'dup' expanded to
+    (dup OR vector) via the callback, scored like the manual OR query."""
+    from trinity_ray.query.ast import parse_query
+    from trinity_ray.query.rewrite import rewrite_query
+
+    node = rewrite_query(parse_query("dup", "simple"), k=1,
+                         callback=lambda gram: ["VECTOR"] if gram == ("DUP",) else None)
+    res = _searcher(base_index(sf_dir)).search(node, k=TOPK)
+    return pa.table({
+        "doc_id": pa.array(res.doc_ids.astype(np.int64), pa.int64()),
+        "score_r": pa.array(np.round(res.scores, 4), pa.float64()),
+    })
+
+
 def q_match_not(sf_dir: str) -> pa.Table:
     return match_table(base_index(sf_dir), DRIVER_QUERIES["not"])
 

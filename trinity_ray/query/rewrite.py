@@ -1,0 +1,125 @@
+"""Query rewrite hook: synonym / spelling expansion over token runs.
+
+The reference's rewrite framework (/root/reference/queries_rewrite.h:992-1089
+``rewrite_query(flags, q, budget, K, lambda, rcb)``) walks each maximal
+AND-run of tokens (queries.h:692-778 ``process_runs``), offers every K-gram
+of the run to an application callback, and splices the returned alternatives
+into an OR tree.  We keep the same seam, Pythonic:
+
+    rewrite_query(node, k, callback, budget=...)
+
+``callback(tokens: tuple[str, ...]) -> list[str]`` returns alternative
+surface strings for a gram (empty/None = no alternatives).  A gram with
+alternatives is replaced by ``Or(original, *alternatives)`` where each
+alternative parses to a Token (single term) or Phrase (multi term) — the
+optimal-OR-tree construction of queries_rewrite.h:522-948 reduced to one
+flat OR (sufficient for scoring; provenance/rewrite_ctx tracking is a
+documented capability gap, SURVEY.md §7.4 non-goals).
+
+Longest-gram-first, non-overlapping, left-to-right — mirroring the
+reference's preference for longer captures (queries_rewrite.h:217-260).
+``budget`` caps the number of expansions (trinity_limits.h-style guard).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+from trinity_ray.query.ast import (
+    And,
+    MatchSome,
+    Node,
+    Not,
+    Optional_,
+    Or,
+    Phrase,
+    Token,
+    normalize,
+)
+
+RewriteCallback = Callable[[tuple[str, ...]], Sequence[str] | None]
+
+
+def _alt_node(alt: str) -> Node:
+    """An alternative surface string -> Token or Phrase (terms are assumed
+    already normalized the way the index tokenizer would produce them)."""
+    parts = tuple(p for p in alt.split() if p)
+    if not parts:
+        raise ValueError("empty rewrite alternative")
+    if len(parts) == 1:
+        return Token(parts[0])
+    return Phrase(parts)
+
+
+def _gram_node(gram: tuple[str, ...]) -> Node:
+    return Token(gram[0]) if len(gram) == 1 else Phrase(gram)
+
+
+def _rewrite_run(tokens: list[str], k: int, callback: RewriteCallback,
+                 budget: list[int]) -> list[Node]:
+    """Expand one AND-run of tokens; returns replacement child nodes."""
+    out: list[Node] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        replaced = False
+        if budget[0] > 0:
+            for glen in range(min(k, n - i), 0, -1):  # longest gram first
+                gram = tuple(tokens[i:i + glen])
+                alts = callback(gram)
+                if alts:
+                    branches = [_gram_node(gram)] + [_alt_node(a) for a in alts]
+                    out.append(Or(tuple(branches)))
+                    budget[0] -= 1
+                    i += glen
+                    replaced = True
+                    break
+        if not replaced:
+            out.append(Token(tokens[i]))
+            i += 1
+    return out
+
+
+def rewrite_query(node: Node, k: int, callback: RewriteCallback,
+                  budget: int = 64) -> Node:
+    """Expand token runs with callback-provided alternatives (the
+    queries_rewrite.h:992 entry point, AND-run walk per queries.h:692-778).
+    Returns a new normalized AST; the input is not modified."""
+    state = [budget]
+    return normalize(_walk(node, k, callback, state))
+
+
+def _walk(node: Node, k: int, callback: RewriteCallback,
+          budget: list[int]) -> Node:
+    if isinstance(node, And):
+        new_children: list[Node] = []
+        run: list[str] = []
+
+        def flush() -> None:
+            if run:
+                new_children.extend(_rewrite_run(run, k, callback, budget))
+                run.clear()
+
+        for c in node.children:
+            if isinstance(c, Token):
+                run.append(c.term)  # contiguous token run (process_runs)
+            else:
+                flush()
+                new_children.append(_walk(c, k, callback, budget))
+        flush()
+        return And(tuple(new_children))
+    if isinstance(node, Or):
+        return Or(tuple(_walk(c, k, callback, budget) for c in node.children))
+    if isinstance(node, Not):
+        return Not(_walk(node.child, k, callback, budget))
+    if isinstance(node, Optional_):
+        return Optional_(_walk(node.child, k, callback, budget))
+    if isinstance(node, MatchSome):
+        return MatchSome(node.min_match,
+                         tuple(_walk(c, k, callback, budget)
+                               for c in node.children))
+    if isinstance(node, Token):
+        # a lone token is a run of one
+        replaced = _rewrite_run([node.term], k, callback, budget)
+        return replaced[0]
+    return node

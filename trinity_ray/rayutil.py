@@ -15,7 +15,29 @@ def package_runtime_env() -> dict:
     (bench scripts, notebooks), actor/task deserialization of our classes
     would fail with ``No module named 'trinity_ray'``.  Shipping PYTHONPATH
     via runtime_env env_vars fixes that without any network/pip dependency.
+
+    Returns {} when workers can already import the package (driver cwd is
+    the repo — Ray puts the driver's cwd on workers' sys.path in local
+    mode — or PYTHONPATH already covers it).  An empty runtime env lets
+    every stage share the default worker pool; a distinct env_vars env
+    forces Ray to spin up a dedicated worker group per stage, seconds of
+    fixed cost each.
     """
     existing = os.environ.get("PYTHONPATH", "")
+    if (os.path.abspath(os.getcwd()) == _PKG_PARENT
+            or _PKG_PARENT in existing.split(os.pathsep)):
+        return {}
     path = _PKG_PARENT if not existing else f"{_PKG_PARENT}{os.pathsep}{existing}"
     return {"env_vars": {"PYTHONPATH": path}}
+
+
+def actor_pool(n: int) -> tuple[int, int]:
+    """Autoscaling actor-pool spec for map_batches: (1, n).
+
+    A FIXED pool of n actors deadlocks the streaming executor when n equals
+    the cluster's CPU count (all CPUs held by waiting actors, upstream read
+    tasks can never schedule).  (1, n) starts one actor immediately and
+    scales only into genuinely free CPUs, so any cluster size makes
+    progress; on big clusters it still reaches n.
+    """
+    return (1, max(1, int(n)))
