@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_trivial_top10": dsp.q_search_trivial_top10,
         "search_rewrite_top10": dsp.q_search_rewrite_top10,
         "percolate_matches": dsp.q_percolate_matches,
+        "intersect_counts": dsp.q_intersect_counts,
         "match_not": dsp.q_match_not,
         "match_some": dsp.q_match_some,
         "match_phrase3": dsp.q_match_phrase3,
@@ -157,6 +158,16 @@ def oracle_sql() -> dict[str, str]:
             ["KEY", "ORDER"], m_and, "sum(tf.tf)"),
         # synonym rewrite 'dup' -> (dup OR vector) == the manual OR query
         "search_rewrite_top10": _bm25_sql(["DUP", "VECTOR"], m_or),
+        # co-occurrence bitmask counts over {KEY, ORDER, DUP}
+        "intersect_counts": f"""
+WITH toks AS ({_TOKS}),
+f AS (SELECT doc_id,
+        max(CASE WHEN tok = 'KEY' THEN 1 ELSE 0 END)
+      + max(CASE WHEN tok = 'ORDER' THEN 2 ELSE 0 END)
+      + max(CASE WHEN tok = 'DUP' THEN 4 ELSE 0 END) AS mask
+      FROM toks GROUP BY doc_id)
+SELECT mask, count(*) AS n_docs FROM f WHERE mask > 0 GROUP BY mask
+""",
         # reverse search: one row per (doc, standing query) match
         "percolate_matches": f"""
 WITH toks AS ({_TOKS}),

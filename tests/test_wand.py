@@ -158,3 +158,34 @@ def test_random_or_queries_property(wand_index):
             slow = _topk(matched, r2.score(matched, weights), k)
             np.testing.assert_array_equal(fast[0], slow[0], err_msg=str(terms))
             np.testing.assert_array_equal(fast[1], slow[1], err_msg=str(terms))
+
+
+def test_phrase_selective_positions(tmp_path, ray_session):
+    """Phrase with a rare lead and a hot tail: the hot term's positions must
+    be decoded block-selectively (never the full stream), and the result
+    must match the pure-Python oracle."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 6000
+    docs = ["alpha beta the gamma"] * n     # hot: THE (never after NEEDLE)
+    hits = list(range(50, 2400, 200))       # 12 docs contain "needle the"
+    for d in hits:
+        docs[d] = "prefix needle the suffix"
+    pq.write_table(pa.table({"text": docs}), str(tmp_path / "d.parquet"))
+    idx = str(tmp_path / "idx")
+    build_index(str(tmp_path / "d.parquet"), idx, content_column="text",
+                tokenizer="simple", positions=True)
+    oracle = OracleIndex("simple")
+    for i, d in enumerate(docs):
+        oracle.add(i, d)
+    s = LocalSearcher(idx)
+    got = s.search('"needle the"', k=20)
+    want = oracle.search('"needle the"', k=20)
+    assert [int(d) for d in got.doc_ids] == [d for d, _ in want]
+    assert sorted(int(d) for d in got.doc_ids) == hits
+    for r in s.readers:
+        hot = r.postings("THE")
+        assert hot is not None
+        assert hot._pos is None, "hot term positions fully decoded"
+        assert hot._blocks_pos, "expected selective block position decode"

@@ -424,3 +424,24 @@ class PostingsBlob:
             doc_ids += base
         freqs = varint_decode(self._freqs_sec[f0:f1], cnt)
         return doc_ids, freqs
+
+    def decode_block_positions(self, i: int, freqs: np.ndarray,
+                               ) -> tuple[np.ndarray, np.ndarray]:
+        """Positions of one block only (selective phrase verification).
+
+        Block position slices decode independently because each doc's first
+        position is stored absolute (see encode: pdelta[doc_start] = abs).
+        Returns (pos_flat, doc_hit_offsets) for the block's docs; ``freqs``
+        is the block's freq array from :meth:`decode_block`."""
+        if not self.has_positions:
+            raise ValueError("positionless blob")
+        p0 = int(self.pos_off[i])
+        p1 = int(self.pos_off[i + 1]) if i + 1 < self.n_blocks else self._pos_sec.size
+        n_hits = int(freqs.sum())
+        deltas = varint_decode(self._pos_sec[p0:p1], n_hits)
+        offsets = np.zeros(freqs.size + 1, dtype=np.int64)
+        np.cumsum(freqs.astype(np.int64), out=offsets[1:])
+        c = np.cumsum(deltas, dtype=np.uint64)
+        starts = offsets[:-1]
+        base = np.repeat(c[starts] - deltas[starts], np.diff(offsets))
+        return (c - base), offsets

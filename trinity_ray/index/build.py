@@ -356,6 +356,10 @@ class SegmentBuilder:
         return stats, (table,)
 
 
+def _build_partitions_task(batch: pa.Table, **kwargs: Any) -> pa.Table:
+    return SegmentBuilder(**kwargs)(batch)
+
+
 def build_index(
     input_paths: str | Iterable[str],
     index_dir: str,
@@ -383,17 +387,22 @@ def build_index(
         concurrency = max(1, min(len(specs), int(ray.cluster_resources().get("CPU", 4))))
 
     ds = rd.from_items([s.to_row() for s in specs])
+    builder_kwargs = dict(
+        index_dir=index_dir,
+        content_column=content_column,
+        id_columns=id_columns,
+        tokenizer=tokenizer,
+        positions=positions,
+        generation=generation,
+        read_batch_rows=read_batch_rows,
+    )
+    # plain tasks, not an actor pool: SegmentBuilder holds only cheap config
+    # (tokenizer regex, paths), so per-task reconstruction costs ~ms while
+    # tasks reuse the warm default worker pool — an N-actor pool would pay
+    # N process spawns + imports per build (the scaling-run killer)
     builder_results = ds.map_batches(
-        SegmentBuilder,
-        fn_constructor_kwargs=dict(
-            index_dir=index_dir,
-            content_column=content_column,
-            id_columns=id_columns,
-            tokenizer=tokenizer,
-            positions=positions,
-            generation=generation,
-            read_batch_rows=read_batch_rows,
-        ),
+        _build_partitions_task,
+        fn_kwargs=builder_kwargs,
         batch_size=1,           # one partition per task invocation
         batch_format="pyarrow",
         concurrency=concurrency,

@@ -221,6 +221,19 @@ def q_percolate_matches(sf_dir: str):
                      tokenizer="simple", id_column="doc_id")
 
 
+def q_intersect_counts(sf_dir: str) -> pa.Table:
+    """intersection_alternatives analogue (intersect.cpp:5-327): per
+    combination-bitmask of {KEY, ORDER, DUP} presence, the document count."""
+    from trinity_ray.query.intersect import intersection_counts
+
+    counts = intersection_counts(base_index(sf_dir), ["KEY", "ORDER", "DUP"])
+    items = sorted((m, c) for m, c in counts.items() if m > 0)
+    return pa.table({
+        "mask": pa.array([m for m, _ in items], pa.int64()),
+        "n_docs": pa.array([c for _, c in items], pa.int64()),
+    })
+
+
 def q_search_rewrite_top10(sf_dir: str) -> pa.Table:
     """Synonym rewrite hook (queries_rewrite.h:992): 'dup' expanded to
     (dup OR vector) via the callback, scored like the manual OR query."""

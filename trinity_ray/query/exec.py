@@ -83,7 +83,7 @@ class TermPostings:
     the skiplist directory without ever materializing the full list.
     """
 
-    __slots__ = ("blob", "_docs", "_freqs", "_pos", "_blocks")
+    __slots__ = ("blob", "_docs", "_freqs", "_pos", "_blocks", "_blocks_pos")
 
     def __init__(self, blob: PostingsBlob):
         self.blob = blob
@@ -91,6 +91,7 @@ class TermPostings:
         self._freqs: np.ndarray | None = None
         self._pos: tuple[np.ndarray, np.ndarray] | None = None
         self._blocks: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self._blocks_pos: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
     @property
     def df(self) -> int:
@@ -165,6 +166,48 @@ class TermPostings:
             return _member(cand, self.doc_ids)
         _, found = self.gather_tfs(cand)
         return found
+
+    def _block(self, b: int) -> tuple[np.ndarray, np.ndarray]:
+        blk = self._blocks.get(b)
+        if blk is None:
+            blk = self.blob.decode_block(b)
+            self._blocks[b] = blk
+        return blk
+
+    def gather_positions(self, cand: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(pos_flat, lens): concatenated per-candidate positions, cand order.
+
+        Every candidate must be present in this posting list (phrase
+        verification runs after the candidate intersection).  Selective
+        path decodes only the candidates' blocks — the position analogue of
+        the reference's per-block ``materialize_hits``."""
+        if self._pos is not None or not self.blob.has_positions \
+                or not self._use_selective(cand.size):
+            pos, offs = self.positions()
+            idx = np.searchsorted(self.doc_ids, cand)
+            starts = offs[idx]
+            lens = offs[idx + 1] - starts
+            return pos[_range_gather(starts, lens)], lens
+        blob = self.blob
+        bidx = np.searchsorted(blob.last_docid, cand)
+        pos_parts: list[np.ndarray] = []
+        lens = np.zeros(cand.size, dtype=np.int64)
+        for b in np.unique(bidx):  # ascending; cand sorted => output in order
+            docs, freqs = self._block(int(b))
+            pblk = self._blocks_pos.get(int(b))
+            if pblk is None:
+                pblk = blob.decode_block_positions(int(b), freqs)
+                self._blocks_pos[int(b)] = pblk
+            ppos, poffs = pblk
+            sel = np.flatnonzero(bidx == b)
+            idx = np.searchsorted(docs, cand[sel])
+            starts = poffs[idx]
+            l = poffs[idx + 1] - starts
+            pos_parts.append(ppos[_range_gather(starts, l)])
+            lens[sel] = l
+        flat = (np.concatenate(pos_parts) if pos_parts
+                else np.empty(0, dtype=np.uint64))
+        return flat, lens
 
 
 class SegmentReader:
@@ -342,13 +385,9 @@ class SegmentReader:
         # docwordspace.h:66-139)
         survivors = None
         for i, tp in enumerate(tps):
-            pos, offs = tp.positions()
-            idx = np.searchsorted(tp.doc_ids, cand)
-            starts = offs[idx]
-            lens = offs[idx + 1] - starts
-            flat = _range_gather(starts, lens)
+            pos_flat, lens = tp.gather_positions(cand)
             keys = (np.repeat(np.arange(cand.size, dtype=np.uint64), lens)
-                    << np.uint64(_POS_SHIFT)) + pos[flat]
+                    << np.uint64(_POS_SHIFT)) + pos_flat
             if i == 0:
                 survivors = keys
             else:
