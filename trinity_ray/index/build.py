@@ -48,7 +48,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from trinity_ray.codec import encode_many
+from trinity_ray.codec import PostingsBlob, encode_many, encode_postings
 from trinity_ray.rayutil import package_runtime_env
 from trinity_ray.index.segment import (
     DOCS_FILE,
@@ -133,6 +133,43 @@ def segment_name(generation: int, part_id: int) -> str:
     return f"g{generation:06d}-p{part_id:05d}"
 
 
+class _RunStream:
+    """Buffered (term, blob) cursor over one flush-run parquet file."""
+
+    __slots__ = ("_batches", "_tbl", "_i", "term", "blob")
+
+    def __init__(self, path: str):
+        self._batches = pq.ParquetFile(path).iter_batches(
+            batch_size=1024, columns=["term", "blob"])
+        self._tbl = None
+        self._i = 0
+        self.term: str | None = None
+        self.blob: bytes | None = None
+        self.advance()
+
+    def advance(self) -> None:
+        if self._tbl is None or self._i >= self._tbl.num_rows:
+            try:
+                self._tbl = next(self._batches)
+            except StopIteration:
+                self.term = None
+                self.blob = None
+                return
+            self._i = 0
+        self.term = self._tbl.column("term")[self._i].as_py()
+        self.blob = self._tbl.column("blob")[self._i].as_py()
+        self._i += 1
+
+
+def _rows_table(rows: list[tuple[str, int, int, bytes]], schema: pa.Schema) -> pa.Table:
+    return pa.table({
+        "term": pa.array([r[0] for r in rows], pa.string()),
+        "df": pa.array([r[1] for r in rows], pa.uint32()),
+        "max_tf": pa.array([r[2] for r in rows], pa.uint32()),
+        "blob": pa.array([r[3] for r in rows], pa.binary()),
+    }, schema=schema)
+
+
 class SegmentBuilder:
     """Stateful actor stage: one partition spec in → one segment dir + stats row.
 
@@ -150,6 +187,7 @@ class SegmentBuilder:
         positions: bool,
         generation: int,
         read_batch_rows: int = 8192,
+        flush_hits: int = 4_000_000,
     ):
         self.index_dir = index_dir
         self.content_column = content_column
@@ -159,6 +197,12 @@ class SegmentBuilder:
         self.positions = positions
         self.generation = generation
         self.read_batch_rows = read_batch_rows
+        # bounded working set: hits are sorted+encoded into an intermediate
+        # RUN once this many accumulate (the reference spills doc records at
+        # intermediateStateFlushFreq, indexer.cpp:134-152); runs merge
+        # term-streaming at the end, so a partition of ANY size builds in
+        # O(flush_hits) memory
+        self.flush_hits = flush_hits
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out_rows = []
@@ -182,14 +226,47 @@ class SegmentBuilder:
         pf = pq.ParquetFile(spec["path"])
         columns = [self.content_column, *self.id_columns]
 
+        final_dir = segment_dir(self.index_dir, name)
+        tmp_dir = f"{final_dir}.tmp-{os.getpid()}"
+        if os.path.exists(tmp_dir):
+            import shutil
+
+            shutil.rmtree(tmp_dir)
+        os.makedirs(tmp_dir)
+
         # vocabulary dict: term -> dense local id (SegmentIndexSession's
-        # term<->id dicts, indexer.h:90-91)
+        # term<->id dicts, indexer.h:90-91); persists across flush runs
         vocab: dict[str, int] = {}
         term_ids_parts: list[np.ndarray] = []
         doc_ids_parts: list[np.ndarray] = []
         pos_parts: list[np.ndarray] = []
-        doc_meta_batches: list[pa.Table] = []
-        doc_lens_parts: list[np.ndarray] = []
+        pending_hits = 0
+        run_files: list[str] = []
+        run_stats: list[FieldStatistics] = []
+        docs_writer: pq.ParquetWriter | None = None
+        encode_s = 0.0
+        t_enc_total = [0.0]
+
+        def flush_run() -> None:
+            nonlocal term_ids_parts, doc_ids_parts, pos_parts, pending_hits
+            if pending_hits == 0 and run_files:
+                return
+            t0 = time.perf_counter()
+            term_ids = (np.concatenate(term_ids_parts) if term_ids_parts
+                        else np.empty(0, np.int64))
+            hit_docs = (np.concatenate(doc_ids_parts) if doc_ids_parts
+                        else np.empty(0, np.uint64))
+            hit_pos = (np.concatenate(pos_parts) if pos_parts
+                       else np.empty(0, np.uint64))
+            term_ids_parts, doc_ids_parts, pos_parts = [], [], []
+            pending_hits = 0
+            st, (table,) = self._encode_segment(vocab, term_ids, hit_docs, hit_pos)
+            run_stats.append(st)
+            path = os.path.join(tmp_dir, f"run-{len(run_files):04d}.parquet")
+            pq.write_table(table, path, row_group_size=TERMS_ROW_GROUP,
+                           compression="zstd")
+            run_files.append(path)
+            t_enc_total[0] += time.perf_counter() - t0
 
         next_doc = spec["doc_base"]
         for rb in pf.iter_batches(batch_size=self.read_batch_rows,
@@ -213,7 +290,7 @@ class SegmentBuilder:
             cum = np.concatenate(([0], np.cumsum(counts)))
             pos -= np.repeat(cum[:-1], counts).astype(np.uint64)
             pos_parts.append(pos)
-            doc_lens_parts.append(counts)
+            pending_hits += int(counts.sum())
 
             sha = pa.array(
                 [hashlib.sha256((t or "").encode()).hexdigest() for t in texts]
@@ -223,53 +300,62 @@ class SegmentBuilder:
                 meta_cols[c] = rb.column(c)
             meta_cols["content_sha256"] = sha
             meta_cols["doc_len"] = pa.array(counts, type=pa.uint32())
-            doc_meta_batches.append(pa.table(meta_cols))
+            meta = pa.table(meta_cols)
+            if docs_writer is None:  # doc metadata streams straight to disk
+                docs_writer = pq.ParquetWriter(
+                    os.path.join(tmp_dir, DOCS_FILE), meta.schema,
+                    compression="zstd")
+            docs_writer.write_table(meta)
             next_doc += n
+
+            if pending_hits >= self.flush_hits:
+                flush_run()  # a doc's hits never split across runs
 
         doc_count = next_doc - spec["doc_base"]
         assert doc_count == spec["rows"], (doc_count, spec)
-
-        term_ids = np.concatenate(term_ids_parts) if term_ids_parts else np.empty(0, np.int64)
-        hit_docs = np.concatenate(doc_ids_parts) if doc_ids_parts else np.empty(0, np.uint64)
-        hit_pos = np.concatenate(pos_parts) if pos_parts else np.empty(0, np.uint64)
-        del term_ids_parts, doc_ids_parts, pos_parts
+        if docs_writer is None:
+            docs_writer = pq.ParquetWriter(
+                os.path.join(tmp_dir, DOCS_FILE),
+                pa.schema([("doc_id", pa.uint64())]), compression="zstd")
+        docs_writer.close()
         t_tokenized = time.perf_counter()
 
-        stats, tables = self._encode_segment(vocab, term_ids, hit_docs, hit_pos)
-        t_encoded = time.perf_counter()
-        postings_table, = tables
+        flush_run()
+        t0 = time.perf_counter()
+        stats = self._finalize_runs(tmp_dir, run_files, run_stats)
+        stats.docs_cnt = doc_count
         # N for BM25 = ALL documents in the partition, including token-less
         # ones (our definition, mirrored by the oracle): deterministic and
         # independent of tokenizer edge cases.
-        stats.docs_cnt = doc_count
+        t_enc_total[0] += time.perf_counter() - t0
+        encode_s = t_enc_total[0]
 
-        def write(tmp_dir: str) -> None:
-            pq.write_table(postings_table, os.path.join(tmp_dir, POSTINGS_FILE),
-                           row_group_size=TERMS_ROW_GROUP, compression="zstd")
-            pq.write_table(pa.concat_tables(doc_meta_batches) if doc_meta_batches
-                           else pa.table({"doc_id": pa.array([], pa.uint64())}),
-                           os.path.join(tmp_dir, DOCS_FILE), compression="zstd")
-            with open(os.path.join(tmp_dir, STATS_FILE), "w") as f:
-                json.dump({"docs_cnt": stats.docs_cnt,
-                           "sum_term_hits": stats.sum_term_hits,
-                           "total_terms": stats.total_terms,
-                           "sum_terms_docs": stats.sum_terms_docs,
-                           "doc_base": spec["doc_base"],
-                           "doc_count": doc_count,
-                           "generation": self.generation,
-                           # per-partition lineage: exactly which input bytes
-                           # produced this segment (resume/audit; north_rule)
-                           "lineage": {"input_path": spec["path"],
-                                       "row_groups": row_groups},
-                           # phase timings — the reference profiles the same
-                           # trio (collect/sort+encode/persist,
-                           # indexer.cpp:303-306)
-                           "timings_s": {
-                               "tokenize": round(t_tokenized - t_start, 4),
-                               "encode": round(t_encoded - t_tokenized, 4),
-                           }}, f)
+        with open(os.path.join(tmp_dir, STATS_FILE), "w") as f:
+            json.dump({"docs_cnt": stats.docs_cnt,
+                       "sum_term_hits": stats.sum_term_hits,
+                       "total_terms": stats.total_terms,
+                       "sum_terms_docs": stats.sum_terms_docs,
+                       "doc_base": spec["doc_base"],
+                       "doc_count": doc_count,
+                       "generation": self.generation,
+                       "flush_runs": max(1, len(run_files)),
+                       # per-partition lineage: exactly which input bytes
+                       # produced this segment (resume/audit; north_rule)
+                       "lineage": {"input_path": spec["path"],
+                                   "row_groups": row_groups},
+                       # phase timings — the reference profiles the same
+                       # trio (collect/sort+encode/persist,
+                       # indexer.cpp:303-306)
+                       "timings_s": {
+                           "tokenize": round(t_tokenized - t_start, 4),
+                           "encode": round(encode_s, 4),
+                       }}, f)
+        if os.path.exists(final_dir):  # lost a race / rerun: existing wins
+            import shutil
 
-        write_segment_atomic(segment_dir(self.index_dir, name), write)
+            shutil.rmtree(tmp_dir)
+        else:
+            os.replace(tmp_dir, final_dir)
         t_done = time.perf_counter()
         return {"name": name, "resumed": False, "part_id": spec["part_id"],
                 "doc_base": spec["doc_base"], "doc_count": doc_count,
@@ -277,8 +363,64 @@ class SegmentBuilder:
                 "docs_cnt": stats.docs_cnt, "sum_term_hits": stats.sum_term_hits,
                 "total_terms": stats.total_terms, "sum_terms_docs": stats.sum_terms_docs,
                 "tokenize_s": round(t_tokenized - t_start, 4),
-                "encode_s": round(t_encoded - t_tokenized, 4),
-                "persist_s": round(t_done - t_encoded, 4)}
+                "encode_s": round(encode_s, 4),
+                "persist_s": round(max(0.0, t_done - t_tokenized - encode_s), 4)}
+
+    def _finalize_runs(self, tmp_dir: str, run_files: list[str],
+                       run_stats: list[FieldStatistics]) -> FieldStatistics:
+        """Turn flush runs into the final postings.parquet + stats.
+
+        Single run (the common case): rename.  Multiple runs: streaming
+        k-way merge by term — each run is term-sorted, runs own strictly
+        ascending disjoint docID ranges, so a term's merged postings are the
+        doc-order concatenation of its per-run postings (the same invariant
+        segment merge uses, merge.cpp:256-287)."""
+        out_path = os.path.join(tmp_dir, POSTINGS_FILE)
+        if len(run_files) == 1:
+            os.replace(run_files[0], out_path)
+            return run_stats[0]
+
+        schema = pa.schema([("term", pa.string()), ("df", pa.uint32()),
+                            ("max_tf", pa.uint32()), ("blob", pa.binary())])
+        writer = pq.ParquetWriter(out_path, schema, compression="zstd")
+        streams = [_RunStream(f) for f in run_files]
+        total_terms = 0
+        sum_terms_docs = 0
+        sum_term_hits = 0
+        out_rows: list[tuple[str, int, int, bytes]] = []
+        while True:
+            alive = [s for s in streams if s.term is not None]
+            if not alive:
+                break
+            term = min(s.term for s in alive)
+            doc_parts, freq_parts, pos_parts = [], [], []
+            for s in streams:  # run order == ascending doc ranges
+                if s.term == term:
+                    pb = PostingsBlob(s.blob)
+                    d, f = pb.decode_docs_freqs()
+                    doc_parts.append(d)
+                    freq_parts.append(f)
+                    if self.positions:
+                        pos_parts.append(pb.decode_positions(f)[0])
+                    s.advance()
+            doc_ids = np.concatenate(doc_parts)
+            freqs = np.concatenate(freq_parts)
+            positions = np.concatenate(pos_parts) if self.positions else None
+            blob = encode_postings(doc_ids, freqs, positions)
+            out_rows.append((term, doc_ids.size,
+                             int(min(freqs.max(), 0xFFFFFFFF)), blob))
+            total_terms += 1
+            sum_terms_docs += doc_ids.size
+            sum_term_hits += int(freqs.sum())
+            if len(out_rows) >= TERMS_ROW_GROUP:
+                writer.write_table(_rows_table(out_rows, schema))
+                out_rows = []
+        if out_rows:
+            writer.write_table(_rows_table(out_rows, schema))
+        writer.close()
+        for f in run_files:
+            os.unlink(f)
+        return FieldStatistics(0, sum_term_hits, total_terms, sum_terms_docs)
 
     def _encode_segment(
         self,
@@ -372,6 +514,7 @@ def build_index(
     target_rows_per_partition: int = 250_000,
     concurrency: int | None = None,
     read_batch_rows: int = 8192,
+    flush_hits: int = 4_000_000,
 ) -> IndexManifest:
     """Build (or resume) an index over a Parquet corpus.  Ray must already
     be initialised by the caller; this function never calls ray.init()."""
@@ -395,6 +538,7 @@ def build_index(
         positions=positions,
         generation=generation,
         read_batch_rows=read_batch_rows,
+        flush_hits=flush_hits,
     )
     # plain tasks, not an actor pool: SegmentBuilder holds only cheap config
     # (tokenizer regex, paths), so per-task reconstruction costs ~ms while

@@ -182,25 +182,33 @@ def merge_index(
     # one term-range file per shuffle output block; SegmentReader opens the
     # directory as a pyarrow dataset (row-group statistics still prune).
 
-    # --- docs: concat live doc metadata -----------------------------------
+    # --- docs: stream live doc metadata (never materialized on the driver:
+    # at 10^12 docs this is the big table; deletes broadcast once) ---------
     all_deleted = (
         np.unique(np.concatenate(list(masks.values()))) if masks else np.empty(0, np.uint64)
     )
-    doc_tables = []
-    for s in manifest.segments:
-        dpath = os.path.join(segment_dir(index_dir, s.name), DOCS_FILE)
-        if not os.path.exists(dpath):
-            continue
-        t = pq.read_table(dpath)
-        if all_deleted.size and len(t):
-            ids = t.column("doc_id").to_numpy().astype(np.uint64)
-            idx = np.searchsorted(all_deleted, ids)
-            idx_c = np.minimum(idx, all_deleted.size - 1)
-            keep = all_deleted[idx_c] != ids
-            t = t.filter(pa.array(keep))
-        doc_tables.append(t)
-    docs = pa.concat_tables(doc_tables, promote_options="default")
-    pq.write_table(docs, os.path.join(out_seg, DOCS_FILE), compression="zstd")
+    doc_paths = [
+        p for s in manifest.segments
+        if os.path.exists(p := os.path.join(segment_dir(index_dir, s.name), DOCS_FILE))
+    ]
+    ds_docs = rd.read_parquet(doc_paths)
+    if all_deleted.size:
+        deleted_ref = ray.put(all_deleted)
+
+        def drop_deleted(batch: pa.Table) -> pa.Table:
+            dele = ray.get(deleted_ref)
+            ids = batch.column("doc_id").to_numpy().astype(np.uint64)
+            idx = np.minimum(np.searchsorted(dele, ids), dele.size - 1)
+            return batch.filter(pa.array(dele[idx] != ids))
+
+        ds_docs = ds_docs.map_batches(drop_deleted, batch_format="pyarrow",
+                                      runtime_env=package_runtime_env())
+    docs_dir = os.path.join(out_seg, "docs")
+    ds_docs.write_parquet(docs_dir, compression="zstd")
+    docs_cnt = sum(
+        pq.read_metadata(os.path.join(docs_dir, f)).num_rows
+        for f in os.listdir(docs_dir) if f.endswith(".parquet")
+    )
 
     # --- stats: recompute from merged postings (cheap column reads) -------
     stat_files = [
@@ -215,7 +223,6 @@ def merge_index(
         total_terms += len(t)
         sum_terms_docs += int(pa.compute.sum(t.column("df")).as_py() or 0)
         sum_term_hits += int(pa.compute.sum(t.column("sum_hits")).as_py() or 0)
-    docs_cnt = len(docs)
     stats = FieldStatistics(
         docs_cnt=docs_cnt,
         sum_term_hits=sum_term_hits,

@@ -271,10 +271,11 @@ class SegmentReader:
         may have holes where deletes were applied, so prefer docs.parquet."""
         if self._universe is None:
             docs_path = os.path.join(self.seg_path, "docs.parquet")
-            if os.path.exists(docs_path):
-                import pyarrow.parquet as pq
-
-                ids = pq.read_table(docs_path, columns=["doc_id"]).column("doc_id")
+            docs_dir = os.path.join(self.seg_path, "docs")  # merged: sharded
+            if os.path.exists(docs_path) or os.path.isdir(docs_dir):
+                src = docs_path if os.path.exists(docs_path) else docs_dir
+                ids = pads.dataset(src, format="parquet").to_table(
+                    columns=["doc_id"]).column("doc_id")
                 self._universe = np.sort(ids.to_numpy().astype(np.uint64))
             else:
                 self._universe = np.arange(
