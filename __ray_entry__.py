@@ -59,6 +59,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- similarity search ----------------------------------------------
         "ann_bruteforce_top10": dsp.q_ann_bruteforce_top10,
         "ann_ivf_top10": dsp.q_ann_ivf_top10,
+        # -- event-time windows ----------------------------------------------
+        "events_hourly": dsp.q_events_hourly,
+        "events_sessions": dsp.q_events_sessions,
         # -- multimodal plumbing --------------------------------------------
         "multimodal_meta": dsp.q_multimodal_meta,
     }
@@ -237,6 +240,29 @@ qn AS (SELECT sum(qv * qv) AS qn2 FROM q)
 SELECT vec_id, round(dot / (sqrt(n2) * sqrt(qn2)), 4) AS cos_r
 FROM dots, qn
 ORDER BY dot / (sqrt(n2) * sqrt(qn2)) DESC, vec_id LIMIT 10
+""",
+        "events_hourly": """
+SELECT epoch_us(ts) // 3600000000 AS window, event_type,
+       count(*) AS n_events,
+       sum(CAST(round(value * 100, 0) AS BIGINT)) AS sum_cents
+FROM events GROUP BY 1, 2
+""",
+        "events_sessions": """
+WITH o AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              OR lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts_us,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+                        ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+  FROM o
+)
+SELECT user_id, session_idx, count(*) AS n_events,
+       round((max(ts_us) - min(ts_us)) / 1000000.0, 6) AS duration_s
+FROM s GROUP BY user_id, session_idx
 """,
         "multimodal_meta": """
 SELECT doc_id, 'application/octet-stream' AS media_type,

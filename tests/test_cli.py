@@ -1,0 +1,70 @@
+"""CLI surface (python -m trinity_ray …): build / search / merge /
+percolate subcommands — the `ray job submit` entry point."""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from trinity_ray.cli import main
+
+DOCS = ["alpha beta gamma", "beta gamma delta", "gamma delta epsilon",
+        "alpha epsilon", "beta beta beta"]
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("cli")
+    path = str(tmp / "docs.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(DOCS)), pa.int64()),
+        "content": pa.array(DOCS, pa.string()),
+    }), path)
+    return str(tmp), path
+
+
+def test_cli_build_and_search(corpus, tmp_path, capsys, ray_session):
+    root, path = corpus
+    idx = str(tmp_path / "idx")
+    rc = main(["build", "--input", path, "--index", idx,
+               "--tokenizer", "simple"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["docs"] == len(DOCS)
+
+    rc = main(["search", "--index", idx, "--query", "beta AND gamma", "-k", "3"])
+    assert rc == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert {r["doc_id"] for r in rows} == {0, 1}
+
+    rc = main(["search", "--index", idx, "--query", "beta", "--scorer", "trivial"])
+    assert rc == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert rows[0]["doc_id"] == 4 and rows[0]["score"] == 3.0  # tf=3
+
+
+def test_cli_merge(corpus, tmp_path, capsys, ray_session):
+    root, path = corpus
+    idx = str(tmp_path / "idx2")
+    main(["build", "--input", path, "--index", idx, "--tokenizer", "simple"])
+    capsys.readouterr()
+    merged = str(tmp_path / "merged")
+    rc = main(["merge", "--index", idx, "--out", merged])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["docs"] == len(DOCS)
+
+
+def test_cli_percolate(corpus, tmp_path, capsys, ray_session):
+    root, path = corpus
+    rc = main(["percolate", "--input", path, "--tokenizer", "simple",
+               "--id-column", "doc_id",
+               "--query", "q1=alpha", "--query", 'q2="beta gamma"'])
+    assert rc == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    got = {(r["doc_id"], r["query_name"]) for r in rows}
+    assert got == {(0, "q1"), (3, "q1"), (0, "q2"), (1, "q2")}

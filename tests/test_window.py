@@ -1,0 +1,72 @@
+"""Event-time windowed aggregate + gap sessionization vs brute-force python."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from trinity_ray.ops.window import sessionize, tumbling_window
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def make_events():
+    rng = np.random.default_rng(5)
+    rows = []
+    t_us = 0
+    for i in range(400):
+        t_us += int(rng.integers(1, 3000)) * 1_000_000  # 1s..50min gaps
+        rows.append({
+            "event_id": i,
+            "ts": T0 + dt.timedelta(microseconds=t_us),
+            "user_id": int(rng.integers(0, 5)),
+            "event_type": ["click", "buy"][int(rng.integers(0, 2))],
+            "value": float(np.round(rng.uniform(0, 100), 2)),
+        })
+    return rows
+
+
+@pytest.fixture(scope="module")
+def events(ray_session):
+    import ray.data as rd
+
+    rows = make_events()
+    return rows, rd.from_items(rows)
+
+
+def test_tumbling_window(events):
+    rows, ds = events
+    got = {(r["window"], r["event_type"]): (r["n_events"], r["sum_cents"])
+           for r in tumbling_window(ds, every_s=3600).take_all()}
+    want: dict = {}
+    for r in rows:
+        w = int(r["ts"].timestamp()) // 3600
+        k = (w, r["event_type"])
+        n, c = want.get(k, (0, 0))
+        want[k] = (n + 1, c + round(r["value"] * 100))
+    assert got == want
+
+
+def test_sessionize(events):
+    rows, ds = events
+    got = {(r["user_id"], r["session_idx"]): (r["n_events"], r["duration_s"])
+           for r in sessionize(ds, gap_s=1800).take_all()}
+    # brute force
+    by_user: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r["ts"], r["event_id"])):
+        by_user.setdefault(r["user_id"], []).append(r["ts"])
+    want = {}
+    for u, ts in by_user.items():
+        sidx, start, prev, n = 0, ts[0], ts[0], 1
+        for t in ts[1:]:
+            if (t - prev).total_seconds() > 1800:
+                want[(u, sidx)] = (n, round((prev - start).total_seconds(), 6))
+                sidx, start, n = sidx + 1, t, 1
+            else:
+                n += 1
+            prev = t
+        want[(u, sidx)] = (n, round((prev - start).total_seconds(), 6))
+    assert got == want

@@ -51,26 +51,33 @@ _HEADER = 4 + 4 + 4 + 12  # magic..pad + doc_count + n_blocks + 3 section lens
 # vectorized varint (LEB128, u64)
 # ---------------------------------------------------------------------------
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode a uint64 array, fully vectorized."""
-    v = np.ascontiguousarray(values, dtype=np.uint64)
+def _compact(values: np.ndarray) -> np.ndarray:
+    """uint32 view of the data when every value fits — halves the memory
+    traffic of the varint passes (encode is bandwidth-bound at high
+    parallelism); uint64 only when values demand it (absolute docIDs at
+    10^12-doc scale)."""
+    v = np.ascontiguousarray(values)
+    if v.dtype == np.uint32 or v.size == 0:
+        return v.astype(np.uint64, copy=False) if v.size == 0 else v
+    if int(v.max()) < 0x100000000:
+        return v.astype(np.uint32)
+    return v.astype(np.uint64, copy=False)
+
+
+def varint_encode(values: np.ndarray, nbytes: np.ndarray | None = None) -> bytes:
+    """LEB128-encode an unsigned array, fully vectorized.  ``nbytes`` (from
+    :func:`_byte_lengths` on the same values) skips a duplicate pass."""
+    v = _compact(values)
     if v.size == 0:
         return b""
-    # number of 7-bit groups per value
-    nbits = np.zeros(v.shape, dtype=np.int64)
-    tmp = v.copy()
-    mask = tmp > 0
-    while mask.any():
-        nbits[mask] += 1
-        tmp >>= np.uint64(7)
-        mask = tmp > 0
-    np.maximum(nbits, 1, out=nbits)
+    mask7f = v.dtype.type(0x7F)
+    nbits = _byte_lengths(v) if nbytes is None else nbytes
     offsets = np.concatenate(([0], np.cumsum(nbits)))
     out = np.zeros(offsets[-1], dtype=np.uint8)
     maxlen = int(nbits.max())
     for k in range(maxlen):
         m = nbits > k
-        byte = ((v[m] >> np.uint64(7 * k)) & np.uint64(0x7F)).astype(np.uint8)
+        byte = ((v[m] >> v.dtype.type(7 * k)) & mask7f).astype(np.uint8)
         cont = (nbits[m] > k + 1).astype(np.uint8) << 7
         out[offsets[:-1][m] + k] = byte | cont
     return out.tobytes()
@@ -189,27 +196,19 @@ def encode_postings(
 
 def _section_offsets(values: np.ndarray, starts: np.ndarray) -> np.ndarray:
     """Byte offset of each block start within one varint section."""
-    v = values.astype(np.uint64, copy=False)
-    nbytes = np.ones(v.shape, dtype=np.int64)
-    tmp = v >> np.uint64(7)
-    mask = tmp > 0
-    while mask.any():
-        nbytes[mask] += 1
-        tmp >>= np.uint64(7)
-        mask = tmp > 0
-    cum = np.concatenate(([0], np.cumsum(nbytes)))
+    cum = np.concatenate(([0], np.cumsum(_byte_lengths(values))))
     return cum[starts].astype(np.uint32)
 
 
 def _byte_lengths(values: np.ndarray) -> np.ndarray:
-    """LEB128 byte length per value (vectorized)."""
-    v = values.astype(np.uint64, copy=False)
+    """LEB128 byte length per value (vectorized, dtype-preserving)."""
+    v = values if values.dtype.kind == "u" else values.astype(np.uint64)
     nbytes = np.ones(v.shape, dtype=np.int64)
-    tmp = v >> np.uint64(7)
+    tmp = v >> v.dtype.type(7)
     mask = tmp > 0
     while mask.any():
         nbytes[mask] += 1
-        tmp >>= np.uint64(7)
+        tmp >>= v.dtype.type(7)
         mask = tmp > 0
     return nbytes
 
@@ -255,10 +254,14 @@ def encode_many(
         if (doc_ids[1:] <= doc_ids[:-1])[inner[1:]].any():
             raise ValueError("doc_ids must be strictly ascending within term")
 
-    docs_all = np.frombuffer(varint_encode(deltas), dtype=np.uint8)
-    docs_cum = np.concatenate(([0], np.cumsum(_byte_lengths(deltas))))
-    freqs_all = np.frombuffer(varint_encode(freqs), dtype=np.uint8)
-    freqs_cum = np.concatenate(([0], np.cumsum(_byte_lengths(freqs))))
+    deltas_c = _compact(deltas)
+    nb_d = _byte_lengths(deltas_c)
+    docs_all = np.frombuffer(varint_encode(deltas_c, nb_d), dtype=np.uint8)
+    docs_cum = np.concatenate(([0], np.cumsum(nb_d)))
+    freqs_c = _compact(freqs)
+    nb_f = _byte_lengths(freqs_c)
+    freqs_all = np.frombuffer(varint_encode(freqs_c, nb_f), dtype=np.uint8)
+    freqs_cum = np.concatenate(([0], np.cumsum(nb_f)))
 
     hit_cum = np.concatenate(([0], np.cumsum(freqs.astype(np.int64))))  # per-posting hit offsets
     has_pos = positions is not None
@@ -272,8 +275,10 @@ def encode_many(
             pdelta[0] = positions[0]
             np.subtract(positions[1:], positions[:-1], out=pdelta[1:])
             pdelta[dstarts_h] = positions[dstarts_h]
-        pos_all = np.frombuffer(varint_encode(pdelta), dtype=np.uint8)
-        pos_cum = np.concatenate(([0], np.cumsum(_byte_lengths(pdelta))))
+        pdelta_c = _compact(pdelta)
+        nb_p = _byte_lengths(pdelta_c)
+        pos_all = np.frombuffer(varint_encode(pdelta_c, nb_p), dtype=np.uint8)
+        pos_cum = np.concatenate(([0], np.cumsum(nb_p)))
     else:
         pos_all = np.empty(0, dtype=np.uint8)
         pos_cum = np.zeros(1, dtype=np.int64)

@@ -448,7 +448,21 @@ class SegmentBuilder:
             rank[vocab[t]] = r
         term_ids = rank[term_ids]
 
-        order = np.lexsort((hit_pos, hit_docs, term_ids))
+        # hits arrive doc-ascending with ascending positions inside each
+        # doc, so a STABLE sort on a single packed (term, local_doc) key
+        # reproduces lexsort((pos, doc, term)) with one key array instead of
+        # three (encode is memory-bandwidth-bound at high parallelism);
+        # fall back to lexsort when the ranges don't fit the packing
+        doc_lo = hit_docs.min() if n_hits else 0
+        doc_span = int(hit_docs.max() - doc_lo) + 1 if n_hits else 1
+        if len(vocab) < (1 << 22) and doc_span < (1 << 40) and \
+                len(vocab).bit_length() + doc_span.bit_length() <= 63:
+            shift = np.uint64(doc_span.bit_length())
+            key = (term_ids.astype(np.uint64) << shift) | (hit_docs - doc_lo)
+            order = np.argsort(key, kind="stable")
+            del key
+        else:
+            order = np.lexsort((hit_pos, hit_docs, term_ids))
         term_ids = term_ids[order]
         hit_docs = hit_docs[order]
         hit_pos = hit_pos[order]

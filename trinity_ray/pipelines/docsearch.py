@@ -373,6 +373,26 @@ def q_ann_ivf_top10(sf_dir: str) -> pa.Table:
     })
 
 
+def read_events(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def q_events_hourly(sf_dir: str):
+    """Tumbling 1h event-time window aggregate (partial/combiner shape)."""
+    from trinity_ray.ops.window import tumbling_window
+
+    return tumbling_window(read_events(sf_dir), every_s=3600)
+
+
+def q_events_sessions(sf_dir: str):
+    """Gap-based sessionization (30 min) per user."""
+    from trinity_ray.ops.window import sessionize
+
+    return sessionize(read_events(sf_dir), gap_s=1800)
+
+
 def q_multimodal_meta(sf_dir: str):
     """documents.text re-interpreted as an opaque binary payload column —
     exercises the multimodal sniff stage on real bytes."""

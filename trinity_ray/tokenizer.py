@@ -80,7 +80,16 @@ def _norm_num(tok: str) -> str:
 
 
 def trinity_tokenize(text: str) -> list[str]:
-    """Tokenize ``text`` with the reference parser's semantics; upper-cased."""
+    """Tokenize ``text`` with the reference parser's semantics; upper-cased.
+
+    ASCII fast path: upper-case the whole text once (C speed) and skip the
+    per-token ``.upper()`` — safe because every character class here is
+    ASCII-only, so tokenization commutes with ASCII upper-casing.  Non-ASCII
+    text (where e.g. ``ß.upper() == 'SS'`` would change what matches) takes
+    the per-token path for exact parity."""
+    pre_upper = text.isascii()
+    if pre_upper:
+        text = text.upper()
     out: list[str] = []
     for m in TOKEN_RE.finditer(text):
         kind = m.lastgroup
@@ -92,15 +101,21 @@ def trinity_tokenize(text: str) -> list[str]:
         elif kind == "num":
             tok = _norm_num(tok)
         elif kind == "word":
-            tok = _WORD_APOS_RE.sub(r"\1", tok)
+            # genitive strip only when an apostrophe is present (rare):
+            # the unconditional regex sub was ~45% of tokenize time
+            if "'" in tok or "’" in tok:
+                tok = _WORD_APOS_RE.sub(r"\1", tok)
         # site / amp kept verbatim
         if len(tok) <= MAX_TERM_LEN:
-            out.append(tok.upper())
+            out.append(tok if pre_upper else tok.upper())
     return out
 
 
 def simple_tokenize(text: str) -> list[str]:
     """``[A-Z0-9]+`` runs, upper-cased — DuckDB-expressible (oracle parity)."""
+    if text.isascii():  # one C-speed upper instead of one per token
+        return [t for t in _SIMPLE_RE.findall(text.upper())
+                if len(t) <= MAX_TERM_LEN]
     return [t.upper() for t in _SIMPLE_RE.findall(text) if len(t) <= MAX_TERM_LEN]
 
 
