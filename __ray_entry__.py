@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_tfidf_top10": dsp.q_search_tfidf_top10,
         "search_trivial_top10": dsp.q_search_trivial_top10,
         "search_rewrite_top10": dsp.q_search_rewrite_top10,
+        "search_trinity_top10": dsp.q_search_trinity_top10,
         "percolate_matches": dsp.q_percolate_matches,
         "intersect_counts": dsp.q_intersect_counts,
         "match_not": dsp.q_match_not,
@@ -51,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_pairs": dsp.q_dedup_minhash_pairs,
         "dedup_simhash_pairs": dsp.q_dedup_simhash_pairs,
         "dedup_embedding_pairs": dsp.q_dedup_embedding_pairs,
+        "dedup_jaccard_pairs": dsp.q_dedup_jaccard_pairs,
         # -- text analysis ---------------------------------------------------
         "text_token_counts": dsp.q_text_token_counts,
         "text_quality": dsp.q_text_quality,
@@ -59,11 +61,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- similarity search ----------------------------------------------
         "ann_bruteforce_top10": dsp.q_ann_bruteforce_top10,
         "ann_ivf_top10": dsp.q_ann_ivf_top10,
+        # -- relational: broadcast join + aggregate ---------------------------
+        "join_part_revenue": dsp.q_join_part_revenue,
         # -- event-time windows ----------------------------------------------
         "events_hourly": dsp.q_events_hourly,
         "events_sessions": dsp.q_events_sessions,
         # -- multimodal plumbing --------------------------------------------
         "multimodal_meta": dsp.q_multimodal_meta,
+        "multimodal_decode_shape": dsp.q_multimodal_decode_shape,
     }
 
 
@@ -241,6 +246,12 @@ SELECT vec_id, round(dot / (sqrt(n2) * sqrt(qn2)), 4) AS cos_r
 FROM dots, qn
 ORDER BY dot / (sqrt(n2) * sqrt(qn2)) DESC, vec_id LIMIT 10
 """,
+        "join_part_revenue": """
+SELECT p.p_type, count(*) AS n_rows,
+       sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)) AS sum_cents
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_type
+""",
         "events_hourly": """
 SELECT epoch_us(ts) // 3600000000 AS window, event_type,
        count(*) AS n_events,
@@ -271,6 +282,8 @@ SELECT doc_id, 'application/octet-stream' AS media_type,
 FROM documents
 """,
         # no oracle (non-SQL-expressible, driver records rows-only):
+        # search_trinity_top10 (trinity parser not expressible in SQL),
         # dedup_minhash_pairs, dedup_simhash_pairs, dedup_embedding_pairs,
-        # text_lang_id, text_fingerprint, ann_ivf_top10
+        # dedup_jaccard_pairs, text_lang_id, text_fingerprint, ann_ivf_top10,
+        # multimodal_decode_shape (stubbed pixel decode)
     }

@@ -133,8 +133,10 @@ def run_once() -> dict:
              ignore_reinit_error=True, logging_level="ERROR")
     try:
         sf = sf_of(SF_DIR)
-        corpus = ensure_corpus(sf)
+        corpus = scaling_corpus()   # large enough to saturate the CPUs
         t_all = time.time()
+        # untimed warmup on the small corpus (worker-pool cold start)
+        bench_index_build(ensure_corpus(0.01), NUM_CPUS)
         build_sec, n_docs, index_dir = bench_index_build(corpus, NUM_CPUS)
         queries: dict[str, float] = {"index_build": build_sec}
         qlat = bench_queries(index_dir, NUM_CPUS)

@@ -204,6 +204,73 @@ def q_search_trivial_top10(sf_dir: str) -> pa.Table:
     return topk_table(base_index(sf_dir), DRIVER_QUERIES["and2"], scorer="trivial")
 
 
+def trinity_index(sf_dir: str) -> str:
+    """Index over documents.text with the TRINITY tokenizer (acronyms,
+    site:, C++/C#, genitives — queries.cpp:2098-2341 semantics); no SQL
+    oracle exists for that parser, so its entries are rows-only checked
+    (rank-identity vs the pure-Python oracle is covered in tests)."""
+    _check_docid_identity(sf_dir)
+    index_dir = os.path.join(INDEX_ROOT, _tag(sf_dir), "trinity")
+    key = ("trinity", index_dir)
+    if key not in _memo:
+        build_index(documents_parquet(sf_dir), index_dir,
+                    content_column="text", tokenizer="trinity", positions=True)
+        _memo[key] = True
+    return index_dir
+
+
+def q_search_trinity_top10(sf_dir: str) -> pa.Table:
+    return topk_table(trinity_index(sf_dir), "key AND order")
+
+
+def q_dedup_jaccard_pairs(sf_dir: str):
+    """MinHash LSH candidates verified by exact n-gram Jaccard (the
+    candidate->verify two-phase near-dup pipeline)."""
+    import pyarrow as _pa
+
+    from trinity_ray.ops.dedup import minhash_lsh_pairs, verify_pairs_jaccard
+
+    cands = minhash_lsh_pairs(read_documents(sf_dir), id_column="doc_id",
+                              text_column="text", threshold=0.4)
+    df = verify_pairs_jaccard(cands, read_documents(sf_dir),
+                              id_column="doc_id", text_column="text",
+                              threshold=0.6)
+    df["jaccard_r"] = df["jaccard"].round(4)
+    return _pa.table({
+        "id_a": _pa.array(df["id_a"].astype("int64")),
+        "id_b": _pa.array(df["id_b"].astype("int64")),
+        "jaccard_r": _pa.array(df["jaccard_r"].astype("float64")),
+    })
+
+
+def q_multimodal_decode_shape(sf_dir: str):
+    """Binary -> (deterministic fake) decode -> resize plumbing: schema,
+    batch sizing and actor signatures are real; pixel decode is the
+    documented stub (no image libs in this environment)."""
+    from trinity_ray.ops.multimodal import decode_images, resize_images
+
+    def to_bytes(batch: pa.Table) -> pa.Table:
+        payload = pa.array([(t or "").encode() for t in
+                            batch.column("text").to_pylist()], pa.binary())
+        return pa.table({"doc_id": batch.column("doc_id"), "payload": payload})
+
+    ds = read_documents(sf_dir).map_batches(to_bytes, batch_format="pyarrow")
+    decoded = decode_images(ds, height=16, width=16)
+    resized = resize_images(decoded, 8, 8)
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        px = np.asarray(batch.column("pixels").to_pylist(), dtype=np.float64)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "height": batch.column("height"),
+            "width": batch.column("width"),
+            "mean_pixel_r": pa.array(np.round(px.mean(axis=1), 3),
+                                     pa.float64()),
+        })
+
+    return resized.map_batches(summarize, batch_format="pyarrow")
+
+
 PERCOLATE_QUERIES = {
     "p_and": "key AND order",
     "p_or": "dup OR vector",
@@ -391,6 +458,22 @@ def q_events_sessions(sf_dir: str):
     from trinity_ray.ops.window import sessionize
 
     return sessionize(read_events(sf_dir), gap_s=1800)
+
+
+def q_join_part_revenue(sf_dir: str):
+    """Broadcast join: lineitem (big, streamed) x part (small, ray.put once)
+    -> revenue cents per p_type.  Column-pruned read on both sides."""
+    import ray.data as rd
+
+    from trinity_ray.ops.relational import broadcast_join_agg
+
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_type"])
+    lineitem = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                               columns=["l_partkey", "l_extendedprice"])
+    return broadcast_join_agg(lineitem, part, big_key="l_partkey",
+                              small_key="p_partkey", label_column="p_type",
+                              cents_column="l_extendedprice")
 
 
 def q_multimodal_meta(sf_dir: str):
