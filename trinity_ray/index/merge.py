@@ -9,21 +9,30 @@ sources (merge.cpp:27-35) and fresh field_statistics accumulated.
 
 Ray-Data-first re-expression (SURVEY.md §3.2)::
 
-    per input segment: read postings.parquet, tag (generation, doc_base)
-      → union → groupby("term")                 # THE shuffle
-      → map_groups(merge_term): apply newer-generation delete masks,
-          ordered-concat postings by doc_base (partitions own disjoint
-          ascending docID ranges ⇒ merge is a concat, never an interleave),
-          re-encode one blob
-      → write term-sharded postings parquet (each output block is a
-        key-range from the sort-based shuffle ⇒ per-file row-group
-        statistics still prune dictionary probes)
+    ONE read_parquet over every segment's postings (include_paths=True,
+    path → (segment, doc_base) tag)  → repartition(~64MB)
+      → sort("term")                             # THE shuffle (range partition)
+      → map_batches over whole sorted blocks: group rows by term, merge each
+        interior term (apply newer-generation delete masks, ordered-concat
+        postings by doc_base — segments own disjoint ascending docID ranges,
+        so merge is a concat, never an interleave), write one shard file per
+        block; rows of each block's FIRST and LAST term are returned instead
+        (they may continue into neighbouring blocks)
+      → tiny driver pass merges those boundary terms (≤ 2 per block)
 
-Skew note: a merge group holds at most one row per input segment —
-group fan-in is bounded by the segment count, not by df, so hot terms
-('DEF', 'RETURN') cost bytes, not cardinality; no salting is needed for
-the groupby itself (salting matters for df-keyed aggregations, which the
-ops layer does — see trinity_ray.ops).
+Two measured pathologies this shape avoids (16-segment/5k-term index):
+groupby(term).map_groups pays per-distinct-term dispatch (112 s), and a
+UNION of per-segment read pipelines multiplies operator fixed costs and
+explodes the pre-sort block count (1024 tiny blocks -> a 108 s sort of
+11 MB).  One tagged read + sized repartition + sorted-block merging does
+the same work in 8.5 s, and 152 segments merge in ~50 s.  Block outputs
+are term-ranges, so the written shards keep row-group min/max statistics
+useful for dictionary-probe pruning.
+
+Skew note: a merge group holds at most one row per input segment — group
+fan-in is bounded by the segment count, not by df, so hot terms cost bytes,
+not cardinality; key-salting would only be needed if a single hot term's
+byte volume outgrew a block.
 
 Delete/replace semantics (reference §2.9, index_source.h:199-216): a doc
 deleted by ANY newer generation is dropped from older segments' postings;
@@ -36,6 +45,7 @@ from __future__ import annotations
 
 import json
 import os
+import uuid
 from typing import Iterable
 
 import numpy as np
@@ -58,6 +68,21 @@ from trinity_ray.index.segment import (
 )
 from trinity_ray.rayutil import package_runtime_env
 
+_OUT_SCHEMA = pa.schema([
+    ("term", pa.string()),
+    ("df", pa.uint32()),
+    ("max_tf", pa.uint32()),
+    ("sum_hits", pa.uint64()),
+    ("blob", pa.binary()),
+])
+
+_PENDING_SCHEMA = pa.schema([
+    ("term", pa.string()),
+    ("seg_name", pa.string()),
+    ("doc_base", pa.uint64()),
+    ("blob", pa.binary()),
+])
+
 
 def compute_masks(manifest: IndexManifest, index_dir: str) -> dict[str, np.ndarray]:
     """name -> sorted deleted doc_ids (from strictly newer generations)."""
@@ -66,65 +91,98 @@ def compute_masks(manifest: IndexManifest, index_dir: str) -> dict[str, np.ndarr
     return _segment_masks(manifest, index_dir)
 
 
-class _MergeTermGroup:
-    """map_groups fn: rows of one term from many segments -> one merged row."""
+def _merge_term_rows(rows: list[tuple[str, int, bytes]],
+                     masks: dict[str, np.ndarray], positions: bool,
+                     ) -> tuple[int, int, int, bytes] | None:
+    """rows = (seg_name, doc_base, blob) of ONE term -> (df, max_tf,
+    sum_hits, blob) or None if every posting is masked out."""
+    rows = sorted(rows, key=lambda r: r[1])  # ascending disjoint doc ranges
+    doc_parts, freq_parts, pos_parts = [], [], []
+    for seg_name, _base, blob in rows:
+        pb = PostingsBlob(blob)
+        d, f = pb.decode_docs_freqs()
+        if positions:
+            p, _offs = pb.decode_positions(f)
+        mask = masks.get(seg_name)
+        if mask is not None and mask.size:
+            idx = np.minimum(np.searchsorted(mask, d), mask.size - 1)
+            keep = mask[idx] != d
+            if not keep.all():
+                if positions:
+                    p = p[np.repeat(keep, f.astype(np.int64))]
+                d, f = d[keep], f[keep]
+        if d.size:
+            doc_parts.append(d)
+            freq_parts.append(f)
+            if positions:
+                pos_parts.append(p)
+    if not doc_parts:
+        return None
+    doc_ids = np.concatenate(doc_parts)
+    freqs = np.concatenate(freq_parts)
+    pos = np.concatenate(pos_parts) if positions else None
+    blob = encode_postings(doc_ids, freqs, pos)
+    return (doc_ids.size, int(min(freqs.max(), 0xFFFFFFFF)),
+            int(freqs.sum()), blob)
 
-    __name__ = "merge_term_group"  # map_groups wraps plain functions
 
-    def __init__(self, masks: dict[str, np.ndarray], positions: bool):
+class _MergeBlockWriter:
+    """map_batches fn over term-sorted blocks: merge every interior term and
+    write this block's shard; return the first/last terms' raw rows (they
+    may span block boundaries — a tiny driver pass finishes them)."""
+
+    def __init__(self, masks: dict[str, np.ndarray], positions: bool,
+                 out_dir: str):
         self.masks = masks
         self.positions = positions
+        self.out_dir = out_dir
 
-    def __call__(self, group: pa.Table) -> pa.Table:
-        rows = sorted(
-            zip(
-                group.column("seg_name").to_pylist(),
-                group.column("doc_base").to_pylist(),
-                group.column("blob").to_pylist(),
-            ),
-            key=lambda r: r[1],
-        )
-        term = group.column("term")[0].as_py()
-        doc_parts, freq_parts, pos_parts = [], [], []
-        for seg_name, _base, blob in rows:
-            pb = PostingsBlob(blob)
-            d, f = pb.decode_docs_freqs()
-            if self.positions:
-                p, offs = pb.decode_positions(f)
-            mask = self.masks.get(seg_name)
-            if mask is not None and mask.size:
-                idx = np.searchsorted(mask, d)
-                idx_c = np.minimum(idx, mask.size - 1)
-                keep = mask[idx_c] != d
-                if not keep.all():
-                    if self.positions:
-                        keep_hits = np.repeat(keep, f.astype(np.int64))
-                        p = p[keep_hits]
-                    d, f = d[keep], f[keep]
-            if d.size:
-                doc_parts.append(d)
-                freq_parts.append(f)
-                if self.positions:
-                    pos_parts.append(p)
-        if not doc_parts:
-            return pa.table({
-                "term": pa.array([], pa.string()),
-                "df": pa.array([], pa.uint32()),
-                "max_tf": pa.array([], pa.uint32()),
-                "sum_hits": pa.array([], pa.uint64()),
-                "blob": pa.array([], pa.binary()),
-            })
-        doc_ids = np.concatenate(doc_parts)
-        freqs = np.concatenate(freq_parts)
-        positions = np.concatenate(pos_parts) if self.positions else None
-        blob = encode_postings(doc_ids, freqs, positions)
+    def __call__(self, block: pa.Table) -> pa.Table:
+        n = block.num_rows
+        if n == 0:
+            return pa.table({k: [] for k in _PENDING_SCHEMA.names},
+                            schema=_PENDING_SCHEMA)
+        terms = block.column("term").to_pylist()
+        segs = block.column("seg_name").to_pylist()
+        bases = block.column("doc_base").to_pylist()
+        blobs = block.column("blob").to_pylist()
+        first, last = terms[0], terms[-1]
+        out: list[tuple[str, int, int, int, bytes]] = []
+        pend_idx: list[int] = []
+        i = 0
+        while i < n:
+            j = i
+            t = terms[i]
+            while j < n and terms[j] == t:
+                j += 1
+            if t == first or t == last:
+                pend_idx.extend(range(i, j))
+            else:
+                m = _merge_term_rows(
+                    [(segs[k], bases[k], blobs[k]) for k in range(i, j)],
+                    self.masks, self.positions)
+                if m is not None:
+                    out.append((t, *m))
+            i = j
+        if out:
+            shard = pa.table({
+                "term": pa.array([r[0] for r in out], pa.string()),
+                "df": pa.array([r[1] for r in out], pa.uint32()),
+                "max_tf": pa.array([r[2] for r in out], pa.uint32()),
+                "sum_hits": pa.array([r[3] for r in out], pa.uint64()),
+                "blob": pa.array([r[4] for r in out], pa.binary()),
+            }, schema=_OUT_SCHEMA)
+            name = f"inner-{uuid.uuid4().hex}.parquet"
+            tmp = os.path.join(self.out_dir, f".{name}.tmp")
+            pq.write_table(shard, tmp, row_group_size=TERMS_ROW_GROUP,
+                           compression="zstd")
+            os.replace(tmp, os.path.join(self.out_dir, name))
         return pa.table({
-            "term": pa.array([term], pa.string()),
-            "df": pa.array([doc_ids.size], pa.uint32()),
-            "max_tf": pa.array([int(min(freqs.max(), 0xFFFFFFFF))], pa.uint32()),
-            "sum_hits": pa.array([int(freqs.sum())], pa.uint64()),
-            "blob": pa.array([blob], pa.binary()),
-        })
+            "term": pa.array([terms[k] for k in pend_idx], pa.string()),
+            "seg_name": pa.array([segs[k] for k in pend_idx], pa.string()),
+            "doc_base": pa.array([bases[k] for k in pend_idx], pa.uint64()),
+            "blob": pa.array([blobs[k] for k in pend_idx], pa.binary()),
+        }, schema=_PENDING_SCHEMA)
 
 
 def merge_index(
@@ -146,41 +204,70 @@ def merge_index(
     gen = max((s.generation for s in manifest.segments), default=0)
     name = f"g{gen:06d}-merged"
     out_seg = segment_dir(out_dir, name)
-    os.makedirs(out_seg, exist_ok=True)
+    postings_dir = os.path.join(out_seg, "postings")
+    os.makedirs(postings_dir, exist_ok=True)
 
-    # --- postings: union of tagged per-segment datasets → groupby(term) ---
-    parts = []
+    # --- postings: ONE tagged read over all segments → sort(term) ---------
+    # (a union of per-segment pipelines multiplies operator fixed costs and
+    # explodes the pre-sort block count; one read + include_paths keeps the
+    # shuffle input sane)
+    by_path: dict[str, tuple[str, int]] = {}
+    total_bytes = 0
     for s in manifest.segments:
         ppath = os.path.join(segment_dir(index_dir, s.name), POSTINGS_FILE)
-        if not os.path.exists(ppath):
-            continue
-        d = rd.read_parquet(ppath, columns=["term", "blob"])
-        seg_name, doc_base = s.name, s.doc_base
-
-        def tag(t: pa.Table, seg_name=seg_name, doc_base=doc_base) -> pa.Table:
-            return t.append_column(
-                "seg_name", pa.array([seg_name] * len(t), pa.string())
-            ).append_column(
-                "doc_base", pa.array([doc_base] * len(t), pa.uint64())
-            )
-
-        parts.append(d.map_batches(tag, batch_format="pyarrow"))
-    if not parts:
+        if os.path.exists(ppath):
+            by_path[os.path.abspath(ppath)] = (s.name, s.doc_base)
+            total_bytes += os.path.getsize(ppath)
+    if not by_path:
         raise ValueError(f"no postings in {index_dir}")
-    ds = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
 
-    merged = ds.groupby("term").map_groups(
-        _MergeTermGroup(masks, positions),
+    def tag(t: pa.Table) -> pa.Table:
+        names, bases = [], []
+        for p in t.column("path").to_pylist():
+            sn, db = by_path[os.path.abspath(p)]
+            names.append(sn)
+            bases.append(db)
+        return t.drop_columns(["path"]).append_column(
+            "seg_name", pa.array(names, pa.string())
+        ).append_column(
+            "doc_base", pa.array(bases, pa.uint64())
+        )
+
+    ds = rd.read_parquet(sorted(by_path), columns=["term", "blob"],
+                         include_paths=True
+                         ).map_batches(tag, batch_format="pyarrow")
+    # size the shuffle like a job property: ~64 MB of postings per sort
+    # partition (merged output amplifies per-partition memory ~2-3x)
+    nparts = max(4, min(512, total_bytes // (64 << 20) + 1))
+    ds = ds.repartition(int(nparts))
+
+    pending_rows = ds.sort("term").map_batches(
+        _MergeBlockWriter(masks, positions, postings_dir),
+        batch_size=None,  # one batch per sorted block
         batch_format="pyarrow",
         runtime_env=package_runtime_env(),
-    )
-    postings_dir = os.path.join(out_seg, "postings")
-    merged.write_parquet(
-        postings_dir, row_group_size=TERMS_ROW_GROUP, compression="zstd",
-        min_rows_per_file=200_000,
-    )
-    # one term-range file per shuffle output block; SegmentReader opens the
-    # directory as a pyarrow dataset (row-group statistics still prune).
+    ).take_all()  # ONLY boundary-term rows come back (<= 2 terms per block)
+
+    # --- boundary terms: tiny driver-side k-way finish --------------------
+    by_term: dict[str, list[tuple[str, int, bytes]]] = {}
+    for r in pending_rows:
+        by_term.setdefault(r["term"], []).append(
+            (r["seg_name"], int(r["doc_base"]), r["blob"]))
+    brows = []
+    for t in sorted(by_term):
+        m = _merge_term_rows(by_term[t], masks, positions)
+        if m is not None:
+            brows.append((t, *m))
+    if brows:
+        shard = pa.table({
+            "term": pa.array([r[0] for r in brows], pa.string()),
+            "df": pa.array([r[1] for r in brows], pa.uint32()),
+            "max_tf": pa.array([r[2] for r in brows], pa.uint32()),
+            "sum_hits": pa.array([r[3] for r in brows], pa.uint64()),
+            "blob": pa.array([r[4] for r in brows], pa.binary()),
+        }, schema=_OUT_SCHEMA)
+        pq.write_table(shard, os.path.join(postings_dir, "boundary.parquet"),
+                       row_group_size=TERMS_ROW_GROUP, compression="zstd")
 
     # --- docs: stream live doc metadata (never materialized on the driver:
     # at 10^12 docs this is the big table; deletes broadcast once) ---------
@@ -241,7 +328,7 @@ def merge_index(
         segments=[SegmentMeta(
             name=name, generation=gen, part_id=0,
             doc_base=0, doc_count=doc_end,  # id-space span; universe comes
-            stats=stats,                     # from docs.parquet (holes OK)
+            stats=stats,                     # from docs dir (holes OK)
         )],
         content_column=manifest.content_column,
         id_columns=manifest.id_columns,
