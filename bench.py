@@ -106,6 +106,24 @@ def bench_queries(index_dir: str, num_cpus: int) -> dict[str, float]:
     return out
 
 
+def bench_batch_queries(index_dir: str, num_cpus: int) -> float:
+    """Queries/sec through the Dataset batch-search path (25x the driver
+    query set through a QueryExec actor pool)."""
+    import ray.data as rd
+
+    from trinity_ray.fixtures import REFERENCE_QUERIES
+    from trinity_ray.search import batch_search
+
+    texts = [t for _, _, t in REFERENCE_QUERIES] * 200
+    n_actors = min(8, num_cpus)
+    # long enough that per-actor cold start (dictionary loads) amortizes —
+    # serving pools are long-lived; blocks sized so the pool fans out
+    ds = rd.from_items([{"query": t} for t in texts]).repartition(n_actors * 8)
+    t0 = time.time()
+    batch_search(ds, index_dir, k=10, concurrency=n_actors).materialize()
+    return len(texts) / (time.time() - t0)
+
+
 def bench_ops(sf_dir: str) -> dict[str, float]:
     from trinity_ray.pipelines import docsearch as dsp
 
@@ -142,6 +160,7 @@ def run_once() -> dict:
         qlat = bench_queries(index_dir, NUM_CPUS)
         queries.update({f"q_{k.removeprefix('q_')}": v for k, v in qlat.items()})
         queries["query_p50"] = statistics.median(qlat.values())
+        queries["batch_qps"] = bench_batch_queries(index_dir, NUM_CPUS)
         queries.update(bench_ops(SF_DIR))
         total = time.time() - t_all
         return {

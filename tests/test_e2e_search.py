@@ -155,3 +155,20 @@ def test_topk_tie_break_across_cutoff(index_dir, oracle):
     r2 = s.search("return", k=25)
     want = oracle.search("return", k=25)
     assert [int(d) for d in r2.doc_ids] == [d for d, _ in want]
+
+
+def test_batch_search_dataset(index_dir, ray_session):
+    """Dataset batch-of-queries path == individual searches (SURVEY §3.3)."""
+    import ray.data as rd
+
+    from trinity_ray.search import LocalSearcher, batch_search
+
+    queries = ["key", "key AND order", '"key order"', "dup OR vector"]
+    ds = rd.from_items([{"query": q} for q in queries])
+    got = batch_search(ds, index_dir, k=5, concurrency=2).to_pandas()
+    s = LocalSearcher(index_dir)
+    for q in queries:
+        sub = got[got["query"] == q].sort_values("rank")
+        res = s.search(q, k=5)
+        assert sub["doc_id"].tolist() == [int(d) for d in res.doc_ids], q
+        np.testing.assert_allclose(sub["score"].to_numpy(), res.scores)

@@ -28,14 +28,20 @@ def corpus_file(tmp_path_factory):
 
 
 def postings_of(index_dir: str) -> dict[str, tuple[int, bytes]]:
+    from trinity_ray.index.segment import segment_postings_files
+
     out = {}
     segs = os.path.join(index_dir, "segments")
     for seg in sorted(os.listdir(segs)):
-        t = pq.read_table(os.path.join(segs, seg, "postings.parquet"))
-        for term, df, blob in zip(t.column("term").to_pylist(),
-                                  t.column("df").to_pylist(),
-                                  t.column("blob").to_pylist()):
-            out[(seg, term)] = (df, blob)
+        for terms_path, bin_path in segment_postings_files(
+                os.path.join(segs, seg)):
+            t = pq.read_table(terms_path)
+            raw = open(bin_path, "rb").read()
+            for term, df, off, ln in zip(t.column("term").to_pylist(),
+                                         t.column("df").to_pylist(),
+                                         t.column("off").to_pylist(),
+                                         t.column("len").to_pylist()):
+                out[(seg, term)] = (df, raw[off:off + ln])
     return out
 
 

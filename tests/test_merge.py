@@ -106,8 +106,17 @@ def test_merged_segment_layout(dirs):
     assert seg.stats.docs_cnt == N_DOCS - len(DELETED)
     postings_dir = os.path.join(merged, "segments", seg.name, "postings")
     assert os.path.isdir(postings_dir)
-    # terms sorted within each file's row groups (pruning invariant)
-    for f in os.listdir(postings_dir):
-        t = pq.read_table(os.path.join(postings_dir, f), columns=["term"])
+    # dictionary/bin pairs; terms sorted within each dictionary shard
+    from trinity_ray.index.segment import segment_postings_files
+
+    pairs = segment_postings_files(os.path.join(merged, "segments", seg.name))
+    assert pairs, "no terms/bin shards written"
+    for terms_path, bin_path in pairs:
+        assert os.path.exists(bin_path)
+        t = pq.read_table(terms_path, columns=["term", "off", "len"])
         terms = t.column("term").to_pylist()
         assert terms == sorted(terms)
+        offs = t.column("off").to_pylist()
+        lens = t.column("len").to_pylist()
+        assert offs == sorted(offs)  # blobs laid out in dictionary order
+        assert os.path.getsize(bin_path) == (offs[-1] + lens[-1] if offs else 0)

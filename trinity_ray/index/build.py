@@ -51,9 +51,11 @@ import pyarrow.parquet as pq
 from trinity_ray.codec import PostingsBlob, encode_many, encode_postings
 from trinity_ray.rayutil import package_runtime_env
 from trinity_ray.index.segment import (
+    BIN_FILE,
     DOCS_FILE,
-    POSTINGS_FILE,
+    SEGMENT_FORMAT,
     STATS_FILE,
+    TERMS_FILE,
     TERMS_ROW_GROUP,
     FieldStatistics,
     IndexManifest,
@@ -131,6 +133,50 @@ def plan_partitions(
 
 def segment_name(generation: int, part_id: int) -> str:
     return f"g{generation:06d}-p{part_id:05d}"
+
+
+class TermsBinWriter:
+    """Write a (terms.parquet, postings.bin) pair: the term dictionary rows
+    (term, df, max_tf, sum_hits, off, len) and the concatenated blobs.
+    The dictionary answers probes with zero postings IO (term_index_ctx
+    analogue, codecs.h:17-55); blob reads are exact byte ranges."""
+
+    SCHEMA = pa.schema([
+        ("term", pa.string()), ("df", pa.uint32()), ("max_tf", pa.uint32()),
+        ("sum_hits", pa.uint64()), ("off", pa.uint64()), ("len", pa.uint32()),
+    ])
+
+    def __init__(self, terms_path: str, bin_path: str):
+        self._writer = pq.ParquetWriter(terms_path, self.SCHEMA,
+                                        compression="zstd")
+        self._bin = open(bin_path, "wb")
+        self._off = 0
+        self._rows: list[tuple[str, int, int, int, int, int]] = []
+
+    def add(self, term: str, df: int, max_tf: int, sum_hits: int,
+            blob: bytes) -> None:
+        self._bin.write(blob)
+        self._rows.append((term, df, max_tf, sum_hits, self._off, len(blob)))
+        self._off += len(blob)
+        if len(self._rows) >= TERMS_ROW_GROUP:
+            self._flush()
+
+    def _flush(self) -> None:
+        if self._rows:
+            self._writer.write_table(pa.table({
+                "term": pa.array([r[0] for r in self._rows], pa.string()),
+                "df": pa.array([r[1] for r in self._rows], pa.uint32()),
+                "max_tf": pa.array([r[2] for r in self._rows], pa.uint32()),
+                "sum_hits": pa.array([r[3] for r in self._rows], pa.uint64()),
+                "off": pa.array([r[4] for r in self._rows], pa.uint64()),
+                "len": pa.array([r[5] for r in self._rows], pa.uint32()),
+            }, schema=self.SCHEMA))
+            self._rows = []
+
+    def close(self) -> None:
+        self._flush()
+        self._writer.close()
+        self._bin.close()
 
 
 class _RunStream:
@@ -331,7 +377,8 @@ class SegmentBuilder:
         encode_s = t_enc_total[0]
 
         with open(os.path.join(tmp_dir, STATS_FILE), "w") as f:
-            json.dump({"docs_cnt": stats.docs_cnt,
+            json.dump({"format": SEGMENT_FORMAT,
+                       "docs_cnt": stats.docs_cnt,
                        "sum_term_hits": stats.sum_term_hits,
                        "total_terms": stats.total_terms,
                        "sum_terms_docs": stats.sum_terms_docs,
@@ -368,26 +415,35 @@ class SegmentBuilder:
 
     def _finalize_runs(self, tmp_dir: str, run_files: list[str],
                        run_stats: list[FieldStatistics]) -> FieldStatistics:
-        """Turn flush runs into the final postings.parquet + stats.
+        """Turn flush runs into the final (terms.parquet, postings.bin)
+        dictionary/postings pair.
 
-        Single run (the common case): rename.  Multiple runs: streaming
-        k-way merge by term — each run is term-sorted, runs own strictly
-        ascending disjoint docID ranges, so a term's merged postings are the
-        doc-order concatenation of its per-run postings (the same invariant
-        segment merge uses, merge.cpp:256-287)."""
-        out_path = os.path.join(tmp_dir, POSTINGS_FILE)
+        Single run (the common case): stream the run's rows through the
+        TermsBinWriter.  Multiple runs: streaming k-way merge by term —
+        each run is term-sorted, runs own strictly ascending disjoint docID
+        ranges, so a term's merged postings are the doc-order concatenation
+        of its per-run postings (the same invariant segment merge uses,
+        merge.cpp:256-287)."""
+        out = TermsBinWriter(os.path.join(tmp_dir, TERMS_FILE),
+                             os.path.join(tmp_dir, BIN_FILE))
         if len(run_files) == 1:
-            os.replace(run_files[0], out_path)
+            pf = pq.ParquetFile(run_files[0])
+            for rb in pf.iter_batches(batch_size=1024):
+                for term, df, mtf, sh, blob in zip(
+                        rb.column("term").to_pylist(),
+                        rb.column("df").to_pylist(),
+                        rb.column("max_tf").to_pylist(),
+                        rb.column("sum_hits").to_pylist(),
+                        rb.column("blob").to_pylist()):
+                    out.add(term, df, mtf, sh, blob)
+            out.close()
+            os.unlink(run_files[0])
             return run_stats[0]
 
-        schema = pa.schema([("term", pa.string()), ("df", pa.uint32()),
-                            ("max_tf", pa.uint32()), ("blob", pa.binary())])
-        writer = pq.ParquetWriter(out_path, schema, compression="zstd")
         streams = [_RunStream(f) for f in run_files]
         total_terms = 0
         sum_terms_docs = 0
         sum_term_hits = 0
-        out_rows: list[tuple[str, int, int, bytes]] = []
         while True:
             alive = [s for s in streams if s.term is not None]
             if not alive:
@@ -407,17 +463,13 @@ class SegmentBuilder:
             freqs = np.concatenate(freq_parts)
             positions = np.concatenate(pos_parts) if self.positions else None
             blob = encode_postings(doc_ids, freqs, positions)
-            out_rows.append((term, doc_ids.size,
-                             int(min(freqs.max(), 0xFFFFFFFF)), blob))
+            hits = int(freqs.sum())
+            out.add(term, doc_ids.size, int(min(freqs.max(), 0xFFFFFFFF)),
+                    hits, blob)
             total_terms += 1
             sum_terms_docs += doc_ids.size
-            sum_term_hits += int(freqs.sum())
-            if len(out_rows) >= TERMS_ROW_GROUP:
-                writer.write_table(_rows_table(out_rows, schema))
-                out_rows = []
-        if out_rows:
-            writer.write_table(_rows_table(out_rows, schema))
-        writer.close()
+            sum_term_hits += hits
+        out.close()
         for f in run_files:
             os.unlink(f)
         return FieldStatistics(0, sum_term_hits, total_terms, sum_terms_docs)
@@ -436,6 +488,7 @@ class SegmentBuilder:
                 "term": pa.array([], pa.string()),
                 "df": pa.array([], pa.uint32()),
                 "max_tf": pa.array([], pa.uint32()),
+                "sum_hits": pa.array([], pa.uint64()),
                 "blob": pa.array([], pa.binary()),
             })
             return FieldStatistics(), (empty,)
@@ -492,6 +545,7 @@ class SegmentBuilder:
 
         dfs = np.diff(term_offsets).astype(np.uint64)
         max_tf = np.maximum.reduceat(p_tf, term_offsets[:-1]).astype(np.uint64)
+        sum_hits = np.add.reduceat(p_tf.astype(np.int64), term_offsets[:-1]).astype(np.uint64)
         # distinct terms present, in sorted order (vocab may contain terms
         # only seen beyond the position cap — use actual encoded terms)
         present_ranks = p_term[term_offsets[:-1]]
@@ -507,6 +561,7 @@ class SegmentBuilder:
             "term": pa.array(term_arr, pa.string()),
             "df": pa.array(dfs, pa.uint32()),
             "max_tf": pa.array(np.minimum(max_tf, 0xFFFFFFFF), pa.uint32()),
+            "sum_hits": pa.array(sum_hits, pa.uint64()),
             "blob": pa.array(blobs, pa.binary()),
         })
         return stats, (table,)

@@ -56,9 +56,10 @@ from trinity_ray.codec import PostingsBlob, encode_postings
 from trinity_ray.index.segment import (
     DELETES_FILE,
     DOCS_FILE,
-    POSTINGS_FILE,
+    SEGMENT_FORMAT,
     STATS_FILE,
     TERMS_ROW_GROUP,
+    segment_postings_files,
     FieldStatistics,
     IndexManifest,
     SegmentMeta,
@@ -67,14 +68,6 @@ from trinity_ray.index.segment import (
     write_manifest,
 )
 from trinity_ray.rayutil import package_runtime_env
-
-_OUT_SCHEMA = pa.schema([
-    ("term", pa.string()),
-    ("df", pa.uint32()),
-    ("max_tf", pa.uint32()),
-    ("sum_hits", pa.uint64()),
-    ("blob", pa.binary()),
-])
 
 _PENDING_SCHEMA = pa.schema([
     ("term", pa.string()),
@@ -126,6 +119,22 @@ def _merge_term_rows(rows: list[tuple[str, int, bytes]],
             int(freqs.sum()), blob)
 
 
+def _write_shard(out_dir: str, stem: str,
+                 rows: list[tuple[str, int, int, int, bytes]]) -> None:
+    """One merged term-range shard = (<stem>.terms.parquet, <stem>.bin),
+    written atomically (tmp + rename pair)."""
+    from trinity_ray.index.build import TermsBinWriter
+
+    t_tmp = os.path.join(out_dir, f".{stem}.terms.parquet.tmp")
+    b_tmp = os.path.join(out_dir, f".{stem}.bin.tmp")
+    w = TermsBinWriter(t_tmp, b_tmp)
+    for term, df, mtf, sh, blob in rows:
+        w.add(term, df, mtf, sh, blob)
+    w.close()
+    os.replace(b_tmp, os.path.join(out_dir, f"{stem}.bin"))
+    os.replace(t_tmp, os.path.join(out_dir, f"{stem}.terms.parquet"))
+
+
 class _MergeBlockWriter:
     """map_batches fn over term-sorted blocks: merge every interior term and
     write this block's shard; return the first/last terms' raw rows (they
@@ -165,18 +174,7 @@ class _MergeBlockWriter:
                     out.append((t, *m))
             i = j
         if out:
-            shard = pa.table({
-                "term": pa.array([r[0] for r in out], pa.string()),
-                "df": pa.array([r[1] for r in out], pa.uint32()),
-                "max_tf": pa.array([r[2] for r in out], pa.uint32()),
-                "sum_hits": pa.array([r[3] for r in out], pa.uint64()),
-                "blob": pa.array([r[4] for r in out], pa.binary()),
-            }, schema=_OUT_SCHEMA)
-            name = f"inner-{uuid.uuid4().hex}.parquet"
-            tmp = os.path.join(self.out_dir, f".{name}.tmp")
-            pq.write_table(shard, tmp, row_group_size=TERMS_ROW_GROUP,
-                           compression="zstd")
-            os.replace(tmp, os.path.join(self.out_dir, name))
+            _write_shard(self.out_dir, f"inner-{uuid.uuid4().hex}", out)
         return pa.table({
             "term": pa.array([terms[k] for k in pend_idx], pa.string()),
             "seg_name": pa.array([segs[k] for k in pend_idx], pa.string()),
@@ -210,30 +208,43 @@ def merge_index(
     # --- postings: ONE tagged read over all segments → sort(term) ---------
     # (a union of per-segment pipelines multiplies operator fixed costs and
     # explodes the pre-sort block count; one read + include_paths keeps the
-    # shuffle input sane)
-    by_path: dict[str, tuple[str, int]] = {}
+    # shuffle input sane).  The read scans terms dictionaries; blobs are
+    # fetched as exact ranges from the sibling postings.bin files.
+    by_path: dict[str, tuple[str, int, str]] = {}
     total_bytes = 0
     for s in manifest.segments:
-        ppath = os.path.join(segment_dir(index_dir, s.name), POSTINGS_FILE)
-        if os.path.exists(ppath):
-            by_path[os.path.abspath(ppath)] = (s.name, s.doc_base)
-            total_bytes += os.path.getsize(ppath)
+        for terms_path, bin_path in segment_postings_files(
+                segment_dir(index_dir, s.name)):
+            by_path[os.path.abspath(terms_path)] = (s.name, s.doc_base, bin_path)
+            total_bytes += os.path.getsize(bin_path)
     if not by_path:
         raise ValueError(f"no postings in {index_dir}")
 
     def tag(t: pa.Table) -> pa.Table:
-        names, bases = [], []
-        for p in t.column("path").to_pylist():
-            sn, db = by_path[os.path.abspath(p)]
+        names, bases, blobs = [], [], []
+        handles: dict[str, object] = {}
+        for p, off, ln in zip(t.column("path").to_pylist(),
+                              t.column("off").to_pylist(),
+                              t.column("len").to_pylist()):
+            sn, db, bin_path = by_path[os.path.abspath(p)]
+            fh = handles.get(bin_path)
+            if fh is None:
+                fh = open(bin_path, "rb")
+                handles[bin_path] = fh
+            fh.seek(off)
+            blobs.append(fh.read(ln))
             names.append(sn)
             bases.append(db)
-        return t.drop_columns(["path"]).append_column(
-            "seg_name", pa.array(names, pa.string())
-        ).append_column(
-            "doc_base", pa.array(bases, pa.uint64())
-        )
+        for fh in handles.values():
+            fh.close()
+        return pa.table({
+            "term": t.column("term"),
+            "blob": pa.array(blobs, pa.binary()),
+            "seg_name": pa.array(names, pa.string()),
+            "doc_base": pa.array(bases, pa.uint64()),
+        })
 
-    ds = rd.read_parquet(sorted(by_path), columns=["term", "blob"],
+    ds = rd.read_parquet(sorted(by_path), columns=["term", "off", "len"],
                          include_paths=True
                          ).map_batches(tag, batch_format="pyarrow")
     # size the shuffle like a job property: ~64 MB of postings per sort
@@ -259,15 +270,7 @@ def merge_index(
         if m is not None:
             brows.append((t, *m))
     if brows:
-        shard = pa.table({
-            "term": pa.array([r[0] for r in brows], pa.string()),
-            "df": pa.array([r[1] for r in brows], pa.uint32()),
-            "max_tf": pa.array([r[2] for r in brows], pa.uint32()),
-            "sum_hits": pa.array([r[3] for r in brows], pa.uint64()),
-            "blob": pa.array([r[4] for r in brows], pa.binary()),
-        }, schema=_OUT_SCHEMA)
-        pq.write_table(shard, os.path.join(postings_dir, "boundary.parquet"),
-                       row_group_size=TERMS_ROW_GROUP, compression="zstd")
+        _write_shard(postings_dir, "boundary", brows)
 
     # --- docs: stream live doc metadata (never materialized on the driver:
     # at 10^12 docs this is the big table; deletes broadcast once) ---------
@@ -300,7 +303,7 @@ def merge_index(
     # --- stats: recompute from merged postings (cheap column reads) -------
     stat_files = [
         os.path.join(postings_dir, f) for f in os.listdir(postings_dir)
-        if f.endswith(".parquet")
+        if f.endswith(".terms.parquet")
     ]
     total_terms = 0
     sum_terms_docs = 0
@@ -317,7 +320,8 @@ def merge_index(
         sum_terms_docs=sum_terms_docs,
     )
     with open(os.path.join(out_seg, STATS_FILE), "w") as f:
-        json.dump({**stats.__dict__, "generation": gen, "doc_base": 0,
+        json.dump({"format": SEGMENT_FORMAT, **stats.__dict__,
+                   "generation": gen, "doc_base": 0,
                    "doc_count": docs_cnt}, f)
 
     doc_end = max((s.doc_end for s in manifest.segments), default=0)

@@ -9,17 +9,26 @@ Ours is a directory of Parquet files plus a JSON stats sidecar:
       manifest.json                # versioned index snapshot (IndexSourcesCollection
                                    # analogue, /root/reference/index_source.h:191-238)
       segments/<segment_name>/
-        postings.parquet           # term:string (sorted), df:uint32, max_tf:uint32,
-                                   # blob:binary (trinity_ray.codec blob)
-                                   # sorted by term, small row groups => row-group
-                                   # statistics pruning = the terms-dict skiplist
-                                   # (/root/reference/terms.cpp:126-172)
+        terms.parquet              # the term DICTIONARY, sorted by term:
+                                   # term, df:uint32, max_tf:uint32,
+                                   # sum_hits:uint64, off:uint64, len:uint32
+                                   # — the analogue of terms.data/terms.idx +
+                                   # term_index_ctx{documents, indexChunk}
+                                   # (/root/reference/terms.cpp:126-172,
+                                   #  codecs.h:17-55): a probe answers df and
+                                   # the WAND bound with NO postings IO
+        postings.bin               # concatenated trinity_ray.codec blobs; a
+                                   # term's postings are read as ONE exact
+                                   # byte range (the reference's `index`
+                                   # file, indexer.cpp:241-299)
+        (merged segments use postings/<shard>.terms.parquet + <shard>.bin
+         pairs — one term-range pair per shuffle block)
         docs.parquet               # doc_id:uint64 + id/meta columns + content_sha256
         deletes.parquet (optional) # doc_id:uint64 sorted — docs this generation
                                    # deletes/replaces in OLDER generations
                                    # (updated_documents.ids analogue,
                                    #  /root/reference/docidupdates.cpp:8-73)
-        stats.json                 # field_statistics analogue
+        stats.json                 # field_statistics analogue + format tag
                                    # (/root/reference/index_source.h:44-53)
 
 Segment writes are atomic: write into ``<dir>.tmp-<pid>`` then ``rename``
@@ -35,7 +44,10 @@ import os
 import shutil
 from dataclasses import asdict, dataclass, field
 
-POSTINGS_FILE = "postings.parquet"
+POSTINGS_FILE = "postings.parquet"  # format-1 legacy name (readers reject)
+TERMS_FILE = "terms.parquet"
+BIN_FILE = "postings.bin"
+SEGMENT_FORMAT = 2
 DOCS_FILE = "docs.parquet"
 DELETES_FILE = "deletes.parquet"
 STATS_FILE = "stats.json"
@@ -102,8 +114,34 @@ def segment_dir(index_dir: str, name: str) -> str:
     return os.path.join(index_dir, "segments", name)
 
 
+def segment_postings_files(seg_path: str) -> list[tuple[str, str]]:
+    """(terms.parquet, postings.bin) pairs of a segment: either the single
+    root pair (built segments) or one pair per term-range shard under
+    ``postings/`` (merged segments)."""
+    root_terms = os.path.join(seg_path, TERMS_FILE)
+    if os.path.exists(root_terms):
+        return [(root_terms, os.path.join(seg_path, BIN_FILE))]
+    shard_dir = os.path.join(seg_path, "postings")
+    out = []
+    if os.path.isdir(shard_dir):
+        for f in sorted(os.listdir(shard_dir)):
+            if f.endswith(".terms.parquet"):
+                out.append((os.path.join(shard_dir, f),
+                            os.path.join(shard_dir, f[:-len(".terms.parquet")] + ".bin")))
+    return out
+
+
 def segment_is_complete(index_dir: str, name: str) -> bool:
-    return os.path.exists(os.path.join(segment_dir(index_dir, name), STATS_FILE))
+    """Checkpoint marker: stats.json present AND written by the current
+    segment format (older-format checkpoints are rebuilt, not resumed)."""
+    p = os.path.join(segment_dir(index_dir, name), STATS_FILE)
+    if not os.path.exists(p):
+        return False
+    try:
+        with open(p) as f:
+            return json.load(f).get("format") == SEGMENT_FORMAT
+    except (ValueError, OSError):
+        return False
 
 
 def write_segment_atomic(final_dir: str, writer_fn) -> None:

@@ -47,7 +47,7 @@ import numpy as np
 import pyarrow.dataset as pads
 
 from trinity_ray.codec import BLOCK, PostingsBlob
-from trinity_ray.index.segment import POSTINGS_FILE
+from trinity_ray.index.segment import segment_postings_files
 from trinity_ray.query.ast import (
     And,
     ConstFalse,
@@ -75,18 +75,25 @@ def bm25_idf(df: np.ndarray | float, n_docs: float) -> np.ndarray | float:
 
 
 class TermPostings:
-    """Lazily-decoded view over one term's postings blob.
+    """Lazily-loaded view over one term's postings.
 
-    The dictionary probe (df lookup) only parses the blob header; full
-    doc/freq decode happens on first ``doc_ids``/``freqs`` access, and the
-    selective paths (``gather_tfs``/``member``) decode single blocks through
-    the skiplist directory without ever materializing the full list.
+    The dictionary probe (df / max_tf lookup) touches NO postings bytes at
+    all — both come from the terms dictionary (term_index_ctx analogue,
+    codecs.h:17-55); the blob is read from postings.bin as one exact byte
+    range on first real access, full doc/freq decode happens on first
+    ``doc_ids``/``freqs`` use, and the selective paths
+    (``gather_tfs``/``member``) decode single blocks through the skiplist
+    directory without ever materializing the full list.
     """
 
-    __slots__ = ("blob", "_docs", "_freqs", "_pos", "_blocks", "_blocks_pos")
+    __slots__ = ("_df", "_max_tf", "_loader", "_blob",
+                 "_docs", "_freqs", "_pos", "_blocks", "_blocks_pos")
 
-    def __init__(self, blob: PostingsBlob):
-        self.blob = blob
+    def __init__(self, df: int, max_tf: int, loader):
+        self._df = int(df)
+        self._max_tf = int(max_tf)
+        self._loader = loader  # () -> bytes (exact range read) or raw bytes
+        self._blob: PostingsBlob | None = None
         self._docs: np.ndarray | None = None
         self._freqs: np.ndarray | None = None
         self._pos: tuple[np.ndarray, np.ndarray] | None = None
@@ -94,12 +101,19 @@ class TermPostings:
         self._blocks_pos: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
     @property
+    def blob(self) -> PostingsBlob:
+        if self._blob is None:
+            raw = self._loader() if callable(self._loader) else self._loader
+            self._blob = PostingsBlob(raw)
+        return self._blob
+
+    @property
     def df(self) -> int:
-        return self.blob.doc_count
+        return self._df
 
     @property
     def max_tf(self) -> int:
-        return int(self.blob.max_tf.max())
+        return self._max_tf
 
     def _decode(self) -> None:
         if self._docs is None:
@@ -224,42 +238,59 @@ class SegmentReader:
         self.doc_base = doc_base
         self.doc_count = doc_count
         self.mask = mask if mask is not None and len(mask) else None  # sorted deleted doc_ids
-        single = os.path.join(seg_path, POSTINGS_FILE)
-        sharded = os.path.join(seg_path, "postings")  # merged: term-sharded files
-        if os.path.exists(single):
-            self._dataset = pads.dataset(single, format="parquet")
-        elif os.path.isdir(sharded):
-            self._dataset = pads.dataset(sharded, format="parquet")
-        else:
-            self._dataset = None  # deletes-only segment
+        self._files = segment_postings_files(seg_path)  # [] = deletes-only
+        self._dict: dict[str, tuple[int, int, int, int, int]] | None = None
+        self._handles: dict[int, object] = {}
         self._universe: np.ndarray | None = None
         self._cache: dict[str, TermPostings | None] = {}
 
     # -- dictionary probe ----------------------------------------------------
+    def _ensure_dict(self) -> None:
+        """Load the term dictionary ONCE per reader: term -> (df, max_tf,
+        file_idx, off, len).  Pure metadata — no postings bytes move (the
+        SegmentTerms load of segment_index_source.cpp:5-186)."""
+        if self._dict is not None:
+            return
+        import pyarrow.parquet as pq
+
+        d: dict[str, tuple[int, int, int, int, int]] = {}
+        for fi, (terms_path, _bin) in enumerate(self._files):
+            t = pq.read_table(terms_path)
+            for term, df, mtf, off, ln in zip(
+                    t.column("term").to_pylist(),
+                    t.column("df").to_pylist(),
+                    t.column("max_tf").to_pylist(),
+                    t.column("off").to_pylist(),
+                    t.column("len").to_pylist()):
+                d[term] = (df, mtf, fi, off, ln)
+        self._dict = d
+
+    def _read_blob(self, fi: int, off: int, ln: int) -> bytes:
+        fh = self._handles.get(fi)
+        if fh is None:
+            fh = open(self._files[fi][1], "rb")
+            self._handles[fi] = fh
+        fh.seek(off)
+        return fh.read(ln)
+
     def lookup_terms(self, terms: list[str]) -> dict[str, int]:
-        """df per term (0 if absent) — resolve_term_ctx analogue.  Only blob
-        headers are parsed; posting decode is deferred to first use."""
-        missing = [t for t in terms if t not in self._cache]
-        if missing and self._dataset is None:
-            for t in missing:
-                self._cache[t] = None
-            missing = []
-        if missing:
-            tbl = self._dataset.to_table(
-                columns=["term", "df", "blob"],
-                filter=pads.field("term").isin(missing),
-            )
-            found = {}
-            for term, blob in zip(tbl.column("term").to_pylist(),
-                                  tbl.column("blob").to_pylist()):
-                found[term] = blob
-            for t in missing:
-                if t in found:
-                    self._cache[t] = TermPostings(PostingsBlob(found[t]))
-                else:
+        """df per term (0 if absent) — resolve_term_ctx analogue; dictionary
+        only, zero postings IO."""
+        self._ensure_dict()
+        out = {}
+        for t in terms:
+            if t not in self._cache:
+                ent = self._dict.get(t)
+                if ent is None:
                     self._cache[t] = None
-        return {t: (0 if self._cache[t] is None else self._cache[t].df)
-                for t in terms}
+                else:
+                    df, mtf, fi, off, ln = ent
+                    self._cache[t] = TermPostings(
+                        df, mtf,
+                        (lambda fi=fi, off=off, ln=ln: self._read_blob(fi, off, ln)))
+            tp = self._cache[t]
+            out[t] = 0 if tp is None else tp.df
+        return out
 
     def postings(self, term: str) -> TermPostings | None:
         if term not in self._cache:

@@ -226,3 +226,53 @@ class RaySearcher:
             parts = [pa[qi] for pa in per_actor if pa[qi][0].size]
             out.append(merge_topk(parts, k))
         return out
+
+
+class QueryExec:
+    """Batch-of-queries stage (SURVEY.md §3.3): a Dataset of query strings
+    flows through an actor pool; each actor holds a full LocalSearcher
+    (index loaded once in __init__) and answers its batch of queries.
+
+    This is QUERY-parallel serving for throughput workloads over a
+    servable-size index; for indexes too big for one actor's heap, use
+    RaySearcher (SEGMENT-parallel scatter-gather) instead.
+    """
+
+    def __init__(self, index_dir: str, k: int = 10, scorer: str = "bm25"):
+        self.searcher = LocalSearcher(index_dir)
+        self.k = k
+        self.scorer = scorer
+
+    def __call__(self, batch):
+        import pyarrow as pa
+
+        q_out, rank_out, doc_out, score_out = [], [], [], []
+        for q in batch.column("query").to_pylist():
+            res = self.searcher.search(q, k=self.k, scorer=self.scorer)
+            for rank, (d, s) in enumerate(zip(res.doc_ids, res.scores), 1):
+                q_out.append(q)
+                rank_out.append(rank)
+                doc_out.append(int(d))
+                score_out.append(float(s))
+        return pa.table({
+            "query": pa.array(q_out, pa.string()),
+            "rank": pa.array(rank_out, pa.int32()),
+            "doc_id": pa.array(doc_out, pa.int64()),
+            "score": pa.array(score_out, pa.float64()),
+        })
+
+
+def batch_search(queries_ds, index_dir: str, *, k: int = 10,
+                 scorer: str = "bm25", batch_size: int = 64,
+                 concurrency: int = 8):
+    """(query, rank, doc_id, score) rows for a Dataset with a ``query``
+    column — the Ray-Data-native high-throughput query path."""
+    from trinity_ray.rayutil import actor_pool, package_runtime_env
+
+    return queries_ds.map_batches(
+        QueryExec,
+        fn_constructor_kwargs=dict(index_dir=index_dir, k=k, scorer=scorer),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=actor_pool(concurrency),
+        runtime_env=package_runtime_env(),
+    )
