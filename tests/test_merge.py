@@ -120,3 +120,23 @@ def test_merged_segment_layout(dirs):
         lens = t.column("len").to_pylist()
         assert offs == sorted(offs)  # blobs laid out in dictionary order
         assert os.path.getsize(bin_path) == (offs[-1] + lens[-1] if offs else 0)
+
+
+def test_retire_superseded(dirs):
+    """consider_tracked_sources analogue: old segment dirs are GC'd once the
+    merged manifest is durable (merge.cpp:418-447)."""
+    import shutil
+
+    from trinity_ray.index.merge import retire_superseded
+
+    src, merged = dirs
+    clone = src + "-clone"
+    shutil.rmtree(clone, ignore_errors=True)
+    shutil.copytree(src, clone)
+    removed = retire_superseded(clone, merged)
+    assert removed
+    assert not os.listdir(os.path.join(clone, "segments"))
+    assert os.path.exists(os.path.join(clone, "RETIRED.json"))
+    # merged index still fully queryable (MatchAll over live docs)
+    s = LocalSearcher(merged)
+    assert s.search("", k=0).doc_ids.size == N_DOCS - len(DELETED)

@@ -295,6 +295,11 @@ def merge_index(
                                       runtime_env=package_runtime_env())
     docs_dir = os.path.join(out_seg, "docs")
     ds_docs.write_parquet(docs_dir, compression="zstd")
+    if not os.path.isdir(docs_dir):  # everything deleted: write_parquet
+        os.makedirs(docs_dir)        # skips empty output, but readers use
+        pq.write_table(               # this dir as the live-doc universe
+            pa.table({"doc_id": pa.array([], pa.uint64())}),
+            os.path.join(docs_dir, "empty.parquet"))
     docs_cnt = sum(
         pq.read_metadata(os.path.join(docs_dir, f)).num_rows
         for f in os.listdir(docs_dir) if f.endswith(".parquet")
@@ -362,3 +367,27 @@ def delete_docs(index_dir: str, doc_ids: Iterable[int], generation: int) -> None
     ))
     manifest.version += 1
     write_manifest(index_dir, manifest)
+
+
+def retire_superseded(index_dir: str, merged_dir: str) -> list[str]:
+    """Post-merge retention (consider_tracked_sources analogue,
+    merge.cpp:418-447): once the merged index's manifest is durable, the
+    input index's segment directories are superseded — delete them and
+    leave a tombstone manifest pointing readers at the merged index.
+    Returns the removed segment names."""
+    import shutil
+
+    merged_manifest = read_manifest(merged_dir)  # raises if not durable
+    assert merged_manifest.segments, "merged index has no segments"
+    manifest = read_manifest(index_dir)
+    removed = []
+    for s in manifest.segments:
+        seg = segment_dir(index_dir, s.name)
+        if os.path.isdir(seg):
+            shutil.rmtree(seg)
+            removed.append(s.name)
+    tomb = {"superseded_by": os.path.abspath(merged_dir),
+            "removed_segments": removed}
+    with open(os.path.join(index_dir, "RETIRED.json"), "w") as f:
+        json.dump(tomb, f, indent=1)
+    return removed
