@@ -140,3 +140,17 @@ def test_retire_superseded(dirs):
     # merged index still fully queryable (MatchAll over live docs)
     s = LocalSearcher(merged)
     assert s.search("", k=0).doc_ids.size == N_DOCS - len(DELETED)
+
+
+def test_merge_rerun_is_idempotent(dirs, tmp_path):
+    """A rerun into the same out_dir must not duplicate term shards."""
+    idx, merged = dirs
+    before = LocalSearcher(merged).search("", k=0).doc_ids.size
+    m2 = merge_index(idx, merged)  # complete: returned as-is
+    assert len(m2.segments) == 1
+    s = LocalSearcher(merged)
+    assert s.search("", k=0).doc_ids.size == before
+    # terms not duplicated: every df <= live doc count
+    r = s.readers[0]
+    r._ensure_dict()
+    assert all(v[0] <= before for v in r._dict.values())

@@ -202,7 +202,18 @@ def merge_index(
     gen = max((s.generation for s in manifest.segments), default=0)
     name = f"g{gen:06d}-merged"
     out_seg = segment_dir(out_dir, name)
+    # idempotent completion / crash-safe restart: a finished merge (durable
+    # manifest) is returned as-is; a partial one is cleared so a rerun can't
+    # leave duplicate term shards behind
+    if os.path.exists(os.path.join(out_dir, "manifest.json")):
+        existing = read_manifest(out_dir)
+        if any(s.name == name for s in existing.segments):
+            return existing
     postings_dir = os.path.join(out_seg, "postings")
+    if os.path.isdir(out_seg):
+        import shutil
+
+        shutil.rmtree(out_seg)
     os.makedirs(postings_dir, exist_ok=True)
 
     # --- postings: ONE tagged read over all segments → sort(term) ---------

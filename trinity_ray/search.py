@@ -174,6 +174,7 @@ class RaySearcher:
         self.index_dir = index_dir
         self.manifest = read_manifest(index_dir)
         self.n_docs = float(self.manifest.total_stats().docs_cnt)
+        self._df_cache: dict[str, int] = {}  # index is immutable per session
         masks = _segment_masks(self.manifest, index_dir)
         segs = [
             {"name": s.name, "doc_base": s.doc_base, "doc_count": s.doc_count}
@@ -197,14 +198,17 @@ class RaySearcher:
         if not terms:
             return {}
         sc = get_scorer(scorer)
-        futs = [a.lookup_terms.remote(terms) for a in self.actors]
-        df = {t: 0 for t in terms}
-        for part in self._ray.get(futs):
-            for t, d in part.items():
-                df[t] += d
+        missing = [t for t in terms if t not in self._df_cache]
+        if missing:  # one probe round-trip per DISTINCT term per session
+            futs = [a.lookup_terms.remote(missing) for a in self.actors]
+            acc = {t: 0 for t in missing}
+            for part in self._ray.get(futs):
+                for t, d in part.items():
+                    acc[t] += d
+            self._df_cache.update(acc)
         scorable = collect_scorable_terms(node)
-        return {t: sc.weight(float(df[t]), self.n_docs)
-                for t in scorable if df[t] > 0}
+        return {t: sc.weight(float(self._df_cache[t]), self.n_docs)
+                for t in scorable if self._df_cache[t] > 0}
 
     def search(self, query: str | Node, k: int = 10,
                scorer: str = "bm25") -> SearchResult:
