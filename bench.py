@@ -280,8 +280,12 @@ def run_scaling() -> dict:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--headline-json"],
             env=env, capture_output=True, text=True, timeout=3600)
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        r = json.loads(line)
+        lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        if out.returncode != 0 or not lines:
+            raise RuntimeError(
+                f"headline run (num_cpus={cpus}) failed rc={out.returncode}: "
+                f"{out.stderr[-2000:]}")
+        r = json.loads(lines[-1])
         if cpus not in results or r["docs_per_sec"] > results[cpus]["docs_per_sec"]:
             results[cpus] = r
     thr8 = results[8]["docs_per_sec"]

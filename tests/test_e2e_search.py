@@ -172,3 +172,20 @@ def test_batch_search_dataset(index_dir, ray_session):
         res = s.search(q, k=5)
         assert sub["doc_id"].tolist() == [int(d) for d in res.doc_ids], q
         np.testing.assert_allclose(sub["score"].to_numpy(), res.scores)
+
+
+def test_lazy_dictionary_probe_path(index_dir, monkeypatch):
+    """Huge-dictionary segments probe via row-group pruning; results equal
+    the eager-dict path (terms.cpp:8-103 skiplist analogue)."""
+    import trinity_ray.query.exec as qe
+
+    eager = LocalSearcher(index_dir)
+    res_e = eager.search("key AND order", k=10)
+    monkeypatch.setattr(qe, "_EAGER_DICT_MAX", 0)  # force lazy everywhere
+    lazy = LocalSearcher(index_dir)
+    res_l = lazy.search("key AND order", k=10)
+    assert lazy.readers[0]._dict is None and lazy.readers[0]._rg_index
+    np.testing.assert_array_equal(res_e.doc_ids, res_l.doc_ids)
+    np.testing.assert_array_equal(res_e.scores, res_l.scores)
+    # absent terms resolve to df 0 without error
+    assert lazy.readers[0].lookup_terms(["ZZNOSUCH"]) == {"ZZNOSUCH": 0}

@@ -397,10 +397,17 @@ class SegmentBuilder:
                            "tokenize": round(t_tokenized - t_start, 4),
                            "encode": round(encode_s, 4),
                        }}, f)
-        if os.path.exists(final_dir):  # lost a race / rerun: existing wins
+        if os.path.exists(final_dir):
             import shutil
 
-            shutil.rmtree(tmp_dir)
+            if segment_is_complete(self.index_dir, name):
+                shutil.rmtree(tmp_dir)  # lost a race to a VALID build: it wins
+            else:
+                # stale leftover (old format / partial dir): replace it —
+                # keeping it would silently discard this rebuild and leave
+                # an unreadable segment behind a fresh manifest
+                shutil.rmtree(final_dir)
+                os.replace(tmp_dir, final_dir)
         else:
             os.replace(tmp_dir, final_dir)
         t_done = time.perf_counter()

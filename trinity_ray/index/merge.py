@@ -45,7 +45,7 @@ from __future__ import annotations
 
 import json
 import os
-import uuid
+import hashlib
 from typing import Iterable
 
 import numpy as np
@@ -174,7 +174,12 @@ class _MergeBlockWriter:
                     out.append((t, *m))
             i = j
         if out:
-            _write_shard(self.out_dir, f"inner-{uuid.uuid4().hex}", out)
+            # deterministic name from the block's (unique, disjoint) interior
+            # term range: a RETRIED task rewrites the SAME shard atomically
+            # instead of adding a duplicate that would double-count stats
+            key = f"{out[0][0]}|{out[-1][0]}|{len(out)}".encode()
+            _write_shard(self.out_dir,
+                         f"inner-{hashlib.sha1(key).hexdigest()[:16]}", out)
         return pa.table({
             "term": pa.array([terms[k] for k in pend_idx], pa.string()),
             "seg_name": pa.array([segs[k] for k in pend_idx], pa.string()),
@@ -401,4 +406,9 @@ def retire_superseded(index_dir: str, merged_dir: str) -> list[str]:
             "removed_segments": removed}
     with open(os.path.join(index_dir, "RETIRED.json"), "w") as f:
         json.dump(tomb, f, indent=1)
+    # leave a VALID empty manifest: readers of the retired index see zero
+    # segments (empty results) instead of ghost doc-ranges over deleted dirs
+    manifest.segments = []
+    manifest.version += 1
+    write_manifest(index_dir, manifest)
     return removed

@@ -82,7 +82,7 @@ def exact_dedup(ds, id_column: str = "doc_id", text_column: str = "text",
         winners = groups.select_columns(["content_hash", id_column])
         return hashed.join(winners, "inner", num_partitions=num_partitions,
                            on=("content_hash", id_column),
-                           ).drop_columns(["content_hash", "n_docs"])
+                           ).drop_columns(["content_hash"])
     if n_losers == 0:
         return ds
     dup_tbl = pa.concat_tables(dup_batches)

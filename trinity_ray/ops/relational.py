@@ -38,7 +38,8 @@ def broadcast_join_agg(big_ds, small_table: pa.Table, *,
         hit = skeys[idx] == bk
         lab = [labels[i] if h else None for i, h in zip(idx, hit)]
         cents = pc.cast(pc.round(pc.multiply(
-            batch.column(cents_column), 100.0)), pa.int64())
+            batch.column(cents_column), 100.0),
+            round_mode="half_towards_infinity"), pa.int64())  # == DuckDB round()
         return pa.table({
             label_column: pa.array(lab, pa.string()),
             "cents": cents,

@@ -45,7 +45,8 @@ def tumbling_window(ds, *, ts_column: str = "ts", every_s: int = 3600,
         # sum in integer cents: float sums depend on addition order across
         # blocks, so cross-engine (and cross-run) equality needs an exact
         # integer accumulator
-        cents = pc.round(pc.multiply(batch.column(value_column), 100.0))
+        cents = pc.round(pc.multiply(batch.column(value_column), 100.0),
+                         round_mode="half_towards_infinity")  # == DuckDB round()
         cols["cents"] = pc.cast(cents, pa.int64())
         return pa.table(cols)
 

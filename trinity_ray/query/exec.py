@@ -63,6 +63,7 @@ from trinity_ray.query.ast import (
 from trinity_ray.query.scorers import K1, Scorer, get_scorer
 
 _POS_SHIFT = 15  # > log2(MAX_POSITION)+1 headroom for pos+phrase-offset keys
+_EAGER_DICT_MAX = 262_144  # terms; above this, probe via row-group pruning
 _PRUNE_EPS = 1e-9  # float-associativity slack for max-score bounds
 
 EMPTY_U64 = np.empty(0, dtype=np.uint64)
@@ -240,30 +241,75 @@ class SegmentReader:
         self.mask = mask if mask is not None and len(mask) else None  # sorted deleted doc_ids
         self._files = segment_postings_files(seg_path)  # [] = deletes-only
         self._dict: dict[str, tuple[int, int, int, int, int]] | None = None
+        self._rg_index: list[tuple[str, str, int, int]] | None = None
+        self._rg_cache: dict[tuple[int, int], dict] = {}
         self._handles: dict[int, object] = {}
         self._universe: np.ndarray | None = None
         self._cache: dict[str, TermPostings | None] = {}
 
     # -- dictionary probe ----------------------------------------------------
     def _ensure_dict(self) -> None:
-        """Load the term dictionary ONCE per reader: term -> (df, max_tf,
-        file_idx, off, len).  Pure metadata — no postings bytes move (the
-        SegmentTerms load of segment_index_source.cpp:5-186)."""
-        if self._dict is not None:
+        """Prepare the term dictionary: term -> (df, max_tf, file_idx, off,
+        len).  Small dictionaries load eagerly ONCE per reader (the
+        SegmentTerms load of segment_index_source.cpp:5-186); huge ones keep
+        only a row-group [min_term, max_term] index and decode single row
+        groups on demand — the every-64-terms skiplist of terms.cpp:8-103,
+        with parquet row-group statistics as the skiplist entries."""
+        if self._dict is not None or self._rg_index is not None:
             return
         import pyarrow.parquet as pq
 
-        d: dict[str, tuple[int, int, int, int, int]] = {}
-        for fi, (terms_path, _bin) in enumerate(self._files):
-            t = pq.read_table(terms_path)
-            for term, df, mtf, off, ln in zip(
-                    t.column("term").to_pylist(),
-                    t.column("df").to_pylist(),
-                    t.column("max_tf").to_pylist(),
-                    t.column("off").to_pylist(),
-                    t.column("len").to_pylist()):
-                d[term] = (df, mtf, fi, off, ln)
-        self._dict = d
+        metas = [pq.read_metadata(tp) for tp, _ in self._files]
+        total = sum(m.num_rows for m in metas)
+        if total <= _EAGER_DICT_MAX:
+            d: dict[str, tuple[int, int, int, int, int]] = {}
+            for fi, (terms_path, _bin) in enumerate(self._files):
+                t = pq.read_table(terms_path)
+                for term, df, mtf, off, ln in zip(
+                        t.column("term").to_pylist(),
+                        t.column("df").to_pylist(),
+                        t.column("max_tf").to_pylist(),
+                        t.column("off").to_pylist(),
+                        t.column("len").to_pylist()):
+                    d[term] = (df, mtf, fi, off, ln)
+            self._dict = d
+            return
+        rg_index: list[tuple[str, str, int, int]] = []  # (min, max, fi, rg)
+        for fi, md in enumerate(metas):
+            term_col = next(
+                j for j in range(md.row_group(0).num_columns)
+                if md.row_group(0).column(j).path_in_schema == "term")
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(term_col).statistics
+                rg_index.append((st.min, st.max, fi, rg))
+        self._rg_index = rg_index
+
+    def _probe(self, term: str) -> tuple[int, int, int, int, int] | None:
+        self._ensure_dict()
+        if self._dict is not None:
+            return self._dict.get(term)
+        for lo, hi, fi, rg in self._rg_index:
+            if lo <= term <= hi:
+                key = (fi, rg)
+                d = self._rg_cache.get(key)
+                if d is None:
+                    import pyarrow.parquet as pq
+
+                    t = pq.ParquetFile(self._files[fi][0]).read_row_group(rg)
+                    d = {
+                        tm: (df, mtf, fi, off, ln)
+                        for tm, df, mtf, off, ln in zip(
+                            t.column("term").to_pylist(),
+                            t.column("df").to_pylist(),
+                            t.column("max_tf").to_pylist(),
+                            t.column("off").to_pylist(),
+                            t.column("len").to_pylist())
+                    }
+                    self._rg_cache[key] = d
+                ent = d.get(term)
+                if ent is not None:
+                    return ent
+        return None
 
     def _read_blob(self, fi: int, off: int, ln: int) -> bytes:
         fh = self._handles.get(fi)
@@ -276,11 +322,10 @@ class SegmentReader:
     def lookup_terms(self, terms: list[str]) -> dict[str, int]:
         """df per term (0 if absent) — resolve_term_ctx analogue; dictionary
         only, zero postings IO."""
-        self._ensure_dict()
         out = {}
         for t in terms:
             if t not in self._cache:
-                ent = self._dict.get(t)
+                ent = self._probe(t)
                 if ent is None:
                     self._cache[t] = None
                 else:

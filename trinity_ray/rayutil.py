@@ -5,6 +5,9 @@ from __future__ import annotations
 import os
 
 _PKG_PARENT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# cwd as of module import — workers inherit the driver's STARTUP cwd on
+# sys.path, so a later os.chdir() must not change this decision
+_IMPORT_CWD = os.path.abspath(os.getcwd())
 
 
 def package_runtime_env() -> dict:
@@ -24,7 +27,7 @@ def package_runtime_env() -> dict:
     fixed cost each.
     """
     existing = os.environ.get("PYTHONPATH", "")
-    if (os.path.abspath(os.getcwd()) == _PKG_PARENT
+    if (_IMPORT_CWD == _PKG_PARENT
             or _PKG_PARENT in existing.split(os.pathsep)):
         return {}
     path = _PKG_PARENT if not existing else f"{_PKG_PARENT}{os.pathsep}{existing}"
