@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- multimodal plumbing --------------------------------------------
         "multimodal_meta": dsp.q_multimodal_meta,
         "multimodal_decode_shape": dsp.q_multimodal_decode_shape,
+        "multimodal_frames": dsp.q_multimodal_frames,
     }
 
 

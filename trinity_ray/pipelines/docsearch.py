@@ -271,6 +271,21 @@ def q_multimodal_decode_shape(sf_dir: str):
     return resized.map_batches(summarize, batch_format="pyarrow")
 
 
+def q_multimodal_frames(sf_dir: str):
+    """Frame-sample plumbing (video-style): every-nth frame as a feature
+    vector; decode backend stubbed (deterministic), Ray shape real."""
+    from trinity_ray.ops.multimodal import sample_frames
+
+    def to_bytes(batch: pa.Table) -> pa.Table:
+        payload = pa.array([(t or "").encode() for t in
+                            batch.column("text").to_pylist()], pa.binary())
+        return pa.table({"doc_id": batch.column("doc_id"), "payload": payload})
+
+    ds = read_documents(sf_dir).map_batches(to_bytes, batch_format="pyarrow")
+    out = sample_frames(ds, every_n=16, max_frames=4)
+    return out.select_columns(["doc_id", "n_frames"])
+
+
 PERCOLATE_QUERIES = {
     "p_and": "key AND order",
     "p_or": "dup OR vector",
