@@ -64,7 +64,6 @@ from trinity_ray.index.segment import (
     segment_dir,
     segment_is_complete,
     write_manifest,
-    write_segment_atomic,
 )
 from trinity_ray.tokenizer import MAX_POSITION, get_tokenizer
 
@@ -207,15 +206,6 @@ class _RunStream:
         self._i += 1
 
 
-def _rows_table(rows: list[tuple[str, int, int, bytes]], schema: pa.Schema) -> pa.Table:
-    return pa.table({
-        "term": pa.array([r[0] for r in rows], pa.string()),
-        "df": pa.array([r[1] for r in rows], pa.uint32()),
-        "max_tf": pa.array([r[2] for r in rows], pa.uint32()),
-        "blob": pa.array([r[3] for r in rows], pa.binary()),
-    }, schema=schema)
-
-
 class SegmentBuilder:
     """Stateful actor stage: one partition spec in → one segment dir + stats row.
 
@@ -261,11 +251,23 @@ class SegmentBuilder:
         name = segment_name(self.generation, spec["part_id"])
         if segment_is_complete(self.index_dir, name):  # checkpoint/resume
             st = read_segment_stats(self.index_dir, name)
-            return {"name": name, "resumed": True, **{k: st[k] for k in
+            lin = st.get("lineage", {})
+            if (st.get("doc_base") != spec["doc_base"]
+                    or st.get("doc_count") != spec["rows"]
+                    or lin.get("input_path") != spec["path"]
+                    or lin.get("row_groups") != json.loads(spec["row_groups"])):
+                # same name, DIFFERENT partition plan (target size or input
+                # changed): the checkpoint encodes docIDs from another
+                # doc_base — resuming it would corrupt the id space
+                import shutil
+
+                shutil.rmtree(segment_dir(self.index_dir, name))
+            else:
+                return {"name": name, "resumed": True, **{k: st[k] for k in
                     ("docs_cnt", "sum_term_hits", "total_terms", "sum_terms_docs")},
-                    "part_id": spec["part_id"], "doc_base": spec["doc_base"],
-                    "doc_count": spec["rows"], "generation": self.generation,
-                    "tokenize_s": 0.0, "encode_s": 0.0, "persist_s": 0.0}
+                        "part_id": spec["part_id"], "doc_base": spec["doc_base"],
+                        "doc_count": spec["rows"], "generation": self.generation,
+                        "tokenize_s": 0.0, "encode_s": 0.0, "persist_s": 0.0}
 
         t_start = time.perf_counter()
         row_groups = json.loads(spec["row_groups"])
@@ -303,7 +305,7 @@ class SegmentBuilder:
             hit_docs = (np.concatenate(doc_ids_parts) if doc_ids_parts
                         else np.empty(0, np.uint64))
             hit_pos = (np.concatenate(pos_parts) if pos_parts
-                       else np.empty(0, np.uint64))
+                       else None)
             term_ids_parts, doc_ids_parts, pos_parts = [], [], []
             pending_hits = 0
             st, (table,) = self._encode_segment(vocab, term_ids, hit_docs, hit_pos)
@@ -331,11 +333,12 @@ class SegmentBuilder:
             term_ids_parts.append(np.asarray(flat, dtype=np.int64))
             batch_docs = np.arange(next_doc, next_doc + n, dtype=np.uint64)
             doc_ids_parts.append(np.repeat(batch_docs, counts))
-            # positions restart at 1 per doc
-            pos = np.arange(1, int(counts.sum()) + 1, dtype=np.uint64)
-            cum = np.concatenate(([0], np.cumsum(counts)))
-            pos -= np.repeat(cum[:-1], counts).astype(np.uint64)
-            pos_parts.append(pos)
+            if self.positions:
+                # positions restart at 1 per doc
+                pos = np.arange(1, int(counts.sum()) + 1, dtype=np.uint64)
+                cum = np.concatenate(([0], np.cumsum(counts)))
+                pos -= np.repeat(cum[:-1], counts).astype(np.uint64)
+                pos_parts.append(pos)
             pending_hits += int(counts.sum())
 
             sha = pa.array(
@@ -522,10 +525,13 @@ class SegmentBuilder:
             order = np.argsort(key, kind="stable")
             del key
         else:
-            order = np.lexsort((hit_pos, hit_docs, term_ids))
+            order = (np.lexsort((hit_pos, hit_docs, term_ids))
+                 if hit_pos is not None
+                 else np.lexsort((hit_docs, term_ids)))
         term_ids = term_ids[order]
         hit_docs = hit_docs[order]
-        hit_pos = hit_pos[order]
+        if hit_pos is not None:
+            hit_pos = hit_pos[order]
 
         # collapse hits → postings (term, doc, tf) with per-posting hit slices
         key_change = np.empty(n_hits, dtype=bool)
@@ -548,7 +554,8 @@ class SegmentBuilder:
         ).astype(np.int64)
 
         blobs = encode_many(term_offsets, p_doc, p_tf,
-                            hit_pos if self.positions else None)
+                            hit_pos if (self.positions and hit_pos is not None)
+                            else None)
 
         dfs = np.diff(term_offsets).astype(np.uint64)
         max_tf = np.maximum.reduceat(p_tf, term_offsets[:-1]).astype(np.uint64)
@@ -646,8 +653,25 @@ def build_index(
         )
         for r in sorted(builder_results, key=lambda r: r["part_id"])
     ]
+    version = 1
+    manifest_path = os.path.join(index_dir, "manifest.json")
+    if os.path.exists(manifest_path):
+        # incremental build: keep OTHER generations' segments (including
+        # deletes) — delete_docs appends to the manifest, so build must too
+        from trinity_ray.index.segment import read_manifest
+
+        prev = read_manifest(index_dir)
+        if prev.tokenizer != tokenizer or prev.positions != positions:
+            raise ValueError(
+                f"index {index_dir} was built with tokenizer="
+                f"{prev.tokenizer!r}/positions={prev.positions}; "
+                f"rebuild into a fresh directory to change them")
+        segments = [s for s in prev.segments
+                    if s.generation != generation] + segments
+        segments.sort(key=lambda s: (s.generation, s.part_id))
+        version = prev.version + 1
     manifest = IndexManifest(
-        version=1,
+        version=version,
         tokenizer=tokenizer,
         positions=positions,
         segments=segments,

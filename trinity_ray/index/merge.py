@@ -293,10 +293,18 @@ def merge_index(
     all_deleted = (
         np.unique(np.concatenate(list(masks.values()))) if masks else np.empty(0, np.uint64)
     )
-    doc_paths = [
-        p for s in manifest.segments
-        if os.path.exists(p := os.path.join(segment_dir(index_dir, s.name), DOCS_FILE))
-    ]
+    doc_paths: list[str] = []
+    for s in manifest.segments:
+        seg = segment_dir(index_dir, s.name)
+        f = os.path.join(seg, DOCS_FILE)
+        d = os.path.join(seg, "docs")  # merged-segment sharded layout
+        if os.path.exists(f):
+            doc_paths.append(f)
+        elif os.path.isdir(d):
+            doc_paths.extend(os.path.join(d, x) for x in sorted(os.listdir(d))
+                             if x.endswith(".parquet"))
+    if not doc_paths:
+        raise ValueError(f"no doc metadata in {index_dir}")
     ds_docs = rd.read_parquet(doc_paths)
     if all_deleted.size:
         deleted_ref = ray.put(all_deleted)

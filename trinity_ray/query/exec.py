@@ -282,34 +282,42 @@ class SegmentReader:
             for rg in range(md.num_row_groups):
                 st = md.row_group(rg).column(term_col).statistics
                 rg_index.append((st.min, st.max, fi, rg))
+        # shard/row-group term ranges are disjoint (sorted dictionaries,
+        # boundary terms live in exactly one shard) => sort by min and probe
+        # with bisect — O(log n), the every-64-terms skiplist of terms.cpp:8
+        rg_index.sort(key=lambda e: e[0])
         self._rg_index = rg_index
+        self._rg_mins = [e[0] for e in rg_index]
 
     def _probe(self, term: str) -> tuple[int, int, int, int, int] | None:
         self._ensure_dict()
         if self._dict is not None:
             return self._dict.get(term)
-        for lo, hi, fi, rg in self._rg_index:
-            if lo <= term <= hi:
-                key = (fi, rg)
-                d = self._rg_cache.get(key)
-                if d is None:
-                    import pyarrow.parquet as pq
+        import bisect
 
-                    t = pq.ParquetFile(self._files[fi][0]).read_row_group(rg)
-                    d = {
-                        tm: (df, mtf, fi, off, ln)
-                        for tm, df, mtf, off, ln in zip(
-                            t.column("term").to_pylist(),
-                            t.column("df").to_pylist(),
-                            t.column("max_tf").to_pylist(),
-                            t.column("off").to_pylist(),
-                            t.column("len").to_pylist())
-                    }
-                    self._rg_cache[key] = d
-                ent = d.get(term)
-                if ent is not None:
-                    return ent
-        return None
+        i = bisect.bisect_right(self._rg_mins, term) - 1
+        if i < 0:
+            return None
+        lo, hi, fi, rg = self._rg_index[i]
+        if not (lo <= term <= hi):
+            return None
+        key = (fi, rg)
+        d = self._rg_cache.get(key)
+        if d is None:
+            import pyarrow.parquet as pq
+
+            t = pq.ParquetFile(self._files[fi][0]).read_row_group(rg)
+            d = {
+                tm: (df, mtf, fi, off, ln)
+                for tm, df, mtf, off, ln in zip(
+                    t.column("term").to_pylist(),
+                    t.column("df").to_pylist(),
+                    t.column("max_tf").to_pylist(),
+                    t.column("off").to_pylist(),
+                    t.column("len").to_pylist())
+            }
+            self._rg_cache[key] = d
+        return d.get(term)
 
     def _read_blob(self, fi: int, off: int, ln: int) -> bytes:
         fh = self._handles.get(fi)
@@ -318,6 +326,19 @@ class SegmentReader:
             self._handles[fi] = fh
         fh.seek(off)
         return fh.read(ln)
+
+    def close(self) -> None:
+        """Release postings.bin file handles (long-lived serving actors
+        hold one per shard otherwise)."""
+        for fh in self._handles.values():
+            try:
+                fh.close()
+            except OSError:
+                pass
+        self._handles.clear()
+
+    def __del__(self):  # best-effort; close() is the real API
+        self.close()
 
     def lookup_terms(self, terms: list[str]) -> dict[str, int]:
         """df per term (0 if absent) — resolve_term_ctx analogue; dictionary
@@ -500,7 +521,10 @@ class SegmentReader:
         output is identical to the exhaustive path (canonical re-score)."""
         sc = get_scorer(scorer) if isinstance(scorer, str) else scorer
         flat = _flat_or_terms(node) if k else None
-        if flat is not None and weights:
+        if flat is not None and weights and set(weights) <= set(flat):
+            # pruning bounds cover exactly the query terms; a weights map
+            # with EXTRA terms (public-API callers) must take the exhaustive
+            # path or the bound math would under-estimate final scores
             return self._execute_maxscore(flat, weights, k, sc)
         matched = self.match(node)
         if self.mask is not None and matched.size:
