@@ -84,3 +84,30 @@ def test_remerge_of_merged_index(tmp_path, ray_session):
     s = LocalSearcher(m2)
     ids = set(int(d) for d in s.search("", k=0).doc_ids)
     assert ids == set(range(3, len(docs)))
+
+
+def test_replace_semantics_last_writer_wins(tmp_path, ray_session):
+    """build_index(replace_docs=True) at a newer generation: same docIDs
+    mask older generations (SegmentIndexSession::replace, indexer.h:181-206),
+    and a merge applies the replacement physically."""
+    old = ["old aa", "old bb", "keep cc", "keep dd"]
+    new = ["new aa", "new bb"]  # replaces docs 0 and 1
+    p_old = _write(tmp_path, "old.parquet", old)
+    p_new = _write(tmp_path, "new.parquet", new)
+    idx = str(tmp_path / "idx")
+    build_index(p_old, idx, content_column="text", tokenizer="simple",
+                generation=0)
+    build_index(p_new, idx, content_column="text", tokenizer="simple",
+                generation=1, replace_docs=True)
+    s = LocalSearcher(idx)
+    # OLD matches only surviving (non-replaced) docs... none contain OLD now
+    assert set(int(d) for d in s.search("old", k=0, scorer="bm25").doc_ids) == set()
+    assert set(int(d) for d in s.search("new", k=0).doc_ids) == {0, 1}
+    assert set(int(d) for d in s.search("keep", k=0).doc_ids) == {2, 3}
+    # merged: physical replacement, stats over live docs
+    merged = str(tmp_path / "merged")
+    m = merge_index(idx, merged)
+    assert m.total_stats().docs_cnt == 4
+    sm = LocalSearcher(merged)
+    assert set(int(d) for d in sm.search("new", k=0).doc_ids) == {0, 1}
+    assert sm.search("old", k=0).doc_ids.size == 0

@@ -224,6 +224,7 @@ class SegmentBuilder:
         generation: int,
         read_batch_rows: int = 8192,
         flush_hits: int = 4_000_000,
+        replace_docs: bool = False,
     ):
         self.index_dir = index_dir
         self.content_column = content_column
@@ -233,6 +234,11 @@ class SegmentBuilder:
         self.positions = positions
         self.generation = generation
         self.read_batch_rows = read_batch_rows
+        # replace semantics (SegmentIndexSession::replace, indexer.h:181-206):
+        # this generation's docIDs mask the same IDs in OLDER generations —
+        # each segment writes its own id range as its deletes list, and the
+        # existing newer-generation masking machinery does the rest
+        self.replace_docs = replace_docs
         # bounded working set: hits are sorted+encoded into an intermediate
         # RUN once this many accumulate (the reference spills doc records at
         # intermediateStateFlushFreq, indexer.cpp:134-152); runs merge
@@ -368,6 +374,13 @@ class SegmentBuilder:
                 pa.schema([("doc_id", pa.uint64())]), compression="zstd")
         docs_writer.close()
         t_tokenized = time.perf_counter()
+
+        if self.replace_docs:
+            pq.write_table(
+                pa.table({"doc_id": pa.array(
+                    np.arange(spec["doc_base"], next_doc, dtype=np.uint64),
+                    pa.uint64())}),
+                os.path.join(tmp_dir, "deletes.parquet"))
 
         flush_run()
         t0 = time.perf_counter()
@@ -598,6 +611,7 @@ def build_index(
     concurrency: int | None = None,
     read_batch_rows: int = 8192,
     flush_hits: int = 4_000_000,
+    replace_docs: bool = False,
 ) -> IndexManifest:
     """Build (or resume) an index over a Parquet corpus.  Ray must already
     be initialised by the caller; this function never calls ray.init()."""
@@ -622,6 +636,7 @@ def build_index(
         generation=generation,
         read_batch_rows=read_batch_rows,
         flush_hits=flush_hits,
+        replace_docs=replace_docs,
     )
     # plain tasks, not an actor pool: SegmentBuilder holds only cheap config
     # (tokenizer regex, paths), so per-task reconstruction costs ~ms while
@@ -644,6 +659,7 @@ def build_index(
             part_id=r["part_id"],
             doc_base=r["doc_base"],
             doc_count=r["doc_count"],
+            has_deletes=replace_docs,
             stats=FieldStatistics(
                 docs_cnt=r["docs_cnt"],
                 sum_term_hits=r["sum_term_hits"],

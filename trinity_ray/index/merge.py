@@ -289,34 +289,46 @@ def merge_index(
         _write_shard(postings_dir, "boundary", brows)
 
     # --- docs: stream live doc metadata (never materialized on the driver:
-    # at 10^12 docs this is the big table; deletes broadcast once) ---------
-    all_deleted = (
-        np.unique(np.concatenate(list(masks.values()))) if masks else np.empty(0, np.uint64)
-    )
-    doc_paths: list[str] = []
+    # at 10^12 docs this is the big table; masks broadcast once).  Masks are
+    # PER SEGMENT (only NEWER generations delete/replace a segment's docs,
+    # index_source.h:199-216) — a replaced docID must survive in the
+    # replacing generation's own doc table — so rows are tagged with their
+    # source segment via include_paths, exactly like the postings read.
+    doc_specs: list[dict] = []
     for s in manifest.segments:
         seg = segment_dir(index_dir, s.name)
         f = os.path.join(seg, DOCS_FILE)
         d = os.path.join(seg, "docs")  # merged-segment sharded layout
         if os.path.exists(f):
-            doc_paths.append(f)
+            doc_specs.append({"doc_file": f, "seg": s.name})
         elif os.path.isdir(d):
-            doc_paths.extend(os.path.join(d, x) for x in sorted(os.listdir(d))
+            doc_specs.extend({"doc_file": os.path.join(d, x), "seg": s.name}
+                             for x in sorted(os.listdir(d))
                              if x.endswith(".parquet"))
-    if not doc_paths:
+    if not doc_specs:
         raise ValueError(f"no doc metadata in {index_dir}")
-    ds_docs = rd.read_parquet(doc_paths)
-    if all_deleted.size:
-        deleted_ref = ray.put(all_deleted)
+    # one task per doc file (not include_paths: user id columns may be
+    # called "path"); each task applies ITS segment's newer-generation mask
+    # — a replaced docID survives in the replacing generation's own table
+    masks_ref = ray.put(masks)
 
-        def drop_deleted(batch: pa.Table) -> pa.Table:
-            dele = ray.get(deleted_ref)
-            ids = batch.column("doc_id").to_numpy().astype(np.uint64)
-            idx = np.minimum(np.searchsorted(dele, ids), dele.size - 1)
-            return batch.filter(pa.array(dele[idx] != ids))
+    def load_docs(batch: pa.Table) -> pa.Table:
+        mk = ray.get(masks_ref)
+        tables = []
+        for p, seg_name in zip(batch.column("doc_file").to_pylist(),
+                               batch.column("seg").to_pylist()):
+            t = pq.read_table(p)
+            dele = mk.get(seg_name)
+            if dele is not None and dele.size and len(t):
+                ids = t.column("doc_id").to_numpy().astype(np.uint64)
+                idx = np.minimum(np.searchsorted(dele, ids), dele.size - 1)
+                t = t.filter(pa.array(dele[idx] != ids))
+            tables.append(t)
+        return pa.concat_tables(tables, promote_options="default")
 
-        ds_docs = ds_docs.map_batches(drop_deleted, batch_format="pyarrow",
-                                      runtime_env=package_runtime_env())
+    ds_docs = rd.from_items(doc_specs).map_batches(
+        load_docs, batch_size=1, batch_format="pyarrow",
+        runtime_env=package_runtime_env())
     docs_dir = os.path.join(out_seg, "docs")
     ds_docs.write_parquet(docs_dir, compression="zstd")
     if not os.path.isdir(docs_dir):  # everything deleted: write_parquet
