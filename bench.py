@@ -141,6 +141,13 @@ def bench_ops(sf_dir: str) -> dict[str, float]:
     timed("dedup_minhash", dsp.q_dedup_minhash_pairs)
     timed("text_tokens", dsp.q_text_token_counts)
     timed("ann_bruteforce", dsp.q_ann_bruteforce_top10)
+    # IVF recall@10 vs the exact brute-force answer (nprobe=3 of 8 lists)
+    try:
+        exact = set(dsp.q_ann_bruteforce_top10(sf_dir).column("vec_id").to_pylist())
+        approx = set(dsp.q_ann_ivf_top10(sf_dir).column("vec_id").to_pylist())
+        out["ann_ivf_recall10"] = len(exact & approx) / max(1, len(exact))
+    except Exception:
+        out["ann_ivf_recall10"] = -1.0
     return out
 
 

@@ -16,4 +16,32 @@ A from-scratch rebuild of the *capabilities* of phaistos-networks/Trinity
 Nothing in this package calls ``ray.init()``; callers own the Ray session.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+# Public API (lazy imports so `import trinity_ray` stays light; heavy deps
+# like ray.data load only when the symbols are used).
+_EXPORTS = {
+    "build_index": ("trinity_ray.index.build", "build_index"),
+    "merge_index": ("trinity_ray.index.merge", "merge_index"),
+    "delete_docs": ("trinity_ray.index.merge", "delete_docs"),
+    "retire_superseded": ("trinity_ray.index.merge", "retire_superseded"),
+    "LocalSearcher": ("trinity_ray.search", "LocalSearcher"),
+    "RaySearcher": ("trinity_ray.search", "RaySearcher"),
+    "batch_search": ("trinity_ray.search", "batch_search"),
+    "parse_query": ("trinity_ray.query.ast", "parse_query"),
+    "rewrite_query": ("trinity_ray.query.rewrite", "rewrite_query"),
+    "percolate": ("trinity_ray.ops.percolate", "percolate"),
+    "get_tokenizer": ("trinity_ray.tokenizer", "get_tokenizer"),
+}
+
+__all__ = sorted(_EXPORTS) + ["__version__"]
+
+
+def __getattr__(name: str):
+    try:
+        mod, attr = _EXPORTS[name]
+    except KeyError:
+        raise AttributeError(f"module 'trinity_ray' has no attribute {name!r}") from None
+    import importlib
+
+    return getattr(importlib.import_module(mod), attr)

@@ -443,8 +443,11 @@ def q_ann_ivf_top10(sf_dir: str) -> pa.Table:
 
     emb = pq.read_table(embeddings_parquet(sf_dir), columns=["vec_id", "embedding"])
     qvec = np.asarray(emb.column("embedding")[0].as_py(), dtype=np.float64)
+    # testdata embeddings are uniform random (no cluster structure), the
+    # IVF worst case: nprobe=4 of 8 lists measures recall 0.8 vs brute
+    # force here; real embedding manifolds cluster far better
     cent, assigned = ivf_build(read_embeddings(sf_dir), n_clusters=8)
-    t = ivf_topk(assigned, cent, qvec[None, :], k=TOPK + 1, nprobe=3)
+    t = ivf_topk(assigned, cent, qvec[None, :], k=TOPK + 1, nprobe=4)
     # drop the query vector itself if present
     keep = t.column("vec_id").to_numpy() != 0
     t = t.filter(pa.array(keep))
