@@ -150,3 +150,49 @@ def test_encode_many_rejects_unsorted_within_term():
     # descending across term boundary is fine (resets)
     docs = np.array([5, 9, 2, 3], dtype=np.uint64)
     assert len(encode_many(offs, docs, freqs)) == 2
+
+
+@given(
+    st.lists(st.tuples(st.integers(1, 6), st.integers(0, 50)),
+             min_size=1, max_size=400),
+    st.integers(0, 2**33),
+)
+@settings(max_examples=60, deadline=None)
+def test_block_positions_roundtrip(spec, base):
+    """decode_block_positions over every block == slicing the full stream."""
+    import numpy as np
+
+    from trinity_ray.codec import PostingsBlob, encode_postings
+
+    doc_ids = np.cumsum([1 + gap for _, gap in spec]).astype(np.uint64) + np.uint64(base)
+    freqs = np.array([tf for tf, _ in spec], dtype=np.uint64)
+    rng = np.random.default_rng(7)
+    pos = np.concatenate([
+        np.sort(rng.choice(np.arange(1, 200, dtype=np.uint64), int(tf),
+                           replace=False))
+        for tf in freqs
+    ])
+    blob = PostingsBlob(encode_postings(doc_ids, freqs, pos))
+    full_pos, full_offs = blob.decode_positions(freqs)
+    np.testing.assert_array_equal(full_pos, pos)
+    hit = 0
+    for b in range(blob.n_blocks):
+        d, f = blob.decode_block(b)
+        bpos, boffs = blob.decode_block_positions(b, f)
+        n_hits = int(f.sum())
+        np.testing.assert_array_equal(bpos, pos[hit:hit + n_hits])
+        np.testing.assert_array_equal(np.diff(boffs), f.astype(np.int64))
+        hit += n_hits
+    assert hit == pos.size
+
+
+@given(st.lists(st.integers(0, 2**40), min_size=1, max_size=300))
+@settings(max_examples=60, deadline=None)
+def test_varint_uint32_compaction_roundtrip(vals):
+    """uint32-compacted encode decodes identically to uint64 values."""
+    import numpy as np
+
+    from trinity_ray.codec import varint_decode, varint_encode
+
+    arr = np.array(vals, dtype=np.uint64)
+    assert varint_decode(varint_encode(arr), arr.size).tolist() == vals
