@@ -111,3 +111,32 @@ def test_replace_semantics_last_writer_wins(tmp_path, ray_session):
     sm = LocalSearcher(merged)
     assert set(int(d) for d in sm.search("new", k=0).doc_ids) == {0, 1}
     assert sm.search("old", k=0).doc_ids.size == 0
+
+
+def test_interrupted_build_resume_byte_identical(tmp_path, ray_session):
+    """Simulated mid-build failure: removing arbitrary segment dirs and
+    rerunning rebuilds ONLY those partitions, byte-identical to the
+    uninterrupted build (north-rule checkpoint/resume)."""
+    import json
+    import shutil
+
+    from tests.test_flush_runs import postings_of
+
+    docs = [f"alpha{i % 11} beta{i % 5} gamma{i % 3}" for i in range(600)]
+    p = _write(tmp_path, "d.parquet", docs, row_group_size=100)
+    idx = str(tmp_path / "idx")
+    build_index(p, idx, content_column="text", tokenizer="simple",
+                target_rows_per_partition=100)
+    reference = postings_of(idx)
+    # "crash": two segments vanish mid-build
+    segs = sorted((tmp_path / "idx" / "segments").iterdir())
+    shutil.rmtree(segs[1])
+    shutil.rmtree(segs[4])
+    m = build_index(p, idx, content_column="text", tokenizer="simple",
+                    target_rows_per_partition=100)
+    assert postings_of(idx) == reference
+    metrics = json.load(open(str(tmp_path / "idx" / "build_metrics.json")))
+    assert metrics["totals"]["built_partitions"] == 2
+    assert metrics["totals"]["resumed_partitions"] == len(segs) - 2
+    s = LocalSearcher(idx)
+    assert s.search("", k=0).doc_ids.size == len(docs)
