@@ -249,14 +249,14 @@ ORDER BY dot / (sqrt(n2) * sqrt(qn2)) DESC, vec_id LIMIT 10
 """,
         "join_part_revenue": """
 SELECT p.p_type, count(*) AS n_rows,
-       sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)) AS sum_cents
+       CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 GROUP BY p.p_type
 """,
         "events_hourly": """
 SELECT epoch_us(ts) // 3600000000 AS window, event_type,
        count(*) AS n_events,
-       sum(CAST(round(value * 100, 0) AS BIGINT)) AS sum_cents
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM events GROUP BY 1, 2
 """,
         "events_sessions": """
@@ -268,8 +268,8 @@ WITH o AS (
 ),
 s AS (
   SELECT user_id, ts_us,
-         sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
-                        ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+                        ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx
   FROM o
 )
 SELECT user_id, session_idx, count(*) AS n_events,

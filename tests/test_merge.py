@@ -154,3 +154,38 @@ def test_merge_rerun_is_idempotent(dirs, tmp_path):
     r = s.readers[0]
     r._ensure_dict()
     assert all(v[0] <= before for v in r._dict.values())
+
+
+def test_lazy_probe_finds_boundary_shard_terms(dirs, monkeypatch):
+    """Regression: a merged segment's 'boundary' shard spans the whole term
+    space, so row-group [min,max] ranges OVERLAP — the lazy probe must check
+    every candidate range, not only the bisect hit, or boundary terms
+    silently resolve to df=0 (ADVICE r1, high)."""
+    import trinity_ray.query.exec as qe
+    from trinity_ray.index.segment import segment_postings_files
+
+    _, merged = dirs
+    s_eager = LocalSearcher(merged)
+    seg_path = os.path.join(merged, "segments",
+                            s_eager.manifest.segments[0].name)
+    pairs = segment_postings_files(seg_path)
+    bpairs = [p for p in pairs if "boundary" in os.path.basename(p[0])]
+    assert bpairs, "merged segment has no boundary shard in this fixture"
+    bterms = pq.read_table(bpairs[0][0], columns=["term"]
+                           ).column("term").to_pylist()
+    monkeypatch.setattr(qe, "_EAGER_DICT_MAX", 0)  # force lazy probing
+    s_lazy = LocalSearcher(merged)
+    r = s_lazy.readers[0]
+    r._ensure_dict()
+    assert r._dict is None and r._rg_index
+    for t in bterms:
+        got = r._probe(t)
+        assert got is not None, f"boundary term {t!r} dropped by lazy probe"
+        # df must agree with the eager dictionary
+        assert got[0] == s_eager.readers[0]._probe(t)[0]
+    # end-to-end: a query on a boundary term returns identical top-k
+    q = bterms[0]
+    res_e = s_eager.search(q, k=10)
+    res_l = s_lazy.search(q, k=10)
+    np.testing.assert_array_equal(res_e.doc_ids, res_l.doc_ids)
+    np.testing.assert_array_equal(res_e.scores, res_l.scores)

@@ -282,12 +282,23 @@ class SegmentReader:
             for rg in range(md.num_row_groups):
                 st = md.row_group(rg).column(term_col).statistics
                 rg_index.append((st.min, st.max, fi, rg))
-        # shard/row-group term ranges are disjoint (sorted dictionaries,
-        # boundary terms live in exactly one shard) => sort by min and probe
-        # with bisect — O(log n), the every-64-terms skiplist of terms.cpp:8
+        # row-group ranges are sorted-by-min but NOT necessarily disjoint:
+        # a merged segment's "boundary" shard spans the whole term space
+        # (its rows are each sort-block's first/last term), so the bisect
+        # hit is only the LAST candidate.  A prefix-max over the range maxes
+        # lets the probe walk left exactly as far as any range could still
+        # contain the term — the every-64-terms skiplist of terms.cpp:8-103
+        # generalized to overlapping shards.
         rg_index.sort(key=lambda e: e[0])
         self._rg_index = rg_index
         self._rg_mins = [e[0] for e in rg_index]
+        pm: list[str] = []
+        cur = ""
+        for _lo, hi, _fi, _rg in rg_index:
+            if hi > cur:
+                cur = hi
+            pm.append(cur)
+        self._rg_prefix_max = pm
 
     def _probe(self, term: str) -> tuple[int, int, int, int, int] | None:
         self._ensure_dict()
@@ -295,12 +306,20 @@ class SegmentReader:
             return self._dict.get(term)
         import bisect
 
-        i = bisect.bisect_right(self._rg_mins, term) - 1
-        if i < 0:
-            return None
-        lo, hi, fi, rg = self._rg_index[i]
-        if not (lo <= term <= hi):
-            return None
+        j = bisect.bisect_right(self._rg_mins, term) - 1
+        # every j' <= j has min <= term; walk left while the prefix-max says
+        # some range there could still reach term (overlapping boundary
+        # shards make >1 candidate possible; a term lives in exactly one)
+        while j >= 0 and self._rg_prefix_max[j] >= term:
+            lo, hi, fi, rg = self._rg_index[j]
+            if lo <= term <= hi:
+                hit = self._load_rg_dict(fi, rg).get(term)
+                if hit is not None:
+                    return hit
+            j -= 1
+        return None
+
+    def _load_rg_dict(self, fi: int, rg: int) -> dict:
         key = (fi, rg)
         d = self._rg_cache.get(key)
         if d is None:
@@ -317,7 +336,7 @@ class SegmentReader:
                     t.column("len").to_pylist())
             }
             self._rg_cache[key] = d
-        return d.get(term)
+        return d
 
     def _read_blob(self, fi: int, off: int, ln: int) -> bytes:
         fh = self._handles.get(fi)
