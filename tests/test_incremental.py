@@ -33,12 +33,19 @@ def test_incremental_generation_appends(tmp_path, ray_session):
     delete_docs(idx, [3], generation=1)          # delete "dd"
     build_index(p1, idx, content_column="text", tokenizer="simple",
                 generation=2)
-    # NOTE: gen-2 docIDs restart at 0 for the new file; a real incremental
-    # ingest would offset doc_base — here we only check manifest retention.
     s = LocalSearcher(idx)
     gens = sorted({seg.generation for seg in s.manifest.segments})
     assert gens == [0, 1, 2]
     assert any(seg.has_deletes for seg in s.manifest.segments)
+    # append offsets docIDs above every prior generation — no collisions
+    g2 = [seg for seg in s.manifest.segments if seg.generation == 2]
+    assert min(seg.doc_base for seg in g2) >= len(docs0)
+    res = s.search("", k=0)  # MatchAll over live docs
+    ids = [int(d) for d in res.doc_ids]
+    assert len(ids) == len(set(ids)) == len(docs0) - 1 + len(docs1)
+    # "aa" appears in docs 0, 2 and appended doc (base+1)
+    aa = sorted(int(d) for d in s.search("aa", k=0).doc_ids)
+    assert aa == [0, 2, g2[0].doc_base + 1]
 
 
 def test_tokenizer_change_rejected(tmp_path, ray_session):

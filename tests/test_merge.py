@@ -189,3 +189,30 @@ def test_lazy_probe_finds_boundary_shard_terms(dirs, monkeypatch):
     res_l = s_lazy.search(q, k=10)
     np.testing.assert_array_equal(res_e.doc_ids, res_l.doc_ids)
     np.testing.assert_array_equal(res_e.scores, res_l.scores)
+
+
+def test_merge_redone_after_late_deletes(dirs, tmp_path):
+    """Deletes added to the source AFTER a completed merge (at or below the
+    merged generation) must trigger a re-merge on rerun, not return stale
+    output; the superseded segment dir is removed (ADVICE r1)."""
+    import shutil
+
+    idx, merged = dirs
+    src = str(tmp_path / "src2")
+    out = str(tmp_path / "out2")
+    shutil.copytree(idx, src)
+    merge_index(src, out)
+    live0 = LocalSearcher(out).search("", k=0).doc_ids.size
+    extra = [5, 6, 7]
+    delete_docs(src, extra, generation=1)  # same max generation as before
+    m2 = merge_index(src, out)             # must redo, not early-return
+    s = LocalSearcher(out)
+    ids = set(int(d) for d in s.search("", k=0).doc_ids)
+    assert ids.isdisjoint(extra)
+    assert len(ids) == live0 - len(set(extra) - set(DELETED))
+    # no orphaned segment dirs left behind
+    keep = {seg.name for seg in m2.segments}
+    assert set(os.listdir(os.path.join(out, "segments"))) == keep
+    # and an unchanged rerun is still an idempotent no-op (early return)
+    v = m2.version
+    assert merge_index(src, out).version == v

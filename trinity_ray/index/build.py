@@ -619,9 +619,35 @@ def build_index(
     import ray.data as rd
 
     os.makedirs(os.path.join(index_dir, "segments"), exist_ok=True)
+    manifest_path = os.path.join(index_dir, "manifest.json")
+    prev = None
+    if os.path.exists(manifest_path):
+        from trinity_ray.index.segment import read_manifest
+
+        prev = read_manifest(index_dir)
+        if prev.tokenizer != tokenizer or prev.positions != positions:
+            raise ValueError(
+                f"index {index_dir} was built with tokenizer="
+                f"{prev.tokenizer!r}/positions={prev.positions}; "
+                f"rebuild into a fresh directory to change them")
+
     specs = plan_partitions(input_paths, target_rows=target_rows_per_partition)
     if not specs:
         raise ValueError(f"no parquet input found at {input_paths!r}")
+    if prev is not None and not replace_docs:
+        # APPEND into an existing index: new docs get fresh docIDs above every
+        # prior generation's range (replace_docs=True intentionally REUSES the
+        # old doc_base so its deletes.parquet masks the replaced rows —
+        # last-writer-wins, index_source.h:199-216).  Without this offset a
+        # plain append collides with older generations' docIDs.
+        others = [s for s in prev.segments if s.generation != generation]
+        base = max((s.doc_base + s.doc_count for s in others), default=0)
+        if base:
+            specs = [
+                PartitionSpec(s.part_id, s.path, s.row_groups,
+                              s.doc_base + base, s.rows)
+                for s in specs
+            ]
 
     if concurrency is None:
         concurrency = max(1, min(len(specs), int(ray.cluster_resources().get("CPU", 4))))
@@ -670,18 +696,9 @@ def build_index(
         for r in sorted(builder_results, key=lambda r: r["part_id"])
     ]
     version = 1
-    manifest_path = os.path.join(index_dir, "manifest.json")
-    if os.path.exists(manifest_path):
+    if prev is not None:
         # incremental build: keep OTHER generations' segments (including
         # deletes) — delete_docs appends to the manifest, so build must too
-        from trinity_ray.index.segment import read_manifest
-
-        prev = read_manifest(index_dir)
-        if prev.tokenizer != tokenizer or prev.positions != positions:
-            raise ValueError(
-                f"index {index_dir} was built with tokenizer="
-                f"{prev.tokenizer!r}/positions={prev.positions}; "
-                f"rebuild into a fresh directory to change them")
         segments = [s for s in prev.segments
                     if s.generation != generation] + segments
         segments.sort(key=lambda s: (s.generation, s.part_id))

@@ -207,13 +207,22 @@ def merge_index(
     gen = max((s.generation for s in manifest.segments), default=0)
     name = f"g{gen:06d}-merged"
     out_seg = segment_dir(out_dir, name)
-    # idempotent completion / crash-safe restart: a finished merge (durable
-    # manifest) is returned as-is; a partial one is cleared so a rerun can't
-    # leave duplicate term shards behind
+    # idempotent completion / crash-safe restart: a finished merge of the
+    # SAME source state (fingerprint covers manifest version, segment names
+    # and delete-file sizes — deletes at or below `gen` added after a merge
+    # change the fingerprint even though the name stays g{gen}-merged) is
+    # returned as-is; anything else is redone and superseded dirs cleaned
+    src_fp = _source_fingerprint(index_dir, manifest)
     if os.path.exists(os.path.join(out_dir, "manifest.json")):
         existing = read_manifest(out_dir)
         if any(s.name == name for s in existing.segments):
-            return existing
+            try:
+                with open(os.path.join(out_seg, STATS_FILE)) as f:
+                    done_fp = json.load(f).get("source_fp")
+            except (OSError, ValueError):
+                done_fp = None
+            if done_fp == src_fp:
+                return existing
     postings_dir = os.path.join(out_seg, "postings")
     if os.path.isdir(out_seg):
         import shutil
@@ -363,7 +372,7 @@ def merge_index(
     with open(os.path.join(out_seg, STATS_FILE), "w") as f:
         json.dump({"format": SEGMENT_FORMAT, **stats.__dict__,
                    "generation": gen, "doc_base": 0,
-                   "doc_count": docs_cnt}, f)
+                   "doc_count": docs_cnt, "source_fp": src_fp}, f)
 
     doc_end = max((s.doc_end for s in manifest.segments), default=0)
     out_manifest = IndexManifest(
@@ -379,7 +388,30 @@ def merge_index(
         id_columns=manifest.id_columns,
     )
     write_manifest(out_dir, out_manifest)
+    # a redone merge (new deletes → new fingerprint, or a newer generation →
+    # new name) supersedes any earlier merged segment dirs in out_dir —
+    # remove them so disk doesn't accumulate orphans across reruns
+    import shutil
+
+    keep = {s.name for s in out_manifest.segments}
+    seg_root = os.path.join(out_dir, "segments")
+    for d in os.listdir(seg_root):
+        if d not in keep and os.path.isdir(os.path.join(seg_root, d)):
+            shutil.rmtree(os.path.join(seg_root, d), ignore_errors=True)
     return out_manifest
+
+
+def _source_fingerprint(index_dir: str, manifest: IndexManifest) -> str:
+    """Identity of the merge INPUT: manifest version, segment names/gens and
+    per-segment delete-file sizes.  Any delete_docs / incremental build into
+    the source changes this, so a rerun redoes the merge instead of handing
+    back stale output (ADVICE r1)."""
+    items: list = [manifest.version]
+    for s in sorted(manifest.segments, key=lambda s: s.name):
+        df = os.path.join(segment_dir(index_dir, s.name), DELETES_FILE)
+        items.append([s.name, s.generation,
+                      os.path.getsize(df) if os.path.exists(df) else 0])
+    return hashlib.sha1(json.dumps(items).encode()).hexdigest()
 
 
 def delete_docs(index_dir: str, doc_ids: Iterable[int], generation: int) -> None:
@@ -391,16 +423,25 @@ def delete_docs(index_dir: str, doc_ids: Iterable[int], generation: int) -> None
     name = f"g{generation:06d}-deletes"
     seg = segment_dir(index_dir, name)
     os.makedirs(seg, exist_ok=True)
-    pq.write_table(pa.table({"doc_id": pa.array(ids, pa.uint64())}),
-                   os.path.join(seg, DELETES_FILE))
+    dele_path = os.path.join(seg, DELETES_FILE)
+    if os.path.exists(dele_path):
+        # repeated delete_docs at the SAME generation: union with the
+        # existing list (overwriting would silently resurrect earlier
+        # deletes — last-writer-wins is across generations, not within)
+        old = pq.read_table(dele_path).column("doc_id").to_numpy()
+        ids = np.union1d(ids, old.astype(np.uint64))
+    tmp = dele_path + f".tmp-{os.getpid()}"
+    pq.write_table(pa.table({"doc_id": pa.array(ids, pa.uint64())}), tmp)
+    os.replace(tmp, dele_path)
     stats = FieldStatistics()
     with open(os.path.join(seg, STATS_FILE), "w") as f:
         json.dump({**stats.__dict__, "generation": generation,
                    "doc_base": 0, "doc_count": 0}, f)
-    manifest.segments.append(SegmentMeta(
-        name=name, generation=generation, part_id=-1,
-        doc_base=0, doc_count=0, stats=stats, has_deletes=True,
-    ))
+    if not any(s.name == name for s in manifest.segments):
+        manifest.segments.append(SegmentMeta(
+            name=name, generation=generation, part_id=-1,
+            doc_base=0, doc_count=0, stats=stats, has_deletes=True,
+        ))
     manifest.version += 1
     write_manifest(index_dir, manifest)
 

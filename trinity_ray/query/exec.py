@@ -240,6 +240,15 @@ class SegmentReader:
         self.doc_count = doc_count
         self.mask = mask if mask is not None and len(mask) else None  # sorted deleted doc_ids
         self._files = segment_postings_files(seg_path)  # [] = deletes-only
+        if not self._files and os.path.exists(
+                os.path.join(seg_path, "postings.parquet")):
+            # legacy format-1 layout: without this check it would be
+            # indistinguishable from a deletes-only segment and every query
+            # would silently return empty (ADVICE r1)
+            raise ValueError(
+                f"segment {seg_path} uses the retired format-1 layout "
+                "(postings.parquet); rebuild the index with the current "
+                "version")
         self._dict: dict[str, tuple[int, int, int, int, int]] | None = None
         self._rg_index: list[tuple[str, str, int, int]] | None = None
         self._rg_cache: dict[tuple[int, int], dict] = {}
