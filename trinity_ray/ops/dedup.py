@@ -85,28 +85,27 @@ def exact_dedup(ds, id_column: str = "doc_id", text_column: str = "text",
                            ).drop_columns(["content_hash"])
     if n_losers == 0:
         return ds
-    dup_tbl = pa.concat_tables(dup_batches)
-    dup_hashes = set(dup_tbl.column("content_hash").to_pylist())
-    keeper = dict(zip(dup_tbl.column("content_hash").to_pylist(),
-                      dup_tbl.column(id_column).to_pylist()))
-    # second cheap pass: collect loser ids (dup-group members that are not
-    # the keeper) — only dup-group rows ever leave the workers
-    losers: list[int] = []
-    for b in hashed.select_columns(["content_hash", id_column]).iter_batches(
-            batch_format="pyarrow", batch_size=65536):
-        hs = b.column("content_hash").to_pylist()
-        ids = b.column(id_column).to_pylist()
-        losers.extend(int(i) for h, i in zip(hs, ids)
-                      if h in dup_hashes and int(i) != keeper[h])
-    loser_ref = ray.put(np.sort(np.asarray(losers, dtype=np.int64)))
+    # broadcast the (dup hash -> keeper id) table once; losers are dropped
+    # INSIDE map_batches with vectorized pc.index_in — the corpus never
+    # transits the driver (the dup table is bounded by broadcast_max_losers)
+    dup_tbl = pa.concat_tables(dup_batches).combine_chunks()
+    dup_ref = ray.put(dup_tbl)
 
     def drop_losers(batch: pa.Table) -> pa.Table:
-        lo = ray.get(loser_ref)
-        ids = batch.column(id_column).to_numpy().astype(np.int64)
-        return batch.filter(pa.array(~np.isin(ids, lo, assume_unique=False)))
+        dup = ray.get(dup_ref)
+        pos = pc.index_in(batch.column("content_hash"),
+                          value_set=dup.column("content_hash"))
+        valid = pos.is_valid().to_numpy(zero_copy_only=False)
+        if not valid.any():
+            return batch.drop_columns(["content_hash"])
+        keepers = dup.column(id_column).to_numpy()
+        ids = batch.column(id_column).to_numpy()
+        idx = pos.fill_null(0).to_numpy(zero_copy_only=False)
+        keep = ~valid | (keepers[idx] == ids)
+        return batch.filter(pa.array(keep)).drop_columns(["content_hash"])
 
-    return ds.map_batches(drop_losers, batch_format="pyarrow",
-                          runtime_env=package_runtime_env())
+    return hashed.map_batches(drop_losers, batch_format="pyarrow",
+                              runtime_env=package_runtime_env())
 
 
 def exact_dup_groups(ds, id_column: str = "doc_id", text_column: str = "text"):
@@ -170,6 +169,18 @@ def _shingle_hashes(tokens: list[str], k: int) -> np.ndarray:
 _MERSENNE = (1 << 61) - 1
 
 
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer, vectorized over a uint64 array (wraparound is
+    the modulus).  Quality is ample for LSH bucketing keys."""
+    x = x + np.uint64(0x9E3779B97F4A7C15)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
 class MinHasher:
     """num_perm universal-hash minhash over k-token shingles."""
 
@@ -196,10 +207,12 @@ class MinHasher:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         sigs = [self.signature(t) for t in batch.column(self.text_column).to_pylist()]
+        flat = (np.concatenate(sigs) if sigs
+                else np.empty(0, dtype=np.uint64))
         return pa.table({
             self.id_column: batch.column(self.id_column),
-            "minhash": pa.array([s.tolist() for s in sigs],
-                                pa.list_(pa.uint64(), self.num_perm)),
+            "minhash": pa.FixedSizeListArray.from_arrays(
+                pa.array(flat, pa.uint64()), self.num_perm),
         })
 
 
@@ -207,13 +220,17 @@ def minhash_signatures(ds, *, num_perm: int = 64, shingle_k: int = 3,
                        text_column: str = "text", id_column: str = "doc_id",
                        tokenizer: str = "simple", batch_size: int = 1024,
                        concurrency: int = 8):
+    # a driver-constructed instance (plain tasks), NOT an actor pool:
+    # MinHasher state is a few KB (hash coefficients + compiled regex) that
+    # pickles with the task, while an actor pool pays N process spawns +
+    # package imports before the first batch — the dominant cost for
+    # anything but giant inputs (same lesson as the index builder)
+    fn = MinHasher(num_perm=num_perm, shingle_k=shingle_k,
+                   text_column=text_column, id_column=id_column,
+                   tokenizer=tokenizer)
     return ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs=dict(num_perm=num_perm, shingle_k=shingle_k,
-                                   text_column=text_column, id_column=id_column,
-                                   tokenizer=tokenizer),
-        batch_format="pyarrow", batch_size=batch_size, concurrency=actor_pool(concurrency),
-        runtime_env=package_runtime_env(),
+        fn, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, runtime_env=package_runtime_env(),
     )
 
 
@@ -229,6 +246,10 @@ def _hot_buckets_only(exploded, keys: list[str], max_hot: int = 2_000_000):
     import ray
     from ray.data.aggregate import Count
 
+    # exploded is consumed twice (bucket count + filter); without a
+    # materialize the whole upstream (per-doc signature computation) would
+    # re-execute for the second pass
+    exploded = exploded.materialize()
     sizes = exploded.groupby(keys).aggregate(Count(alias_name="bucket_n"))
     hot = sizes.filter(expr="bucket_n >= 2").select_columns(keys)
     hot_tbl = pa.concat_tables(
@@ -238,22 +259,24 @@ def _hot_buckets_only(exploded, keys: list[str], max_hot: int = 2_000_000):
         return exploded.limit(0)
     if hot_tbl.num_rows > max_hot:
         return exploded
-    # pack composite keys into one uint64 set for np.isin
-    def pack(tbl: pa.Table) -> np.ndarray:
-        acc = np.zeros(tbl.num_rows, dtype=np.uint64)
-        for k in keys:
-            col = tbl.column(k).to_numpy().astype(np.uint64)
-            acc = (acc * np.uint64(0x9E3779B97F4A7C15)) ^ col
-        return acc
-    hot_keys = ray.put(np.unique(pack(hot_tbl)))
+    hot_keys = ray.put(np.unique(_pack_keys(hot_tbl, keys)))
 
     def keep(batch: pa.Table) -> pa.Table:
         hk = ray.get(hot_keys)
-        mask = np.isin(pack(batch), hk, assume_unique=False)
+        mask = np.isin(_pack_keys(batch, keys), hk, assume_unique=False)
         return batch.filter(pa.array(mask))
 
     return exploded.map_batches(keep, batch_format="pyarrow",
                                 runtime_env=package_runtime_env())
+
+
+def _pack_keys(tbl: pa.Table, keys: list[str]) -> np.ndarray:
+    """Pack composite bucket keys into one uint64 per row for np.isin."""
+    acc = np.zeros(tbl.num_rows, dtype=np.uint64)
+    for k in keys:
+        col = tbl.column(k).to_numpy().astype(np.uint64)
+        acc = (acc * np.uint64(0x9E3779B97F4A7C15)) ^ col
+    return acc
 
 
 def minhash_lsh_pairs(ds, *, num_perm: int = 64, bands: int = 8,
@@ -271,34 +294,77 @@ def minhash_lsh_pairs(ds, *, num_perm: int = 64, bands: int = 8,
     """
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
+    import ray
+    from ray.data.aggregate import Count
+
+    # signatures are computed ONCE and pinned (512 B/doc at the defaults —
+    # a small fraction of corpus bytes; at PB scale checkpoint this stage to
+    # Parquet instead so reruns and the two passes below read, not recompute)
     sigs = minhash_signatures(ds, num_perm=num_perm, shingle_k=shingle_k,
                               text_column=text_column, id_column=id_column,
-                              tokenizer=tokenizer, concurrency=concurrency)
+                              tokenizer=tokenizer,
+                              concurrency=concurrency).materialize()
 
-    def explode(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_column).to_numpy()
-        sig = np.asarray(batch.column("minhash").to_pylist(), dtype=np.uint64)
-        n = len(ids)
-        band_ids, band_hashes, doc_ids, sig_rows = [], [], [], []
+    def explode(batch: pa.Table, with_sig: bool) -> pa.Table:
+        n = batch.num_rows
+        mh = batch.column("minhash").combine_chunks()
+        if isinstance(mh, pa.ChunkedArray):
+            mh = mh.chunk(0) if mh.num_chunks else pa.array(
+                [], pa.list_(pa.uint64(), num_perm))
+        sig = mh.flatten().to_numpy(zero_copy_only=False
+                                    ).astype(np.uint64).reshape(n, num_perm)
+        parts = []
         for b in range(bands):
             chunk = sig[:, b * rows_per_band:(b + 1) * rows_per_band]
-            hs = [hashlib.blake2b(chunk[i].tobytes(), digest_size=8).digest()
-                  for i in range(n)]
-            band_ids.append(np.full(n, b, dtype=np.int32))
-            # int64 (63-bit) so the hash survives every groupby/aggregate
-            # round-trip without object/pickle fallbacks
-            band_hashes.extend(
-                int.from_bytes(h, "little") & 0x7FFFFFFFFFFFFFFF for h in hs)
-            doc_ids.append(ids)
-            sig_rows.extend(sig[i].tolist() for i in range(n))
-        return pa.table({
-            "band": pa.array(np.concatenate(band_ids), pa.int32()),
-            "band_hash": pa.array(band_hashes, pa.int64()),
-            id_column: pa.array(np.concatenate(doc_ids)),
-            "minhash": pa.array(sig_rows, pa.list_(pa.uint64(), num_perm)),
-        })
+            # vectorized band hash: one splitmix64 mixing pass per signature
+            # column — O(bands) numpy passes, not O(rows*bands) digest calls
+            h = _mix64(np.full(n, b + 1, dtype=np.uint64)
+                       * np.uint64(0x9E3779B97F4A7C15))
+            for c in range(rows_per_band):
+                h = _mix64(h ^ chunk[:, c])
+            cols = {
+                "band": pa.array(np.full(n, b, dtype=np.int32), pa.int32()),
+                # 63-bit int64 so the hash survives every groupby/aggregate
+                # round-trip without object/pickle fallbacks
+                "band_hash": pa.array(
+                    (h >> np.uint64(1)).astype(np.int64), pa.int64()),
+                id_column: batch.column(id_column),
+            }
+            if with_sig:
+                cols["minhash"] = mh
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
 
-    exploded = sigs.map_batches(explode, batch_format="pyarrow",
+    # pass 1: bucket sizes over LIGHT rows (band, hash, id) — the full
+    # signature is never replicated bands× through the shuffle
+    keys = ["band", "band_hash"]
+    sizes = sigs.map_batches(
+        lambda b: explode(b, False), batch_format="pyarrow",
+        runtime_env=package_runtime_env(),
+    ).groupby(keys).aggregate(Count(alias_name="bucket_n"))
+    hot = sizes.filter(expr="bucket_n >= 2").select_columns(keys)
+    hot_tbl = pa.concat_tables(
+        [b for b in hot.iter_batches(batch_format="pyarrow", batch_size=65536)]
+        or [pa.table({"band": pa.array([], pa.int32()),
+                      "band_hash": pa.array([], pa.int64())})])
+    empty_pairs = pa.table({"id_a": pa.array([], pa.int64()),
+                            "id_b": pa.array([], pa.int64()),
+                            "est_jaccard": pa.array([], pa.float64())})
+    if hot_tbl.num_rows == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(empty_pairs)
+    hot_keys = ray.put(np.unique(_pack_keys(hot_tbl, keys)))
+
+    # pass 2: explode WITH signatures, keep only hot-bucket rows (a small
+    # fraction of the corpus), then pair within buckets
+    def keep(batch: pa.Table) -> pa.Table:
+        t = explode(batch, True)
+        hk = ray.get(hot_keys)
+        mask = np.isin(_pack_keys(t, keys), hk, assume_unique=False)
+        return t.filter(pa.array(mask))
+
+    exploded = sigs.map_batches(keep, batch_format="pyarrow",
                                 runtime_env=package_runtime_env())
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -317,8 +383,7 @@ def minhash_lsh_pairs(ds, *, num_perm: int = 64, bands: int = 8,
                 out_j.append(float(eq[j]))
         return pd.DataFrame({"id_a": out_a, "id_b": out_b, "est_jaccard": out_j})
 
-    hot = _hot_buckets_only(exploded, ["band", "band_hash"])
-    pairs = hot.groupby(["band", "band_hash"]).map_groups(
+    pairs = exploded.groupby(keys).map_groups(
         bucket_pairs, batch_format="pandas", runtime_env=package_runtime_env())
 
     # dedup pairs found in multiple bands (est_jaccard is computed from the
@@ -444,29 +509,39 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, *, k: int = 3,
     on id against the candidate-id set)."""
     import ray
 
-    need: set[int] = set()
-    pairs = pairs_ds.to_pandas()
-    need.update(int(x) for x in pairs["id_a"])
-    need.update(int(x) for x in pairs["id_b"])
-    texts: dict[int, str] = {}
-    for batch in docs_ds.select_columns([id_column, text_column]).iter_batches(
-            batch_size=4096, batch_format="pyarrow"):
-        ids = batch.column(id_column).to_pylist()
-        ts = batch.column(text_column).to_pylist()
-        for i, t in zip(ids, ts):
-            if int(i) in need:
-                texts[int(i)] = t
+    pairs = pairs_ds.to_pandas()  # candidate pairs: small by construction
+    need = np.unique(np.concatenate([
+        pairs["id_a"].to_numpy(), pairs["id_b"].to_numpy()]
+        ).astype(np.int64)) if len(pairs) else np.empty(0, np.int64)
+    # gather only the candidate docs' texts — filtered IN the workers with a
+    # broadcast id set; the corpus never reaches the driver
+    need_ref = ray.put(need)
+
+    def gather(batch: pa.Table) -> pa.Table:
+        nd = ray.get(need_ref)
+        ids = batch.column(id_column).to_numpy().astype(np.int64)
+        return batch.filter(pa.array(np.isin(ids, nd)))
+
+    small = pa.concat_tables(list(
+        docs_ds.select_columns([id_column, text_column]).map_batches(
+            gather, batch_format="pyarrow",
+            runtime_env=package_runtime_env(),
+        ).iter_batches(batch_format="pyarrow", batch_size=65536)) or
+        [pa.table({id_column: pa.array([], pa.int64()),
+                   text_column: pa.array([], pa.string())})])
+    texts = dict(zip((int(i) for i in small.column(id_column).to_pylist()),
+                     small.column(text_column).to_pylist()))
     ref = ray.put(texts)
 
     @ray.remote(runtime_env=package_runtime_env())
     def verify(chunk: pd.DataFrame):
         tx = ray.get(ref)
         out = []
-        for _, r in chunk.iterrows():
-            j = ngram_jaccard(tx.get(int(r["id_a"]), ""),
-                              tx.get(int(r["id_b"]), ""), k=k, tokenizer=tokenizer)
+        for a, b in zip(chunk["id_a"].to_numpy(), chunk["id_b"].to_numpy()):
+            j = ngram_jaccard(tx.get(int(a), ""), tx.get(int(b), ""),
+                              k=k, tokenizer=tokenizer)
             if j >= threshold:
-                out.append((int(r["id_a"]), int(r["id_b"]), j))
+                out.append((int(a), int(b), j))
         return out
 
     chunks = np.array_split(pairs, max(1, len(pairs) // 500)) if len(pairs) else []

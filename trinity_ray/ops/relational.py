@@ -27,21 +27,22 @@ def broadcast_join_agg(big_ds, small_table: pa.Table, *,
 
     keys = small_table.column(small_key).to_numpy()
     order = np.argsort(keys)
-    lookup_ref = ray.put((keys[order],
-                          small_table.column(label_column).take(
-                              pa.array(order)).to_pylist()))
+    labels_arr = small_table.column(label_column).take(
+        pa.array(order)).combine_chunks()
+    lookup_ref = ray.put((keys[order], labels_arr))
 
     def annotate(batch: pa.Table) -> pa.Table:
         skeys, labels = ray.get(lookup_ref)
         bk = batch.column(big_key).to_numpy()
         idx = np.minimum(np.searchsorted(skeys, bk), skeys.size - 1)
         hit = skeys[idx] == bk
-        lab = [labels[i] if h else None for i, h in zip(idx, hit)]
+        # vectorized label gather: Arrow take on the broadcast label array
+        lab = labels.take(pa.array(idx))
         cents = pc.cast(pc.round(pc.multiply(
             batch.column(cents_column), 100.0),
             round_mode="half_towards_infinity"), pa.int64())  # == DuckDB round()
         return pa.table({
-            label_column: pa.array(lab, pa.string()),
+            label_column: lab,
             "cents": cents,
         }).filter(pa.array(hit))
 

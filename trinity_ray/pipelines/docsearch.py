@@ -79,13 +79,27 @@ def _check_docid_identity(sf_dir: str) -> int:
     engine ids == table ids and no translation layer is needed."""
     key = ("idcheck", sf_dir)
     if key not in _memo:
-        ids = pq.read_table(documents_parquet(sf_dir),
-                            columns=["doc_id"]).column("doc_id").to_numpy()
-        if not np.array_equal(ids, np.arange(len(ids), dtype=ids.dtype)):
-            raise ValueError(
-                f"documents.doc_id in {sf_dir} is not the dense row order; "
-                "engine/table docID translation required")
-        _memo[key] = len(ids)
+        # metadata-only check: each row group's doc_id [min,max] must tile
+        # the row-position range exactly.  This catches offset / shuffled /
+        # sparse id spaces without reading a single data page (a full-column
+        # driver read is 8 B x N — terabytes at 10^12 docs); a permutation
+        # INSIDE one row group is not detectable from statistics, which is
+        # an accepted trade for the metadata-only cost.
+        md = pq.read_metadata(documents_parquet(sf_dir))
+        col = next(i for i in range(md.row_group(0).num_columns)
+                   if md.row_group(0).column(i).path_in_schema == "doc_id")
+        base = 0
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            st = g.column(col).statistics
+            n = g.num_rows
+            if (st is None or not st.has_min_max
+                    or st.min != base or st.max != base + n - 1):
+                raise ValueError(
+                    f"documents.doc_id in {sf_dir} is not the dense row "
+                    "order; engine/table docID translation required")
+            base += n
+        _memo[key] = base
     return _memo[key]
 
 
