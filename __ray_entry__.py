@@ -34,6 +34,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_or_top10": dsp.q_search_or_top10,
         "search_phrase_top10": dsp.q_search_phrase_top10,
         "search_optional_top10": dsp.q_search_optional_top10,
+        "search_rich_hits": dsp.q_search_rich_hits,
         "search_tfidf_top10": dsp.q_search_tfidf_top10,
         "search_trivial_top10": dsp.q_search_trivial_top10,
         "search_rewrite_top10": dsp.q_search_rewrite_top10,
@@ -167,6 +168,33 @@ def oracle_sql() -> dict[str, str]:
             ["KEY", "ORDER"], m_and, "sum(tf.tf)"),
         # synonym rewrite 'dup' -> (dup OR vector) == the manual OR query
         "search_rewrite_top10": _bm25_sql(["DUP", "VECTOR"], m_or),
+        # rich-match mode: one row per (top-k doc, matched term, position)
+        "search_rich_hits": f"""
+WITH toks AS ({_TOKS}),
+pos AS ({_POS}),
+tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM toks
+       WHERE tok IN ('DUP', 'VECTOR') GROUP BY doc_id, tok),
+df AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok),
+nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+matched AS ({m_or}),
+scores AS (
+  SELECT m.doc_id,
+         sum(ln(1.0 + (nn.n - df.df + 0.5) / (df.df + 0.5)) * tf.tf / (tf.tf + {K1})) AS score
+  FROM matched m
+  JOIN tf ON tf.doc_id = m.doc_id
+  JOIN df ON df.tok = tf.tok
+  CROSS JOIN nn
+  GROUP BY m.doc_id),
+topk AS (SELECT doc_id, score,
+                row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+         FROM scores ORDER BY score DESC, doc_id LIMIT 10)
+SELECT CAST(t.rank AS BIGINT) AS rank, t.doc_id,
+       round(t.score, 4) AS score_r, p.tok AS term,
+       CAST(f.tf AS BIGINT) AS tf, CAST(p.pos AS BIGINT) AS pos
+FROM topk t
+JOIN pos p ON p.doc_id = t.doc_id AND p.tok IN ('DUP', 'VECTOR')
+JOIN tf f ON f.doc_id = t.doc_id AND f.tok = p.tok
+""",
         # co-occurrence bitmask counts over {KEY, ORDER, DUP}
         "intersect_counts": f"""
 WITH toks AS ({_TOKS}),

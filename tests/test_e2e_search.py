@@ -189,3 +189,29 @@ def test_lazy_dictionary_probe_path(index_dir, monkeypatch):
     np.testing.assert_array_equal(res_e.scores, res_l.scores)
     # absent terms resolve to df 0 without error
     assert lazy.readers[0].lookup_terms(["ZZNOSUCH"]) == {"ZZNOSUCH": 0}
+
+
+def test_rich_match_mode(index_dir, ray_session):
+    """Rich-match (reference default mode, exec.h:11-43): per-(doc, term)
+    tf + positions for the top-k; Ray scatter-gather == local; tf equals
+    the count of positions; every top-k doc appears."""
+    from trinity_ray.search import LocalSearcher, RaySearcher
+
+    s = LocalSearcher(index_dir)
+    res, tbl = s.search_rich("key OR order", k=10)
+    plain = s.search("key OR order", k=10)
+    np.testing.assert_array_equal(res.doc_ids, plain.doc_ids)
+    df = tbl.to_pandas()
+    assert set(df["doc_id"]) == set(int(d) for d in plain.doc_ids)
+    # tf == len(positions), positions ascending and 1-based
+    for _, r in df.iterrows():
+        assert r["tf"] == len(r["positions"]) and r["tf"] >= 1
+        assert list(r["positions"]) == sorted(r["positions"])
+        assert r["positions"][0] >= 1
+    # score column matches the scalar search result per doc
+    sc = {int(d): float(x) for d, x in zip(plain.doc_ids, plain.scores)}
+    for _, r in df.iterrows():
+        assert abs(sc[int(r["doc_id"])] - r["score"]) < 1e-12
+    rs = RaySearcher(index_dir, num_actors=2)
+    _, tbl2 = rs.search_rich("key OR order", k=10)
+    assert tbl.equals(tbl2)

@@ -216,3 +216,20 @@ def test_merge_redone_after_late_deletes(dirs, tmp_path):
     # and an unchanged rerun is still an idempotent no-op (early return)
     v = m2.version
     assert merge_index(src, out).version == v
+
+
+def test_rich_match_on_masked_and_merged(dirs):
+    """Rich hits respect delete masks (stale segments contribute nothing)
+    and survive the merge: masked-source output == merged-index output."""
+    idx, merged = dirs
+    si, sm = LocalSearcher(idx), LocalSearcher(merged)
+    res_i, tbl_i = si.search_rich("key AND order", k=10)
+    res_m, tbl_m = sm.search_rich("key AND order", k=10)
+    np.testing.assert_array_equal(res_i.doc_ids, res_m.doc_ids)
+    di = tbl_i.to_pandas().sort_values(["rank", "term"]).reset_index(drop=True)
+    dm = tbl_m.to_pandas().sort_values(["rank", "term"]).reset_index(drop=True)
+    assert di["doc_id"].tolist() == dm["doc_id"].tolist()
+    assert di["tf"].tolist() == dm["tf"].tolist()
+    assert [list(p) for p in di["positions"]] == \
+           [list(p) for p in dm["positions"]]
+    assert not set(di["doc_id"]) & set(DELETED)

@@ -21,6 +21,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from trinity_ray.index.build import build_index
@@ -206,6 +207,30 @@ def q_search_phrase_top10(sf_dir: str) -> pa.Table:
 
 def q_search_optional_top10(sf_dir: str) -> pa.Table:
     return topk_table(base_index(sf_dir), DRIVER_QUERIES["optional"])
+
+
+def q_search_rich_hits(sf_dir: str) -> pa.Table:
+    """Rich-match mode (the reference's DEFAULT ConsiderResponse shape,
+    exec.h:11-43 / matches.h:139-186): top-k for 'dup OR vector' with one
+    output row per (doc, matched term, position) — tf and positions come
+    from the index, not a re-scan of the corpus."""
+    res, tbl = _searcher(base_index(sf_dir)).search_rich(
+        DRIVER_QUERIES["or2"], k=TOPK)
+    # explode positions: (rank, doc_id, score_r, term, tf, pos) rows are
+    # fully SQL-expressible for the simple tokenizer -> exact oracle
+    lens = pc.list_value_length(tbl.column("positions")).to_numpy()
+    flat = pc.list_flatten(tbl.column("positions"))
+    rep = np.repeat(np.arange(tbl.num_rows), lens)
+    return pa.table({
+        "rank": pa.array(tbl.column("rank").to_numpy()[rep].astype(np.int64),
+                         pa.int64()),
+        "doc_id": pa.array(tbl.column("doc_id").to_numpy()[rep], pa.int64()),
+        "score_r": pa.array(
+            np.round(tbl.column("score").to_numpy()[rep], 4), pa.float64()),
+        "term": pc.take(tbl.column("term"), pa.array(rep)),
+        "tf": pa.array(tbl.column("tf").to_numpy()[rep], pa.int64()),
+        "pos": flat,
+    })
 
 
 def q_search_tfidf_top10(sf_dir: str) -> pa.Table:

@@ -408,6 +408,35 @@ class SegmentReader:
                 )
         return self._universe
 
+    def rich_hits(self, docs: np.ndarray, terms: list[str]
+                  ) -> list[tuple[str, np.ndarray, np.ndarray,
+                                  np.ndarray, np.ndarray]]:
+        """Per-term hit detail for a sorted doc array — the reference's
+        DEFAULT rich-match output (matched_document per-term term_hits,
+        matches.h:139-186; materialize_hits, queryexec_ctx.cpp:535+):
+        for each query term present in a doc, its tf and positions.
+
+        Returns [(term, found_idx_into_docs, tf_int, pos_flat, lens)].
+        Docs absent from a term's postings simply don't appear for that
+        term (OR-matched docs carry only the terms they contain)."""
+        out = []
+        for t in dict.fromkeys(terms):
+            tp = self.postings(t)
+            if tp is None or docs.size == 0:
+                continue
+            tf, found = tp.gather_tfs(docs)
+            if not found.any():
+                continue
+            sub = docs[found]
+            if tp.blob.has_positions:
+                pos_flat, lens = tp.gather_positions(sub)
+            else:
+                pos_flat = np.empty(0, dtype=np.uint64)
+                lens = np.zeros(sub.size, dtype=np.int64)
+            out.append((t, np.flatnonzero(found),
+                        tf[found].astype(np.int64), pos_flat, lens))
+        return out
+
     # -- boolean evaluation --------------------------------------------------
     def match(self, node: Node) -> np.ndarray:
         """Sorted unique doc_ids matching ``node`` (before delete-masking)."""

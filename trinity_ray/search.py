@@ -82,6 +82,57 @@ def _segment_masks(manifest: IndexManifest, index_dir: str) -> dict[str, np.ndar
     return masks
 
 
+def _collect_rich_parts(readers, sorted_docs: np.ndarray, terms: list[str]
+                        ) -> list[tuple[str, np.ndarray, np.ndarray,
+                                        np.ndarray, np.ndarray]]:
+    """Per-term hit detail for winner docs across a list of SegmentReaders:
+    [(term, doc_ids, tf, pos_flat, lens)].  Each reader contributes only the
+    docs in its live (unmasked) range, so a replaced docID's hits come from
+    the replacing generation, never the stale segment."""
+    parts = []
+    for r in readers:
+        lo = np.searchsorted(sorted_docs, r.doc_base)
+        hi = np.searchsorted(sorted_docs, r.doc_base + r.doc_count)
+        sub = sorted_docs[lo:hi]
+        if r.mask is not None and sub.size:
+            sub = sub[~np.isin(sub, r.mask)]
+        if sub.size == 0:
+            continue
+        for t, fidx, tf, pos_flat, lens in r.rich_hits(sub, terms):
+            parts.append((t, sub[fidx], tf, pos_flat, lens))
+    return parts
+
+
+def rich_hits_table(res: SearchResult,
+                    parts: list[tuple[str, np.ndarray, np.ndarray,
+                                      np.ndarray, np.ndarray]]):
+    """Assemble the rich-match output table — one row per (doc, term) with
+    tf and the term's positions (exec.h:11-43 ConsiderResponse default mode
+    re-expressed as an Arrow table): columns rank, doc_id, score, term, tf,
+    positions (list<int64>).  Rows ordered by (rank, term)."""
+    import pyarrow as pa
+
+    rank = {int(d): i + 1 for i, d in enumerate(res.doc_ids)}
+    score = {int(d): float(s) for d, s in zip(res.doc_ids, res.scores)}
+    rows = []
+    for t, docs, tf, pos_flat, lens in parts:
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        for j in range(docs.size):
+            d = int(docs[j])
+            rows.append((rank[d], d, score[d], t, int(tf[j]),
+                         [int(p) for p in
+                          pos_flat[offs[j]:offs[j + 1]]]))
+    rows.sort(key=lambda r: (r[0], r[3]))
+    return pa.table({
+        "rank": pa.array([r[0] for r in rows], pa.int32()),
+        "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+        "score": pa.array([r[2] for r in rows], pa.float64()),
+        "term": pa.array([r[3] for r in rows], pa.string()),
+        "tf": pa.array([r[4] for r in rows], pa.int64()),
+        "positions": pa.array([r[5] for r in rows], pa.list_(pa.int64())),
+    })
+
+
 def merge_topk(parts: list[tuple[np.ndarray, np.ndarray]], k: int
                ) -> SearchResult:
     """Global merge with tie-break (score desc, doc_id asc)."""
@@ -132,6 +183,22 @@ class LocalSearcher:
         parts = [r.execute(node, idf, k, scorer) for r in self.readers]
         return merge_topk([p for p in parts if p[0].size], k)
 
+    def search_rich(self, query: str | Node, k: int = 10,
+                    scorer: str = "bm25"):
+        """Rich-match mode (the reference's default execution mode,
+        exec.h:11-43): top-k plus per-(doc, term) tf and positions.
+        Returns (SearchResult, pyarrow.Table)."""
+        node = parse_query(query, self.manifest.tokenizer) \
+            if isinstance(query, str) else query
+        idf = self.resolve_idf(node, scorer)
+        res = merge_topk([p for p in
+                          (r.execute(node, idf, k, scorer)
+                           for r in self.readers) if p[0].size], k)
+        terms = collect_scorable_terms(node)
+        sorted_docs = np.sort(res.doc_ids.astype(np.uint64))
+        parts = _collect_rich_parts(self.readers, sorted_docs, terms)
+        return res, rich_hits_table(res, parts)
+
 
 class SegmentSearchActor:
     """One actor owns a shard of segments; postings caches stay warm."""
@@ -162,6 +229,9 @@ class SegmentSearchActor:
                      scorer: str = "bm25"
                      ) -> list[tuple[np.ndarray, np.ndarray]]:
         return [self.execute(n, i, k, scorer) for n, i in zip(nodes, idfs)]
+
+    def rich_hits(self, sorted_docs: np.ndarray, terms: list[str]):
+        return _collect_rich_parts(self.readers, sorted_docs, terms)
 
 
 class RaySearcher:
@@ -217,6 +287,22 @@ class RaySearcher:
         futs = [a.execute.remote(node, idf, k, scorer) for a in self.actors]
         parts = [p for p in self._ray.get(futs) if p[0].size]
         return merge_topk(parts, k)
+
+    def search_rich(self, query: str | Node, k: int = 10,
+                    scorer: str = "bm25"):
+        """Distributed rich-match: the top-k round as ``search``, then one
+        targeted hit-gather round-trip per actor for ONLY the k winners
+        (postings never leave their actor; the gather ships k ids + terms)."""
+        node = parse_query(query, self.manifest.tokenizer) \
+            if isinstance(query, str) else query
+        idf = self.resolve_idf(node, scorer)
+        futs = [a.execute.remote(node, idf, k, scorer) for a in self.actors]
+        res = merge_topk([p for p in self._ray.get(futs) if p[0].size], k)
+        terms = collect_scorable_terms(node)
+        sorted_docs = np.sort(res.doc_ids.astype(np.uint64))
+        hfuts = [a.rich_hits.remote(sorted_docs, terms) for a in self.actors]
+        parts = [p for chunk in self._ray.get(hfuts) for p in chunk]
+        return res, rich_hits_table(res, parts)
 
     def search_many(self, queries: list[str | Node], k: int = 10,
                     scorer: str = "bm25") -> list[SearchResult]:
