@@ -35,6 +35,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_phrase_top10": dsp.q_search_phrase_top10,
         "search_optional_top10": dsp.q_search_optional_top10,
         "search_rich_hits": dsp.q_search_rich_hits,
+        "search_filtered_top10": dsp.q_search_filtered_top10,
+        "search_docset_top10": dsp.q_search_docset_top10,
         "search_tfidf_top10": dsp.q_search_tfidf_top10,
         "search_trivial_top10": dsp.q_search_trivial_top10,
         "search_rewrite_top10": dsp.q_search_rewrite_top10,
@@ -238,6 +240,14 @@ FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
            JOIN pos c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
 WHERE a.tok = 'TABLE' AND b.tok = 'SCAN' AND c.tok = 'MERGE'
 """,
+        # app pre-filter seams: matching restricted, stats untouched
+        "search_filtered_top10": _bm25_sql(
+            ["KEY"],
+            "SELECT DISTINCT doc_id FROM tf WHERE tok = 'KEY' AND doc_id % 3 = 0"),
+        "search_docset_top10": _bm25_sql(
+            ["KEY", "ORDER"],
+            "SELECT doc_id FROM tf WHERE tok IN ('KEY', 'ORDER') "
+            "AND doc_id % 2 = 0 GROUP BY doc_id HAVING count(DISTINCT tok) = 2"),
         # masked (pre-merge): matching excludes deleted docs, stats don't
         "search_deleted_top10": _bm25_sql(
             ["TABLE"],

@@ -209,6 +209,34 @@ def q_search_optional_top10(sf_dir: str) -> pa.Table:
     return topk_table(base_index(sf_dir), DRIVER_QUERIES["optional"])
 
 
+def q_search_filtered_top10(sf_dir: str) -> pa.Table:
+    """App metadata pre-filter (IndexDocumentsFilter, matches.h:188-201):
+    BM25 top-k for the hot term restricted to docs whose metadata satisfies
+    doc_id % 3 == 0.  The predicate is evaluated segment-side over the docs
+    table; collection stats (df/N) are untouched, like delete masks."""
+    res = _searcher(base_index(sf_dir)).search(
+        DRIVER_QUERIES["hot_term"], k=TOPK,
+        doc_predicate=lambda t: t.column("doc_id").to_numpy() % 3 == 0)
+    return pa.table({
+        "doc_id": pa.array(res.doc_ids.astype(np.int64), pa.int64()),
+        "score_r": pa.array(np.round(res.scores, 4), pa.float64()),
+    })
+
+
+def q_search_docset_top10(sf_dir: str) -> pa.Table:
+    """App-provided docID set (VectorIDs/AppIterator,
+    docset_iterators.h:415-452): the query runs against an explicit sorted
+    id array (here: even ids) intersected before scoring."""
+    n = _check_docid_identity(sf_dir)
+    ids = np.arange(0, n, 2, dtype=np.uint64)
+    res = _searcher(base_index(sf_dir)).search(
+        DRIVER_QUERIES["and2"], k=TOPK, filter_ids=ids)
+    return pa.table({
+        "doc_id": pa.array(res.doc_ids.astype(np.int64), pa.int64()),
+        "score_r": pa.array(np.round(res.scores, 4), pa.float64()),
+    })
+
+
 def q_search_rich_hits(sf_dir: str) -> pa.Table:
     """Rich-match mode (the reference's DEFAULT ConsiderResponse shape,
     exec.h:11-43 / matches.h:139-186): top-k for 'dup OR vector' with one

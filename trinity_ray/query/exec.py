@@ -437,6 +437,22 @@ class SegmentReader:
                         tf[found].astype(np.int64), pos_flat, lens))
         return out
 
+    def doc_ids_where(self, predicate) -> np.ndarray:
+        """Sorted doc_ids whose metadata row satisfies ``predicate`` — the
+        IndexDocumentsFilter seam (matches.h:188-201): a callable taking the
+        segment's docs table (doc_id, id columns, content_sha256, doc_len)
+        and returning a boolean mask.  Evaluated segment-side so only the
+        qualifying id set, never the metadata, reaches the query plan."""
+        docs_path = os.path.join(self.seg_path, "docs.parquet")
+        docs_dir = os.path.join(self.seg_path, "docs")
+        if not (os.path.exists(docs_path) or os.path.isdir(docs_dir)):
+            # deletes-only segment: no docs of its own
+            return EMPTY_U64
+        src = docs_path if os.path.exists(docs_path) else docs_dir
+        t = pads.dataset(src, format="parquet").to_table()
+        mask = np.asarray(predicate(t), dtype=bool)
+        return np.sort(t.column("doc_id").to_numpy().astype(np.uint64)[mask])
+
     # -- boolean evaluation --------------------------------------------------
     def match(self, node: Node) -> np.ndarray:
         """Sorted unique doc_ids matching ``node`` (before delete-masking)."""
@@ -571,8 +587,14 @@ class SegmentReader:
 
     def execute(self, node: Node, weights: dict[str, float], k: int,
                 scorer: str | Scorer = "bm25",
+                allowed: np.ndarray | None = None,
                 ) -> tuple[np.ndarray, np.ndarray]:
         """Match + mask + score + local top-k; returns (doc_ids, scores).
+
+        ``allowed`` (sorted global doc_ids) is the app-side pre-filter seam
+        (IndexDocumentsFilter, matches.h:188-201 / VectorIDs app docsets,
+        docset_iterators.h:415-452): matching is restricted to the set but
+        collection stats (df/N) are untouched — exactly like delete masks.
 
         Scored flat disjunctions take the max-score/WAND-pruned path; its
         output is identical to the exhaustive path (canonical re-score)."""
@@ -582,8 +604,10 @@ class SegmentReader:
             # pruning bounds cover exactly the query terms; a weights map
             # with EXTRA terms (public-API callers) must take the exhaustive
             # path or the bound math would under-estimate final scores
-            return self._execute_maxscore(flat, weights, k, sc)
+            return self._execute_maxscore(flat, weights, k, sc, allowed)
         matched = self.match(node)
+        if allowed is not None and matched.size:
+            matched = _intersect(matched, allowed)
         if self.mask is not None and matched.size:
             matched = _setdiff(matched, self.mask)
         if matched.size == 0:
@@ -593,6 +617,7 @@ class SegmentReader:
 
     def _execute_maxscore(self, terms: list[str], weights: dict[str, float],
                           k: int, sc: Scorer,
+                          allowed: np.ndarray | None = None,
                           ) -> tuple[np.ndarray, np.ndarray]:
         """TAAT max-score over a flat term bag (Turtle & Flood max_score;
         the batch analogue of block-max WAND): process terms in descending
@@ -632,6 +657,9 @@ class SegmentReader:
             else:
                 d = tp.doc_ids
                 f = tp.freqs
+                if allowed is not None and d.size:
+                    keep = _member(d, allowed)
+                    d, f = d[keep], f[keep]
                 if self.mask is not None and d.size:
                     keep = ~_member(d, self.mask)
                     d, f = d[keep], f[keep]

@@ -82,6 +82,23 @@ def _segment_masks(manifest: IndexManifest, index_dir: str) -> dict[str, np.ndar
     return masks
 
 
+def _combine_allowed(reader, filter_ids: np.ndarray | None, doc_predicate
+                     ) -> np.ndarray | None:
+    """Per-segment allowed-doc set from an explicit app id array and/or a
+    metadata predicate; None means unconstrained."""
+    allowed = None
+    if filter_ids is not None:
+        ids = np.asarray(filter_ids, dtype=np.uint64)
+        lo = np.searchsorted(ids, reader.doc_base)
+        hi = np.searchsorted(ids, reader.doc_base + reader.doc_count)
+        allowed = ids[lo:hi]
+    if doc_predicate is not None:
+        pred_ids = reader.doc_ids_where(doc_predicate)
+        allowed = pred_ids if allowed is None else \
+            allowed[np.isin(allowed, pred_ids)]
+    return allowed
+
+
 def _collect_rich_parts(readers, sorted_docs: np.ndarray, terms: list[str]
                         ) -> list[tuple[str, np.ndarray, np.ndarray,
                                         np.ndarray, np.ndarray]]:
@@ -177,10 +194,20 @@ class LocalSearcher:
                 for t in scorable if df[t] > 0}
 
     def search(self, query: str | Node, k: int = 10,
-               scorer: str = "bm25") -> SearchResult:
+               scorer: str = "bm25", filter_ids: np.ndarray | None = None,
+               doc_predicate=None) -> SearchResult:
+        """``filter_ids`` (sorted global doc_ids — the VectorIDs app-docset
+        seam) and/or ``doc_predicate`` (callable over each segment's docs
+        metadata table — the IndexDocumentsFilter seam) restrict MATCHING;
+        collection stats are untouched, exactly like delete masks."""
         node = parse_query(query, self.manifest.tokenizer) if isinstance(query, str) else query
         idf = self.resolve_idf(node, scorer)
-        parts = [r.execute(node, idf, k, scorer) for r in self.readers]
+        parts = []
+        for r in self.readers:
+            allowed = _combine_allowed(r, filter_ids, doc_predicate)
+            if allowed is not None and allowed.size == 0:
+                continue
+            parts.append(r.execute(node, idf, k, scorer, allowed=allowed))
         return merge_topk([p for p in parts if p[0].size], k)
 
     def search_rich(self, query: str | Node, k: int = 10,
@@ -219,8 +246,14 @@ class SegmentSearchActor:
         return out
 
     def execute(self, node: Node, idf: dict[str, float], k: int,
-                scorer: str = "bm25") -> tuple[np.ndarray, np.ndarray]:
-        parts = [r.execute(node, idf, k, scorer) for r in self.readers]
+                scorer: str = "bm25", filter_ids: np.ndarray | None = None,
+                doc_predicate=None) -> tuple[np.ndarray, np.ndarray]:
+        parts = []
+        for r in self.readers:
+            allowed = _combine_allowed(r, filter_ids, doc_predicate)
+            if allowed is not None and allowed.size == 0:
+                continue
+            parts.append(r.execute(node, idf, k, scorer, allowed=allowed))
         parts = [p for p in parts if p[0].size]
         merged = merge_topk(parts, k)
         return merged.doc_ids, merged.scores
@@ -281,10 +314,15 @@ class RaySearcher:
                 for t in scorable if self._df_cache[t] > 0}
 
     def search(self, query: str | Node, k: int = 10,
-               scorer: str = "bm25") -> SearchResult:
+               scorer: str = "bm25", filter_ids: np.ndarray | None = None,
+               doc_predicate=None) -> SearchResult:
+        """App pre-filter seams as LocalSearcher.search; ``doc_predicate``
+        is evaluated actor-side over each segment's docs metadata (only the
+        pickled callable ships, never the metadata)."""
         node = parse_query(query, self.manifest.tokenizer) if isinstance(query, str) else query
         idf = self.resolve_idf(node, scorer)
-        futs = [a.execute.remote(node, idf, k, scorer) for a in self.actors]
+        futs = [a.execute.remote(node, idf, k, scorer, filter_ids,
+                                 doc_predicate) for a in self.actors]
         parts = [p for p in self._ray.get(futs) if p[0].size]
         return merge_topk(parts, k)
 
