@@ -37,6 +37,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_rich_hits": dsp.q_search_rich_hits,
         "search_filtered_top10": dsp.q_search_filtered_top10,
         "search_docset_top10": dsp.q_search_docset_top10,
+        "search_packed_top10": dsp.q_search_packed_top10,
+        "search_payload_hits": dsp.q_search_payload_hits,
         "search_tfidf_top10": dsp.q_search_tfidf_top10,
         "search_trivial_top10": dsp.q_search_trivial_top10,
         "search_rewrite_top10": dsp.q_search_rewrite_top10,
@@ -157,6 +159,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "search_rare_top10": _bm25_sql(["DUP"], m_term("DUP")),
         "search_hot_top10": _bm25_sql(["KEY"], m_term("KEY")),
+        # codec seam: identical results from the bit-packed index
+        "search_packed_top10": _bm25_sql(["KEY"], m_term("KEY")),
         "search_and_top10": _bm25_sql(["KEY", "ORDER"], m_and),
         "search_or_top10": _bm25_sql(["DUP", "VECTOR"], m_or),
         "search_phrase_top10": _bm25_sql(["KEY", "ORDER"], m_phrase2),

@@ -67,10 +67,14 @@ def ensure_corpus(sf: float) -> str:
     return out
 
 
-def bench_index_build(corpus_dir: str, num_cpus: int) -> tuple[float, int, str]:
+def bench_index_build(corpus_dir: str, num_cpus: int,
+                      codec: str = "varint") -> tuple[float, int, str]:
     from trinity_ray.index.build import build_index
 
-    index_dir = os.path.join(BENCH_ROOT, f"index-{os.path.basename(corpus_dir)}-{num_cpus}")
+    index_dir = os.path.join(
+        BENCH_ROOT,
+        f"index-{os.path.basename(corpus_dir)}-{num_cpus}"
+        + ("" if codec == "varint" else f"-{codec}"))
     shutil.rmtree(index_dir, ignore_errors=True)   # fresh build, no resume
     n_docs = int(open(os.path.join(corpus_dir, "DONE")).read())
     # partitioning is a property of the JOB, not the cluster: both scaling
@@ -83,7 +87,8 @@ def bench_index_build(corpus_dir: str, num_cpus: int) -> tuple[float, int, str]:
     t0 = time.time()
     build_index(corpus_dir, index_dir, content_column="content",
                 tokenizer="trinity", positions=True,
-                target_rows_per_partition=target, concurrency=num_cpus)
+                target_rows_per_partition=target, concurrency=num_cpus,
+                codec=codec)
     return time.time() - t0, n_docs, index_dir
 
 
@@ -168,6 +173,22 @@ def run_once() -> dict:
         queries.update({f"q_{k.removeprefix('q_')}": v for k, v in qlat.items()})
         queries["query_p50"] = statistics.median(qlat.values())
         queries["batch_qps"] = bench_batch_queries(index_dir, NUM_CPUS)
+        # codec seam comparison: same corpus, bit-packed FOR codec
+        packed_sec, _, packed_dir = bench_index_build(corpus, NUM_CPUS,
+                                                      codec="packed")
+        queries["index_build_packed"] = packed_sec
+        bin_bytes = lambda d: sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(d) for f in fs if f.endswith(".bin"))
+        queries["codec_packed_size_ratio"] = round(
+            bin_bytes(packed_dir) / max(1, bin_bytes(index_dir)), 4)
+        from trinity_ray.search import LocalSearcher
+
+        t0 = time.time()
+        sp = LocalSearcher(packed_dir)
+        for _ in range(5):
+            sp.search("key AND order", k=10)
+        queries["q_packed_and"] = (time.time() - t0) / 5
         queries.update(bench_ops(SF_DIR))
         total = time.time() - t_all
         return {

@@ -196,3 +196,133 @@ def test_varint_uint32_compaction_roundtrip(vals):
 
     arr = np.array(vals, dtype=np.uint64)
     assert varint_decode(varint_encode(arr), arr.size).tolist() == vals
+
+
+# ---------------------------------------------------------------------------
+# packed (bit-packed FOR) codec + payload channel
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("n", [1, 2, BLOCK - 1, BLOCK, BLOCK + 1,
+                               5 * BLOCK + 17, 3000])
+@pytest.mark.parametrize("with_positions", [True, False])
+def test_packed_roundtrip(n, with_positions):
+    rng = np.random.default_rng(n)
+    doc_ids, freqs, positions = _random_postings(rng, n, with_positions)
+    blob = encode_postings(doc_ids, freqs, positions, codec="packed")
+    pb = PostingsBlob(blob)
+    assert pb.version == 2
+    d, f = pb.decode_docs_freqs()
+    np.testing.assert_array_equal(d, doc_ids)
+    np.testing.assert_array_equal(f, freqs)
+    if with_positions:
+        p, offs = pb.decode_positions(f)
+        np.testing.assert_array_equal(p, positions)
+
+
+@pytest.mark.parametrize("codec", ["varint", "packed"])
+def test_packed_block_decode_equals_full(codec):
+    rng = np.random.default_rng(7)
+    doc_ids, freqs, positions = _random_postings(rng, 2000)
+    pb = PostingsBlob(encode_postings(doc_ids, freqs, positions, codec=codec))
+    full_d, full_f = pb.decode_docs_freqs()
+    got_d, got_f = [], []
+    for i in range(pb.n_blocks):
+        d, f = pb.decode_block(i)
+        got_d.append(d)
+        got_f.append(f)
+    np.testing.assert_array_equal(np.concatenate(got_d), full_d)
+    np.testing.assert_array_equal(np.concatenate(got_f), full_f)
+
+
+def test_packed_encode_many_matches_single():
+    from trinity_ray.codec import encode_many
+
+    rng = np.random.default_rng(11)
+    offsets = [0]
+    all_d, all_f, all_p = [], [], []
+    for t in range(23):
+        n = int(rng.integers(1, 4 * BLOCK))
+        d, f, p = _random_postings(rng, n)
+        offsets.append(offsets[-1] + n)
+        all_d.append(d)
+        all_f.append(f)
+        all_p.append(p)
+    blobs = encode_many(np.array(offsets), np.concatenate(all_d),
+                        np.concatenate(all_f), np.concatenate(all_p),
+                        codec="packed")
+    assert len(blobs) == 23
+    for t in range(23):
+        single = encode_postings(all_d[t], all_f[t], all_p[t], codec="packed")
+        assert blobs[t] == single, f"term {t} blob differs from single-term"
+
+
+@pytest.mark.parametrize("codec", ["varint", "packed"])
+@pytest.mark.parametrize("width", [1, 4, 8])
+def test_payload_roundtrip(codec, width):
+    rng = np.random.default_rng(width)
+    doc_ids, freqs, positions = _random_postings(rng, 700)
+    n_hits = int(freqs.sum())
+    hi = (1 << (8 * width)) - 1
+    payloads = rng.integers(0, min(hi, 1 << 62), size=n_hits,
+                            dtype=np.uint64)
+    blob = encode_postings(doc_ids, freqs, positions, payloads=payloads,
+                           payload_width=width, codec=codec)
+    pb = PostingsBlob(blob)
+    assert pb.payload_width == width
+    d, f = pb.decode_docs_freqs()
+    pay, offs = pb.decode_payloads(f)
+    np.testing.assert_array_equal(pay, payloads)
+    # block-level payload decode == full-stream slice
+    for i in range(pb.n_blocks):
+        bd, bf = pb.decode_block(i)
+        bpay, boffs = pb.decode_block_payloads(i, bf)
+        h0 = int(pb.hit_base[i])
+        np.testing.assert_array_equal(bpay, payloads[h0:h0 + int(bf.sum())])
+
+
+@given(st.integers(1, 400), st.integers(1, 8), st.integers(0, 1))
+@settings(max_examples=30, deadline=None)
+def test_payload_roundtrip_hypothesis(n, width, codec_i):
+    codec = ["varint", "packed"][codec_i]
+    rng = np.random.default_rng(n * 8 + width)
+    doc_ids, freqs, positions = _random_postings(rng, n)
+    n_hits = int(freqs.sum())
+    hi = min((1 << (8 * width)) - 1, (1 << 62))
+    payloads = rng.integers(0, hi + 1, size=n_hits, dtype=np.uint64)
+    blob = encode_postings(doc_ids, freqs, positions, payloads=payloads,
+                           payload_width=width, codec=codec)
+    pb = PostingsBlob(blob)
+    d, f = pb.decode_docs_freqs()
+    np.testing.assert_array_equal(d, doc_ids)
+    pay, _ = pb.decode_payloads(f)
+    np.testing.assert_array_equal(pay, payloads)
+
+
+def test_payload_overflow_rejected():
+    rng = np.random.default_rng(0)
+    doc_ids, freqs, positions = _random_postings(rng, 10)
+    payloads = np.full(int(freqs.sum()), 1 << 20, dtype=np.uint64)
+    with pytest.raises(ValueError, match="payload exceeds"):
+        encode_postings(doc_ids, freqs, positions, payloads=payloads,
+                        payload_width=2)
+
+
+def test_packed_encode_many_huge_and_mixed_widths():
+    """encode_many packed path: terms with very different delta magnitudes
+    exercise the width-grouped batched packing and the ragged final block."""
+    from trinity_ray.codec import encode_many
+
+    rng = np.random.default_rng(3)
+    d1 = np.cumsum(rng.integers(1, 3, 300, dtype=np.uint64), dtype=np.uint64)
+    d2 = np.cumsum(rng.integers(1 << 30, 1 << 33, 300, dtype=np.uint64),
+                   dtype=np.uint64)
+    f1 = rng.integers(1, 4, 300, dtype=np.uint64)
+    f2 = rng.integers(1, 65000, 300, dtype=np.uint64)
+    offsets = np.array([0, 300, 600])
+    blobs = encode_many(offsets, np.concatenate([d1, d2]),
+                        np.concatenate([f1, f2]), None, codec="packed")
+    for blob, (d, f) in zip(blobs, [(d1, f1), (d2, f2)]):
+        pb = PostingsBlob(blob)
+        gd, gf = pb.decode_docs_freqs()
+        np.testing.assert_array_equal(gd, d)
+        np.testing.assert_array_equal(gf, f)

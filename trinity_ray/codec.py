@@ -1,19 +1,23 @@
-"""Blocked, delta+varint compressed posting lists with a skiplist directory.
+"""Blocked compressed posting lists with a skiplist directory — TWO codecs
+behind one seam, mirroring the reference's pluggable-codec design point
+(codecs.h:67-317: two interchangeable codecs, per-blob identification,
+cross-codec merge):
 
-Re-expresses the reference's posting-list codecs (Google-style codec:
-/root/reference/google_codec.cpp:19-176 — N-doc blocks, varint doc deltas,
-skiplist of (last_docid, offset); Lucene-style: /root/reference/
-lucene_codec.cpp:163-388 — 128-doc blocks, separate hits stream, rich
-skiplist entries) as numpy-vectorized kernels over one self-contained blob
-per (segment, term).
+- ``varint`` (version 1): LEB128 doc-delta / tf / position-delta sections
+  (the Google-style codec, /root/reference/google_codec.cpp:19-176).
+- ``packed`` (version 2): per-block bit-packed FOR sections — each block
+  stores its values at the block-max bit width (PFOR without exceptions;
+  the Lucene-style packed-ints idea, lucene_codec.cpp:163-388).
 
 Blob layout (little-endian), one per term::
 
-    header:
-      u8  magic (0x54), u8 version (1), u8 flags (bit0 = has positions), u8 pad
+    header (28 B):
+      u8  magic (0x54), u8 version (codec id: 1 varint / 2 packed)
+      u8  flags (bit0 = positions, bit1 = per-hit payloads)
+      u8  payload_width               # bytes per hit payload (0..8)
       u32 doc_count
       u32 n_blocks
-      u32 docs_len, u32 freqs_len, u32 pos_len        # varint section byte sizes
+      u32 docs_len, u32 freqs_len, u32 pos_len, u32 pay_len  # section bytes
     block directory ("skiplist", fixed-width => vectorized seek):
       u64[n_blocks] last_docid      # last docID in block  (advance = searchsorted)
       u32[n_blocks] docs_off        # byte offset of block start in docs section
@@ -22,16 +26,27 @@ Blob layout (little-endian), one per term::
       u32[n_blocks] hit_base        # cumulative hit count before block
       u16[n_blocks] counts          # docs in block (<= BLOCK)
       u16[n_blocks] max_tf          # block-max term frequency (block-max WAND)
-    payload:
-      docs varints   # doc-ID deltas over the whole stream (delta[0] absolute)
-      freqs varints  # tf per doc
-      pos varints    # per doc: first position absolute, then deltas
+      [version 2 only]
+      u8[n_blocks] bw_docs          # bit width of the block's doc deltas
+      u8[n_blocks] bw_freqs         #   "            "        tfs
+      u8[n_blocks] bw_pos           #   "            "        position deltas
+    sections:
+      docs    # doc-ID deltas (delta[0] absolute; block-first delta relative
+              # to the previous block's last docID)
+      freqs   # tf per doc
+      pos     # per doc: first position absolute, then deltas
+      pay     # per hit: payload_width raw little-endian bytes (uncompressed
+              # opaque app payload <= 8 B, codecs.h:194-195 / runtime.h:8-20)
 
 The directory plays the role of the reference's skiplists (every-N-docs
 entries, google_codec.cpp:146-158 / lucene_codec.cpp:368-381): `advance(target)`
 is a `searchsorted` on ``last_docid`` followed by decoding one block; `max_tf`
 is the block-max needed for WAND pruning (BM25 per-term score is monotone in
 tf, see similarity.h:228-235).
+
+Blobs are SELF-DESCRIBING (the version byte is the codec id), so a merge can
+mix codecs freely: decode dispatches per blob, re-encode uses the output
+codec — the reference's cross-codec merge paths (merge.cpp:288-394).
 
 Encoders require strictly ascending doc IDs, mirroring the reference's hard
 abort on broken ordering (google_codec.cpp:27-30).
@@ -43,8 +58,52 @@ import numpy as np
 
 BLOCK = 128  # docs per block (reference Lucene codec BLOCK_SIZE, lucene_codec.h:49)
 _MAGIC = 0x54
-_VERSION = 1
-_HEADER = 4 + 4 + 4 + 12  # magic..pad + doc_count + n_blocks + 3 section lens
+CODECS = {"varint": 1, "packed": 2}  # codec name -> blob version byte
+_HEADER = 4 + 8 + 16  # magic..payload_width + doc_count + n_blocks + 4 lens
+
+
+def _codec_version(codec: str) -> int:
+    try:
+        return CODECS[codec]
+    except KeyError:
+        raise ValueError(f"unknown codec {codec!r}; have {sorted(CODECS)}")
+
+
+# ---------------------------------------------------------------------------
+# bit-packed FOR kernels (codec "packed")
+# ---------------------------------------------------------------------------
+
+_BIT_W: dict[int, np.ndarray] = {}
+
+
+def _bit_weights(w: int) -> np.ndarray:
+    wt = _BIT_W.get(w)
+    if wt is None:
+        wt = (np.uint64(1) << np.arange(w, dtype=np.uint64))
+        _BIT_W[w] = wt
+    return wt
+
+
+def _bit_width(values: np.ndarray) -> int:
+    """Bits needed for the max value (0 if all zero)."""
+    return int(values.max()).bit_length() if values.size else 0
+
+
+def _pack_bits(values: np.ndarray, w: int) -> np.ndarray:
+    """Pack values (uint64) at w bits each, little-endian bit order."""
+    if w == 0 or values.size == 0:
+        return np.empty(0, dtype=np.uint8)
+    bits = ((values[:, None] >> np.arange(w, dtype=np.uint64)) &
+            np.uint64(1)).astype(np.uint8)
+    return np.packbits(bits.reshape(-1), bitorder="little")
+
+
+def _unpack_bits(buf: np.ndarray, w: int, count: int) -> np.ndarray:
+    """Inverse of :func:`_pack_bits`."""
+    if w == 0 or count == 0:
+        return np.zeros(count, dtype=np.uint64)
+    bits = np.unpackbits(buf, count=count * w, bitorder="little")
+    return bits.reshape(count, w).astype(np.uint64) @ _bit_weights(w)
 
 
 # ---------------------------------------------------------------------------
@@ -107,17 +166,45 @@ def varint_decode(buf: np.ndarray | bytes, count: int | None = None) -> np.ndarr
 # encode
 # ---------------------------------------------------------------------------
 
+def _make_header(version: int, has_pos: bool, payload_width: int, n: int,
+                 n_blocks: int, lens: tuple[int, int, int, int]) -> bytes:
+    flags = (1 if has_pos else 0) | (2 if payload_width else 0)
+    return (bytes((_MAGIC, version, flags, payload_width))
+            + np.array([n, n_blocks], dtype="<u4").tobytes()
+            + np.array(lens, dtype="<u4").tobytes())
+
+
+def _payload_bytes(payloads: np.ndarray | None, width: int) -> bytes:
+    """Raw fixed-width little-endian payload stream (one value per hit)."""
+    if payloads is None or width == 0:
+        return b""
+    if not (1 <= width <= 8):
+        raise ValueError("payload_width must be 1..8 bytes")
+    p = np.ascontiguousarray(payloads, dtype=np.uint64)
+    if width == 8:
+        return p.astype("<u8").tobytes()
+    full = p.astype("<u8").view(np.uint8).reshape(-1, 8)
+    if (full[:, width:] != 0).any():
+        raise ValueError(f"payload exceeds {width} bytes")
+    return np.ascontiguousarray(full[:, :width]).tobytes()
+
+
 def encode_postings(
     doc_ids: np.ndarray,
     freqs: np.ndarray,
     positions: np.ndarray | None = None,
+    payloads: np.ndarray | None = None,
+    payload_width: int = 0,
+    codec: str = "varint",
 ) -> bytes:
     """Encode one term's postings.
 
     ``doc_ids``: strictly ascending uint64; ``freqs``: uint32 tf per doc;
     ``positions``: concatenated per-doc ascending positions (len == freqs.sum())
-    or None for a positionless index.
+    or None for a positionless index; ``payloads``: one <=8-byte opaque value
+    per hit (same order as positions) stored raw at ``payload_width`` bytes.
     """
+    version = _codec_version(codec)
     doc_ids = np.ascontiguousarray(doc_ids, dtype=np.uint64)
     freqs = np.ascontiguousarray(freqs, dtype=np.uint64)
     n = doc_ids.size
@@ -126,16 +213,15 @@ def encode_postings(
     if n > 1 and not (np.diff(doc_ids.astype(np.int64)) > 0).all():
         raise ValueError("doc_ids must be strictly ascending")  # google_codec.cpp:27-30
 
+    n_hits = int(freqs.sum())
     deltas = np.empty(n, dtype=np.uint64)
     deltas[0] = doc_ids[0]
     np.subtract(doc_ids[1:], doc_ids[:-1], out=deltas[1:])
-    docs_bytes = varint_encode(deltas)
-    freqs_bytes = varint_encode(freqs)
 
     has_pos = positions is not None
     if has_pos:
         positions = np.ascontiguousarray(positions, dtype=np.uint64)
-        if positions.size != int(freqs.sum()):
+        if positions.size != n_hits:
             raise ValueError("positions length must equal freqs.sum()")
         starts = np.zeros(n, dtype=np.int64)
         np.cumsum(freqs[:-1].astype(np.int64), out=starts[1:]) if n > 1 else None
@@ -143,43 +229,55 @@ def encode_postings(
         pdelta[0] = positions[0]
         np.subtract(positions[1:], positions[:-1], out=pdelta[1:])
         pdelta[starts] = positions[starts]  # first pos of each doc absolute
-        pos_bytes = varint_encode(pdelta)
     else:
-        pos_bytes = b""
+        pdelta = None
+    if payloads is not None and payloads.size != n_hits:
+        raise ValueError("payloads length must equal freqs.sum()")
+    pay_bytes = _payload_bytes(payloads, payload_width)
 
-    # block directory
+    # block structure
     n_blocks = (n + BLOCK - 1) // BLOCK
     bstarts = np.arange(n_blocks, dtype=np.int64) * BLOCK
     bends = np.minimum(bstarts + BLOCK, n)
     last_docid = doc_ids[bends - 1]
     counts = (bends - bstarts).astype(np.uint16)
-    # byte offsets: need per-value byte length prefix sums at block starts
-    docs_off = _section_offsets(deltas, bstarts)
-    freqs_off = _section_offsets(freqs, bstarts)
     hit_base = np.zeros(n_blocks, dtype=np.uint32)
     if n_blocks > 1:
         hit_cum = np.cumsum(freqs.astype(np.int64))
         hit_base[1:] = hit_cum[bstarts[1:] - 1].astype(np.uint32)
-    if has_pos:
-        pos_off = _section_offsets(pdelta, np.minimum(hit_base.astype(np.int64), pdelta.size))
-    else:
-        pos_off = np.zeros(n_blocks, dtype=np.uint32)
     max_tf = np.minimum(
         np.maximum.reduceat(freqs, bstarts), 0xFFFF
     ).astype(np.uint16)
+    hstarts = hit_base.astype(np.int64)
+    hends = np.concatenate((hstarts[1:], [n_hits]))
 
-    header = np.zeros(_HEADER, dtype=np.uint8)
-    header[0] = _MAGIC
-    header[1] = _VERSION
-    header[2] = 1 if has_pos else 0
-    header[4:8] = np.frombuffer(np.uint32(n).tobytes(), dtype=np.uint8)
-    header[8:12] = np.frombuffer(np.uint32(n_blocks).tobytes(), dtype=np.uint8)
-    header[12:24] = np.frombuffer(
-        np.array([len(docs_bytes), len(freqs_bytes), len(pos_bytes)], dtype=np.uint32).tobytes(),
-        dtype=np.uint8,
-    )
+    widths_dir = b""
+    if version == 1:
+        docs_bytes = varint_encode(deltas)
+        freqs_bytes = varint_encode(freqs)
+        pos_bytes = varint_encode(pdelta) if has_pos else b""
+        docs_off = _section_offsets(deltas, bstarts)
+        freqs_off = _section_offsets(freqs, bstarts)
+        pos_off = (_section_offsets(pdelta,
+                                    np.minimum(hstarts, pdelta.size))
+                   if has_pos else np.zeros(n_blocks, dtype=np.uint32))
+    else:  # packed
+        docs_bytes, docs_off, bw_d = _pack_section(deltas, bstarts, bends)
+        freqs_bytes, freqs_off, bw_f = _pack_section(freqs, bstarts, bends)
+        if has_pos:
+            pos_bytes, pos_off, bw_p = _pack_section(pdelta, hstarts, hends)
+        else:
+            pos_bytes = b""
+            pos_off = np.zeros(n_blocks, dtype=np.uint32)
+            bw_p = np.zeros(n_blocks, dtype=np.uint8)
+        widths_dir = (bw_d.tobytes() + bw_f.tobytes() + bw_p.tobytes())
+
+    header = _make_header(version, has_pos, payload_width if payloads is not None else 0,
+                          n, n_blocks,
+                          (len(docs_bytes), len(freqs_bytes), len(pos_bytes),
+                           len(pay_bytes)))
     parts = [
-        header.tobytes(),
+        header,
         last_docid.astype("<u8").tobytes(),
         docs_off.astype("<u4").tobytes(),
         freqs_off.astype("<u4").tobytes(),
@@ -187,11 +285,99 @@ def encode_postings(
         hit_base.astype("<u4").tobytes(),
         counts.astype("<u2").tobytes(),
         max_tf.astype("<u2").tobytes(),
-        docs_bytes,
-        freqs_bytes,
-        pos_bytes,
+        widths_dir,
+        docs_bytes if isinstance(docs_bytes, bytes) else docs_bytes.tobytes(),
+        freqs_bytes if isinstance(freqs_bytes, bytes) else freqs_bytes.tobytes(),
+        pos_bytes if isinstance(pos_bytes, bytes) else pos_bytes.tobytes(),
+        pay_bytes,
     ]
     return b"".join(parts)
+
+
+def _block_widths(values: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """Per-block bit width = bit_length(block max), vectorized (<=64 shift
+    passes over n_blocks elements, not n values)."""
+    bmax = np.maximum.reduceat(values.astype(np.uint64), starts)
+    widths = np.zeros(starts.size, dtype=np.uint8)
+    tmp = bmax.copy()
+    while True:
+        m = tmp > 0
+        if not m.any():
+            break
+        widths[m] += 1
+        tmp >>= np.uint64(1)
+    return widths
+
+
+def _range_idx(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Concatenated [s, s+len) ranges as one index array."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    cum = np.concatenate(([0], np.cumsum(lens)))
+    out = np.arange(total, dtype=np.int64)
+    out += np.repeat(starts.astype(np.int64) - cum[:-1], lens)
+    return out
+
+
+def _pack_section(values: np.ndarray, starts: np.ndarray, ends: np.ndarray
+                  ) -> tuple[bytes, np.ndarray, np.ndarray]:
+    """Bit-pack per block at the block-max width (FOR, no exceptions).
+
+    Vectorized: blocks are grouped by width; groups whose blocks are all
+    byte-aligned (count*width % 8 == 0 — every FULL block, since
+    BLOCK=128) pack in ONE packbits pass per width; ragged blocks (the
+    final partial block of a term) pack individually.  Returns (section
+    bytes, u32 block byte offsets, u8 block widths)."""
+    nb = starts.size
+    values = values.astype(np.uint64, copy=False)
+    cnt = (ends - starts).astype(np.int64)
+    widths = (_block_widths(values, starts) if values.size
+              else np.zeros(nb, dtype=np.uint8))
+    blen = (cnt * widths.astype(np.int64) + 7) // 8
+    offs64 = np.concatenate(([0], np.cumsum(blen)))
+    out = np.zeros(int(offs64[-1]), dtype=np.uint8)
+    bitlen = cnt * widths.astype(np.int64)
+    aligned = (bitlen % 8) == 0
+    for w in np.unique(widths):
+        if w == 0:
+            continue
+        sel = np.flatnonzero((widths == w) & aligned)
+        if sel.size:
+            vals = values[_range_idx(starts[sel], cnt[sel])]
+            bits = ((vals[:, None] >> np.arange(w, dtype=np.uint64))
+                    & np.uint64(1)).astype(np.uint8)
+            packed = np.packbits(bits.reshape(-1), bitorder="little")
+            out[_range_idx(offs64[sel], blen[sel])] = packed
+        for i in np.flatnonzero((widths == w) & ~aligned):
+            c = _pack_bits(values[starts[i]:ends[i]], int(w))
+            out[offs64[i]:offs64[i] + c.size] = c
+    return out.tobytes(), offs64[:-1].astype(np.uint32), widths
+
+
+def _unpack_section(sec: np.ndarray, offs: np.ndarray, widths: np.ndarray,
+                    cnt: np.ndarray) -> np.ndarray:
+    """Decode a whole bit-packed section (all blocks, value order)."""
+    total = int(cnt.sum())
+    out = np.zeros(total, dtype=np.uint64)
+    vstarts = np.concatenate(([0], np.cumsum(cnt)))
+    bitlen = cnt.astype(np.int64) * widths.astype(np.int64)
+    blen = (bitlen + 7) // 8
+    aligned = (bitlen % 8) == 0
+    for w in np.unique(widths):
+        if w == 0:
+            continue
+        sel = np.flatnonzero((widths == w) & aligned)
+        if sel.size:
+            raw = sec[_range_idx(offs[sel].astype(np.int64), blen[sel])]
+            bits = np.unpackbits(raw, bitorder="little")
+            vals = bits.reshape(-1, w).astype(np.uint64) @ _bit_weights(int(w))
+            out[_range_idx(vstarts[sel], cnt[sel])] = vals
+        for i in np.flatnonzero((widths == w) & ~aligned):
+            o = int(offs[i])
+            out[vstarts[i]:vstarts[i + 1]] = _unpack_bits(
+                sec[o:o + int(blen[i])], int(w), int(cnt[i]))
+    return out
 
 
 def _section_offsets(values: np.ndarray, starts: np.ndarray) -> np.ndarray:
@@ -218,19 +404,24 @@ def encode_many(
     doc_ids: np.ndarray,
     freqs: np.ndarray,
     positions: np.ndarray | None = None,
+    payloads: np.ndarray | None = None,
+    payload_width: int = 0,
+    codec: str = "varint",
 ) -> list[bytes]:
     """Encode MANY terms' postings in a few global vectorized passes.
 
     ``term_offsets`` (int64, len T+1) delimits each term's slice of
     ``doc_ids``/``freqs`` (term-major, doc-ascending within term);
-    ``positions`` is the full concatenated hit stream (len == freqs.sum())
-    in the same order.  Returns one self-contained blob per term, identical
-    to :func:`encode_postings` output.
+    ``positions`` / ``payloads`` are the full concatenated hit streams
+    (len == freqs.sum()) in the same order.  Returns one self-contained
+    blob per term, identical to :func:`encode_postings` output.
 
     This is the index-build hot path: the reference's profile shows encode
     dominating segment commit (indexer.cpp:303-306, 11.8s of ~17s), so all
-    varint work here is global numpy; only final blob assembly loops per term.
+    section work here is global numpy (varint passes or width-grouped bit
+    packing); only final blob assembly loops per term.
     """
+    version = _codec_version(codec)
     term_offsets = np.ascontiguousarray(term_offsets, dtype=np.int64)
     doc_ids = np.ascontiguousarray(doc_ids, dtype=np.uint64)
     freqs = np.ascontiguousarray(freqs, dtype=np.uint64)
@@ -254,15 +445,6 @@ def encode_many(
         if (doc_ids[1:] <= doc_ids[:-1])[inner[1:]].any():
             raise ValueError("doc_ids must be strictly ascending within term")
 
-    deltas_c = _compact(deltas)
-    nb_d = _byte_lengths(deltas_c)
-    docs_all = np.frombuffer(varint_encode(deltas_c, nb_d), dtype=np.uint8)
-    docs_cum = np.concatenate(([0], np.cumsum(nb_d)))
-    freqs_c = _compact(freqs)
-    nb_f = _byte_lengths(freqs_c)
-    freqs_all = np.frombuffer(varint_encode(freqs_c, nb_f), dtype=np.uint8)
-    freqs_cum = np.concatenate(([0], np.cumsum(nb_f)))
-
     hit_cum = np.concatenate(([0], np.cumsum(freqs.astype(np.int64))))  # per-posting hit offsets
     has_pos = positions is not None
     if has_pos:
@@ -275,13 +457,18 @@ def encode_many(
             pdelta[0] = positions[0]
             np.subtract(positions[1:], positions[:-1], out=pdelta[1:])
             pdelta[dstarts_h] = positions[dstarts_h]
-        pdelta_c = _compact(pdelta)
-        nb_p = _byte_lengths(pdelta_c)
-        pos_all = np.frombuffer(varint_encode(pdelta_c, nb_p), dtype=np.uint8)
-        pos_cum = np.concatenate(([0], np.cumsum(nb_p)))
     else:
-        pos_all = np.empty(0, dtype=np.uint8)
-        pos_cum = np.zeros(1, dtype=np.int64)
+        pdelta = None
+
+    if payloads is not None:
+        if payloads.size != hit_cum[-1]:
+            raise ValueError("payloads length must equal freqs.sum()")
+        pay_all = np.frombuffer(_payload_bytes(payloads, payload_width),
+                                dtype=np.uint8)
+        pw = payload_width
+    else:
+        pay_all = np.empty(0, dtype=np.uint8)
+        pw = 0
 
     # --- global block structure (blocks tile the posting stream) ---
     nblocks_t = (n_t + BLOCK - 1) // BLOCK
@@ -295,18 +482,67 @@ def encode_many(
     g_last_docid = doc_ids[bend - 1]
     g_counts = (bend - bstart).astype(np.uint16)
     g_max_tf = np.minimum(np.maximum.reduceat(freqs, bstart), 0xFFFF).astype(np.uint16)
-    g_docs_off = (docs_cum[bstart] - docs_cum[tstarts[block_term]]).astype(np.uint32)
-    g_freqs_off = (freqs_cum[bstart] - freqs_cum[tstarts[block_term]]).astype(np.uint32)
     g_hit_base = (hit_cum[bstart] - hit_cum[tstarts[block_term]]).astype(np.uint32)
-    if has_pos:
-        g_pos_off = (pos_cum[hit_cum[bstart]] - pos_cum[hit_cum[tstarts[block_term]]]).astype(np.uint32)
-    else:
-        g_pos_off = np.zeros(total_blocks, dtype=np.uint32)
 
-    # per-term byte ranges in the three sections
-    t_docs = docs_cum[term_offsets]
-    t_freqs = freqs_cum[term_offsets]
-    t_pos = pos_cum[hit_cum[term_offsets]] if has_pos else np.zeros(T + 1, dtype=np.int64)
+    widths_b = (None, None, None)
+    if version == 1:
+        deltas_c = _compact(deltas)
+        nb_d = _byte_lengths(deltas_c)
+        docs_all = np.frombuffer(varint_encode(deltas_c, nb_d), dtype=np.uint8)
+        docs_cum = np.concatenate(([0], np.cumsum(nb_d)))
+        freqs_c = _compact(freqs)
+        nb_f = _byte_lengths(freqs_c)
+        freqs_all = np.frombuffer(varint_encode(freqs_c, nb_f), dtype=np.uint8)
+        freqs_cum = np.concatenate(([0], np.cumsum(nb_f)))
+        if has_pos:
+            pdelta_c = _compact(pdelta)
+            nb_p = _byte_lengths(pdelta_c)
+            pos_all = np.frombuffer(varint_encode(pdelta_c, nb_p), dtype=np.uint8)
+            pos_cum = np.concatenate(([0], np.cumsum(nb_p)))
+        else:
+            pos_all = np.empty(0, dtype=np.uint8)
+            pos_cum = np.zeros(1, dtype=np.int64)
+        g_docs_off = (docs_cum[bstart] - docs_cum[tstarts[block_term]]).astype(np.uint32)
+        g_freqs_off = (freqs_cum[bstart] - freqs_cum[tstarts[block_term]]).astype(np.uint32)
+        if has_pos:
+            g_pos_off = (pos_cum[hit_cum[bstart]] - pos_cum[hit_cum[tstarts[block_term]]]).astype(np.uint32)
+        else:
+            g_pos_off = np.zeros(total_blocks, dtype=np.uint32)
+        # per-term byte ranges in the three sections
+        t_docs = docs_cum[term_offsets]
+        t_freqs = freqs_cum[term_offsets]
+        t_pos = pos_cum[hit_cum[term_offsets]] if has_pos else np.zeros(T + 1, dtype=np.int64)
+    else:  # packed: ONE width-grouped packing pass per section, all terms
+        sec_d, off_d, bw_d = _pack_section(deltas, bstart, bend)
+        sec_f, off_f, bw_f = _pack_section(freqs, bstart, bend)
+        docs_all = np.frombuffer(sec_d, dtype=np.uint8)
+        freqs_all = np.frombuffer(sec_f, dtype=np.uint8)
+        fb = first_block_of_term
+        t_docs = np.concatenate((off_d[fb[:-1]].astype(np.int64),
+                                 [docs_all.size]))
+        t_freqs = np.concatenate((off_f[fb[:-1]].astype(np.int64),
+                                  [freqs_all.size]))
+        g_docs_off = (off_d.astype(np.int64)
+                      - t_docs[block_term]).astype(np.uint32)
+        g_freqs_off = (off_f.astype(np.int64)
+                       - t_freqs[block_term]).astype(np.uint32)
+        if has_pos:
+            hbstart = hit_cum[bstart]
+            hbend = hit_cum[bend]
+            sec_p, off_p, bw_p = _pack_section(pdelta, hbstart, hbend)
+            pos_all = np.frombuffer(sec_p, dtype=np.uint8)
+            t_pos = np.concatenate((off_p[fb[:-1]].astype(np.int64),
+                                    [pos_all.size]))
+            g_pos_off = (off_p.astype(np.int64)
+                         - t_pos[block_term]).astype(np.uint32)
+        else:
+            pos_all = np.empty(0, dtype=np.uint8)
+            t_pos = np.zeros(T + 1, dtype=np.int64)
+            g_pos_off = np.zeros(total_blocks, dtype=np.uint32)
+            bw_p = np.zeros(total_blocks, dtype=np.uint8)
+        widths_b = (bw_d, bw_f, bw_p)
+
+    t_pay = hit_cum[term_offsets] * pw  # per-term payload byte ranges
 
     last_b = g_last_docid.astype("<u8")
     docs_off_b = g_docs_off.astype("<u4")
@@ -316,17 +552,22 @@ def encode_many(
     counts_b = g_counts.astype("<u2")
     max_tf_b = g_max_tf.astype("<u2")
 
-    flags = 1 if has_pos else 0
     blobs: list[bytes] = []
     for t in range(T):
         b0, b1 = first_block_of_term[t], first_block_of_term[t + 1]
         d0, d1 = t_docs[t], t_docs[t + 1]
         f0, f1 = t_freqs[t], t_freqs[t + 1]
         p0, p1 = t_pos[t], t_pos[t + 1]
-        header = (
-            bytes((_MAGIC, _VERSION, flags, 0))
-            + np.array([n_t[t], b1 - b0, d1 - d0, f1 - f0, p1 - p0], dtype="<u4").tobytes()
-        )
+        y0, y1 = t_pay[t], t_pay[t + 1]
+        header = _make_header(version, has_pos, pw, int(n_t[t]),
+                              int(b1 - b0),
+                              (int(d1 - d0), int(f1 - f0),
+                               int(p1 - p0), int(y1 - y0)))
+        widths_dir = b""
+        if version == 2:
+            bw_d, bw_f, bw_p = widths_b
+            widths_dir = (bw_d[b0:b1].tobytes() + bw_f[b0:b1].tobytes()
+                          + bw_p[b0:b1].tobytes())
         blobs.append(
             header
             + last_b[b0:b1].tobytes()
@@ -336,9 +577,11 @@ def encode_many(
             + hit_base_b[b0:b1].tobytes()
             + counts_b[b0:b1].tobytes()
             + max_tf_b[b0:b1].tobytes()
+            + widths_dir
             + docs_all[d0:d1].tobytes()
             + freqs_all[f0:f1].tobytes()
             + pos_all[p0:p1].tobytes()
+            + pay_all[y0:y1].tobytes()
         )
     return blobs
 
@@ -355,20 +598,24 @@ class PostingsBlob:
     """
 
     __slots__ = (
-        "buf", "doc_count", "n_blocks", "has_positions",
-        "last_docid", "docs_off", "freqs_off", "pos_off", "hit_base",
-        "counts", "max_tf", "_docs_sec", "_freqs_sec", "_pos_sec",
+        "buf", "version", "doc_count", "n_blocks", "has_positions",
+        "payload_width", "last_docid", "docs_off", "freqs_off", "pos_off",
+        "hit_base", "counts", "max_tf", "bw_docs", "bw_freqs", "bw_pos",
+        "_docs_sec", "_freqs_sec", "_pos_sec", "_pay_sec",
     )
 
     def __init__(self, blob: bytes | memoryview):
         buf = np.frombuffer(blob, dtype=np.uint8)
-        if buf[0] != _MAGIC or buf[1] != _VERSION:
+        if buf[0] != _MAGIC or buf[1] not in (1, 2):
             raise ValueError("bad postings blob header")
         self.buf = buf
+        self.version = int(buf[1])  # == codec id (self-describing blobs)
         self.has_positions = bool(buf[2] & 1)
+        self.payload_width = int(buf[3]) if (buf[2] & 2) else 0
         self.doc_count = int(buf[4:8].view("<u4")[0])
         self.n_blocks = int(buf[8:12].view("<u4")[0])
-        docs_len, freqs_len, pos_len = (int(x) for x in buf[12:24].view("<u4"))
+        docs_len, freqs_len, pos_len, pay_len = (
+            int(x) for x in buf[12:28].view("<u4"))
         nb = self.n_blocks
         o = _HEADER
         self.last_docid = buf[o:o + 8 * nb].view("<u8"); o += 8 * nb
@@ -378,15 +625,44 @@ class PostingsBlob:
         self.hit_base = buf[o:o + 4 * nb].view("<u4"); o += 4 * nb
         self.counts = buf[o:o + 2 * nb].view("<u2"); o += 2 * nb
         self.max_tf = buf[o:o + 2 * nb].view("<u2"); o += 2 * nb
+        if self.version == 2:
+            self.bw_docs = buf[o:o + nb]; o += nb
+            self.bw_freqs = buf[o:o + nb]; o += nb
+            self.bw_pos = buf[o:o + nb]; o += nb
+        else:
+            self.bw_docs = self.bw_freqs = self.bw_pos = None
         self._docs_sec = buf[o:o + docs_len]; o += docs_len
         self._freqs_sec = buf[o:o + freqs_len]; o += freqs_len
-        self._pos_sec = buf[o:o + pos_len]
+        self._pos_sec = buf[o:o + pos_len]; o += pos_len
+        self._pay_sec = buf[o:o + pay_len]
 
     # -- full-stream decode (vectorized) ------------------------------------
+    def _counts64(self) -> np.ndarray:
+        return self.counts.astype(np.int64)
+
+    def _hits_per_block(self, freqs: np.ndarray) -> np.ndarray:
+        cnt = self._counts64()
+        ends = np.cumsum(cnt)
+        hcum = np.concatenate(([0], np.cumsum(freqs.astype(np.int64))))
+        return np.diff(np.concatenate(([0], hcum[ends])))
+
+    def _decode_doc_section(self) -> np.ndarray:
+        if self.version == 1:
+            return varint_decode(self._docs_sec, self.doc_count)
+        return _unpack_section(self._docs_sec, self.docs_off.astype(np.int64),
+                               self.bw_docs, self._counts64())
+
+    def _decode_freq_section(self) -> np.ndarray:
+        if self.version == 1:
+            return varint_decode(self._freqs_sec, self.doc_count)
+        return _unpack_section(self._freqs_sec,
+                               self.freqs_off.astype(np.int64),
+                               self.bw_freqs, self._counts64())
+
     def decode_docs_freqs(self) -> tuple[np.ndarray, np.ndarray]:
-        deltas = varint_decode(self._docs_sec, self.doc_count)
+        deltas = self._decode_doc_section()
         doc_ids = np.cumsum(deltas, dtype=np.uint64)
-        freqs = varint_decode(self._freqs_sec, self.doc_count)
+        freqs = self._decode_freq_section()
         return doc_ids, freqs
 
     def decode_positions(self, freqs: np.ndarray | None = None) -> tuple[np.ndarray, np.ndarray]:
@@ -398,14 +674,41 @@ class PostingsBlob:
         if not self.has_positions:
             raise ValueError("positionless blob")
         if freqs is None:
-            freqs = varint_decode(self._freqs_sec, self.doc_count)
-        deltas = varint_decode(self._pos_sec, int(freqs.sum()))
+            freqs = self._decode_freq_section()
+        if self.version == 1:
+            deltas = varint_decode(self._pos_sec, int(freqs.sum()))
+        else:
+            deltas = _unpack_section(self._pos_sec,
+                                     self.pos_off.astype(np.int64),
+                                     self.bw_pos,
+                                     self._hits_per_block(freqs))
         offsets = np.zeros(self.doc_count + 1, dtype=np.int64)
         np.cumsum(freqs.astype(np.int64), out=offsets[1:])
         c = np.cumsum(deltas, dtype=np.uint64)
         starts = offsets[:-1]
         base = np.repeat(c[starts] - deltas[starts], np.diff(offsets))
         return (c - base), offsets
+
+    def decode_payloads(self, freqs: np.ndarray | None = None
+                        ) -> tuple[np.ndarray, np.ndarray]:
+        """Return (payloads, doc_hit_offsets): one uint64 per hit, raw
+        little-endian fixed width (the <=8-byte opaque app payload channel,
+        codecs.h:194-195 / runtime.h:8-20)."""
+        if not self.payload_width:
+            raise ValueError("blob has no payloads")
+        if freqs is None:
+            freqs = self._decode_freq_section()
+        w = self.payload_width
+        n_hits = int(freqs.sum())
+        if w == 8:
+            vals = self._pay_sec.view("<u8").astype(np.uint64)
+        else:
+            full = np.zeros((n_hits, 8), dtype=np.uint8)
+            full[:, :w] = np.asarray(self._pay_sec).reshape(n_hits, w)
+            vals = full.reshape(-1).view("<u8").astype(np.uint64)
+        offsets = np.zeros(self.doc_count + 1, dtype=np.int64)
+        np.cumsum(freqs.astype(np.int64), out=offsets[1:])
+        return vals, offsets
 
     # -- block access (skiplist path) ---------------------------------------
     def seek_block(self, target: int) -> int:
@@ -420,14 +723,20 @@ class PostingsBlob:
         d1 = int(self.docs_off[i + 1]) if i + 1 < self.n_blocks else self._docs_sec.size
         f1 = int(self.freqs_off[i + 1]) if i + 1 < self.n_blocks else self._freqs_sec.size
         cnt = int(self.counts[i])
-        deltas = varint_decode(self._docs_sec[d0:d1], cnt)
+        if self.version == 1:
+            deltas = varint_decode(self._docs_sec[d0:d1], cnt)
+            freqs = varint_decode(self._freqs_sec[f0:f1], cnt)
+        else:
+            deltas = _unpack_bits(self._docs_sec[d0:d1],
+                                  int(self.bw_docs[i]), cnt)
+            freqs = _unpack_bits(self._freqs_sec[f0:f1],
+                                 int(self.bw_freqs[i]), cnt)
         base = np.uint64(0) if i == 0 else self.last_docid[i - 1]
         doc_ids = np.cumsum(deltas, dtype=np.uint64)
         if i > 0:
             # first delta of a block is relative to the previous doc, which is
             # the previous block's last docID only for the block's first doc
             doc_ids += base
-        freqs = varint_decode(self._freqs_sec[f0:f1], cnt)
         return doc_ids, freqs
 
     def decode_block_positions(self, i: int, freqs: np.ndarray,
@@ -443,10 +752,35 @@ class PostingsBlob:
         p0 = int(self.pos_off[i])
         p1 = int(self.pos_off[i + 1]) if i + 1 < self.n_blocks else self._pos_sec.size
         n_hits = int(freqs.sum())
-        deltas = varint_decode(self._pos_sec[p0:p1], n_hits)
+        if self.version == 1:
+            deltas = varint_decode(self._pos_sec[p0:p1], n_hits)
+        else:
+            deltas = _unpack_bits(self._pos_sec[p0:p1],
+                                  int(self.bw_pos[i]), n_hits)
         offsets = np.zeros(freqs.size + 1, dtype=np.int64)
         np.cumsum(freqs.astype(np.int64), out=offsets[1:])
         c = np.cumsum(deltas, dtype=np.uint64)
         starts = offsets[:-1]
         base = np.repeat(c[starts] - deltas[starts], np.diff(offsets))
         return (c - base), offsets
+
+    def decode_block_payloads(self, i: int, freqs: np.ndarray
+                              ) -> tuple[np.ndarray, np.ndarray]:
+        """Payloads of one block only; ``freqs`` is the block's freq array.
+        Payload byte offsets derive from hit_base (fixed width, no
+        directory needed)."""
+        if not self.payload_width:
+            raise ValueError("blob has no payloads")
+        w = self.payload_width
+        n_hits = int(freqs.sum())
+        y0 = int(self.hit_base[i]) * w
+        raw = self._pay_sec[y0:y0 + n_hits * w]
+        if w == 8:
+            vals = raw.view("<u8").astype(np.uint64)
+        else:
+            full = np.zeros((n_hits, 8), dtype=np.uint8)
+            full[:, :w] = np.asarray(raw).reshape(n_hits, w)
+            vals = full.reshape(-1).view("<u8").astype(np.uint64)
+        offsets = np.zeros(freqs.size + 1, dtype=np.int64)
+        np.cumsum(freqs.astype(np.int64), out=offsets[1:])
+        return vals, offsets

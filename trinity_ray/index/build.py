@@ -225,6 +225,8 @@ class SegmentBuilder:
         read_batch_rows: int = 8192,
         flush_hits: int = 4_000_000,
         replace_docs: bool = False,
+        codec: str = "varint",
+        payloads: str | None = None,
     ):
         self.index_dir = index_dir
         self.content_column = content_column
@@ -245,6 +247,18 @@ class SegmentBuilder:
         # term-streaming at the end, so a partition of ANY size builds in
         # O(flush_hits) memory
         self.flush_hits = flush_hits
+        # codec seam (codecs.h:67-317): blobs are self-describing, so the
+        # codec is a per-segment WRITE choice; readers dispatch per blob
+        self.codec = codec
+        # per-hit payload channel (codecs.h:194-195): payloads="char_offset"
+        # stores each hit's character offset (u32) via the span tokenizer
+        self.payload_kind = payloads
+        if payloads is not None:
+            if payloads != "char_offset":
+                raise ValueError(f"unknown payload kind {payloads!r}")
+            from trinity_ray.tokenizer import get_tokenizer_spans
+
+            self.tokenize_spans = get_tokenizer_spans(tokenizer)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out_rows = []
@@ -295,6 +309,7 @@ class SegmentBuilder:
         doc_ids_parts: list[np.ndarray] = []
         pos_parts: list[np.ndarray] = []
         pending_hits = 0
+        pay_parts: list[np.ndarray] = []
         run_files: list[str] = []
         run_stats: list[FieldStatistics] = []
         docs_writer: pq.ParquetWriter | None = None
@@ -302,7 +317,8 @@ class SegmentBuilder:
         t_enc_total = [0.0]
 
         def flush_run() -> None:
-            nonlocal term_ids_parts, doc_ids_parts, pos_parts, pending_hits
+            nonlocal term_ids_parts, doc_ids_parts, pos_parts, pay_parts, \
+                pending_hits
             if pending_hits == 0 and run_files:
                 return
             t0 = time.perf_counter()
@@ -312,9 +328,12 @@ class SegmentBuilder:
                         else np.empty(0, np.uint64))
             hit_pos = (np.concatenate(pos_parts) if pos_parts
                        else None)
-            term_ids_parts, doc_ids_parts, pos_parts = [], [], []
+            hit_pay = (np.concatenate(pay_parts) if pay_parts
+                       else None)
+            term_ids_parts, doc_ids_parts, pos_parts, pay_parts = [], [], [], []
             pending_hits = 0
-            st, (table,) = self._encode_segment(vocab, term_ids, hit_docs, hit_pos)
+            st, (table,) = self._encode_segment(vocab, term_ids, hit_docs,
+                                                hit_pos, hit_pay)
             run_stats.append(st)
             path = os.path.join(tmp_dir, f"run-{len(run_files):04d}.parquet")
             pq.write_table(table, path, row_group_size=TERMS_ROW_GROUP,
@@ -327,7 +346,13 @@ class SegmentBuilder:
                                   row_groups=row_groups, columns=columns):
             texts = rb.column(self.content_column).to_pylist()
             n = len(texts)
-            tok_lists = [self.tokenize(t or "") for t in texts]
+            if self.payload_kind is None:
+                tok_lists = [self.tokenize(t or "") for t in texts]
+                span_lists = None
+            else:
+                pairs = [self.tokenize_spans(t or "") for t in texts]
+                tok_lists = [p[0] for p in pairs]
+                span_lists = [p[1] for p in pairs]
             counts = np.fromiter((min(len(l), MAX_POSITION - 1) for l in tok_lists),
                                  dtype=np.int64, count=n)
             flat: list[int] = []
@@ -345,6 +370,13 @@ class SegmentBuilder:
                 cum = np.concatenate(([0], np.cumsum(counts)))
                 pos -= np.repeat(cum[:-1], counts).astype(np.uint64)
                 pos_parts.append(pos)
+            if span_lists is not None:
+                flat_sp: list[int] = []
+                for sp, c in zip(span_lists, counts):
+                    flat_sp.extend(sp[: int(c)])
+                pay_parts.append(
+                    np.minimum(np.asarray(flat_sp, dtype=np.uint64),
+                               np.uint64(0xFFFFFFFF)))
             pending_hits += int(counts.sum())
 
             sha = pa.array(
@@ -394,6 +426,8 @@ class SegmentBuilder:
 
         with open(os.path.join(tmp_dir, STATS_FILE), "w") as f:
             json.dump({"format": SEGMENT_FORMAT,
+                       "codec": self.codec,
+                       "payloads": self.payload_kind,
                        "docs_cnt": stats.docs_cnt,
                        "sum_term_hits": stats.sum_term_hits,
                        "total_terms": stats.total_terms,
@@ -472,7 +506,7 @@ class SegmentBuilder:
             if not alive:
                 break
             term = min(s.term for s in alive)
-            doc_parts, freq_parts, pos_parts = [], [], []
+            doc_parts, freq_parts, pos_parts, pay_parts = [], [], [], []
             for s in streams:  # run order == ascending doc ranges
                 if s.term == term:
                     pb = PostingsBlob(s.blob)
@@ -481,11 +515,18 @@ class SegmentBuilder:
                     freq_parts.append(f)
                     if self.positions:
                         pos_parts.append(pb.decode_positions(f)[0])
+                    if self.payload_kind is not None:
+                        pay_parts.append(pb.decode_payloads(f)[0])
                     s.advance()
             doc_ids = np.concatenate(doc_parts)
             freqs = np.concatenate(freq_parts)
             positions = np.concatenate(pos_parts) if self.positions else None
-            blob = encode_postings(doc_ids, freqs, positions)
+            payloads = (np.concatenate(pay_parts)
+                        if self.payload_kind is not None else None)
+            blob = encode_postings(doc_ids, freqs, positions,
+                                   payloads=payloads,
+                                   payload_width=4 if payloads is not None else 0,
+                                   codec=self.codec)
             hits = int(freqs.sum())
             out.add(term, doc_ids.size, int(min(freqs.max(), 0xFFFFFFFF)),
                     hits, blob)
@@ -503,6 +544,7 @@ class SegmentBuilder:
         term_ids: np.ndarray,
         hit_docs: np.ndarray,
         hit_pos: np.ndarray,
+        hit_pay: np.ndarray | None = None,
     ) -> tuple[FieldStatistics, tuple[pa.Table, ...]]:
         """Sort hits by (term, doc, pos) and encode — indexer.cpp:396-478."""
         n_hits = term_ids.size
@@ -545,6 +587,8 @@ class SegmentBuilder:
         hit_docs = hit_docs[order]
         if hit_pos is not None:
             hit_pos = hit_pos[order]
+        if hit_pay is not None:
+            hit_pay = hit_pay[order]
 
         # collapse hits → postings (term, doc, tf) with per-posting hit slices
         key_change = np.empty(n_hits, dtype=bool)
@@ -568,7 +612,10 @@ class SegmentBuilder:
 
         blobs = encode_many(term_offsets, p_doc, p_tf,
                             hit_pos if (self.positions and hit_pos is not None)
-                            else None)
+                            else None,
+                            payloads=hit_pay,
+                            payload_width=4 if hit_pay is not None else 0,
+                            codec=self.codec)
 
         dfs = np.diff(term_offsets).astype(np.uint64)
         max_tf = np.maximum.reduceat(p_tf, term_offsets[:-1]).astype(np.uint64)
@@ -612,6 +659,8 @@ def build_index(
     read_batch_rows: int = 8192,
     flush_hits: int = 4_000_000,
     replace_docs: bool = False,
+    codec: str = "varint",
+    payloads: str | None = None,
 ) -> IndexManifest:
     """Build (or resume) an index over a Parquet corpus.  Ray must already
     be initialised by the caller; this function never calls ray.init()."""
@@ -663,6 +712,8 @@ def build_index(
         read_batch_rows=read_batch_rows,
         flush_hits=flush_hits,
         replace_docs=replace_docs,
+        codec=codec,
+        payloads=payloads,
     )
     # plain tasks, not an actor pool: SegmentBuilder holds only cheap config
     # (tokenizer regex, paths), so per-task reconstruction costs ~ms while

@@ -86,35 +86,54 @@ def compute_masks(manifest: IndexManifest, index_dir: str) -> dict[str, np.ndarr
 
 def _merge_term_rows(rows: list[tuple[str, int, bytes]],
                      masks: dict[str, np.ndarray], positions: bool,
+                     codec: str = "varint",
                      ) -> tuple[int, int, int, bytes] | None:
     """rows = (seg_name, doc_base, blob) of ONE term -> (df, max_tf,
-    sum_hits, blob) or None if every posting is masked out."""
+    sum_hits, blob) or None if every posting is masked out.
+
+    Blobs are self-describing (version byte = codec id), so source segments
+    may mix codecs freely; the output is re-encoded with ``codec`` — the
+    reference's cross-codec merge paths (merge.cpp:288-394).  Per-hit
+    payloads survive the merge when every contributing blob carries them."""
     rows = sorted(rows, key=lambda r: r[1])  # ascending disjoint doc ranges
-    doc_parts, freq_parts, pos_parts = [], [], []
+    doc_parts, freq_parts, pos_parts, pay_parts = [], [], [], []
+    pay_width = 0
     for seg_name, _base, blob in rows:
         pb = PostingsBlob(blob)
         d, f = pb.decode_docs_freqs()
         if positions:
             p, _offs = pb.decode_positions(f)
+        has_pay = pb.payload_width > 0
+        if has_pay:
+            pay, _ = pb.decode_payloads(f)
+            pay_width = max(pay_width, pb.payload_width)
         mask = masks.get(seg_name)
         if mask is not None and mask.size:
             idx = np.minimum(np.searchsorted(mask, d), mask.size - 1)
             keep = mask[idx] != d
             if not keep.all():
+                hit_keep = np.repeat(keep, f.astype(np.int64))
                 if positions:
-                    p = p[np.repeat(keep, f.astype(np.int64))]
+                    p = p[hit_keep]
+                if has_pay:
+                    pay = pay[hit_keep]
                 d, f = d[keep], f[keep]
         if d.size:
             doc_parts.append(d)
             freq_parts.append(f)
             if positions:
                 pos_parts.append(p)
+            pay_parts.append(pay if has_pay else None)
     if not doc_parts:
         return None
     doc_ids = np.concatenate(doc_parts)
     freqs = np.concatenate(freq_parts)
     pos = np.concatenate(pos_parts) if positions else None
-    blob = encode_postings(doc_ids, freqs, pos)
+    all_pay = (pay_width > 0 and all(x is not None for x in pay_parts))
+    payloads = np.concatenate(pay_parts) if all_pay else None
+    blob = encode_postings(doc_ids, freqs, pos, payloads=payloads,
+                           payload_width=pay_width if all_pay else 0,
+                           codec=codec)
     return (doc_ids.size, int(min(freqs.max(), 0xFFFFFFFF)),
             int(freqs.sum()), blob)
 
@@ -141,10 +160,11 @@ class _MergeBlockWriter:
     may span block boundaries — a tiny driver pass finishes them)."""
 
     def __init__(self, masks: dict[str, np.ndarray], positions: bool,
-                 out_dir: str):
+                 out_dir: str, codec: str = "varint"):
         self.masks = masks
         self.positions = positions
         self.out_dir = out_dir
+        self.codec = codec
 
     def __call__(self, block: pa.Table) -> pa.Table:
         n = block.num_rows
@@ -169,7 +189,7 @@ class _MergeBlockWriter:
             else:
                 m = _merge_term_rows(
                     [(segs[k], bases[k], blobs[k]) for k in range(i, j)],
-                    self.masks, self.positions)
+                    self.masks, self.positions, self.codec)
                 if m is not None:
                     out.append((t, *m))
             i = j
@@ -193,9 +213,13 @@ def merge_index(
     out_dir: str,
     *,
     concurrency: int | None = None,
+    codec: str | None = None,
 ) -> IndexManifest:
     """Compact all segments of ``index_dir`` into one logical segment in
     ``out_dir`` (term-sharded postings files), applying all deletes.
+    ``codec`` picks the OUTPUT posting codec (None = keep the source's);
+    sources may mix codecs — blobs are self-describing, so this is also the
+    cross-codec rewrite path (merge.cpp:288-394).
     Ray must already be initialised by the caller."""
     import ray
     import ray.data as rd
@@ -203,6 +227,22 @@ def merge_index(
     manifest = read_manifest(index_dir)
     masks = compute_masks(manifest, index_dir)
     positions = manifest.positions
+    if codec is None:
+        # inherit the first posting segment's codec (stats sidecar); blobs
+        # self-describe so a wrong guess would still decode — this only
+        # picks the OUTPUT encoding
+        codec = "varint"
+        from trinity_ray.index.segment import read_segment_stats
+
+        for s_ in manifest.segments:
+            if not s_.has_deletes:
+                try:
+                    codec = read_segment_stats(index_dir, s_.name).get(
+                        "codec", "varint") or "varint"
+                except OSError:
+                    pass
+                break
+    out_codec = codec
 
     gen = max((s.generation for s in manifest.segments), default=0)
     name = f"g{gen:06d}-merged"
@@ -278,7 +318,7 @@ def merge_index(
     ds = ds.repartition(int(nparts))
 
     pending_rows = ds.sort("term").map_batches(
-        _MergeBlockWriter(masks, positions, postings_dir),
+        _MergeBlockWriter(masks, positions, postings_dir, out_codec),
         batch_size=None,  # one batch per sorted block
         batch_format="pyarrow",
         runtime_env=package_runtime_env(),
@@ -291,7 +331,7 @@ def merge_index(
             (r["seg_name"], int(r["doc_base"]), r["blob"]))
     brows = []
     for t in sorted(by_term):
-        m = _merge_term_rows(by_term[t], masks, positions)
+        m = _merge_term_rows(by_term[t], masks, positions, out_codec)
         if m is not None:
             brows.append((t, *m))
     if brows:
@@ -370,7 +410,8 @@ def merge_index(
         sum_terms_docs=sum_terms_docs,
     )
     with open(os.path.join(out_seg, STATS_FILE), "w") as f:
-        json.dump({"format": SEGMENT_FORMAT, **stats.__dict__,
+        json.dump({"format": SEGMENT_FORMAT, "codec": out_codec,
+                   **stats.__dict__,
                    "generation": gen, "doc_base": 0,
                    "doc_count": docs_cnt, "source_fp": src_fp}, f)
 

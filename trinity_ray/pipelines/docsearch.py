@@ -116,6 +116,34 @@ def base_index(sf_dir: str) -> str:
     return index_dir
 
 
+def packed_index(sf_dir: str) -> str:
+    """Same corpus indexed with the bit-packed FOR codec (codec seam,
+    codecs.h:67-317 / lucene_codec.cpp packed blocks)."""
+    _check_docid_identity(sf_dir)
+    index_dir = os.path.join(INDEX_ROOT, _tag(sf_dir), "packed")
+    key = ("packed", index_dir)
+    if key not in _memo:
+        build_index(documents_parquet(sf_dir), index_dir,
+                    content_column="text", tokenizer="simple",
+                    positions=True, codec="packed")
+        _memo[key] = True
+    return index_dir
+
+
+def payload_index(sf_dir: str) -> str:
+    """Index carrying the per-hit char-offset payload channel
+    (codecs.h:194-195 <=8-byte opaque payloads)."""
+    _check_docid_identity(sf_dir)
+    index_dir = os.path.join(INDEX_ROOT, _tag(sf_dir), "payload")
+    key = ("payload", index_dir)
+    if key not in _memo:
+        build_index(documents_parquet(sf_dir), index_dir,
+                    content_column="text", tokenizer="simple",
+                    positions=True, payloads="char_offset")
+        _memo[key] = True
+    return index_dir
+
+
 def deleted_index(sf_dir: str) -> str:
     """Independent index + a newer-generation delete segment masking
     doc_id % 7 == 3 (last-writer-wins delete semantics, SURVEY.md §2.9)."""
@@ -207,6 +235,33 @@ def q_search_phrase_top10(sf_dir: str) -> pa.Table:
 
 def q_search_optional_top10(sf_dir: str) -> pa.Table:
     return topk_table(base_index(sf_dir), DRIVER_QUERIES["optional"])
+
+
+def q_search_packed_top10(sf_dir: str) -> pa.Table:
+    """Pluggable-codec seam: the SAME query over a bit-packed-FOR-codec
+    index must produce the identical top-k (oracle shared with
+    search_hot_top10 — the codec must be invisible to results)."""
+    return topk_table(packed_index(sf_dir), DRIVER_QUERIES["hot_term"])
+
+
+def q_search_payload_hits(sf_dir: str) -> pa.Table:
+    """Per-hit payload channel: rich-match rows whose payload is each hit's
+    char offset in the source text.  Char offsets of regex matches are not
+    SQL-expressible in DuckDB, so this entry is rows-only; pytest verifies
+    payload values against a direct re.finditer scan
+    (tests/test_codec_seam.py)."""
+    res, tbl = _searcher(payload_index(sf_dir)).search_rich(
+        DRIVER_QUERIES["or2"], k=TOPK)
+    lens = pc.list_value_length(tbl.column("payloads")).to_numpy()
+    rep = np.repeat(np.arange(tbl.num_rows), lens)
+    return pa.table({
+        "rank": pa.array(tbl.column("rank").to_numpy()[rep].astype(np.int64),
+                         pa.int64()),
+        "doc_id": pa.array(tbl.column("doc_id").to_numpy()[rep], pa.int64()),
+        "term": pc.take(tbl.column("term"), pa.array(rep)),
+        "pos": pc.list_flatten(tbl.column("positions")),
+        "char_offset": pc.list_flatten(tbl.column("payloads")),
+    })
 
 
 def q_search_filtered_top10(sf_dir: str) -> pa.Table:

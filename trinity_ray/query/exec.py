@@ -88,7 +88,7 @@ class TermPostings:
     """
 
     __slots__ = ("_df", "_max_tf", "_loader", "_blob",
-                 "_docs", "_freqs", "_pos", "_blocks", "_blocks_pos")
+                 "_docs", "_freqs", "_pos", "_pay", "_blocks", "_blocks_pos")
 
     def __init__(self, df: int, max_tf: int, loader):
         self._df = int(df)
@@ -98,6 +98,7 @@ class TermPostings:
         self._docs: np.ndarray | None = None
         self._freqs: np.ndarray | None = None
         self._pos: tuple[np.ndarray, np.ndarray] | None = None
+        self._pay: tuple[np.ndarray, np.ndarray] | None = None
         self._blocks: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         self._blocks_pos: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
@@ -136,6 +137,23 @@ class TermPostings:
                 raise ValueError("no positions available")
             self._pos = self.blob.decode_positions(self.freqs)
         return self._pos
+
+    def payloads(self) -> tuple[np.ndarray, np.ndarray]:
+        if self._pay is None:
+            if not self.blob.payload_width:
+                raise ValueError("no payloads available")
+            self._pay = self.blob.decode_payloads(self.freqs)
+        return self._pay
+
+    def gather_payloads(self, cand: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(pay_flat, lens) per candidate — mirrors gather_positions for the
+        per-hit <=8-byte opaque payload channel (codecs.h:194-195).  Every
+        candidate must be present in this posting list."""
+        pay, offs = self.payloads()
+        idx = np.searchsorted(self.doc_ids, cand)
+        starts = offs[idx]
+        lens = offs[idx + 1] - starts
+        return pay[_range_gather(starts, lens)], lens
 
     # -- skiplist-selective access ------------------------------------------
     def _use_selective(self, n_cand: int) -> bool:
@@ -249,6 +267,23 @@ class SegmentReader:
                 f"segment {seg_path} uses the retired format-1 layout "
                 "(postings.parquet); rebuild the index with the current "
                 "version")
+        if self._files:
+            # stale on-disk formats (e.g. format-2's 24-byte blob header)
+            # would mis-parse SILENTLY under the current layout — refuse at
+            # open, not at first wrong answer
+            import json
+
+            from trinity_ray.index.segment import SEGMENT_FORMAT
+
+            try:
+                with open(os.path.join(seg_path, "stats.json")) as f:
+                    fmt = json.load(f).get("format")
+            except (OSError, ValueError):
+                fmt = None
+            if fmt != SEGMENT_FORMAT:
+                raise ValueError(
+                    f"segment {seg_path} has format {fmt}, reader expects "
+                    f"{SEGMENT_FORMAT}; rebuild the index")
         self._dict: dict[str, tuple[int, int, int, int, int]] | None = None
         self._rg_index: list[tuple[str, str, int, int]] | None = None
         self._rg_cache: dict[tuple[int, int], dict] = {}
@@ -416,7 +451,9 @@ class SegmentReader:
         matches.h:139-186; materialize_hits, queryexec_ctx.cpp:535+):
         for each query term present in a doc, its tf and positions.
 
-        Returns [(term, found_idx_into_docs, tf_int, pos_flat, lens)].
+        Returns [(term, found_idx_into_docs, tf_int, pos_flat, lens,
+        pay_flat_or_None)] — ``pay_flat`` carries the per-hit <=8-byte
+        payloads (codecs.h:194-195) when the index stores them.
         Docs absent from a term's postings simply don't appear for that
         term (OR-matched docs carry only the terms they contain)."""
         out = []
@@ -433,8 +470,10 @@ class SegmentReader:
             else:
                 pos_flat = np.empty(0, dtype=np.uint64)
                 lens = np.zeros(sub.size, dtype=np.int64)
+            pay_flat = (tp.gather_payloads(sub)[0]
+                        if tp.blob.payload_width else None)
             out.append((t, np.flatnonzero(found),
-                        tf[found].astype(np.int64), pos_flat, lens))
+                        tf[found].astype(np.int64), pos_flat, lens, pay_flat))
         return out
 
     def doc_ids_where(self, predicate) -> np.ndarray:

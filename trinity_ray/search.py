@@ -103,9 +103,10 @@ def _collect_rich_parts(readers, sorted_docs: np.ndarray, terms: list[str]
                         ) -> list[tuple[str, np.ndarray, np.ndarray,
                                         np.ndarray, np.ndarray]]:
     """Per-term hit detail for winner docs across a list of SegmentReaders:
-    [(term, doc_ids, tf, pos_flat, lens)].  Each reader contributes only the
-    docs in its live (unmasked) range, so a replaced docID's hits come from
-    the replacing generation, never the stale segment."""
+    [(term, doc_ids, tf, pos_flat, lens, pay_flat_or_None)].  Each reader
+    contributes only the docs in its live (unmasked) range, so a replaced
+    docID's hits come from the replacing generation, never the stale
+    segment."""
     parts = []
     for r in readers:
         lo = np.searchsorted(sorted_docs, r.doc_base)
@@ -115,8 +116,8 @@ def _collect_rich_parts(readers, sorted_docs: np.ndarray, terms: list[str]
             sub = sub[~np.isin(sub, r.mask)]
         if sub.size == 0:
             continue
-        for t, fidx, tf, pos_flat, lens in r.rich_hits(sub, terms):
-            parts.append((t, sub[fidx], tf, pos_flat, lens))
+        for t, fidx, tf, pos_flat, lens, pay_flat in r.rich_hits(sub, terms):
+            parts.append((t, sub[fidx], tf, pos_flat, lens, pay_flat))
     return parts
 
 
@@ -132,22 +133,29 @@ def rich_hits_table(res: SearchResult,
     rank = {int(d): i + 1 for i, d in enumerate(res.doc_ids)}
     score = {int(d): float(s) for d, s in zip(res.doc_ids, res.scores)}
     rows = []
-    for t, docs, tf, pos_flat, lens in parts:
+    any_pay = any(p[5] is not None for p in parts)
+    for t, docs, tf, pos_flat, lens, pay_flat in parts:
         offs = np.concatenate(([0], np.cumsum(lens)))
         for j in range(docs.size):
             d = int(docs[j])
+            pay = ([int(p) for p in pay_flat[offs[j]:offs[j + 1]]]
+                   if pay_flat is not None else None)
             rows.append((rank[d], d, score[d], t, int(tf[j]),
                          [int(p) for p in
-                          pos_flat[offs[j]:offs[j + 1]]]))
+                          pos_flat[offs[j]:offs[j + 1]]], pay))
     rows.sort(key=lambda r: (r[0], r[3]))
-    return pa.table({
+    cols = {
         "rank": pa.array([r[0] for r in rows], pa.int32()),
         "doc_id": pa.array([r[1] for r in rows], pa.int64()),
         "score": pa.array([r[2] for r in rows], pa.float64()),
         "term": pa.array([r[3] for r in rows], pa.string()),
         "tf": pa.array([r[4] for r in rows], pa.int64()),
         "positions": pa.array([r[5] for r in rows], pa.list_(pa.int64())),
-    })
+    }
+    if any_pay:
+        cols["payloads"] = pa.array([r[6] for r in rows],
+                                    pa.list_(pa.int64()))
+    return pa.table(cols)
 
 
 def merge_topk(parts: list[tuple[np.ndarray, np.ndarray]], k: int

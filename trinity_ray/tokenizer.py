@@ -119,10 +119,37 @@ def simple_tokenize(text: str) -> list[str]:
     return [t.upper() for t in _SIMPLE_RE.findall(text) if len(t) <= MAX_TERM_LEN]
 
 
+def simple_tokenize_spans(text: str) -> tuple[list[str], list[int]]:
+    """(tokens, byte/char start offsets) for the simple tokenizer — the
+    span source for the per-hit payload channel (offsets enable snippet
+    extraction without re-tokenizing the doc)."""
+    toks: list[str] = []
+    offs: list[int] = []
+    for m in _SIMPLE_RE.finditer(text):
+        t = m.group(0)
+        if len(t) <= MAX_TERM_LEN:
+            toks.append(t.upper())
+            offs.append(m.start())
+    return toks, offs
+
+
 TOKENIZERS: dict[str, Callable[[str], list[str]]] = {
     "trinity": trinity_tokenize,
     "simple": simple_tokenize,
 }
+
+TOKENIZER_SPANS: dict[str, Callable[[str], tuple[list[str], list[int]]]] = {
+    "simple": simple_tokenize_spans,
+}
+
+
+def get_tokenizer_spans(name: str) -> Callable[[str], tuple[list[str], list[int]]]:
+    try:
+        return TOKENIZER_SPANS[name]
+    except KeyError:
+        raise ValueError(
+            f"tokenizer {name!r} has no span variant (needed for per-hit "
+            f"payloads); one of {sorted(TOKENIZER_SPANS)}")
 
 
 def get_tokenizer(name: str) -> Callable[[str], list[str]]:
