@@ -259,6 +259,43 @@ WHERE a.tok = 'TABLE' AND b.tok = 'SCAN' AND c.tok = 'MERGE'
         # merged (post-compaction): stats recomputed over live docs only
         "search_merged_top10": _bm25_sql(
             ["WINDOW"], m_term("WINDOW"), live_filter="doc_id % 7 != 3"),
+        # LSH candidates + exact verify == brute-force n-gram Jaccard
+        # (recall check built into the oracle: a missed LSH pair hash-fails)
+        "dedup_jaccard_pairs": """
+WITH pos AS (SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts,1) AS pos
+             FROM (SELECT doc_id, regexp_extract_all(upper(text), '[A-Z0-9]+') AS ts FROM documents)),
+sh AS (SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+       FROM pos a JOIN pos b ON b.doc_id=a.doc_id AND b.pos=a.pos+1
+                  JOIN pos c ON c.doc_id=a.doc_id AND c.pos=a.pos+2),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS i
+          FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+          GROUP BY x.doc_id, y.doc_id),
+j AS (SELECT id_a, id_b, i::DOUBLE / (ca.n + cb.n - i) AS jac
+      FROM inter JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b)
+SELECT id_a, id_b, round(jac, 4) AS jaccard_r FROM j WHERE jac >= 0.6
+""",
+        # stopword-profile language ID (first-profile-wins tie-break)
+        "text_lang_id": """
+WITH w AS (SELECT doc_id, lower(unnest(ws)) AS w, generate_subscripts(ws,1) AS i
+           FROM (SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS ws FROM documents)),
+c AS (SELECT * FROM w WHERE i <= 2000),
+h AS (SELECT doc_id, count(*) AS nw,
+ sum(CASE WHEN w IN ('the', 'and', 'of', 'to', 'a', 'in', 'is', 'that', 'it', 'for', 'was', 'with', 'as', 'on', 'be', 'at', 'by', 'this', 'have') THEN 1 ELSE 0 END) AS h_en,
+ sum(CASE WHEN w IN ('der', 'die', 'und', 'das', 'ist', 'ein', 'zu', 'den', 'mit', 'von', 'nicht', 'auf', 'im', 'sich', 'des', 'dem', 'ich') THEN 1 ELSE 0 END) AS h_de,
+ sum(CASE WHEN w IN ('le', 'la', 'les', 'et', 'des', 'un', 'une', 'est', 'dans', 'que', 'qui', 'pour', 'pas', 'sur', 'au', 'il', 'ne', 'je') THEN 1 ELSE 0 END) AS h_fr,
+ sum(CASE WHEN w IN ('el', 'la', 'los', 'las', 'y', 'de', 'que', 'en', 'un', 'una', 'es', 'por', 'con', 'para', 'no', 'se', 'su', 'al', 'lo') THEN 1 ELSE 0 END) AS h_es
+ FROM c GROUP BY doc_id)
+SELECT d.doc_id,
+ CASE WHEN h.doc_id IS NULL OR greatest(h_en,h_de,h_fr,h_es) = 0 THEN 'und'
+      WHEN h_en >= greatest(h_de,h_fr,h_es) THEN 'en'
+      WHEN h_de >= greatest(h_fr,h_es) THEN 'de'
+      WHEN h_fr >= h_es THEN 'fr'
+      ELSE 'es' END AS lang_pred,
+ CASE WHEN h.doc_id IS NULL OR nw = 0 THEN 0.0
+      ELSE greatest(h_en,h_de,h_fr,h_es)::DOUBLE / nw END AS lang_conf
+FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id
+""",
         "dedup_exact_groups": """
 SELECT md5(text) AS content_hash, min(doc_id) AS keeper,
        count(*) AS n_docs
