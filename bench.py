@@ -142,6 +142,32 @@ def bench_ops(sf_dir: str) -> dict[str, float]:
         out[name] = time.time() - t0
 
     timed("docs_bm25_set", lambda d: dsp.flagship(d))
+    # percolator at registry scale: 1000 standing queries through the
+    # trigger-term predicate index (group_execnodes analogue) — cost must
+    # stay near the small-registry cost, not 100x it
+    def perc_1000(d):
+        import ray.data as rd
+
+        from trinity_ray.ops.percolate import percolate
+
+        vocab = ["filter", "batch", "scan", "hash", "customer", "merge",
+                 "stream", "slow", "column", "value", "join", "key",
+                 "small", "vector", "table", "order", "query", "group",
+                 "agg", "line", "row", "data", "big", "part", "fast",
+                 "sort", "spark", "window", "dup"]
+        qs = {}
+        for i in range(1000):
+            # half over live corpus vocabulary (queries DO trigger), half
+            # over absent terms (the index prunes them for free)
+            a = (vocab[i % len(vocab)] if i % 2 == 0 else f"w{i % 97}")
+            b = vocab[(i * 7) % len(vocab)]
+            qs[f"q{i:04d}"] = [f"{a}", f"{a} AND {b}", f"{a} OR {b}",
+                               f'"{a} {b}"'][i % 4]
+        ds = rd.read_parquet(os.path.join(d, "documents.parquet"),
+                             columns=["doc_id", "text"])
+        return percolate(ds, qs, tokenizer="simple")
+
+    timed("percolate_1000q", perc_1000)
     timed("dedup_exact", dsp.q_dedup_exact_groups)
     timed("dedup_minhash", dsp.q_dedup_minhash_pairs)
     timed("text_tokens", dsp.q_text_token_counts)

@@ -125,3 +125,55 @@ def test_rewritten_query_equals_manual_or(tmp_path, ray_session):
     b = s.search(manual, k=20)
     np.testing.assert_array_equal(a.doc_ids, b.doc_ids)
     np.testing.assert_array_equal(a.scores, b.scores)
+
+
+def test_trigger_index_equals_exhaustive(ray_session):
+    """Predicate grouping (group_execnodes analogue): the trigger-term
+    index must be a pure optimization — identical matches to evaluating
+    every standing query per doc, across every query shape."""
+    import numpy as np
+    import pyarrow as pa
+
+    from trinity_ray.ops.percolate import Percolator, match_doc, trigger_terms
+    from trinity_ray.query.ast import parse_query
+    from trinity_ray.tokenizer import MAX_POSITION, get_tokenizer
+
+    queries = {
+        "tok": "alpha",
+        "and": "alpha AND beta",
+        "or": "beta OR gamma",
+        "phrase": '"alpha beta"',
+        "not": "alpha NOT beta",          # triggered by alpha
+        "pure_not": "NOT beta",            # unconditional
+        "some": "[2 alpha beta gamma]",
+        "optional": "<beta> gamma",
+        "matchall": "",                    # unconditional
+        "mixed": "(alpha OR beta) AND (gamma OR delta)",
+    }
+    docs = ["alpha beta", "beta gamma", "delta", "", "alpha beta gamma delta",
+            "gamma", "alpha", "epsilon zeta", "beta", "alpha gamma"]
+    p = Percolator(queries, tokenizer="simple", text_column="t",
+                   id_column="i")
+    got = p(pa.table({"i": pa.array(range(len(docs)), pa.int64()),
+                      "t": pa.array(docs)}))
+    # exhaustive reference: evaluate every plan for every doc
+    tok = get_tokenizer("simple")
+    expect = []
+    for i, text in enumerate(docs):
+        toks = tok(text)[: MAX_POSITION - 1]
+        tp = {}
+        for pos, t in enumerate(toks, start=1):
+            tp.setdefault(t, []).append(pos)
+        for name, q in sorted(queries.items()):
+            if match_doc(parse_query(q, "simple"), tp):
+                expect.append((i, name))
+    assert list(zip(got.column("i").to_pylist(),
+                    got.column("query_name").to_pylist())) == expect
+    # the index is genuinely selective: single-token query triggers on one
+    # term; unconditional queries are in `always`
+    assert trigger_terms(parse_query("alpha", "simple")) == {"ALPHA"}
+    # bare negation normalizes to ConstFalse (matches nothing) -> empty
+    # trigger set, indexed nowhere
+    assert trigger_terms(parse_query("NOT beta", "simple")) == frozenset()
+    assert trigger_terms(parse_query("", "simple")) is None
+    assert len(p.always) == 1  # only the MatchAll query is unconditional

@@ -69,9 +69,48 @@ def match_doc(node: Node, term_pos: dict[str, list[int]]) -> bool:
     raise TypeError(f"unknown node {node!r}")
 
 
+def trigger_terms(node: Node) -> frozenset[str] | None:
+    """A conservative trigger-term set for a standing query: the query can
+    only match a document containing AT LEAST ONE of these terms.  None
+    means unconditional (must always be evaluated); an EMPTY set means the
+    query can never match (ConstFalse).
+
+    This is the predicate-grouping idea of the reference's group_execnodes
+    (compilation_ctx.cpp:1760+): thousands of standing queries share an
+    inverted term->queries map so a document only evaluates the queries
+    whose trigger terms it contains — the Twitter percolator pattern.
+    """
+    if isinstance(node, Token):
+        return frozenset((node.term,))
+    if isinstance(node, Phrase):
+        return frozenset((node.terms[0],))
+    if isinstance(node, ConstFalse):
+        return frozenset()
+    if isinstance(node, And):
+        # ANY positive child's trigger set suffices (all must match);
+        # pick the smallest available
+        cands = [trigger_terms(c) for c in node.children
+                 if not isinstance(c, (Not, Optional_))]
+        cands = [c for c in cands if c is not None]
+        return min(cands, key=len) if cands else None
+    if isinstance(node, (Or, MatchSome)):
+        if isinstance(node, MatchSome) and node.min_match <= 0:
+            return None
+        subs = [trigger_terms(c) for c in node.children]
+        if any(s is None for s in subs):
+            return None
+        return frozenset().union(*subs)
+    # MatchAll / Not / Optional_: can match term-free docs
+    return None
+
+
 class Percolator:
     """Stateful map_batches stage: standing queries compiled once per actor
     (__init__), documents evaluated per batch (__call__).
+
+    A shared term -> queries index (built from each query's trigger terms)
+    makes per-doc cost proportional to the queries its terms could trigger,
+    not the registry size — group_execnodes / compilation_ctx.cpp:1760+.
 
     Emits one row (id, query_name) per (document, matching query).
     """
@@ -84,6 +123,17 @@ class Percolator:
         ]
         self.text_column = text_column
         self.id_column = id_column
+        # predicate index: trigger term -> query indices; queries with no
+        # trigger set are evaluated for every doc
+        self.always: list[int] = []
+        self.by_term: dict[str, list[int]] = {}
+        for qi, (_name, plan) in enumerate(self.plans):
+            trig = trigger_terms(plan)
+            if trig is None:
+                self.always.append(qi)
+            else:
+                for t in trig:  # empty set (ConstFalse) indexes nowhere
+                    self.by_term.setdefault(t, []).append(qi)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column(self.id_column).to_pylist()
@@ -94,7 +144,13 @@ class Percolator:
             term_pos: dict[str, list[int]] = {}
             for p, t in enumerate(toks, start=1):
                 term_pos.setdefault(t, []).append(p)
-            for name, plan in self.plans:
+            cand = set(self.always)
+            for t in term_pos:
+                qis = self.by_term.get(t)
+                if qis:
+                    cand.update(qis)
+            for qi in sorted(cand):  # registry order == original output order
+                name, plan = self.plans[qi]
                 if match_doc(plan, term_pos):
                     out_ids.append(i)
                     out_names.append(name)
