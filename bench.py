@@ -79,11 +79,13 @@ def bench_index_build(corpus_dir: str, num_cpus: int,
     n_docs = int(open(os.path.join(corpus_dir, "DONE")).read())
     # partitioning is a property of the JOB, not the cluster: both scaling
     # runs build identical segments, so the N-vs-4N comparison measures
-    # scheduling, not different per-partition overheads.  3000 docs (~5 MB
-    # content) keeps the builder's sort+encode working set inside the
-    # per-core cache/bandwidth budget — measured 0.70 parallel efficiency
-    # at 32-way vs 0.41 with 6000-doc partitions on this box
-    target = 3000
+    # scheduling, not different per-partition overheads.  Size the
+    # per-partition working set for the FULL-parallelism cache share (the
+    # production case): 1024 docs measured 49.7k docs/s at 32-way vs 39.3k
+    # with 3000-doc partitions (less per-core cache contention, finer waves)
+    # — and raw 8->32 efficiency 0.75-0.83 vs 0.54.  Smaller still pays
+    # per-partition fixed costs without further cache benefit.
+    target = 1024
     t0 = time.time()
     build_index(corpus_dir, index_dir, content_column="content",
                 tokenizer="trinity", positions=True,

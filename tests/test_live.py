@@ -1,0 +1,109 @@
+"""NRT in-memory index source (index_source.h:11-13 seam): fresh documents
+are searchable immediately, deletes mask both live and durable docs, a
+flush makes the buffer durable through the ordinary build path, and
+results always equal an equivalent durable index."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from trinity_ray.index.build import build_index
+from trinity_ray.index.live import LiveIndex
+from trinity_ray.search import LocalSearcher
+
+BASE_DOCS = ["aa bb cc", "bb dd", "cc aa", "ee ff", "aa"]
+LIVE_DOCS = ["aa zz", "zz yy", "bb cc aa"]
+
+
+def _write(tmp, name, docs):
+    p = os.path.join(str(tmp), name)
+    pq.write_table(pa.table({"text": pa.array(docs)}), p)
+    return p
+
+
+def _equiv_index(tmp_path, docs, name="equiv"):
+    p = _write(tmp_path, f"{name}.parquet", docs)
+    idx = str(tmp_path / name)
+    build_index(p, idx, content_column="text", tokenizer="simple")
+    return LocalSearcher(idx)
+
+
+def test_memory_only_live_index():
+    """No Ray, no disk: docs searchable the moment they're added."""
+    li = LiveIndex(tokenizer="simple")
+    ids = li.add_documents(LIVE_DOCS)
+    np.testing.assert_array_equal(ids, [0, 1, 2])
+    s = li.searcher()
+    assert sorted(int(d) for d in s.search("zz", k=0).doc_ids) == [0, 1]
+    assert sorted(int(d) for d in s.search("aa AND cc", k=0).doc_ids) == [2]
+    # phrase + rich hits work through the same execution paths
+    assert [int(d) for d in s.search('"bb cc"', k=0).doc_ids] == [2]
+    res, tbl = s.search_rich("aa", k=5)
+    df = tbl.to_pandas()
+    assert set(df["doc_id"]) == {0, 2}
+    # incremental adds are visible without rebuilding earlier state
+    li.add_documents(["qq"])
+    assert [int(d) for d in li.searcher().search("qq", k=0).doc_ids] == [3]
+
+
+def test_live_equals_durable(tmp_path, ray_session):
+    """Scores/ranks from a base+live NRT view equal a from-scratch durable
+    index over the same docs (global df, never partial idf)."""
+    p = _write(tmp_path, "base.parquet", BASE_DOCS)
+    base = str(tmp_path / "base")
+    build_index(p, base, content_column="text", tokenizer="simple")
+    li = LiveIndex(base)
+    ids = li.add_documents(LIVE_DOCS)
+    np.testing.assert_array_equal(ids, [5, 6, 7])
+    s = li.searcher()
+    ref = _equiv_index(tmp_path, BASE_DOCS + LIVE_DOCS)
+    for q in ["aa", "zz", "aa AND cc", "aa OR zz", '"bb cc"', ""]:
+        a = s.search(q, k=10)
+        b = ref.search(q, k=10)
+        np.testing.assert_array_equal(a.doc_ids, b.doc_ids, err_msg=q)
+        np.testing.assert_array_equal(a.scores, b.scores, err_msg=q)
+
+
+def test_live_deletes_mask_everywhere(tmp_path, ray_session):
+    p = _write(tmp_path, "base.parquet", BASE_DOCS)
+    base = str(tmp_path / "base")
+    build_index(p, base, content_column="text", tokenizer="simple")
+    li = LiveIndex(base)
+    li.add_documents(LIVE_DOCS)
+    li.delete_documents([0, 5])  # one durable, one live
+    s = li.searcher()
+    ids = set(int(d) for d in s.search("aa", k=0).doc_ids)
+    assert ids == {2, 4, 7}
+    # stats untouched by masks (same as delete segments): n_docs counts all
+    assert s.n_docs == len(BASE_DOCS) + len(LIVE_DOCS)
+
+
+def test_flush_makes_buffer_durable(tmp_path, ray_session):
+    p = _write(tmp_path, "base.parquet", BASE_DOCS)
+    base = str(tmp_path / "base")
+    build_index(p, base, content_column="text", tokenizer="simple")
+    li = LiveIndex(base)
+    li.add_documents(LIVE_DOCS)
+    li.delete_documents([1, 6])
+    li.flush()
+    assert li._texts == [] and not li._deleted
+    # durable index now answers identically to the pre-flush NRT view
+    s = LocalSearcher(base)
+    assert sorted(int(d) for d in s.search("zz", k=0).doc_ids) == [5]
+    ids = set(int(d) for d in s.search("", k=0).doc_ids)
+    assert ids == {0, 2, 3, 4, 5, 7}
+    # and the LiveIndex keeps working on top of the flushed state
+    li.add_documents(["zz ww"])
+    s2 = li.searcher()
+    assert sorted(int(d) for d in s2.search("zz", k=0).doc_ids) == [5, 8]
+
+
+def test_live_tokenizer_mismatch_rejected(tmp_path, ray_session):
+    p = _write(tmp_path, "base.parquet", BASE_DOCS)
+    base = str(tmp_path / "base")
+    build_index(p, base, content_column="text", tokenizer="simple")
+    with pytest.raises(ValueError, match="tokenizer"):
+        LiveIndex(base, tokenizer="trinity")

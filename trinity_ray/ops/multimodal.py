@@ -32,6 +32,7 @@ _MAGIC = [
     (b"\x89PNG\r\n\x1a\n", "image/png"),
     (b"\xff\xd8\xff", "image/jpeg"),
     (b"GIF8", "image/gif"),
+    (b"BM", "image/bmp"),
     (b"RIFF", "audio/wav"),       # RIFF....WAVE, close enough for sniffing
     (b"ID3", "audio/mp3"),
     (b"\x00\x00\x00", "video/mp4"),  # ftyp boxes start with size prefix
@@ -54,18 +55,20 @@ def recommended_batch_size(row_bytes: int, concurrency: int,
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Real image decode — unavailable in this environment.
+    """REAL image decode for PNG and BMP (pure numpy/zlib — see
+    ops/imagecodec.py); JPEG/GIF/video remain honestly stubbed: they need
+    codec libraries this container doesn't ship."""
+    from trinity_ray.ops.imagecodec import decode_bmp, decode_png
 
-    STUB: no PIL/opencv in the container; raise so callers must opt into
-    the deterministic fake via ``fake=True`` stages below.
-    """
-    try:
-        from PIL import Image  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "image decode requires PIL/opencv (not in this container); "
-            "use FakeDecode for plumbing tests") from e
-    raise NotImplementedError("real decode path not wired")
+    p = payload or b""
+    if p.startswith(b"\x89PNG\r\n\x1a\n"):
+        return decode_png(p)
+    if p.startswith(b"BM"):
+        return decode_bmp(p)
+    mt = sniff_media_type(p)
+    raise NotImplementedError(
+        f"no decoder for {mt} (PNG/BMP decode is real; JPEG/GIF/video "
+        "need codec libs not present in this container)")
 
 
 def _fake_pixels(payload: bytes, h: int, w: int, c: int = 3) -> np.ndarray:
@@ -115,6 +118,42 @@ class FakeDecode:
         out = np.empty((n, size), dtype=np.uint8)
         for i, p in enumerate(payloads):
             out[i] = _fake_pixels(p or b"", self.h, self.w, self.c).ravel()
+        drop = batch.drop_columns([self.col])
+        return (drop
+                .append_column("pixels", pa.array(out.tolist(),
+                                                  pa.list_(pa.uint8(), size)))
+                .append_column("height", pa.array([self.h] * n, pa.int32()))
+                .append_column("width", pa.array([self.w] * n, pa.int32()))
+                .append_column("channels", pa.array([self.c] * n, pa.int32())))
+
+
+class RealDecode:
+    """decode stage (REAL backend for PNG/BMP): binary -> fixed (h, w, c)
+    uint8 tensor.  Decoded images are resampled to the target shape with
+    exact nearest-neighbor indexing (deterministic); gray is replicated to
+    3 channels, alpha dropped.  Same output schema as FakeDecode, so the
+    downstream stages are backend-agnostic."""
+
+    def __init__(self, binary_column: str = "payload", height: int = 32,
+                 width: int = 32, channels: int = 3):
+        self.col = binary_column
+        self.h, self.w, self.c = height, width, channels
+
+    def _fit(self, img: np.ndarray) -> np.ndarray:
+        if img.shape[2] == 1:
+            img = np.repeat(img, 3, axis=2)
+        img = img[:, :, : self.c]
+        ys = (np.arange(self.h) * img.shape[0]) // self.h
+        xs = (np.arange(self.w) * img.shape[1]) // self.w
+        return img[ys][:, xs]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column(self.col).to_pylist()
+        n = len(payloads)
+        size = self.h * self.w * self.c
+        out = np.empty((n, size), dtype=np.uint8)
+        for i, p in enumerate(payloads):
+            out[i] = self._fit(decode_image(p)).ravel()
         drop = batch.drop_columns([self.col])
         return (drop
                 .append_column("pixels", pa.array(out.tolist(),
@@ -195,9 +234,13 @@ def attach_binary_meta(ds, binary_column: str = "payload",
 
 def decode_images(ds, binary_column: str = "payload", height: int = 32,
                   width: int = 32, channels: int = 3, batch_size: int = 128,
-                  concurrency: int = 2):
+                  concurrency: int = 2, backend: str = "fake"):
+    """backend="real" decodes PNG/BMP with the pure-numpy codecs (raises on
+    formats needing external libs); backend="fake" keeps the deterministic
+    hash-pixel stub for plumbing tests over arbitrary bytes."""
+    cls = RealDecode if backend == "real" else FakeDecode
     return ds.map_batches(
-        FakeDecode, fn_constructor_kwargs=dict(
+        cls, fn_constructor_kwargs=dict(
             binary_column=binary_column, height=height, width=width,
             channels=channels),
         batch_format="pyarrow", batch_size=batch_size, concurrency=actor_pool(concurrency),

@@ -366,18 +366,30 @@ def q_dedup_jaccard_pairs(sf_dir: str):
 
 
 def q_multimodal_decode_shape(sf_dir: str):
-    """Binary -> (deterministic fake) decode -> resize plumbing: schema,
-    batch sizing and actor signatures are real; pixel decode is the
-    documented stub (no image libs in this environment)."""
+    """Binary -> REAL PNG decode -> resize: payloads are deterministic
+    PNGs (pixels seeded from each doc's text hash, all five scanline
+    filters), decoded by the pure-numpy codec (ops/imagecodec.py) — no
+    fake pixels anywhere in this pipeline.  JPEG/video decode remains the
+    documented stub (needs codec libs absent from this container)."""
+    import hashlib as _hl
+
+    from trinity_ray.ops.imagecodec import encode_png
     from trinity_ray.ops.multimodal import decode_images, resize_images
 
-    def to_bytes(batch: pa.Table) -> pa.Table:
-        payload = pa.array([(t or "").encode() for t in
-                            batch.column("text").to_pylist()], pa.binary())
-        return pa.table({"doc_id": batch.column("doc_id"), "payload": payload})
+    def to_png(batch: pa.Table) -> pa.Table:
+        blobs = []
+        for t in batch.column("text").to_pylist():
+            seed = int.from_bytes(_hl.blake2b((t or "").encode(),
+                                              digest_size=8).digest(),
+                                  "little")
+            px = np.random.default_rng(seed).integers(
+                0, 256, (16, 16, 3), dtype=np.uint8)
+            blobs.append(encode_png(px, filter_mode="mixed"))
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "payload": pa.array(blobs, pa.binary())})
 
-    ds = read_documents(sf_dir).map_batches(to_bytes, batch_format="pyarrow")
-    decoded = decode_images(ds, height=16, width=16)
+    ds = read_documents(sf_dir).map_batches(to_png, batch_format="pyarrow")
+    decoded = decode_images(ds, height=16, width=16, backend="real")
     resized = resize_images(decoded, 8, 8)
 
     def summarize(batch: pa.Table) -> pa.Table:
