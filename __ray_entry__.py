@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_tfidf_top10": dsp.q_search_tfidf_top10,
         "search_trivial_top10": dsp.q_search_trivial_top10,
         "search_rewrite_top10": dsp.q_search_rewrite_top10,
+        "search_rewrite_weighted_top10": dsp.q_search_rewrite_weighted_top10,
         "search_trinity_top10": dsp.q_search_trinity_top10,
         "percolate_matches": dsp.q_percolate_matches,
         "intersect_counts": dsp.q_intersect_counts,
@@ -174,6 +175,12 @@ def oracle_sql() -> dict[str, str]:
             ["KEY", "ORDER"], m_and, "sum(tf.tf)"),
         # synonym rewrite 'dup' -> (dup OR vector) == the manual OR query
         "search_rewrite_top10": _bm25_sql(["DUP", "VECTOR"], m_or),
+        # weighted rewrite: synonym contributes at half weight
+        "search_rewrite_weighted_top10": _scored_sql(
+            ["DUP", "VECTOR"], m_or,
+            "sum(ln(1.0 + (nn.n - df.df + 0.5) / (df.df + 0.5)) "
+            "* (CASE WHEN tf.tok = 'VECTOR' THEN 0.5 ELSE 1.0 END) "
+            f"* tf.tf / (tf.tf + {K1}))"),
         # rich-match mode: one row per (top-k doc, matched term, position)
         "search_rich_hits": f"""
 WITH toks AS ({_TOKS}),

@@ -177,3 +177,44 @@ def test_trigger_index_equals_exhaustive(ray_session):
     assert trigger_terms(parse_query("NOT beta", "simple")) == frozenset()
     assert trigger_terms(parse_query("", "simple")) is None
     assert len(p.always) == 1  # only the MatchAll query is unconditional
+
+
+def test_weighted_rewrite_provenance(tmp_path, ray_session):
+    """Synonym alternatives score at their instance weight; originals keep
+    1.0; a term that is both original and synonym takes the max."""
+    import os
+
+    from trinity_ray.query.ast import collect_scorable_weights
+
+    p = os.path.join(str(tmp_path), "docs.parquet")
+    pq.write_table(pa.table({"text": pa.array(DOCS)}), p)
+    idx = os.path.join(str(tmp_path), "idx")
+    build_index(p, idx, content_column="text", tokenizer="simple")
+
+    node = rewrite_query(
+        parse_query("fox", "simple"), k=1,
+        callback=lambda g: [("MERGE", 0.25)] if g == ("FOX",) else None)
+    assert collect_scorable_weights(node) == {"FOX": 1.0, "MERGE": 0.25}
+    s = LocalSearcher(idx)
+    idf = s.resolve_idf(node)
+    base = s.resolve_idf(parse_query("fox OR merge", "simple"))
+    assert abs(idf["FOX"] - base["FOX"]) < 1e-15
+    assert abs(idf["MERGE"] - 0.25 * base["MERGE"]) < 1e-15
+    # scores reflect the down-weight: doc 5 has fox+merge
+    rw = s.search(node, k=10)
+    ow = s.search("fox OR merge", k=10)
+    sc_r = {int(d): x for d, x in zip(rw.doc_ids, rw.scores)}
+    sc_o = {int(d): x for d, x in zip(ow.doc_ids, ow.scores)}
+    assert set(sc_r) == set(sc_o)
+    for d in sc_r:
+        assert sc_r[d] <= sc_o[d] + 1e-12
+    assert any(sc_r[d] < sc_o[d] - 1e-12 for d in sc_r)  # merge docs dropped
+    # max rule: MERGE as original elsewhere in the query wins over 0.25
+    both = Or((node, Token("MERGE")))
+    assert collect_scorable_weights(both)["MERGE"] == 1.0
+    # default alt_weight applies when the callback returns bare strings
+    node2 = rewrite_query(
+        parse_query("fox", "simple"), k=1,
+        callback=lambda g: ["MERGE"] if g == ("FOX",) else None,
+        alt_weight=0.5)
+    assert collect_scorable_weights(node2)["MERGE"] == 0.5

@@ -450,6 +450,24 @@ def q_intersect_counts(sf_dir: str) -> pa.Table:
     })
 
 
+def q_search_rewrite_weighted_top10(sf_dir: str) -> pa.Table:
+    """Rewrite provenance (queries.h:312-492 token-instance weighting /
+    queries_rewrite.h lambda): the synonym alternative scores at HALF the
+    original's weight — score = idf_dup*tfpart + 0.5*idf_vector*tfpart —
+    so originals outrank their expansions at equal tf."""
+    from trinity_ray.query.ast import parse_query
+    from trinity_ray.query.rewrite import rewrite_query
+
+    node = rewrite_query(
+        parse_query("dup", "simple"), k=1,
+        callback=lambda g: [("VECTOR", 0.5)] if g == ("DUP",) else None)
+    res = _searcher(base_index(sf_dir)).search(node, k=TOPK)
+    return pa.table({
+        "doc_id": pa.array(res.doc_ids.astype(np.int64), pa.int64()),
+        "score_r": pa.array(np.round(res.scores, 4), pa.float64()),
+    })
+
+
 def q_search_rewrite_top10(sf_dir: str) -> pa.Table:
     """Synonym rewrite hook (queries_rewrite.h:992): 'dup' expanded to
     (dup OR vector) via the callback, scored like the manual OR query."""

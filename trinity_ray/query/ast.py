@@ -47,11 +47,17 @@ class Node:
 @dataclass(frozen=True)
 class Token(Node):
     term: str
+    # rewrite provenance (queries.h:312-492 token_instance flags reduced to
+    # a scoring multiplier): 1.0 = original query token; rewrites may tag
+    # synonym/spelling alternatives with a lower weight so originals
+    # outrank their expansions (queries_rewrite.h lambda weighting)
+    weight: float = 1.0
 
 
 @dataclass(frozen=True)
 class Phrase(Node):
     terms: tuple[str, ...]
+    weight: float = 1.0
 
 
 @dataclass(frozen=True)
@@ -417,6 +423,30 @@ def collect_terms(node: Node) -> list[str]:
             for t in n.terms:
                 if t not in out:
                     out.append(t)
+    return out
+
+
+def collect_scorable_weights(node: Node) -> dict[str, float]:
+    """term -> scoring multiplier.  A term appearing both as an original
+    (1.0) and as a rewrite alternative takes its MAX instance weight —
+    deterministic, and an original is never down-weighted by also being
+    someone's synonym."""
+    out: dict[str, float] = {}
+
+    def walk(n: Node) -> None:
+        if isinstance(n, Token):
+            out[n.term] = max(out.get(n.term, 0.0), n.weight)
+        elif isinstance(n, Phrase):
+            for t in n.terms:
+                out[t] = max(out.get(t, 0.0), n.weight)
+        elif isinstance(n, (And, Or, MatchSome)):
+            for c in n.children:
+                walk(c)
+        elif isinstance(n, Optional_):
+            walk(n.child)
+        # Not: excluded
+
+    walk(node)
     return out
 
 

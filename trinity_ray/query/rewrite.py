@@ -37,18 +37,28 @@ from trinity_ray.query.ast import (
     normalize,
 )
 
-RewriteCallback = Callable[[tuple[str, ...]], Sequence[str] | None]
+# callback returns alternative surface strings, optionally weighted:
+# "vector" or ("vector", 0.5).  Weight < 1 makes the synonym contribute
+# proportionally less than the original (queries_rewrite.h lambda
+# weighting / token-instance provenance, queries.h:312-492) — the weight
+# rides on the Token/Phrase node and multiplies that term's idf.
+RewriteCallback = Callable[
+    [tuple[str, ...]], Sequence["str | tuple[str, float]"] | None]
 
 
-def _alt_node(alt: str) -> Node:
-    """An alternative surface string -> Token or Phrase (terms are assumed
-    already normalized the way the index tokenizer would produce them)."""
+def _alt_node(alt, default_weight: float = 1.0) -> Node:
+    """An alternative surface string (optionally (text, weight)) -> Token
+    or Phrase (terms are assumed already normalized the way the index
+    tokenizer would produce them)."""
+    w = default_weight
+    if isinstance(alt, tuple):
+        alt, w = alt
     parts = tuple(p for p in alt.split() if p)
     if not parts:
         raise ValueError("empty rewrite alternative")
     if len(parts) == 1:
-        return Token(parts[0])
-    return Phrase(parts)
+        return Token(parts[0], weight=float(w))
+    return Phrase(parts, weight=float(w))
 
 
 def _gram_node(gram: tuple[str, ...]) -> Node:
@@ -56,7 +66,7 @@ def _gram_node(gram: tuple[str, ...]) -> Node:
 
 
 def _rewrite_run(tokens: list[str], k: int, callback: RewriteCallback,
-                 budget: list[int]) -> list[Node]:
+                 budget: list[int], alt_weight: float = 1.0) -> list[Node]:
     """Expand one AND-run of tokens; returns replacement child nodes."""
     out: list[Node] = []
     i = 0
@@ -68,7 +78,8 @@ def _rewrite_run(tokens: list[str], k: int, callback: RewriteCallback,
                 gram = tuple(tokens[i:i + glen])
                 alts = callback(gram)
                 if alts:
-                    branches = [_gram_node(gram)] + [_alt_node(a) for a in alts]
+                    branches = [_gram_node(gram)] + [
+                        _alt_node(a, alt_weight) for a in alts]
                     out.append(Or(tuple(branches)))
                     budget[0] -= 1
                     i += glen
@@ -81,23 +92,25 @@ def _rewrite_run(tokens: list[str], k: int, callback: RewriteCallback,
 
 
 def rewrite_query(node: Node, k: int, callback: RewriteCallback,
-                  budget: int = 64) -> Node:
+                  budget: int = 64, alt_weight: float = 1.0) -> Node:
     """Expand token runs with callback-provided alternatives (the
     queries_rewrite.h:992 entry point, AND-run walk per queries.h:692-778).
+    ``alt_weight`` is the default scoring multiplier for alternatives whose
+    callback didn't weight them explicitly (1.0 = score like originals).
     Returns a new normalized AST; the input is not modified."""
     state = [budget]
-    return normalize(_walk(node, k, callback, state))
+    return normalize(_walk(node, k, callback, state, alt_weight))
 
 
 def _walk(node: Node, k: int, callback: RewriteCallback,
-          budget: list[int]) -> Node:
+          budget: list[int], alt_weight: float = 1.0) -> Node:
     if isinstance(node, And):
         new_children: list[Node] = []
         run: list[str] = []
 
         def flush() -> None:
             if run:
-                new_children.extend(_rewrite_run(run, k, callback, budget))
+                new_children.extend(_rewrite_run(run, k, callback, budget, alt_weight))
                 run.clear()
 
         for c in node.children:
@@ -105,21 +118,22 @@ def _walk(node: Node, k: int, callback: RewriteCallback,
                 run.append(c.term)  # contiguous token run (process_runs)
             else:
                 flush()
-                new_children.append(_walk(c, k, callback, budget))
+                new_children.append(_walk(c, k, callback, budget, alt_weight))
         flush()
         return And(tuple(new_children))
     if isinstance(node, Or):
-        return Or(tuple(_walk(c, k, callback, budget) for c in node.children))
+        return Or(tuple(_walk(c, k, callback, budget, alt_weight)
+                        for c in node.children))
     if isinstance(node, Not):
-        return Not(_walk(node.child, k, callback, budget))
+        return Not(_walk(node.child, k, callback, budget, alt_weight))
     if isinstance(node, Optional_):
-        return Optional_(_walk(node.child, k, callback, budget))
+        return Optional_(_walk(node.child, k, callback, budget, alt_weight))
     if isinstance(node, MatchSome):
         return MatchSome(node.min_match,
-                         tuple(_walk(c, k, callback, budget)
+                         tuple(_walk(c, k, callback, budget, alt_weight)
                                for c in node.children))
     if isinstance(node, Token):
         # a lone token is a run of one
-        replaced = _rewrite_run([node.term], k, callback, budget)
+        replaced = _rewrite_run([node.term], k, callback, budget, alt_weight)
         return replaced[0]
     return node

@@ -38,6 +38,7 @@ from trinity_ray.index.segment import (
 from trinity_ray.query.ast import (
     Node,
     collect_scorable_terms,
+    collect_scorable_weights,
     collect_terms,
     parse_query,
 )
@@ -197,9 +198,9 @@ class LocalSearcher:
         for r in self.readers:
             for t, d in r.lookup_terms(terms).items():
                 df[t] += d
-        scorable = collect_scorable_terms(node)
-        return {t: sc.weight(float(df[t]), self.n_docs)
-                for t in scorable if df[t] > 0}
+        wmul = collect_scorable_weights(node)
+        return {t: sc.weight(float(df[t]), self.n_docs) * w
+                for t, w in wmul.items() if df[t] > 0}
 
     def search(self, query: str | Node, k: int = 10,
                scorer: str = "bm25", filter_ids: np.ndarray | None = None,
@@ -317,9 +318,9 @@ class RaySearcher:
                 for t, d in part.items():
                     acc[t] += d
             self._df_cache.update(acc)
-        scorable = collect_scorable_terms(node)
-        return {t: sc.weight(float(self._df_cache[t]), self.n_docs)
-                for t in scorable if self._df_cache[t] > 0}
+        wmul = collect_scorable_weights(node)
+        return {t: sc.weight(float(self._df_cache[t]), self.n_docs) * w
+                for t, w in wmul.items() if self._df_cache[t] > 0}
 
     def search(self, query: str | Node, k: int = 10,
                scorer: str = "bm25", filter_ids: np.ndarray | None = None,
