@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- similarity search ----------------------------------------------
         "ann_bruteforce_top10": dsp.q_ann_bruteforce_top10,
         "ann_ivf_top10": dsp.q_ann_ivf_top10,
+        "ann_ivf_partitioned_top10": dsp.q_ann_ivf_partitioned_top10,
         # -- relational: broadcast join + aggregate ---------------------------
         "join_part_revenue": dsp.q_join_part_revenue,
         # -- event-time windows ----------------------------------------------

@@ -57,3 +57,42 @@ def test_missing_terms_contribute_nothing(small_index):
     got = intersection_counts(idx, ["AA", "NOSUCH"])
     want = brute(docs, ["AA", "NOSUCH"])
     assert got == want
+
+
+def test_ivf_partitioned_equals_memory(ray_session, tmp_path):
+    """Cluster-partitioned IVF (storage-level partition pruning) returns
+    exactly the in-memory ivf_topk answer for the same centroids."""
+    import numpy as np
+    import ray.data as rd
+
+    from trinity_ray.ops.ann import (
+        ivf_build,
+        ivf_topk,
+        ivf_topk_partitioned,
+        ivf_write_partitioned,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((400, 16))
+    import pyarrow as pa
+
+    tbl = pa.table({
+        "vec_id": pa.array(range(400), pa.int64()),
+        "embedding": pa.array(vecs.tolist(), pa.list_(pa.float64(), 16)),
+    })
+    qs = vecs[[3, 77, 200]]
+    cent, assigned = ivf_build(rd.from_arrow(tbl), n_clusters=8,
+                               sample_size=400)
+    mem = ivf_topk(assigned, cent, qs, k=10, nprobe=3).to_pandas()
+    out = str(tmp_path / "ivf")
+    ivf_write_partitioned(rd.from_arrow(tbl), out, n_clusters=8,
+                          sample_size=400)
+    part = ivf_topk_partitioned(out, qs, k=10, nprobe=3).to_pandas()
+    a = mem.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+    b = part.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+    assert a.equals(b)
+    # partition layout on disk: one dir per cluster, no stray vectors read
+    import os
+
+    dirs = [d for d in os.listdir(out) if d.startswith("cluster=")]
+    assert 1 < len(dirs) <= 8

@@ -20,6 +20,8 @@ in-batch mask (same computation, single-node layout).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -252,3 +254,79 @@ def ivf_topk(assigned, centroids: np.ndarray, queries: np.ndarray,
         id_column: pa.array(np.concatenate(out_i), pa.int64()),
         "cosine": pa.array(np.concatenate(out_c), pa.float64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# IVF scale path: cluster-partitioned Parquet (probe = read nprobe partitions)
+# ---------------------------------------------------------------------------
+
+def ivf_write_partitioned(ds, out_dir: str, *, n_clusters: int = 16,
+                          sample_size: int = 2048,
+                          vec_column: str = "embedding",
+                          id_column: str = "vec_id", seed: int = 7,
+                          concurrency: int = 2):
+    """Persist an IVF index as cluster-partitioned Parquet: centroids.npy +
+    one ``cluster=<c>/`` directory per coarse cluster.
+
+    This is the 100-TB story the in-memory path can't give: a query with
+    ``nprobe`` probes READS ONLY its nprobe partitions from storage —
+    vectors in unprobed clusters never leave disk, instead of being
+    scanned-and-masked.  Returns the centroid matrix."""
+    import json
+
+    import ray.data as rd  # noqa: F401
+
+    cent, assigned = ivf_build(ds, n_clusters=n_clusters,
+                               sample_size=sample_size,
+                               vec_column=vec_column, id_column=id_column,
+                               seed=seed, concurrency=concurrency)
+    os.makedirs(out_dir, exist_ok=True)
+    assigned.write_parquet(out_dir, partition_cols=["cluster"],
+                           compression="zstd")
+    np.save(os.path.join(out_dir, "centroids.npy"), cent)
+    with open(os.path.join(out_dir, "ivf.json"), "w") as f:
+        json.dump({"n_clusters": int(cent.shape[0]), "dim": int(cent.shape[1]),
+                   "id_column": id_column}, f)
+    return cent
+
+
+def ivf_topk_partitioned(index_dir: str, queries: np.ndarray, k: int = 10,
+                         *, nprobe: int = 4, id_column: str = "vec_id",
+                         batch_size: int = 4096):
+    """Top-k over a cluster-partitioned IVF index: per query, only the
+    ``nprobe`` nearest clusters' partition directories are read (partition
+    pruning at the storage layer).  Exact cosine within probed clusters;
+    same output schema as :func:`ivf_topk`."""
+    import ray.data as rd
+
+    cent = np.load(os.path.join(index_dir, "centroids.npy"))
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    nprobe = min(nprobe, cent.shape[0])
+    probes = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]   # (Q, nprobe)
+    needed = sorted(set(int(c) for c in probes.ravel()))
+    paths = []
+    probed_dirs = 0
+    for c in needed:
+        d = os.path.join(index_dir, f"cluster={c}")
+        if os.path.isdir(d):
+            probed_dirs += 1
+            paths.extend(os.path.join(d, f) for f in sorted(os.listdir(d))
+                         if f.endswith(".parquet"))
+    if not paths:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         id_column: pa.array([], pa.int64()),
+                         "cosine": pa.array([], pa.float64())})
+    # Ray hive-infers the "cluster" partition column from the directory
+    # names (as a string); normalize it to int32 for the probe mask
+    assigned = rd.read_parquet(paths)
+
+    def fix_cluster(batch: pa.Table) -> pa.Table:
+        cl = np.asarray([int(x) for x in
+                         batch.column("cluster").to_pylist()], dtype=np.int32)
+        return batch.set_column(
+            batch.schema.get_field_index("cluster"), "cluster",
+            pa.array(cl, pa.int32()))
+
+    assigned = assigned.map_batches(fix_cluster, batch_format="pyarrow")
+    return ivf_topk(assigned, cent, queries, k, nprobe=nprobe,
+                    id_column=id_column, batch_size=batch_size)

@@ -610,6 +610,36 @@ def q_ann_ivf_top10(sf_dir: str) -> pa.Table:
     })
 
 
+def q_ann_ivf_partitioned_top10(sf_dir: str) -> pa.Table:
+    """IVF scale path: the index persisted as cluster-partitioned Parquet —
+    a query READS only its nprobe clusters' partitions from storage (the
+    100-TB story; the in-memory variant scans-and-masks instead).  Same
+    centroids/params as ann_ivf_top10, so results are identical to it
+    (asserted in tests); rows-only for the driver (approximate op)."""
+    import shutil
+
+    from trinity_ray.ops.ann import ivf_topk_partitioned, ivf_write_partitioned
+
+    emb = pq.read_table(embeddings_parquet(sf_dir), columns=["vec_id", "embedding"])
+    qvec = np.asarray(emb.column("embedding")[0].as_py(), dtype=np.float64)
+    part_dir = os.path.join(INDEX_ROOT, _tag(sf_dir), "ivf_part")
+    key = ("ivf_part", part_dir)
+    if key not in _memo:
+        if not os.path.exists(os.path.join(part_dir, "centroids.npy")):
+            shutil.rmtree(part_dir, ignore_errors=True)
+            ivf_write_partitioned(read_embeddings(sf_dir), part_dir,
+                                  n_clusters=8)
+        _memo[key] = True
+    t = ivf_topk_partitioned(part_dir, qvec[None, :], k=TOPK + 1, nprobe=4)
+    keep = t.column("vec_id").to_numpy() != 0
+    t = t.filter(pa.array(keep))
+    return pa.table({
+        "vec_id": t.column("vec_id")[:TOPK],
+        "cos_r": pa.array(np.round(t.column("cosine").to_numpy()[:TOPK], 4),
+                          pa.float64()),
+    })
+
+
 def read_events(sf_dir: str):
     import ray.data as rd
 
