@@ -266,3 +266,28 @@ def test_app_prefilter_seams(index_dir, ray_session):
                       t.column("doc_id").to_numpy() % 2 == 0)
     np.testing.assert_array_equal(res.doc_ids, res_r.doc_ids)
     np.testing.assert_array_equal(res.scores, res_r.scores)
+
+
+def test_subtree_scoring(index_dir, ray_session):
+    """Accumulated-score OR-of-subtrees (docset_spans.cpp:304): branch
+    terms are gated on branch match; flat token ORs degrade to plain
+    execute bit-identically; ray == local."""
+    from trinity_ray.search import LocalSearcher, RaySearcher
+
+    s = LocalSearcher(index_dir)
+    # flat OR of tokens: identical to plain scoring
+    a = s.search_subtrees("key OR dup", k=10)
+    b = s.search("key OR dup", k=10)
+    np.testing.assert_array_equal(a.doc_ids, b.doc_ids)
+    np.testing.assert_array_equal(a.scores, b.scores)
+    # phrase-gated branch: docs with loose key+order but no adjacency get
+    # no contribution from that branch
+    r = s.search_subtrees('"key order" OR dup', k=0)
+    phrase_docs = set(int(d) for d in s.search('"key order"', k=0).doc_ids)
+    dup_docs = set(int(d) for d in s.search("dup", k=0).doc_ids)
+    assert set(int(d) for d in r.doc_ids) == phrase_docs | dup_docs
+    rs = RaySearcher(index_dir, num_actors=2)
+    r2 = rs.search_subtrees('"key order" OR dup', k=10)
+    r1 = s.search_subtrees('"key order" OR dup', k=10)
+    np.testing.assert_array_equal(r1.doc_ids, r2.doc_ids)
+    np.testing.assert_array_equal(r1.scores, r2.scores)

@@ -292,6 +292,20 @@ def q_search_docset_top10(sf_dir: str) -> pa.Table:
     })
 
 
+def q_search_subtree_scored_top10(sf_dir: str) -> pa.Table:
+    """Accumulated-score OR-of-subtrees
+    (DocsSetSpanForDisjunctionsWithSpansAndCost, docset_spans.cpp:304-434):
+    '"key order" OR dup' — a doc is scored by a branch's terms only if it
+    matches THAT branch (phrase adjacency / token presence), so loose
+    key+order co-occurrence without adjacency contributes nothing."""
+    res = _searcher(base_index(sf_dir)).search_subtrees(
+        '"key order" OR dup', k=TOPK)
+    return pa.table({
+        "doc_id": pa.array(res.doc_ids.astype(np.int64), pa.int64()),
+        "score_r": pa.array(np.round(res.scores, 4), pa.float64()),
+    })
+
+
 def q_search_rich_hits(sf_dir: str) -> pa.Table:
     """Rich-match mode (the reference's DEFAULT ConsiderResponse shape,
     exec.h:11-43 / matches.h:139-186): top-k for 'dup OR vector' with one

@@ -624,6 +624,46 @@ class SegmentReader:
             scores[found] += sc.contrib(w, tf[found])
         return scores
 
+    def execute_subtrees(self, node: Node, weights: dict[str, float],
+                         k: int, scorer: str | Scorer = "bm25",
+                         allowed: np.ndarray | None = None,
+                         ) -> tuple[np.ndarray, np.ndarray]:
+        """Accumulated-score OR-of-subtrees
+        (DocsSetSpanForDisjunctionsWithSpansAndCost, docset_spans.cpp:304-434):
+        each top-level OR branch is matched as a unit and contributes its
+        OWN terms' scores only on docs that match THAT branch — so a doc
+        matching the phrase branch of '"key order" OR dup' is scored by
+        key+order, not by incidental loose occurrences of a non-matching
+        branch's terms.  Equals ``execute`` when every branch is a single
+        token.  The matched set is identical to ``match(node)``."""
+        from trinity_ray.query.ast import collect_scorable_terms
+
+        sc = get_scorer(scorer) if isinstance(scorer, str) else scorer
+        branches = (list(node.children) if isinstance(node, Or) else [node])
+        acc_docs = EMPTY_U64
+        acc_scores = EMPTY_F64
+        for child in branches:
+            m = self.match(child)
+            if allowed is not None and m.size:
+                m = _intersect(m, allowed)
+            if self.mask is not None and m.size:
+                m = _setdiff(m, self.mask)
+            if m.size == 0:
+                continue
+            cw = {t: weights[t] for t in collect_scorable_terms(child)
+                  if t in weights}
+            s = self.score(m, cw, sc)
+            if acc_docs.size == 0:
+                acc_docs, acc_scores = m, s
+            else:
+                alld = np.concatenate((acc_docs, m))
+                alls = np.concatenate((acc_scores, s))
+                acc_docs, inv = np.unique(alld, return_inverse=True)
+                acc_scores = np.bincount(inv, weights=alls)
+        if acc_docs.size == 0:
+            return EMPTY_U64, EMPTY_F64
+        return _topk(acc_docs, acc_scores, k)
+
     def execute(self, node: Node, weights: dict[str, float], k: int,
                 scorer: str | Scorer = "bm25",
                 allowed: np.ndarray | None = None,

@@ -219,6 +219,19 @@ class LocalSearcher:
             parts.append(r.execute(node, idf, k, scorer, allowed=allowed))
         return merge_topk([p for p in parts if p[0].size], k)
 
+    def search_subtrees(self, query: str | Node, k: int = 10,
+                        scorer: str = "bm25") -> SearchResult:
+        """Accumulated-score OR-of-subtrees
+        (DocsSetSpanForDisjunctionsWithSpansAndCost, docset_spans.cpp:304):
+        each top-level OR branch contributes its own terms' scores only on
+        docs matching that branch."""
+        node = parse_query(query, self.manifest.tokenizer) \
+            if isinstance(query, str) else query
+        idf = self.resolve_idf(node, scorer)
+        parts = [r.execute_subtrees(node, idf, k, scorer)
+                 for r in self.readers]
+        return merge_topk([p for p in parts if p[0].size], k)
+
     def search_rich(self, query: str | Node, k: int = 10,
                     scorer: str = "bm25"):
         """Rich-match mode (the reference's default execution mode,
@@ -274,6 +287,15 @@ class SegmentSearchActor:
 
     def rich_hits(self, sorted_docs: np.ndarray, terms: list[str]):
         return _collect_rich_parts(self.readers, sorted_docs, terms)
+
+    def execute_subtrees(self, node: Node, idf: dict[str, float], k: int,
+                         scorer: str = "bm25"
+                         ) -> tuple[np.ndarray, np.ndarray]:
+        parts = [r.execute_subtrees(node, idf, k, scorer)
+                 for r in self.readers]
+        parts = [p for p in parts if p[0].size]
+        merged = merge_topk(parts, k)
+        return merged.doc_ids, merged.scores
 
 
 class RaySearcher:
@@ -334,6 +356,15 @@ class RaySearcher:
                                  doc_predicate) for a in self.actors]
         parts = [p for p in self._ray.get(futs) if p[0].size]
         return merge_topk(parts, k)
+
+    def search_subtrees(self, query: str | Node, k: int = 10,
+                        scorer: str = "bm25") -> SearchResult:
+        node = parse_query(query, self.manifest.tokenizer) \
+            if isinstance(query, str) else query
+        idf = self.resolve_idf(node, scorer)
+        futs = [a.execute_subtrees.remote(node, idf, k, scorer)
+                for a in self.actors]
+        return merge_topk([p for p in self._ray.get(futs) if p[0].size], k)
 
     def search_rich(self, query: str | Node, k: int = 10,
                     scorer: str = "bm25"):
