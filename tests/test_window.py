@@ -70,3 +70,41 @@ def test_sessionize(events):
             prev = t
         want[(u, sidx)] = (n, round((prev - start).total_seconds(), 6))
     assert got == want
+
+
+def test_sessionize_stitches_block_boundaries(ray_session):
+    """A whale user whose single long session spans MANY sorted blocks must
+    come out as exactly one session (mini-session stitching), and chained
+    sub-gap events must never split."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from trinity_ray.ops.window import sessionize
+
+    # user A: 5000 events 60s apart (one giant session: every gap < 1800s)
+    # user B: 3 sessions separated by 2h
+    n = 5000
+    ts_a = 1_700_000_000_000_000 + np.arange(n, dtype=np.int64) * 60 * 1_000_000
+    ts_b = np.concatenate([
+        1_700_000_000_000_000 + np.arange(5, dtype=np.int64) * 1_000_000,
+        1_700_010_000_000_000 + np.arange(4, dtype=np.int64) * 1_000_000,
+        1_700_020_000_000_000 + np.arange(3, dtype=np.int64) * 1_000_000,
+    ])
+    users = ["A"] * n + ["B"] * len(ts_b)
+    ts = np.concatenate([ts_a, ts_b])
+    order = np.random.default_rng(0).permutation(len(ts))  # unsorted input
+    tbl = pa.table({
+        "user_id": pa.array([users[i] for i in order]),
+        "ts": pa.array(ts[order], pa.timestamp("us")),
+        "event_id": pa.array(order.astype(np.int64), pa.int64()),
+    })
+    ds = rd.from_arrow(tbl).repartition(16)  # force many sorted blocks
+    out = sessionize(ds).to_pandas().sort_values(
+        ["user_id", "session_idx"]).reset_index(drop=True)
+    a = out[out["user_id"] == "A"]
+    assert len(a) == 1 and int(a["n_events"].iloc[0]) == n
+    assert abs(float(a["duration_s"].iloc[0]) - (n - 1) * 60) < 1e-6
+    b = out[out["user_id"] == "B"]
+    assert b["n_events"].tolist() == [5, 4, 3]
+    assert b["session_idx"].tolist() == [0, 1, 2]

@@ -9,11 +9,13 @@ aggregates; these are the batch (event-time) forms:
   ``map_batches`` (no shuffle), followed by a native hash aggregate over
   (window, key): Ray pre-aggregates per block map-side, so only
   (window, key, partial) rows shuffle — the partial/combiner pattern.
-* ``sessionize`` — per-user gap sessions.  Requires per-key event-time
-  order, so it is a ``groupby(user).map_groups`` with a vectorized
-  numpy body; the partitioning assumption is that one user's events fit
-  one group (true for any real user; whales would need key-salting by
-  time range plus a boundary fix-up pass).
+* ``sessionize`` — per-user gap sessions, whale-safe: ONE
+  sort((user, ts)) shuffle, then session detection over whole sorted
+  blocks, then a per-user merge of (start, end, count) MINI-SESSION
+  partials that stitches sessions spanning block boundaries.  No task
+  ever holds a whale user's raw event volume — the per-user group sees
+  only session partials (orders of magnitude smaller), the same
+  partial/combiner shape as the windowed aggregate.
 """
 
 from __future__ import annotations
@@ -72,23 +74,60 @@ def sessionize(ds, *, ts_column: str = "ts", user_column: str = "user_id",
             "event_id": batch.column("event_id"),
         })
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts_us", "event_id"])
-        ts = g["ts_us"].to_numpy()
-        new = np.ones(len(g), dtype=np.int64)
-        new[1:] = (np.diff(ts) > gap_us).astype(np.int64)
-        sid = np.cumsum(new) - 1
+    def block_sessions(batch: pa.Table) -> pa.Table:
+        """Mini-sessions within one (user, ts)-sorted block: a session
+        starts on user change or gap > gap_us.  A session that touches a
+        block edge may continue in the neighbouring block — the per-user
+        merge below stitches those (partial/combiner pattern)."""
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({user_column: batch.column(user_column),
+                             "start_ts": pa.array([], pa.int64()),
+                             "end_ts": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64())})
+        u = batch.column(user_column).to_numpy(zero_copy_only=False)
+        ts = batch.column("ts_us").to_numpy()
+        new = np.ones(n, dtype=bool)
+        new[1:] = (u[1:] != u[:-1]) | (np.diff(ts) > gap_us)
         starts = np.flatnonzero(new)
-        ends = np.append(starts[1:], len(ts)) - 1
-        return pd.DataFrame({
-            user_column: g[user_column].iloc[0],
-            "session_idx": np.arange(starts.size, dtype=np.int64),
-            "n_events": (ends - starts + 1).astype(np.int64),
-            "duration_s": np.round((ts[ends] - ts[starts]) / US, 6),
+        ends = np.append(starts[1:], n) - 1
+        return pa.table({
+            user_column: pa.array(u[starts]),
+            "start_ts": pa.array(ts[starts], pa.int64()),
+            "end_ts": pa.array(ts[ends], pa.int64()),
+            "n_events": pa.array((ends - starts + 1), pa.int64()),
         })
 
+    def merge_minis(g: pd.DataFrame) -> pd.DataFrame:
+        """Stitch one user's mini-sessions (already time-disjoint and tiny
+        relative to events — whale users shrink from millions of events to
+        thousands of partials, so this group NEVER holds raw event volume)."""
+        g = g.sort_values(["start_ts", "end_ts"])
+        st = g["start_ts"].to_numpy()
+        en = g["end_ts"].to_numpy()
+        ne = g["n_events"].to_numpy()
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = (st[1:] - en[:-1]) > gap_us
+        sid = np.cumsum(new) - 1
+        k = int(sid[-1]) + 1
+        return pd.DataFrame({
+            user_column: g[user_column].iloc[0],
+            "session_idx": np.arange(k, dtype=np.int64),
+            "n_events": np.bincount(sid, weights=ne).astype(np.int64),
+            "duration_s": np.round(
+                (np.maximum.reduceat(en, np.flatnonzero(new))
+                 - st[np.flatnonzero(new)]) / US, 6),
+        })
+
+    # ONE wide op (the sort); session detection runs over whole sorted
+    # blocks; only (user, start, end, count) partials reach the per-user
+    # merge — no single task ever holds a whale user's full event stream
     return ds.map_batches(col_select, batch_format="pyarrow",
                           runtime_env=package_runtime_env()) \
+             .sort([user_column, "ts_us", "event_id"]) \
+             .map_batches(block_sessions, batch_size=None,
+                          batch_format="pyarrow",
+                          runtime_env=package_runtime_env()) \
              .groupby(user_column).map_groups(
-                 sessions, batch_format="pandas",
+                 merge_minis, batch_format="pandas",
                  runtime_env=package_runtime_env())
