@@ -68,3 +68,38 @@ def test_cli_percolate(corpus, tmp_path, capsys, ray_session):
     rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
     got = {(r["doc_id"], r["query_name"]) for r in rows}
     assert got == {(0, "q1"), (3, "q1"), (0, "q2"), (1, "q2")}
+
+
+def test_cli_codec_and_rich_mode(tmp_path, ray_session, capsys):
+    """build --codec packed --payloads char_offset; search --mode rich
+    returns per-term rows with positions and payloads."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from trinity_ray.cli import main
+
+    docs = ["aa bb aa", "bb cc", "aa cc dd"]
+    pq.write_table(pa.table({"text": pa.array(docs)}),
+                   os.path.join(str(tmp_path), "c.parquet"))
+    idx = os.path.join(str(tmp_path), "idx")
+    rc = main(["build", "--input", os.path.join(str(tmp_path), "c.parquet"),
+               "--index", idx, "--content-column", "text",
+               "--tokenizer", "simple", "--codec", "packed",
+               "--payloads", "char_offset", "--target-rows", "10"])
+    assert rc == 0
+    capsys.readouterr()
+    rc = main(["search", "--index", idx, "--query", "aa", "--mode", "rich"])
+    assert rc == 0
+    rows = [json.loads(l) for l in
+            capsys.readouterr().out.strip().splitlines()]
+    assert rows and all(r["term"] == "AA" for r in rows)
+    r0 = [r for r in rows if r["doc_id"] == 0][0]
+    assert r0["tf"] == 2 and r0["positions"] == [1, 3]
+    assert r0["payloads"] == [0, 6]  # char offsets of "aa" in doc 0
+    rc = main(["search", "--index", idx, "--query", "aa OR dd",
+               "--mode", "subtrees"])
+    assert rc == 0
+    assert capsys.readouterr().out.strip()

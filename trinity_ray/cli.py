@@ -37,6 +37,8 @@ def cmd_build(args: argparse.Namespace) -> int:
         positions=not args.no_positions,
         target_rows_per_partition=args.target_rows,
         concurrency=args.concurrency,
+        codec=args.codec,
+        payloads=args.payloads,
     )
     st = manifest.total_stats()
     print(json.dumps({"segments": len(manifest.segments),
@@ -48,7 +50,7 @@ def cmd_merge(args: argparse.Namespace) -> int:
     from trinity_ray.index.merge import merge_index
 
     _ensure_ray()
-    manifest = merge_index(args.index, args.out)
+    manifest = merge_index(args.index, args.out, codec=args.codec)
     print(json.dumps({"segments": len(manifest.segments),
                       "docs": manifest.total_stats().docs_cnt}))
     return 0
@@ -64,7 +66,17 @@ def cmd_search(args: argparse.Namespace) -> int:
         from trinity_ray.search import LocalSearcher
 
         searcher = LocalSearcher(args.index)
-    res = searcher.search(args.query, k=args.k, scorer=args.scorer)
+    if args.mode == "rich":
+        res, tbl = searcher.search_rich(args.query, k=args.k,
+                                        scorer=args.scorer)
+        for row in tbl.to_pylist():
+            print(json.dumps(row))
+        return 0
+    if args.mode == "subtrees":
+        res = searcher.search_subtrees(args.query, k=args.k,
+                                       scorer=args.scorer)
+    else:
+        res = searcher.search(args.query, k=args.k, scorer=args.scorer)
     for row in res.to_rows():
         print(json.dumps(row))
     return 0
@@ -108,16 +120,29 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--no-positions", action="store_true")
     b.add_argument("--target-rows", type=int, default=250_000)
     b.add_argument("--concurrency", type=int, default=None)
+    b.add_argument("--codec", default="varint", choices=["varint", "packed"],
+                   help="posting-list codec (packed = bit-packed FOR blocks)")
+    b.add_argument("--payloads", default=None, choices=[None, "char_offset"],
+                   help="per-hit payload channel (char offsets; simple "
+                        "tokenizer only)")
     b.set_defaults(fn=cmd_build)
 
     m = sub.add_parser("merge", help="compact an index (groupby(term) shuffle)")
     m.add_argument("--index", required=True)
     m.add_argument("--out", required=True)
+    m.add_argument("--codec", default=None, choices=[None, "varint", "packed"],
+                   help="output codec (default: keep the source codec); "
+                        "also the cross-codec rewrite path")
     m.set_defaults(fn=cmd_merge)
 
     s = sub.add_parser("search", help="boolean/phrase query with top-k scoring")
     s.add_argument("--index", required=True)
     s.add_argument("--query", required=True)
+    s.add_argument("--mode", default="topk",
+                   choices=["topk", "rich", "subtrees"],
+                   help="topk = (doc, score); rich = per-term tf/positions"
+                        "/payloads rows; subtrees = accumulated-score "
+                        "OR-of-subtrees")
     s.add_argument("-k", type=int, default=10)
     s.add_argument("--scorer", default="bm25", choices=["bm25", "tfidf", "trivial"])
     s.add_argument("--actors", type=int, default=0,
