@@ -11,13 +11,14 @@ cross-codec merge):
 
 Blob layout (little-endian), one per term::
 
-    header (28 B):
+    header (32 B):
       u8  magic (0x54), u8 version (codec id: 1 varint / 2 packed)
       u8  flags (bit0 = positions, bit1 = per-hit payloads)
       u8  payload_width               # bytes per hit payload (0..8)
       u32 doc_count
       u32 n_blocks
       u32 docs_len, u32 freqs_len, u32 pos_len, u32 pay_len  # section bytes
+      u32 n_hits                      # total hits (sum of tf)
     block directory ("skiplist", fixed-width => vectorized seek):
       u64[n_blocks] last_docid      # last docID in block  (advance = searchsorted)
       u32[n_blocks] docs_off        # byte offset of block start in docs section
@@ -59,7 +60,7 @@ import numpy as np
 BLOCK = 128  # docs per block (reference Lucene codec BLOCK_SIZE, lucene_codec.h:49)
 _MAGIC = 0x54
 CODECS = {"varint": 1, "packed": 2}  # codec name -> blob version byte
-_HEADER = 4 + 8 + 16  # magic..payload_width + doc_count + n_blocks + 4 lens
+_HEADER = 4 + 8 + 16 + 4  # magic..payload_width + counts + 4 lens + n_hits
 
 
 def _codec_version(codec: str) -> int:
@@ -167,11 +168,13 @@ def varint_decode(buf: np.ndarray | bytes, count: int | None = None) -> np.ndarr
 # ---------------------------------------------------------------------------
 
 def _make_header(version: int, has_pos: bool, payload_width: int, n: int,
-                 n_blocks: int, lens: tuple[int, int, int, int]) -> bytes:
+                 n_blocks: int, lens: tuple[int, int, int, int],
+                 n_hits: int) -> bytes:
     flags = (1 if has_pos else 0) | (2 if payload_width else 0)
     return (bytes((_MAGIC, version, flags, payload_width))
             + np.array([n, n_blocks], dtype="<u4").tobytes()
-            + np.array(lens, dtype="<u4").tobytes())
+            + np.array(lens, dtype="<u4").tobytes()
+            + np.array([n_hits], dtype="<u4").tobytes())
 
 
 def _payload_bytes(payloads: np.ndarray | None, width: int) -> bytes:
@@ -275,7 +278,7 @@ def encode_postings(
     header = _make_header(version, has_pos, payload_width if payloads is not None else 0,
                           n, n_blocks,
                           (len(docs_bytes), len(freqs_bytes), len(pos_bytes),
-                           len(pay_bytes)))
+                           len(pay_bytes)), n_hits)
     parts = [
         header,
         last_docid.astype("<u8").tobytes(),
@@ -562,7 +565,9 @@ def encode_many(
         header = _make_header(version, has_pos, pw, int(n_t[t]),
                               int(b1 - b0),
                               (int(d1 - d0), int(f1 - f0),
-                               int(p1 - p0), int(y1 - y0)))
+                               int(p1 - p0), int(y1 - y0)),
+                              int(hit_cum[term_offsets[t + 1]]
+                                  - hit_cum[term_offsets[t]]))
         widths_dir = b""
         if version == 2:
             bw_d, bw_f, bw_p = widths_b
@@ -601,6 +606,7 @@ class PostingsBlob:
         "buf", "version", "doc_count", "n_blocks", "has_positions",
         "payload_width", "last_docid", "docs_off", "freqs_off", "pos_off",
         "hit_base", "counts", "max_tf", "bw_docs", "bw_freqs", "bw_pos",
+        "n_hits",
         "_docs_sec", "_freqs_sec", "_pos_sec", "_pay_sec",
     )
 
@@ -616,6 +622,7 @@ class PostingsBlob:
         self.n_blocks = int(buf[8:12].view("<u4")[0])
         docs_len, freqs_len, pos_len, pay_len = (
             int(x) for x in buf[12:28].view("<u4"))
+        self.n_hits = int(buf[28:32].view("<u4")[0])
         nb = self.n_blocks
         o = _HEADER
         self.last_docid = buf[o:o + 8 * nb].view("<u8"); o += 8 * nb
@@ -784,3 +791,327 @@ class PostingsBlob:
         offsets = np.zeros(freqs.size + 1, dtype=np.int64)
         np.cumsum(freqs.astype(np.int64), out=offsets[1:])
         return vals, offsets
+
+
+# ---------------------------------------------------------------------------
+# vectorized multi-blob decode (the merge fast path)
+# ---------------------------------------------------------------------------
+
+def decode_blobs(blobs: list[bytes], want_positions: bool = True):
+    """Decode MANY blobs with a few global passes instead of one small
+    numpy call-chain per blob — the segment-merge hot path: a merge block
+    holds one row per (term, source segment), i.e. millions of TINY blobs
+    whose per-blob decode overhead would dominate (measured 100+ s for a
+    376-segment merge done blob-by-blob).
+
+    Returns ``(doc_counts, doc_ids, freqs, pos, hit_counts, pay,
+    pay_width)`` where array streams are concatenated in blob order;
+    ``pos``/``pay`` are None when absent from every blob.  ``pay_width`` is
+    0 unless EVERY blob carries payloads (mixed inputs drop the channel,
+    matching the per-term merge semantics).
+
+    Version-1 (varint) blobs decode fully vectorized; version-2 (packed)
+    blobs fall back to per-blob decode into the same output streams.
+    """
+    n_b = len(blobs)
+    if n_b == 0:
+        e = np.empty(0, dtype=np.uint64)
+        return (np.empty(0, np.int64), e, e, None,
+                np.empty(0, np.int64), None, 0)
+    lens = np.fromiter((len(b) for b in blobs), np.int64, n_b)
+    cat = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+    off = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    ver = cat[off + 1]
+    flags = cat[off + 2]
+    pws = cat[off + 3].astype(np.int64)
+    pws[(flags & 2) == 0] = 0
+
+    def u32(field_off: int) -> np.ndarray:
+        idx = (off[:, None] + (field_off + np.arange(4))).reshape(-1)
+        return (cat[idx].reshape(n_b, 4).copy().view("<u4")
+                .ravel().astype(np.int64))
+
+    doc_count = u32(4)
+    n_blocks = u32(8)
+    docs_len = u32(12)
+    freqs_len = u32(16)
+    pos_len = u32(20)
+    pay_len = u32(24)
+    blob_hits = u32(28)
+    dir_len = n_blocks * np.where(ver == 2, 31, 28)
+    sec0 = off + _HEADER + dir_len            # docs section start
+    has_pos = bool((flags & 1).all()) and want_positions
+    pay_width = int(pws[0]) if (pws > 0).all() and np.unique(pws).size == 1 \
+        else 0
+
+    vstarts = np.concatenate(([0], np.cumsum(doc_count)))
+    total_docs = int(vstarts[-1])
+    out_deltas = np.empty(total_docs, dtype=np.uint64)
+    out_freqs = np.empty(total_docs, dtype=np.uint64)
+
+    v1 = np.flatnonzero(ver == 1)
+    v2 = np.flatnonzero(ver == 2)
+    if v1.size:
+        d_stream = cat[_range_idx(sec0[v1], docs_len[v1])]
+        deltas = varint_decode(d_stream, int(doc_count[v1].sum()))
+        out_deltas[_range_idx(vstarts[v1], doc_count[v1])] = deltas
+        f_stream = cat[_range_idx(sec0[v1] + docs_len[v1], freqs_len[v1])]
+        fr = varint_decode(f_stream, int(doc_count[v1].sum()))
+        out_freqs[_range_idx(vstarts[v1], doc_count[v1])] = fr
+    for i in v2:
+        pb = PostingsBlob(cat[off[i]:off[i] + lens[i]].tobytes())
+        d, f = pb.decode_docs_freqs()
+        # store deltas-with-blob-reset so the global cumsum-reset pass below
+        # reconstructs identically for both versions
+        dd = np.empty_like(d)
+        dd[0] = d[0]
+        np.subtract(d[1:], d[:-1], out=dd[1:])
+        out_deltas[vstarts[i]:vstarts[i + 1]] = dd
+        out_freqs[vstarts[i]:vstarts[i + 1]] = f
+
+    # absolute docIDs: cumsum with reset at each blob start
+    c = np.cumsum(out_deltas, dtype=np.uint64)
+    starts = vstarts[:-1]
+    base = np.repeat(c[starts] - out_deltas[starts], doc_count)
+    doc_ids = c - base
+
+    hit_cum_docs = np.concatenate(
+        ([0], np.cumsum(out_freqs.astype(np.int64))))
+    hit_counts = np.diff(hit_cum_docs[vstarts])  # hits per blob
+    hstarts = np.concatenate(([0], np.cumsum(hit_counts)))
+    total_hits = int(hstarts[-1])
+
+    pos = None
+    if has_pos:
+        out_pd = np.empty(total_hits, dtype=np.uint64)
+        if v1.size:
+            p_stream = cat[_range_idx(
+                sec0[v1] + docs_len[v1] + freqs_len[v1], pos_len[v1])]
+            pd = varint_decode(p_stream, int(hit_counts[v1].sum()))
+            out_pd[_range_idx(hstarts[v1], hit_counts[v1])] = pd
+        for i in v2:
+            pb = PostingsBlob(cat[off[i]:off[i] + lens[i]].tobytes())
+            f = out_freqs[vstarts[i]:vstarts[i + 1]]
+            p, _ = pb.decode_positions(f)
+            # re-delta with per-doc absolute firsts (the stored form)
+            pdl = np.empty_like(p)
+            if p.size:
+                pdl[0] = p[0]
+                np.subtract(p[1:], p[:-1], out=pdl[1:])
+                doc_hit_starts = np.concatenate(
+                    ([0], np.cumsum(f.astype(np.int64))))[:-1]
+                pdl[doc_hit_starts] = p[doc_hit_starts]
+            out_pd[hstarts[i]:hstarts[i + 1]] = pdl
+        # per-doc reconstruction: first position absolute per doc
+        cpd = np.cumsum(out_pd, dtype=np.uint64)
+        dstarts = hit_cum_docs[:-1]
+        pbase = np.repeat(cpd[dstarts] - out_pd[dstarts],
+                          np.diff(hit_cum_docs))
+        pos = cpd - pbase
+
+    pay = None
+    if pay_width:
+        pay_start = sec0 + docs_len + freqs_len + pos_len
+        raw = cat[_range_idx(pay_start, pay_len)]
+        if pay_width == 8:
+            pay = raw.copy().view("<u8").astype(np.uint64)
+        else:
+            full = np.zeros((total_hits, 8), dtype=np.uint8)
+            full[:, :pay_width] = raw.reshape(total_hits, pay_width)
+            pay = full.reshape(-1).view("<u8").astype(np.uint64)
+
+    return (doc_count, doc_ids, out_freqs, pos, hit_counts, pay, pay_width)
+
+
+# ---------------------------------------------------------------------------
+# byte-level blob concatenation (the merge append fast path)
+# ---------------------------------------------------------------------------
+
+def _reset_cumsum(vals: np.ndarray, group_offsets: np.ndarray) -> np.ndarray:
+    """Exclusive cumsum of ``vals`` restarting at each group boundary."""
+    c = np.concatenate(([0], np.cumsum(vals)))[:-1]
+    base = np.repeat(c[group_offsets[:-1]], np.diff(group_offsets))
+    return c - base
+
+
+def concat_encoded_many(cat: np.ndarray, off: np.ndarray, lens: np.ndarray,
+                        term_rows: np.ndarray):
+    """Merge MANY terms' source blobs by BYTE CONCATENATION — the
+    reference's append_index_chunk fast path (merge.cpp:166-180): no
+    posting is decoded; the only rewrite is each non-first blob's first doc
+    delta (stored absolute per blob), re-encoded relative to the previous
+    blob's last docID.  Everything else — freqs/positions/payload sections,
+    block directories — is copied and offset-rebased in global vectorized
+    passes.
+
+    ``cat``: all source blobs as one uint8 array; ``off``/``lens``: per-row
+    byte ranges in term-major, doc-ascending order; ``term_rows``: int64
+    (T+1) row offsets per term.
+
+    Returns ``(blobs, df, max_tf, sum_hits)`` (one entry per term) or None
+    when ineligible: any version-2 blob, mixed flags/payload widths, or
+    non-ascending doc ranges (overlapping generations must take the decode
+    path).  Masked sources must be excluded by the CALLER.
+    """
+    R = off.size
+    if R == 0:
+        return ([], np.empty(0, np.int64), np.empty(0, np.int64),
+                np.empty(0, np.int64))
+    off = off.astype(np.int64)
+    ver = cat[off + 1]
+    if not (ver == 1).all():
+        return None
+    flags = cat[off + 2]
+    pws = cat[off + 3]
+    if np.unique(flags).size != 1 or np.unique(pws).size != 1:
+        return None
+
+    def u32f(fo: int) -> np.ndarray:
+        idx = (off[:, None] + (fo + np.arange(4))).reshape(-1)
+        return cat[idx].reshape(R, 4).copy().view("<u4").ravel().astype(np.int64)
+
+    dc = u32f(4)
+    nb = u32f(8)
+    dl = u32f(12)
+    fl = u32f(16)
+    pl = u32f(20)
+    yl = u32f(24)
+    nh = u32f(28)
+    dir0 = off + _HEADER
+    sec0 = dir0 + 28 * nb            # docs section start (v1 directory)
+
+    # ---- first doc delta per row (absolute): vectorized varint read ----
+    val = (cat[sec0] & 0x7F).astype(np.uint64)
+    ln1 = np.ones(R, dtype=np.int64)
+    cont = cat[sec0] >= 128
+    k = 1
+    while cont.any() and k < 10:
+        m = np.flatnonzero(cont)
+        b = cat[sec0[m] + k]
+        val[m] |= (b.astype(np.uint64) & np.uint64(0x7F)) << np.uint64(7 * k)
+        ln1[m] += 1
+        cont[m] = b >= 128
+        k += 1
+
+    # previous row's last docID (u64 at the end of its last_docid array)
+    is_first = np.zeros(R, dtype=bool)
+    is_first[term_rows[:-1]] = True
+    pl_pos = dir0 + 8 * nb - 8       # last last_docid entry per row
+    prev_idx = (pl_pos[:-1][:, None] + np.arange(8)).reshape(-1)
+    prev_last_all = cat[prev_idx].reshape(R - 1, 4 * 2).copy().view(
+        "<u8").ravel() if R > 1 else np.empty(0, np.uint64)
+    nonfirst = np.flatnonzero(~is_first)
+    prev_last = prev_last_all[nonfirst - 1]
+    first_doc_nf = val[nonfirst]
+    if nonfirst.size and not (first_doc_nf > prev_last).all():
+        return None  # overlapping ranges: decode path required
+    new_delta = first_doc_nf - prev_last
+    ndc = _compact(new_delta)
+    nb_new = _byte_lengths(ndc) if new_delta.size else np.empty(0, np.int64)
+    vb = np.frombuffer(varint_encode(ndc, nb_new), dtype=np.uint8) \
+        if new_delta.size else np.empty(0, np.uint8)
+    vb_off = np.concatenate(([0], np.cumsum(nb_new)))[:-1] \
+        if new_delta.size else np.empty(0, np.int64)
+
+    head_len = ln1.copy()
+    head_len[nonfirst] = nb_new
+    out_dl = dl - ln1 + head_len
+    shift = head_len - ln1           # applies to in-blob offsets > block 0
+
+    # ---- global output streams (row order == term-major output order) ----
+    out_row_off = np.concatenate(([0], np.cumsum(out_dl)))[:-1]
+    docs_stream = np.empty(int((out_dl).sum()), dtype=np.uint8)
+    fi = np.flatnonzero(is_first)
+    docs_stream[_range_idx(out_row_off[fi], ln1[fi])] = \
+        cat[_range_idx(sec0[fi], ln1[fi])]
+    if nonfirst.size:
+        docs_stream[_range_idx(out_row_off[nonfirst], nb_new)] = \
+            vb[_range_idx(vb_off, nb_new)]
+    docs_stream[_range_idx(out_row_off + head_len, dl - ln1)] = \
+        cat[_range_idx(sec0 + ln1, dl - ln1)]
+    freqs_stream = cat[_range_idx(sec0 + dl, fl)]
+    pos_stream = cat[_range_idx(sec0 + dl + fl, pl)]
+    pay_stream = cat[_range_idx(sec0 + dl + fl + pl, yl)]
+    last_stream = cat[_range_idx(dir0, 8 * nb)]
+    counts_stream = cat[_range_idx(dir0 + 24 * nb, 2 * nb)]
+    maxtf_stream = cat[_range_idx(dir0 + 26 * nb, 2 * nb)]
+
+    # ---- block directory rebasing (global, vectorized) ----
+    def u32_blocks(start: np.ndarray) -> np.ndarray:
+        return cat[_range_idx(start, 4 * nb)].copy().view("<u4").astype(np.int64)
+
+    d_off_b = u32_blocks(dir0 + 8 * nb)
+    f_off_b = u32_blocks(dir0 + 12 * nb)
+    p_off_b = u32_blocks(dir0 + 16 * nb)
+    hb_b = u32_blocks(dir0 + 20 * nb)
+    block_row = np.repeat(np.arange(R), nb)
+    row_block_off = np.concatenate(([0], np.cumsum(nb)))
+    block_j = np.arange(block_row.size) - row_block_off[:-1][block_row]
+    d_base = _reset_cumsum(out_dl, term_rows)
+    f_base = _reset_cumsum(fl, term_rows)
+    p_base = _reset_cumsum(pl, term_rows)
+    h_base = _reset_cumsum(nh, term_rows)
+    d_off_b += d_base[block_row] + np.where(block_j > 0, shift[block_row], 0)
+    f_off_b += f_base[block_row]
+    p_off_b += p_base[block_row]
+    hb_b += h_base[block_row]
+
+    # ---- per-term headers + dictionary stats ----
+    T = term_rows.size - 1
+    t_dc = np.add.reduceat(dc, term_rows[:-1])
+    t_nb = np.add.reduceat(nb, term_rows[:-1])
+    t_dl = np.add.reduceat(out_dl, term_rows[:-1])
+    t_fl = np.add.reduceat(fl, term_rows[:-1])
+    t_pl = np.add.reduceat(pl, term_rows[:-1])
+    t_yl = np.add.reduceat(yl, term_rows[:-1])
+    t_nh = np.add.reduceat(nh, term_rows[:-1])
+    mtf_all = maxtf_stream.copy().view("<u2").astype(np.int64)
+    # per-term max over block max_tf: reduceat over block space
+    t_first_block = row_block_off[term_rows[:-1]]
+    t_mtf = np.maximum.reduceat(mtf_all, t_first_block)
+    headers = np.zeros((T, _HEADER), dtype=np.uint8)
+    headers[:, 0] = _MAGIC
+    headers[:, 1] = 1
+    headers[:, 2] = flags[0]
+    headers[:, 3] = pws[0]
+    headers[:, 4:8] = t_dc.astype("<u4")[:, None].view(np.uint8)
+    headers[:, 8:12] = t_nb.astype("<u4")[:, None].view(np.uint8)
+    headers[:, 12:16] = t_dl.astype("<u4")[:, None].view(np.uint8)
+    headers[:, 16:20] = t_fl.astype("<u4")[:, None].view(np.uint8)
+    headers[:, 20:24] = t_pl.astype("<u4")[:, None].view(np.uint8)
+    headers[:, 24:28] = t_yl.astype("<u4")[:, None].view(np.uint8)
+    headers[:, 28:32] = t_nh.astype("<u4")[:, None].view(np.uint8)
+
+    # per-term slice boundaries of each stream
+    bnd = lambda v: np.concatenate(([0], np.cumsum(v)))
+    c_blk = bnd(t_nb)
+    c_dl, c_fl, c_pl, c_yl = bnd(t_dl), bnd(t_fl), bnd(t_pl), bnd(t_yl)
+    last_u8 = last_stream.tobytes()
+    d_off_u8 = d_off_b.astype("<u4").tobytes()
+    f_off_u8 = f_off_b.astype("<u4").tobytes()
+    p_off_u8 = p_off_b.astype("<u4").tobytes()
+    hb_u8 = hb_b.astype("<u4").tobytes()
+    counts_u8 = counts_stream.tobytes()
+    maxtf_u8 = maxtf_stream.tobytes()
+    docs_u8 = docs_stream.tobytes()
+    freqs_u8 = freqs_stream.tobytes()
+    pos_u8 = pos_stream.tobytes()
+    pay_u8 = pay_stream.tobytes()
+    blobs = []
+    for t in range(T):
+        b0, b1 = int(c_blk[t]), int(c_blk[t + 1])
+        blobs.append(
+            headers[t].tobytes()
+            + last_u8[8 * b0:8 * b1]
+            + d_off_u8[4 * b0:4 * b1]
+            + f_off_u8[4 * b0:4 * b1]
+            + p_off_u8[4 * b0:4 * b1]
+            + hb_u8[4 * b0:4 * b1]
+            + counts_u8[2 * b0:2 * b1]
+            + maxtf_u8[2 * b0:2 * b1]
+            + docs_u8[c_dl[t]:c_dl[t + 1]]
+            + freqs_u8[c_fl[t]:c_fl[t + 1]]
+            + pos_u8[c_pl[t]:c_pl[t + 1]]
+            + pay_u8[c_yl[t]:c_yl[t + 1]]
+        )
+    return blobs, t_dc, np.minimum(t_mtf, 0xFFFFFFFF), t_nh

@@ -25,9 +25,15 @@ groupby(term).map_groups pays per-distinct-term dispatch (112 s), and a
 UNION of per-segment read pipelines multiplies operator fixed costs and
 explodes the pre-sort block count (1024 tiny blocks -> a 108 s sort of
 11 MB).  One tagged read + sized repartition + sorted-block merging does
-the same work in 8.5 s, and 152 segments merge in ~50 s.  Block outputs
-are term-ranges, so the written shards keep row-group min/max statistics
-useful for dictionary-probe pruning.
+the same work in 8.5 s.  Within a block, unmasked varint terms merge by
+BYTE CONCATENATION (codec.concat_encoded_many — append_index_chunk,
+merge.cpp:166-180: only each non-first source's first doc delta is
+re-encoded); masked/packed terms take the vectorized decode+re-encode
+path.  A 376-segment / 384k-doc index merges in ~30 s (was 122 s with
+per-term decode, and an unvectorized per-blob merge measured 100+ s in a
+single hot-range task).  Block outputs are term-ranges, so the written
+shards keep row-group min/max statistics useful for dictionary-probe
+pruning.
 
 Skew note: a merge group holds at most one row per input segment — group
 fan-in is bounded by the segment count, not by df, so hot terms cost bytes,
@@ -171,41 +177,164 @@ class _MergeBlockWriter:
         if n == 0:
             return pa.table({k: [] for k in _PENDING_SCHEMA.names},
                             schema=_PENDING_SCHEMA)
-        terms = block.column("term").to_pylist()
-        segs = block.column("seg_name").to_pylist()
-        bases = block.column("doc_base").to_pylist()
+        terms = np.asarray(block.column("term").to_pylist(), dtype=object)
+        segs = np.asarray(block.column("seg_name").to_pylist(), dtype=object)
+        bases = block.column("doc_base").to_numpy()
         blobs = block.column("blob").to_pylist()
+        # rows arrive term-sorted; order same-term rows by doc_base so the
+        # merged posting stream is doc-ascending per term (segments own
+        # disjoint ranges — merge is a concat, never an interleave)
+        uterms, codes = np.unique(terms, return_inverse=True)
+        order = np.lexsort((bases, codes))
+        terms, segs, bases, codes = (terms[order], segs[order],
+                                     bases[order], codes[order])
+        blobs = [blobs[i] for i in order]
         first, last = terms[0], terms[-1]
-        out: list[tuple[str, int, int, int, bytes]] = []
-        pend_idx: list[int] = []
-        i = 0
-        while i < n:
-            j = i
-            t = terms[i]
-            while j < n and terms[j] == t:
-                j += 1
-            if t == first or t == last:
-                pend_idx.extend(range(i, j))
-            else:
-                m = _merge_term_rows(
-                    [(segs[k], bases[k], blobs[k]) for k in range(i, j)],
-                    self.masks, self.positions, self.codec)
-                if m is not None:
-                    out.append((t, *m))
-            i = j
-        if out:
-            # deterministic name from the block's (unique, disjoint) interior
-            # term range: a RETRIED task rewrites the SAME shard atomically
-            # instead of adding a duplicate that would double-count stats
-            key = f"{out[0][0]}|{out[-1][0]}|{len(out)}".encode()
-            _write_shard(self.out_dir,
-                         f"inner-{hashlib.sha1(key).hexdigest()[:16]}", out)
+        pend = (terms == first) | (terms == last)
+        inner = np.flatnonzero(~pend)
+        if inner.size:
+            self._merge_rows_vectorized(
+                [blobs[i] for i in inner], terms[inner], segs[inner],
+                codes[inner])
+        pi = np.flatnonzero(pend)
         return pa.table({
-            "term": pa.array([terms[k] for k in pend_idx], pa.string()),
-            "seg_name": pa.array([segs[k] for k in pend_idx], pa.string()),
-            "doc_base": pa.array([bases[k] for k in pend_idx], pa.uint64()),
-            "blob": pa.array([blobs[k] for k in pend_idx], pa.binary()),
+            "term": pa.array(list(terms[pi]), pa.string()),
+            "seg_name": pa.array(list(segs[pi]), pa.string()),
+            "doc_base": pa.array(bases[pi], pa.uint64()),
+            "blob": pa.array([blobs[i] for i in pi], pa.binary()),
         }, schema=_PENDING_SCHEMA)
+
+    def _merge_rows_vectorized(self, blobs: list[bytes], terms: np.ndarray,
+                               segs: np.ndarray, codes: np.ndarray) -> None:
+        out = self.merge_term_groups(blobs, terms, segs, codes)
+        if not out:
+            return
+        out.sort(key=lambda r: r[0])  # dictionary shards are term-sorted
+        # deterministic name from the block's (unique, disjoint) interior
+        # term range: a RETRIED task rewrites the SAME shard atomically
+        # instead of adding a duplicate that would double-count stats
+        key = f"{out[0][0]}|{out[-1][0]}|{len(out)}".encode()
+        _write_shard(self.out_dir,
+                     f"inner-{hashlib.sha1(key).hexdigest()[:16]}", out)
+
+    def merge_term_groups(self, blobs: list[bytes], terms: np.ndarray,
+                          segs: np.ndarray, codes: np.ndarray
+                          ) -> list[tuple[str, int, int, int, bytes]]:
+        """Merge term groups (rows sorted (term, doc_base)) -> dictionary
+        rows.
+
+        Two paths, chosen per term:
+        - **byte concat** (the overwhelmingly common case — no delete mask
+          touches the term's sources, all varint blobs): the reference's
+          append_index_chunk fast path (merge.cpp:166-180) via
+          codec.concat_encoded_many — sections and directories are copied
+          and rebased in global vectorized passes, only each non-first
+          source's first doc delta is re-encoded.  No posting decodes.
+        - **decode+re-encode** (masked sources / packed blobs / overlapping
+          generations): vectorized decode_blobs + encode_many.
+        """
+        from trinity_ray.codec import concat_encoded_many
+
+        row_tstart = np.empty(codes.size, dtype=bool)
+        row_tstart[0] = True
+        np.not_equal(codes[1:], codes[:-1], out=row_tstart[1:])
+        tstart_rows = np.flatnonzero(row_tstart)
+        term_rows = np.concatenate((tstart_rows, [codes.size]))
+        term_names = terms[tstart_rows]
+        term_of_row = np.cumsum(row_tstart) - 1
+
+        row_masked = np.fromiter(
+            (self.masks.get(sg) is not None and self.masks[sg].size > 0
+             for sg in segs), dtype=bool, count=len(segs))
+        term_masked = np.logical_or.reduceat(row_masked, term_rows[:-1]) \
+            if len(segs) else np.empty(0, bool)
+        out: list[tuple[str, int, int, int, bytes]] = []
+
+        fast_terms = np.flatnonzero(~term_masked)
+        slow_terms = np.flatnonzero(term_masked)
+        if fast_terms.size:
+            rsel = np.flatnonzero(~term_masked[term_of_row])
+            sub_blobs = [blobs[i] for i in rsel]
+            lens = np.fromiter((len(b) for b in sub_blobs), np.int64,
+                               len(sub_blobs))
+            cat = np.frombuffer(b"".join(sub_blobs), dtype=np.uint8)
+            off = np.concatenate(([0], np.cumsum(lens)))[:-1]
+            sub_counts = np.diff(term_rows)[fast_terms]
+            sub_term_rows = np.concatenate(
+                ([0], np.cumsum(sub_counts))).astype(np.int64)
+            res = concat_encoded_many(cat, off, lens, sub_term_rows)
+            if res is None:
+                slow_terms = np.arange(term_rows.size - 1)  # rare: decode all
+            else:
+                nblobs, dfs, mtfs, shs = res
+                for j, ti in enumerate(fast_terms):
+                    out.append((str(term_names[ti]), int(dfs[j]),
+                                int(mtfs[j]), int(shs[j]), nblobs[j]))
+        if slow_terms.size:
+            rsel = np.flatnonzero(np.isin(term_of_row, slow_terms))
+            out.extend(self._decode_merge_subset(
+                [blobs[i] for i in rsel], terms[rsel], segs[rsel],
+                codes[rsel]))
+        return out
+
+    def _decode_merge_subset(self, blobs: list[bytes], terms: np.ndarray,
+                             segs: np.ndarray, codes: np.ndarray
+                             ) -> list[tuple[str, int, int, int, bytes]]:
+        """Decode+re-encode merge for terms the byte-concat path can't take
+        (masked sources, packed blobs, overlapping generations) — still a
+        few global numpy passes (decode_blobs + encode_many), not per-blob
+        calls."""
+        from trinity_ray.codec import decode_blobs, encode_many
+
+        dc, dids, fr, pos, hc, pay, pw = decode_blobs(
+            blobs, want_positions=self.positions)
+        vst = np.concatenate(([0], np.cumsum(dc)))
+        masked_rows = [i for i, sg in enumerate(segs)
+                       if self.masks.get(sg) is not None
+                       and self.masks[sg].size]
+        if masked_rows:
+            keep = np.ones(dids.size, dtype=bool)
+            for i in masked_rows:
+                m = self.masks[segs[i]]
+                sl = slice(int(vst[i]), int(vst[i + 1]))
+                d = dids[sl]
+                idx = np.minimum(np.searchsorted(m, d), m.size - 1)
+                keep[sl] = m[idx] != d
+            if not keep.all():
+                hit_keep = np.repeat(keep, fr.astype(np.int64))
+                if pos is not None:
+                    pos = pos[hit_keep]
+                if pay is not None:
+                    pay = pay[hit_keep]
+                dc = np.add.reduceat(keep.astype(np.int64), vst[:-1])
+                dc[np.diff(vst) == 0] = 0
+                dids, fr = dids[keep], fr[keep]
+        row_tstart = np.empty(codes.size, dtype=bool)
+        row_tstart[0] = True
+        np.not_equal(codes[1:], codes[:-1], out=row_tstart[1:])
+        tstart_rows = np.flatnonzero(row_tstart)
+        doc_cum = np.concatenate(([0], np.cumsum(dc)))
+        term_offsets = np.concatenate(
+            (doc_cum[tstart_rows], [doc_cum[-1]])).astype(np.int64)
+        term_names = terms[tstart_rows]
+        n_t = np.diff(term_offsets)
+        live = n_t > 0
+        if not live.all():
+            term_names = term_names[live]
+            term_offsets = np.concatenate(
+                ([0], np.cumsum(n_t[live]))).astype(np.int64)
+        if term_offsets[-1] == 0:
+            return []
+        new_blobs = encode_many(
+            term_offsets, dids, fr,
+            pos if self.positions else None,
+            payloads=pay if pw else None, payload_width=pw,
+            codec=self.codec)
+        dfs = np.diff(term_offsets)
+        mtf = np.maximum.reduceat(fr, term_offsets[:-1])
+        sh = np.add.reduceat(fr.astype(np.int64), term_offsets[:-1])
+        return [(str(t), int(d), int(min(m, 0xFFFFFFFF)), int(h), b)
+                for t, d, m, h, b in zip(term_names, dfs, mtf, sh, new_blobs)]
 
 
 def merge_index(
@@ -286,22 +415,23 @@ def merge_index(
         raise ValueError(f"no postings in {index_dir}")
 
     def tag(t: pa.Table) -> pa.Table:
+        # whole-file reads + slicing: a dictionary batch references ONE
+        # segment's bin (include_paths read), so one sequential read per
+        # file replaces one seek+read syscall pair per term row
         names, bases, blobs = [], [], []
-        handles: dict[str, object] = {}
+        file_cache: dict[str, bytes] = {}
         for p, off, ln in zip(t.column("path").to_pylist(),
                               t.column("off").to_pylist(),
                               t.column("len").to_pylist()):
             sn, db, bin_path = by_path[os.path.abspath(p)]
-            fh = handles.get(bin_path)
-            if fh is None:
-                fh = open(bin_path, "rb")
-                handles[bin_path] = fh
-            fh.seek(off)
-            blobs.append(fh.read(ln))
+            data = file_cache.get(bin_path)
+            if data is None:
+                with open(bin_path, "rb") as fh:
+                    data = fh.read()
+                file_cache[bin_path] = data
+            blobs.append(data[off:off + ln])
             names.append(sn)
             bases.append(db)
-        for fh in handles.values():
-            fh.close()
         return pa.table({
             "term": t.column("term"),
             "blob": pa.array(blobs, pa.binary()),
@@ -312,9 +442,16 @@ def merge_index(
     ds = rd.read_parquet(sorted(by_path), columns=["term", "off", "len"],
                          include_paths=True
                          ).map_batches(tag, batch_format="pyarrow")
-    # size the shuffle like a job property: ~64 MB of postings per sort
-    # partition (merged output amplifies per-partition memory ~2-3x)
-    nparts = max(4, min(512, total_bytes // (64 << 20) + 1))
+    # shuffle sizing: ~16 MB of postings per sort partition (decode+re-encode
+    # expands the working set ~3x, so this keeps a task under ~100 MB), and
+    # never fewer than 2 partitions per CPU — coarse partitioning both
+    # starves the cluster AND concentrates hot-term posting mass in one
+    # block (measured: 4 partitions put the hot range's ~60% of postings in
+    # one 66 s task while three finished in 2 s)
+    import ray as _ray
+
+    ncpu = int(_ray.cluster_resources().get("CPU", 8))
+    nparts = max(4, min(512, max(total_bytes // (16 << 20) + 1, 2 * ncpu)))
     ds = ds.repartition(int(nparts))
 
     pending_rows = ds.sort("term").map_batches(
@@ -324,18 +461,24 @@ def merge_index(
         runtime_env=package_runtime_env(),
     ).take_all()  # ONLY boundary-term rows come back (<= 2 terms per block)
 
-    # --- boundary terms: tiny driver-side k-way finish --------------------
-    by_term: dict[str, list[tuple[str, int, bytes]]] = {}
-    for r in pending_rows:
-        by_term.setdefault(r["term"], []).append(
-            (r["seg_name"], int(r["doc_base"]), r["blob"]))
-    brows = []
-    for t in sorted(by_term):
-        m = _merge_term_rows(by_term[t], masks, positions, out_codec)
-        if m is not None:
-            brows.append((t, *m))
-    if brows:
-        _write_shard(postings_dir, "boundary", brows)
+    # --- boundary terms: driver-side finish through the same fast/slow
+    # term-group merger as interior blocks (concat where unmasked) --------
+    if pending_rows:
+        b_terms = np.asarray([r["term"] for r in pending_rows], dtype=object)
+        b_segs = np.asarray([r["seg_name"] for r in pending_rows],
+                            dtype=object)
+        b_bases = np.asarray([int(r["doc_base"]) for r in pending_rows],
+                             dtype=np.uint64)
+        b_blobs = [r["blob"] for r in pending_rows]
+        _ut, b_codes = np.unique(b_terms, return_inverse=True)
+        order = np.lexsort((b_bases, b_codes))
+        bw = _MergeBlockWriter(masks, positions, postings_dir, out_codec)
+        brows = bw.merge_term_groups(
+            [b_blobs[i] for i in order], b_terms[order], b_segs[order],
+            b_codes[order])
+        if brows:
+            brows.sort(key=lambda r: r[0])
+            _write_shard(postings_dir, "boundary", brows)
 
     # --- docs: stream live doc metadata (never materialized on the driver:
     # at 10^12 docs this is the big table; masks broadcast once).  Masks are

@@ -47,7 +47,7 @@ from dataclasses import asdict, dataclass, field
 POSTINGS_FILE = "postings.parquet"  # format-1 legacy name (readers reject)
 TERMS_FILE = "terms.parquet"
 BIN_FILE = "postings.bin"
-SEGMENT_FORMAT = 3  # 3: 28-byte blob header (codec id + payload channel)
+SEGMENT_FORMAT = 4  # 4: 32-byte blob header (codec id, payloads, n_hits)
 DOCS_FILE = "docs.parquet"
 DELETES_FILE = "deletes.parquet"
 STATS_FILE = "stats.json"
