@@ -16,7 +16,7 @@ A from-scratch rebuild of the *capabilities* of phaistos-networks/Trinity
 Nothing in this package calls ``ray.init()``; callers own the Ray session.
 """
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 # Public API (lazy imports so `import trinity_ray` stays light; heavy deps
 # like ray.data load only when the symbols are used).
@@ -32,6 +32,15 @@ _EXPORTS = {
     "rewrite_query": ("trinity_ray.query.rewrite", "rewrite_query"),
     "percolate": ("trinity_ray.ops.percolate", "percolate"),
     "get_tokenizer": ("trinity_ray.tokenizer", "get_tokenizer"),
+    # round 2: NRT source, codec seam, payloads, scale ANN, image codecs
+    "LiveIndex": ("trinity_ray.index.live", "LiveIndex"),
+    "CODECS": ("trinity_ray.codec", "CODECS"),
+    "encode_png": ("trinity_ray.ops.imagecodec", "encode_png"),
+    "decode_png": ("trinity_ray.ops.imagecodec", "decode_png"),
+    "encode_bmp": ("trinity_ray.ops.imagecodec", "encode_bmp"),
+    "decode_bmp": ("trinity_ray.ops.imagecodec", "decode_bmp"),
+    "ivf_write_partitioned": ("trinity_ray.ops.ann", "ivf_write_partitioned"),
+    "ivf_topk_partitioned": ("trinity_ray.ops.ann", "ivf_topk_partitioned"),
 }
 
 __all__ = sorted(_EXPORTS) + ["__version__"]
