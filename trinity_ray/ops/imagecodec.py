@@ -177,3 +177,25 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     img = raw.reshape(h, row_bytes)[:, :w * 3].reshape(h, w, 3)
     img = img[:, :, ::-1]  # BGR -> RGB
     return (img[::-1] if flip else img).copy()
+
+
+def split_png_stream(payload: bytes) -> list[bytes]:
+    """Split a concatenation of PNG images ("motion PNG" — the honest
+    video-container substitute this environment can decode) into frames by
+    walking each image's chunk chain to IEND."""
+    frames = []
+    pos = 0
+    n = len(payload)
+    while pos < n:
+        if not payload.startswith(_PNG_SIG, pos):
+            raise ValueError(f"not a PNG at byte {pos}")
+        start = pos
+        pos += 8
+        while pos + 8 <= n:
+            (ln,) = struct.unpack(">I", payload[pos:pos + 4])
+            tag = payload[pos + 4:pos + 8]
+            pos += 12 + ln
+            if tag == b"IEND":
+                break
+        frames.append(payload[start:pos])
+    return frames

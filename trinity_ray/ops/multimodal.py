@@ -255,11 +255,49 @@ def resize_images(ds, target_h: int, target_w: int, batch_size: int = 128,
         runtime_env=package_runtime_env())
 
 
+class RealFrameSample:
+    """frame-sample stage (REAL backend): the payload is a motion-PNG
+    stream (concatenated PNGs); every-nth frame is split out and DECODED
+    with the pure-numpy codec, emitting per-frame mean-RGB features.  Same
+    output schema as the stub, so downstream stages are backend-agnostic.
+    Real video containers (mp4 etc.) still need codec libs this container
+    doesn't ship."""
+
+    def __init__(self, binary_column: str = "payload", every_n: int = 10,
+                 max_frames: int = 8):
+        self.col = binary_column
+        self.every_n = every_n
+        self.max_frames = max_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from trinity_ray.ops.imagecodec import decode_png, split_png_stream
+
+        payloads = batch.column(self.col).to_pylist()
+        frames_col, counts = [], []
+        for p in payloads:
+            frames = split_png_stream(p or b"") if p else []
+            idxs = list(range(0, len(frames), self.every_n))[: self.max_frames]
+            feats = np.empty((len(idxs), 3), dtype=np.float32)
+            for j, fi in enumerate(idxs):
+                px = decode_png(frames[fi])
+                feats[j] = px.reshape(-1, px.shape[2]).mean(axis=0)[:3]
+            frames_col.append(feats.ravel().tolist())
+            counts.append(len(idxs))
+        return (batch.drop_columns([self.col])
+                .append_column("frame_feats",
+                               pa.array(frames_col, pa.list_(pa.float32())))
+                .append_column("n_frames", pa.array(counts, pa.int32())))
+
+
 def sample_frames(ds, binary_column: str = "payload", every_n: int = 10,
                   max_frames: int = 8, batch_size: int = 128,
-                  concurrency: int = 2):
+                  concurrency: int = 2, backend: str = "fake"):
+    """backend="real" splits+decodes motion-PNG payloads with the
+    pure-numpy codec; backend="fake" keeps the hash-derived stub for
+    arbitrary bytes."""
+    cls = RealFrameSample if backend == "real" else FrameSample
     return ds.map_batches(
-        FrameSample, fn_constructor_kwargs=dict(
+        cls, fn_constructor_kwargs=dict(
             binary_column=binary_column, every_n=every_n, max_frames=max_frames),
         batch_format="pyarrow", batch_size=batch_size, concurrency=actor_pool(concurrency),
         runtime_env=package_runtime_env())

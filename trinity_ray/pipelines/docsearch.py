@@ -420,17 +420,32 @@ def q_multimodal_decode_shape(sf_dir: str):
 
 
 def q_multimodal_frames(sf_dir: str):
-    """Frame-sample plumbing (video-style): every-nth frame as a feature
-    vector; decode backend stubbed (deterministic), Ray shape real."""
+    """REAL frame sampling over motion-PNG payloads: each doc gets a
+    deterministic (doc-seeded) multi-frame PNG stream; every-nth frame is
+    split out and decoded by the pure-numpy codec.  mp4/h264 remain the
+    documented stub (codec libs absent)."""
+    import hashlib as _hl
+
+    from trinity_ray.ops.imagecodec import encode_png
     from trinity_ray.ops.multimodal import sample_frames
 
-    def to_bytes(batch: pa.Table) -> pa.Table:
-        payload = pa.array([(t or "").encode() for t in
-                            batch.column("text").to_pylist()], pa.binary())
-        return pa.table({"doc_id": batch.column("doc_id"), "payload": payload})
+    def to_stream(batch: pa.Table) -> pa.Table:
+        blobs = []
+        for d, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            seed = int.from_bytes(_hl.blake2b((t or "").encode(),
+                                              digest_size=8).digest(),
+                                  "little")
+            rng = np.random.default_rng(seed)
+            k = 2 + int(d) % 7  # 2..8 frames
+            blobs.append(b"".join(
+                encode_png(rng.integers(0, 256, (8, 8, 3), dtype=np.uint8))
+                for _ in range(k)))
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "payload": pa.array(blobs, pa.binary())})
 
-    ds = read_documents(sf_dir).map_batches(to_bytes, batch_format="pyarrow")
-    out = sample_frames(ds, every_n=16, max_frames=4)
+    ds = read_documents(sf_dir).map_batches(to_stream, batch_format="pyarrow")
+    out = sample_frames(ds, every_n=2, max_frames=4, backend="real")
     return out.select_columns(["doc_id", "n_frames"])
 
 
