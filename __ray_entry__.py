@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": dsp.q_text_quality,
         "text_lang_id": dsp.q_text_lang_id,
         "text_fingerprint": dsp.q_text_fingerprint,
+        "text_fingerprint_md5": dsp.q_text_fingerprint_md5,
         # -- similarity search ----------------------------------------------
         "ann_bruteforce_top10": dsp.q_ann_bruteforce_top10,
         "ann_ivf_top10": dsp.q_ann_ivf_top10,
@@ -329,6 +330,20 @@ SELECT d.doc_id,
  CASE WHEN h.doc_id IS NULL OR nw = 0 THEN 0.0
       ELSE greatest(h_en,h_de,h_fr,h_es)::DOUBLE / nw END AS lang_conf
 FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id
+""",
+        # min-shingle-md5 fingerprint (order-sensitive through 8-shingles)
+        "text_fingerprint_md5": """
+WITH t AS (SELECT doc_id, regexp_extract_all(upper(text), '[A-Z0-9]+') AS ts
+           FROM documents),
+idx AS (SELECT doc_id, ts,
+               unnest(generate_series(1, greatest(len(ts) - 7, 0))) AS i
+        FROM t),
+sh AS (SELECT doc_id, md5(array_to_string(ts[i:i+7], ' ')) AS h FROM idx),
+small AS (SELECT doc_id, md5(array_to_string(ts, ' ')) AS fp
+          FROM t WHERE len(ts) < 8),
+big AS (SELECT doc_id, min(h) AS fp FROM sh GROUP BY doc_id)
+SELECT doc_id, fp AS fp_md5 FROM big
+UNION ALL SELECT doc_id, fp AS fp_md5 FROM small
 """,
         "dedup_exact_groups": """
 SELECT md5(text) AS content_hash, min(doc_id) AS keeper,

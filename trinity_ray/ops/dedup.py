@@ -562,12 +562,16 @@ def embedding_dup_pairs(ds, *, vec_column: str = "embedding",
     """Near-duplicate pairs by cosine similarity: random-hyperplane LSH
     buckets (shuffle ships only (bucket, id, vec)), exact dot-product verify
     inside each bucket.  Vectors are L2-normalized once in the first stage."""
+    plane_cache: dict[int, np.ndarray] = {}  # per-worker; seeded => identical
+
     def assign(batch: pa.Table) -> pa.Table:
         vec = np.asarray(batch.column(vec_column).to_pylist(), dtype=np.float64)
         vec /= np.maximum(np.linalg.norm(vec, axis=1, keepdims=True), 1e-12)
         dim = vec.shape[1]
-        rng = np.random.default_rng(seed)
-        planes = rng.standard_normal((dim, n_planes))
+        planes = plane_cache.get(dim)
+        if planes is None:
+            planes = np.random.default_rng(seed).standard_normal((dim, n_planes))
+            plane_cache[dim] = planes
         bits = (vec @ planes) > 0
         bucket = np.zeros(len(vec), dtype=np.int64)
         for b in range(n_planes):

@@ -4,6 +4,7 @@ tables are compiled once per actor (callable classes)."""
 
 from __future__ import annotations
 
+import hashlib
 import re
 
 import numpy as np
@@ -143,6 +144,42 @@ class Fingerprinter:
     def __call__(self, batch: pa.Table) -> pa.Table:
         fps = [self.fingerprint(t) for t in batch.column(self.col).to_pylist()]
         return batch.append_column("fingerprint", pa.array(fps, pa.uint64()))
+
+
+class MinShingleFingerprinter:
+    """MinHash-style document fingerprint: the lexicographic minimum of
+    md5(k-token shingle) over the token stream — order-sensitive through
+    the shingles, whitespace-insensitive, and exactly SQL-expressible
+    (DuckDB min(md5(...)) over list slices), unlike the crc32 rolling
+    hash.  Docs with fewer than k tokens hash the whole joined stream."""
+
+    def __init__(self, text_column: str = "text", tokenizer: str = "simple",
+                 k: int = 8):
+        self.col = text_column
+        self.tokenize = get_tokenizer(tokenizer)
+        self.k = k
+
+    def fingerprint(self, text: str) -> str:
+        toks = self.tokenize(text or "")
+        if len(toks) < self.k:
+            return hashlib.md5(" ".join(toks).encode()).hexdigest()
+        return min(hashlib.md5(" ".join(toks[i:i + self.k]).encode()
+                               ).hexdigest()
+                   for i in range(len(toks) - self.k + 1))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fps = [self.fingerprint(t) for t in batch.column(self.col).to_pylist()]
+        return batch.append_column("fp_md5", pa.array(fps, pa.string()))
+
+
+def min_shingle_fingerprint(ds, text_column: str = "text",
+                            tokenizer: str = "simple", k: int = 8,
+                            batch_size: int = 2048,
+                            concurrency: int | None = None):
+    kwargs = {} if concurrency is None else {"concurrency": actor_pool(concurrency)}
+    return ds.map_batches(MinShingleFingerprinter, fn_constructor_kwargs=dict(
+        text_column=text_column, tokenizer=tokenizer, k=k),
+        batch_format="pyarrow", batch_size=batch_size, **_act(kwargs))
 
 
 def token_count(ds, text_column: str = "text", tokenizer: str = "simple",

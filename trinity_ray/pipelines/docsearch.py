@@ -598,6 +598,15 @@ def q_text_lang_id(sf_dir: str):
                    ).select_columns(["doc_id", "lang_pred", "lang_conf"])
 
 
+def q_text_fingerprint_md5(sf_dir: str):
+    """SQL-checkable document fingerprint: min(md5(8-token shingle)) —
+    order-sensitive, whitespace-insensitive, exact DuckDB oracle."""
+    from trinity_ray.ops.text import min_shingle_fingerprint
+
+    return min_shingle_fingerprint(read_documents(sf_dir), text_column="text"
+                                   ).select_columns(["doc_id", "fp_md5"])
+
+
 def q_text_fingerprint(sf_dir: str):
     from trinity_ray.ops.text import fingerprint
 
