@@ -36,6 +36,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_optional_top10": dsp.q_search_optional_top10,
         "search_rich_hits": dsp.q_search_rich_hits,
         "search_subtree_scored_top10": dsp.q_search_subtree_scored_top10,
+        "search_sequence_top10": dsp.q_search_sequence_top10,
         "search_filtered_top10": dsp.q_search_filtered_top10,
         "search_docset_top10": dsp.q_search_docset_top10,
         "search_packed_top10": dsp.q_search_packed_top10,
@@ -184,6 +185,32 @@ def oracle_sql() -> dict[str, str]:
             "sum(ln(1.0 + (nn.n - df.df + 0.5) / (df.df + 0.5)) "
             "* (CASE WHEN tf.tok = 'VECTOR' THEN 0.5 ELSE 1.0 END) "
             f"* tf.tf / (tf.tf + {K1}))"),
+        # matched-sequence proximity: adjacency bonus on top of BM25
+        "search_sequence_top10": f"""
+WITH toks AS ({_TOKS}),
+pos AS ({_POS}),
+tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM toks
+       WHERE tok IN ('KEY', 'ORDER') GROUP BY doc_id, tok),
+df AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok),
+nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+matched AS (SELECT doc_id FROM tf GROUP BY doc_id
+            HAVING count(DISTINCT tok) = 2),
+adj AS (SELECT DISTINCT a.doc_id FROM pos a JOIN pos b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        WHERE a.tok = 'KEY' AND b.tok = 'ORDER'),
+scores AS (
+  SELECT m.doc_id,
+         sum(ln(1.0 + (nn.n - df.df + 0.5) / (df.df + 0.5)) * tf.tf / (tf.tf + {K1}))
+         + (CASE WHEN m.doc_id IN (SELECT doc_id FROM adj)
+                 THEN 0.5 ELSE 0.0 END) AS score
+  FROM matched m
+  JOIN tf ON tf.doc_id = m.doc_id
+  JOIN df ON df.tok = tf.tok
+  CROSS JOIN nn
+  GROUP BY m.doc_id)
+SELECT doc_id, round(score, 4) AS score_r
+FROM scores ORDER BY score DESC, doc_id LIMIT 10
+""",
         # accumulated-score OR-of-subtrees: branch terms gated on branch match
         "search_subtree_scored_top10": f"""
 WITH toks AS ({_TOKS}),

@@ -291,3 +291,40 @@ def test_subtree_scoring(index_dir, ray_session):
     r1 = s.search_subtrees('"key order" OR dup', k=10)
     np.testing.assert_array_equal(r1.doc_ids, r2.doc_ids)
     np.testing.assert_array_equal(r1.scores, r2.scores)
+
+
+def test_sequence_rerank(index_dir, ray_session):
+    """Matched-sequence proximity (assign_query_indices/toNextSpan
+    geometry): adjacency bonus reranks; bonus=0 is a no-op; runs longer
+    than 2 chain correctly."""
+    from trinity_ray.search import (
+        LocalSearcher,
+        longest_matched_sequence,
+        sequence_rerank,
+    )
+
+    s = LocalSearcher(index_dir)
+    base = s.search("key AND order", k=0)
+    n_match = base.doc_ids.size
+    r = sequence_rerank(s, "key AND order", k=10, pool=n_match, bonus=0.5)
+    phrase_docs = set(int(d) for d in s.search('"key order"', k=0).doc_ids)
+    # every doc with the adjacent phrase outranks every doc without it
+    got = [int(d) for d in r.doc_ids]
+    in_phrase = [d in phrase_docs for d in got]
+    if any(in_phrase) and not all(in_phrase):
+        last_phrase = max(i for i, x in enumerate(in_phrase) if x)
+        first_plain = min(i for i, x in enumerate(in_phrase) if not x)
+        assert last_phrase < first_plain or \
+            r.scores[last_phrase] >= r.scores[first_plain]
+    # bonus=0 reproduces plain BM25 order
+    r0 = sequence_rerank(s, "key AND order", k=10, pool=n_match, bonus=0.0)
+    plain = s.search("key AND order", k=10)
+    np.testing.assert_array_equal(r0.doc_ids, plain.doc_ids)
+    np.testing.assert_allclose(r0.scores, plain.scores)
+    # chain math
+    e = np.empty(0, dtype=np.int64)
+    assert longest_matched_sequence(
+        [np.array([4]), np.array([5]), np.array([6]), np.array([7])]) == 4
+    assert longest_matched_sequence(
+        [np.array([4, 9]), np.array([10]), np.array([11])]) == 3
+    assert longest_matched_sequence([e, np.array([1])]) == 1

@@ -306,6 +306,23 @@ def q_search_subtree_scored_top10(sf_dir: str) -> pa.Table:
     })
 
 
+def q_search_sequence_top10(sf_dir: str) -> pa.Table:
+    """Matched-sequence proximity ranking (assign_query_indices/toNextSpan
+    geometry, queries.cpp:1048-1249): BM25 + 0.5 per extra token of the
+    longest contiguous matched query-token run — docs with the adjacent
+    phrase outrank bags of the same tokens.  Pool covers every match, so
+    the DuckDB oracle is exact."""
+    from trinity_ray.search import sequence_rerank
+
+    res = sequence_rerank(_searcher(base_index(sf_dir)),
+                          DRIVER_QUERIES["and2"], k=TOPK, pool=1_000_000,
+                          bonus=0.5)
+    return pa.table({
+        "doc_id": pa.array(res.doc_ids.astype(np.int64), pa.int64()),
+        "score_r": pa.array(np.round(res.scores, 4), pa.float64()),
+    })
+
+
 def q_search_rich_hits(sf_dir: str) -> pa.Table:
     """Rich-match mode (the reference's DEFAULT ConsiderResponse shape,
     exec.h:11-43 / matches.h:139-186): top-k for 'dup OR vector' with one

@@ -131,31 +131,52 @@ def rich_hits_table(res: SearchResult,
     positions (list<int64>).  Rows ordered by (rank, term)."""
     import pyarrow as pa
 
-    rank = {int(d): i + 1 for i, d in enumerate(res.doc_ids)}
-    score = {int(d): float(s) for d, s in zip(res.doc_ids, res.scores)}
-    rows = []
-    any_pay = any(p[5] is not None for p in parts)
-    for t, docs, tf, pos_flat, lens, pay_flat in parts:
-        offs = np.concatenate(([0], np.cumsum(lens)))
-        for j in range(docs.size):
-            d = int(docs[j])
-            pay = ([int(p) for p in pay_flat[offs[j]:offs[j + 1]]]
-                   if pay_flat is not None else None)
-            rows.append((rank[d], d, score[d], t, int(tf[j]),
-                         [int(p) for p in
-                          pos_flat[offs[j]:offs[j + 1]]], pay))
-    rows.sort(key=lambda r: (r[0], r[3]))
+    if not parts:
+        cols = {
+            "rank": pa.array([], pa.int32()),
+            "doc_id": pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+            "term": pa.array([], pa.string()),
+            "tf": pa.array([], pa.int64()),
+            "positions": pa.array([], pa.list_(pa.int64())),
+        }
+        return pa.table(cols)
+    # payloads column only when EVERY part carries them (mixed-payload
+    # segment sets drop the channel, matching merge semantics)
+    any_pay = all(p[5] is not None for p in parts)
+    # vectorized assembly: concatenate part arrays, map rank/score via a
+    # sorted lookup, order rows by (rank, term) with one lexsort, reorder
+    # the positions list column with Arrow take (no per-row Python)
+    doc_all = np.concatenate([p[1] for p in parts]).astype(np.int64)
+    tf_all = np.concatenate([p[2] for p in parts]).astype(np.int64)
+    lens_all = np.concatenate([p[4] for p in parts]).astype(np.int64)
+    pos_all = np.concatenate([p[3] for p in parts]).astype(np.int64)
+    term_all = np.concatenate(
+        [np.full(p[1].size, p[0], dtype=object) for p in parts])
+    res_ids = res.doc_ids.astype(np.int64)
+    id_order = np.argsort(res_ids, kind="stable")
+    pos_in_res = id_order[np.searchsorted(res_ids[id_order], doc_all)]
+    ranks = (pos_in_res + 1).astype(np.int32)
+    scores = res.scores[pos_in_res]
+    tcodes = np.unique(term_all, return_inverse=True)[1]
+    order = np.lexsort((tcodes, ranks))
+    offsets = np.concatenate(([0], np.cumsum(lens_all))).astype(np.int32)
+    pos_list = pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()), pa.array(pos_all, pa.int64()))
+    take = pa.array(order.astype(np.int64))
     cols = {
-        "rank": pa.array([r[0] for r in rows], pa.int32()),
-        "doc_id": pa.array([r[1] for r in rows], pa.int64()),
-        "score": pa.array([r[2] for r in rows], pa.float64()),
-        "term": pa.array([r[3] for r in rows], pa.string()),
-        "tf": pa.array([r[4] for r in rows], pa.int64()),
-        "positions": pa.array([r[5] for r in rows], pa.list_(pa.int64())),
+        "rank": pa.array(ranks[order], pa.int32()),
+        "doc_id": pa.array(doc_all[order], pa.int64()),
+        "score": pa.array(scores[order], pa.float64()),
+        "term": pa.array(list(term_all[order]), pa.string()),
+        "tf": pa.array(tf_all[order], pa.int64()),
+        "positions": pos_list.take(take),
     }
     if any_pay:
-        cols["payloads"] = pa.array([r[6] for r in rows],
-                                    pa.list_(pa.int64()))
+        pay_all = np.concatenate([p[5] for p in parts]).astype(np.int64)
+        pay_list = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(pay_all, pa.int64()))
+        cols["payloads"] = pay_list.take(take)
     return pa.table(cols)
 
 
@@ -444,3 +465,65 @@ def batch_search(queries_ds, index_dir: str, *, k: int = 10,
         concurrency=actor_pool(concurrency),
         runtime_env=package_runtime_env(),
     )
+
+
+def longest_matched_sequence(term_positions: list[np.ndarray]) -> int:
+    """Longest contiguous run of query tokens matched at adjacent positions.
+
+    ``term_positions[i]`` = sorted positions of the i-th ORIGINAL query
+    token in one document (empty = absent).  This is the user-visible core
+    of the reference's assign_query_indices sequence geometry
+    (queries.cpp:1048-1249: per-instance query index + toNextSpan): a run
+    [j, j+L) counts when token j+i appears at position p+i for every i.
+    """
+    n = len(term_positions)
+    best = min(1, sum(1 for p in term_positions if p.size))
+    for j in range(n):
+        if not term_positions[j].size:
+            continue
+        # chain sets: positions where a run starting at j reaches length L
+        chain = term_positions[j]
+        L = 1
+        while j + L < n and chain.size:
+            nxt = term_positions[j + L]
+            if not nxt.size:
+                break
+            chain = chain[np.isin(chain + 1, nxt)] + 1
+            if chain.size:
+                L += 1
+        best = max(best, L)
+    return best
+
+
+def sequence_rerank(searcher, query: str, k: int = 10, pool: int = 50,
+                    bonus: float = 0.5, scorer: str = "bm25") -> SearchResult:
+    """Two-phase proximity ranking: BM25 top-``pool`` candidates, then
+    re-rank by score + bonus * (longest matched query-token sequence - 1).
+
+    Adjacent-in-query tokens matched at adjacent positions outrank bags of
+    the same tokens — the matched-SEQUENCE scoring the reference builds
+    assign_query_indices / toNextSpan geometry for, expressed over the
+    rich-match positions instead of iterator spans.  Ties keep
+    (score desc, doc_id asc)."""
+    res, tbl = searcher.search_rich(query, k=pool, scorer=scorer)
+    if res.doc_ids.size == 0:
+        return res
+    # ordered distinct query tokens from the PARSED query (operator words
+    # like AND/OR/NOT are syntax, not sequence members) — the
+    # assign_query_indices "index within the original query"
+    node = parse_query(query, searcher.manifest.tokenizer) \
+        if isinstance(query, str) else query
+    seen = collect_scorable_terms(node)
+    by_doc: dict[int, dict[str, np.ndarray]] = {}
+    for d, t, p in zip(tbl.column("doc_id").to_pylist(),
+                       tbl.column("term").to_pylist(),
+                       tbl.column("positions").to_pylist()):
+        by_doc.setdefault(int(d), {})[t] = np.asarray(p, dtype=np.int64)
+    empty = np.empty(0, dtype=np.int64)
+    scores = res.scores.copy()
+    for i, d in enumerate(res.doc_ids):
+        tp = by_doc.get(int(d), {})
+        L = longest_matched_sequence([tp.get(t, empty) for t in seen])
+        scores[i] = scores[i] + bonus * (L - 1)
+    order = np.lexsort((res.doc_ids, -scores))[:k]
+    return SearchResult(res.doc_ids[order], scores[order])
