@@ -111,3 +111,22 @@ def test_ngram_jaccard_bounds():
     assert ngram_jaccard("a b c d", "a b c d") == 1.0
     assert ngram_jaccard("a b c d", "x y z w") == 0.0
     assert ngram_jaccard("", "") == 1.0
+
+
+def test_exact_dedup_join_fallback(ray_session):
+    """Above broadcast_max_losers the loser filter becomes a hash-partitioned
+    semi-join on (content_hash, keeper id) — same winners as the broadcast
+    path."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from trinity_ray.ops.dedup import exact_dedup
+
+    docs = [f"doc {i % 5}" for i in range(40)]
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(range(40), pa.int64()),
+                                 "text": pa.array(docs)}))
+    via_join = exact_dedup(ds, broadcast_max_losers=0).to_pandas()
+    via_bcast = exact_dedup(ds).to_pandas()
+    a = sorted(via_join["doc_id"].tolist())
+    b = sorted(via_bcast["doc_id"].tolist())
+    assert a == b == [0, 1, 2, 3, 4]

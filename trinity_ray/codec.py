@@ -51,6 +51,14 @@ codec — the reference's cross-codec merge paths (merge.cpp:288-394).
 
 Encoders require strictly ascending doc IDs, mirroring the reference's hard
 abort on broken ordering (google_codec.cpp:27-30).
+
+Format limits (u32 header fields, like the reference's 32-bit
+term_index_ctx ranges, codecs.h:47-55): one term's postings WITHIN ONE
+SEGMENT are capped at 2^32-1 docs / hits / section bytes.  Segments are
+partition-sized (millions of docs), so the limits bind per-partition, not
+per-corpus; a cluster-scale corpus distributes a hot term across many
+segments and the dictionary df (u64 at query time via summation) is
+unaffected.
 """
 
 from __future__ import annotations
