@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": dsp.q_events_hourly,
         "events_sessions": dsp.q_events_sessions,
         # -- multimodal plumbing --------------------------------------------
+        "clean_corpus": dsp.q_clean_corpus,
         "multimodal_meta": dsp.q_multimodal_meta,
         "multimodal_decode_shape": dsp.q_multimodal_decode_shape,
         "multimodal_frames": dsp.q_multimodal_frames,
@@ -430,6 +431,46 @@ s AS (
 SELECT user_id, session_idx, count(*) AS n_events,
        round((max(ts_us) - min(ts_us)) / 1000000.0, 6) AS duration_s
 FROM s GROUP BY user_id, session_idx
+""",
+        # composed cleaning pipeline: dedup -> near-dup -> quality -> lang
+        "clean_corpus": """
+WITH keep1 AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+d1 AS (SELECT d.doc_id, d.text FROM documents d
+       WHERE d.doc_id IN (SELECT doc_id FROM keep1)),
+pos AS (SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts,1) AS pos
+        FROM (SELECT doc_id, regexp_extract_all(upper(text), '[A-Z0-9]+') AS ts FROM d1)),
+sh AS (SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+       FROM pos a JOIN pos b ON b.doc_id=a.doc_id AND b.pos=a.pos+1
+                  JOIN pos c ON c.doc_id=a.doc_id AND c.pos=a.pos+2),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS i
+          FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+          GROUP BY x.doc_id, y.doc_id),
+j AS (SELECT id_a, id_b, i::DOUBLE / (ca.n + cb.n - i) AS jac
+      FROM inter JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b),
+losers AS (SELECT DISTINCT id_b FROM j WHERE jac >= 0.6),
+d2 AS (SELECT * FROM d1 WHERE doc_id NOT IN (SELECT id_b FROM losers)),
+q AS (SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_words
+      FROM d2),
+w AS (SELECT doc_id, lower(unnest(ws)) AS w, generate_subscripts(ws,1) AS i
+      FROM (SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS ws FROM d2)),
+c2 AS (SELECT * FROM w WHERE i <= 2000),
+h AS (SELECT doc_id, count(*) AS nw,
+ sum(CASE WHEN w IN ('the', 'and', 'of', 'to', 'a', 'in', 'is', 'that', 'it', 'for', 'was', 'with', 'as', 'on', 'be', 'at', 'by', 'this', 'have') THEN 1 ELSE 0 END) AS h_en,
+ sum(CASE WHEN w IN ('der', 'die', 'und', 'das', 'ist', 'ein', 'zu', 'den', 'mit', 'von', 'nicht', 'auf', 'im', 'sich', 'des', 'dem', 'ich') THEN 1 ELSE 0 END) AS h_de,
+ sum(CASE WHEN w IN ('le', 'la', 'les', 'et', 'des', 'un', 'une', 'est', 'dans', 'que', 'qui', 'pour', 'pas', 'sur', 'au', 'il', 'ne', 'je') THEN 1 ELSE 0 END) AS h_fr,
+ sum(CASE WHEN w IN ('el', 'la', 'los', 'las', 'y', 'de', 'que', 'en', 'un', 'una', 'es', 'por', 'con', 'para', 'no', 'se', 'su', 'al', 'lo') THEN 1 ELSE 0 END) AS h_es
+ FROM c2 GROUP BY doc_id),
+lang AS (SELECT d.doc_id,
+ CASE WHEN h.doc_id IS NULL OR greatest(h_en,h_de,h_fr,h_es) = 0 THEN 'und'
+      WHEN h_en >= greatest(h_de,h_fr,h_es) THEN 'en'
+      WHEN h_de >= greatest(h_fr,h_es) THEN 'de'
+      WHEN h_fr >= h_es THEN 'fr'
+      ELSE 'es' END AS lang_pred
+ FROM d2 d LEFT JOIN h ON h.doc_id = d.doc_id)
+SELECT q.doc_id, CAST(q.n_words AS BIGINT) AS n_words, lang.lang_pred
+FROM q JOIN lang ON lang.doc_id = q.doc_id
+WHERE q.n_words >= 5 AND lang.lang_pred = 'en'
 """,
         "multimodal_meta": """
 SELECT doc_id, 'application/octet-stream' AS media_type,

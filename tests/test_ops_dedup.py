@@ -130,3 +130,18 @@ def test_exact_dedup_join_fallback(ray_session):
     a = sorted(via_join["doc_id"].tolist())
     b = sorted(via_bcast["doc_id"].tolist())
     assert a == b == [0, 1, 2, 3, 4]
+
+
+def test_clean_corpus_composition(ray_session):
+    """The composed cleaning pipeline: every surviving doc is an exact-dup
+    keeper, not a verified near-dup loser, >=5 words, and English."""
+    import ray.data as rd
+
+    from trinity_ray.pipelines.clean import clean_corpus
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    out = clean_corpus(ds).to_pandas()
+    assert 0 < len(out) <= 500
+    assert (out["n_words"] >= 5).all()
+    assert (out["lang_pred"] == "en").all()
+    assert out["doc_id"].is_unique

@@ -396,6 +396,16 @@ def q_dedup_jaccard_pairs(sf_dir: str):
     })
 
 
+def q_clean_corpus(sf_dir: str):
+    """The composed training-data cleaning pipeline (pipelines/clean.py):
+    exact dedup -> verified near-dup removal -> word-count gate -> language
+    gate.  Every stage has its own exact oracle, so the composition
+    hash-matches one DuckDB query end to end."""
+    from trinity_ray.pipelines.clean import clean_corpus
+
+    return clean_corpus(read_documents(sf_dir))
+
+
 def q_multimodal_decode_shape(sf_dir: str):
     """Binary -> REAL PNG decode -> resize: payloads are deterministic
     PNGs (pixels seeded from each doc's text hash, all five scanline
