@@ -171,6 +171,7 @@ def bench_ops(sf_dir: str) -> dict[str, float]:
 
     timed("percolate_1000q", perc_1000)
     timed("dedup_exact", dsp.q_dedup_exact_groups)
+    timed("clean_corpus", dsp.q_clean_corpus)
     timed("dedup_minhash", dsp.q_dedup_minhash_pairs)
     timed("text_tokens", dsp.q_text_token_counts)
     timed("ann_bruteforce", dsp.q_ann_bruteforce_top10)
