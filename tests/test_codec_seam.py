@@ -142,3 +142,23 @@ def test_payloads_survive_delete_and_merge(payload_index, tmp_path,
         expect = [m.start() for m in re.finditer(r"[A-Za-z0-9]+", text)
                   if m.group(0).upper() == r["term"]]
         assert list(r["payloads"]) == expect
+
+
+def test_positionless_payload_rich_hits(ray_session, corpus, tmp_path):
+    """A positionless index can still carry per-hit payloads; rich output
+    payload lists come from tf, not the (zero) position lens (review
+    finding: they were silently empty)."""
+    idx = str(tmp_path / "nopos")
+    build_index(os.path.join(corpus, "c.parquet"), idx, content_column="text",
+                tokenizer="simple", positions=False, payloads="char_offset")
+    s = LocalSearcher(idx)
+    res, tbl = s.search_rich("alpha", k=5)
+    assert "payloads" in tbl.column_names
+    df = tbl.to_pandas()
+    for _, r in df.iterrows():
+        assert len(r["positions"]) == 0          # positionless index
+        assert len(r["payloads"]) == r["tf"] >= 1
+        text = DOCS[int(r["doc_id"])]
+        expect = [m.start() for m in re.finditer(r"[A-Za-z0-9]+", text)
+                  if m.group(0).upper() == r["term"]]
+        assert list(r["payloads"]) == expect

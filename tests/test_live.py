@@ -107,3 +107,25 @@ def test_live_tokenizer_mismatch_rejected(tmp_path, ray_session):
     build_index(p, base, content_column="text", tokenizer="simple")
     with pytest.raises(ValueError, match="tokenizer"):
         LiveIndex(base, tokenizer="trinity")
+
+
+def test_flush_target_restrictions(tmp_path, ray_session):
+    """flush() must refuse targets whose id space the buffer doesn't
+    extend: a different dir than the base, or an existing index for a
+    baseless buffer (review finding: deletes would apply unrebased)."""
+    p = _write(tmp_path, "base.parquet", BASE_DOCS)
+    base = str(tmp_path / "base")
+    build_index(p, base, content_column="text", tokenizer="simple")
+    li = LiveIndex(base)
+    li.add_documents(["zz"])
+    with pytest.raises(ValueError, match="flush target must be the base"):
+        li.flush(str(tmp_path / "elsewhere"))
+    li2 = LiveIndex(tokenizer="simple")
+    li2.add_documents(["aa"])
+    with pytest.raises(ValueError, match="FRESH directory"):
+        li2.flush(base)
+    # fresh-dir flush of a baseless buffer works
+    fresh = str(tmp_path / "fresh")
+    li2.flush(fresh)
+    assert [int(d) for d in LocalSearcher(fresh).search("aa", k=0).doc_ids] \
+        == [0]

@@ -1073,6 +1073,15 @@ def concat_encoded_many(cat: np.ndarray, off: np.ndarray, lens: np.ndarray,
     t_pl = np.add.reduceat(pl, term_rows[:-1])
     t_yl = np.add.reduceat(yl, term_rows[:-1])
     t_nh = np.add.reduceat(nh, term_rows[:-1])
+    u32max = (1 << 32) - 1
+    if max(int(t_dc.max()), int(t_nb.max()), int(t_dl.max()),
+           int(t_fl.max()), int(t_pl.max()), int(t_yl.max()),
+           int(t_nh.max()),
+           int(d_off_b.max()) if d_off_b.size else 0,
+           int(hb_b.max()) if hb_b.size else 0) > u32max:
+        # a merged mega-term overflows the u32 header/directory fields;
+        # the decode path re-encodes and raises loudly instead of wrapping
+        return None
     mtf_all = maxtf_stream.copy().view("<u2").astype(np.int64)
     # per-term max over block max_tf: reduceat over block space
     t_first_block = row_block_off[term_rows[:-1]]

@@ -233,6 +233,19 @@ class LiveIndex:
         target = index_dir or self.base_dir
         if target is None:
             raise ValueError("flush needs an index_dir (no base index)")
+        if self.base_dir is not None and target != self.base_dir:
+            # buffered docIDs and deletes live in the BASE index's id
+            # space; building into another index would rebase the docs but
+            # apply deletes (and previously handed-out ids) unrebased
+            raise ValueError(
+                "flush target must be the base index "
+                f"({self.base_dir!r}); got {target!r}")
+        if self.base_dir is None and os.path.exists(
+                os.path.join(target, "manifest.json")):
+            raise ValueError(
+                "flush of a baseless LiveIndex needs a FRESH directory: "
+                f"{target!r} already holds an index whose id space the "
+                "buffer does not extend")
         manifest = None
         if self._texts:
             with tempfile.TemporaryDirectory() as td:

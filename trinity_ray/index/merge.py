@@ -90,58 +90,15 @@ def compute_masks(manifest: IndexManifest, index_dir: str) -> dict[str, np.ndarr
     return _segment_masks(manifest, index_dir)
 
 
-def _merge_term_rows(rows: list[tuple[str, int, bytes]],
-                     masks: dict[str, np.ndarray], positions: bool,
-                     codec: str = "varint",
-                     ) -> tuple[int, int, int, bytes] | None:
-    """rows = (seg_name, doc_base, blob) of ONE term -> (df, max_tf,
-    sum_hits, blob) or None if every posting is masked out.
-
-    Blobs are self-describing (version byte = codec id), so source segments
-    may mix codecs freely; the output is re-encoded with ``codec`` — the
-    reference's cross-codec merge paths (merge.cpp:288-394).  Per-hit
-    payloads survive the merge when every contributing blob carries them."""
-    rows = sorted(rows, key=lambda r: r[1])  # ascending disjoint doc ranges
-    doc_parts, freq_parts, pos_parts, pay_parts = [], [], [], []
-    pay_width = 0
-    for seg_name, _base, blob in rows:
-        pb = PostingsBlob(blob)
-        d, f = pb.decode_docs_freqs()
-        if positions:
-            p, _offs = pb.decode_positions(f)
-        has_pay = pb.payload_width > 0
-        if has_pay:
-            pay, _ = pb.decode_payloads(f)
-            pay_width = max(pay_width, pb.payload_width)
-        mask = masks.get(seg_name)
-        if mask is not None and mask.size:
-            idx = np.minimum(np.searchsorted(mask, d), mask.size - 1)
-            keep = mask[idx] != d
-            if not keep.all():
-                hit_keep = np.repeat(keep, f.astype(np.int64))
-                if positions:
-                    p = p[hit_keep]
-                if has_pay:
-                    pay = pay[hit_keep]
-                d, f = d[keep], f[keep]
-        if d.size:
-            doc_parts.append(d)
-            freq_parts.append(f)
-            if positions:
-                pos_parts.append(p)
-            pay_parts.append(pay if has_pay else None)
-    if not doc_parts:
-        return None
-    doc_ids = np.concatenate(doc_parts)
-    freqs = np.concatenate(freq_parts)
-    pos = np.concatenate(pos_parts) if positions else None
-    all_pay = (pay_width > 0 and all(x is not None for x in pay_parts))
-    payloads = np.concatenate(pay_parts) if all_pay else None
-    blob = encode_postings(doc_ids, freqs, pos, payloads=payloads,
-                           payload_width=pay_width if all_pay else 0,
-                           codec=codec)
-    return (doc_ids.size, int(min(freqs.max(), 0xFFFFFFFF)),
-            int(freqs.sum()), blob)
+def _range_gather_local(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Concatenated [s, s+len) index ranges (hit-stream reordering)."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    cum = np.concatenate(([0], np.cumsum(lens)))
+    out = np.arange(total, dtype=np.int64)
+    out += np.repeat(starts.astype(np.int64) - cum[:-1], lens)
+    return out
 
 
 def _write_shard(out_dir: str, stem: str,
@@ -317,6 +274,27 @@ class _MergeBlockWriter:
         term_offsets = np.concatenate(
             (doc_cum[tstart_rows], [doc_cum[-1]])).astype(np.int64)
         term_names = terms[tstart_rows]
+        # overlapping generations can interleave docIDs across a term's
+        # source rows (concat_encoded_many defers exactly those here):
+        # merge-sort per term before encoding, reordering hit streams with
+        # each posting
+        term_of_posting = np.repeat(
+            np.arange(term_offsets.size - 1), np.diff(term_offsets))
+        inner = np.ones(dids.size, dtype=bool)
+        inner[term_offsets[:-1][np.diff(term_offsets) > 0]] = False
+        if dids.size > 1 and np.any(
+                (np.diff(dids.astype(np.int64)) <= 0)[inner[1:]]):
+            order = np.lexsort((dids, term_of_posting))
+            hit_off = np.concatenate(
+                ([0], np.cumsum(fr.astype(np.int64))))
+            hidx = _range_gather_local(hit_off[order],
+                                       fr[order].astype(np.int64))
+            dids = dids[order]
+            fr = fr[order]
+            if pos is not None:
+                pos = pos[hidx]
+            if pay is not None:
+                pay = pay[hidx]
         n_t = np.diff(term_offsets)
         live = n_t > 0
         if not live.all():
@@ -415,23 +393,32 @@ def merge_index(
         raise ValueError(f"no postings in {index_dir}")
 
     def tag(t: pa.Table) -> pa.Table:
-        # whole-file reads + slicing: a dictionary batch references ONE
-        # segment's bin (include_paths read), so one sequential read per
-        # file replaces one seek+read syscall pair per term row
-        names, bases, blobs = [], [], []
-        file_cache: dict[str, bytes] = {}
-        for p, off, ln in zip(t.column("path").to_pylist(),
-                              t.column("off").to_pylist(),
-                              t.column("len").to_pylist()):
+        # ONE ranged read per (batch, bin file): rows referencing the same
+        # bin are contiguous byte ranges, so read [min(off), max(off+len))
+        # once and slice — no per-row seek+read syscalls, and no whole-file
+        # amplification when a large dictionary spans many batches
+        paths = t.column("path").to_pylist()
+        offs = t.column("off").to_numpy()
+        lns = t.column("len").to_numpy()
+        n = len(paths)
+        names: list = [None] * n
+        bases: list = [None] * n
+        blobs: list = [None] * n
+        rows_by_bin: dict[str, list[int]] = {}
+        for i, p in enumerate(paths):
             sn, db, bin_path = by_path[os.path.abspath(p)]
-            data = file_cache.get(bin_path)
-            if data is None:
-                with open(bin_path, "rb") as fh:
-                    data = fh.read()
-                file_cache[bin_path] = data
-            blobs.append(data[off:off + ln])
-            names.append(sn)
-            bases.append(db)
+            names[i] = sn
+            bases[i] = db
+            rows_by_bin.setdefault(bin_path, []).append(i)
+        for bin_path, rows in rows_by_bin.items():
+            lo = min(int(offs[i]) for i in rows)
+            hi = max(int(offs[i]) + int(lns[i]) for i in rows)
+            with open(bin_path, "rb") as fh:
+                fh.seek(lo)
+                data = fh.read(hi - lo)
+            for i in rows:
+                o = int(offs[i]) - lo
+                blobs[i] = data[o:o + int(lns[i])]
         return pa.table({
             "term": t.column("term"),
             "blob": pa.array(blobs, pa.binary()),

@@ -173,9 +173,13 @@ def rich_hits_table(res: SearchResult,
         "positions": pos_list.take(take),
     }
     if any_pay:
+        # payloads are one-per-hit: offsets come from tf, NOT the position
+        # lens (a positionless index stores payloads with zero positions)
         pay_all = np.concatenate([p[5] for p in parts]).astype(np.int64)
+        pay_offsets = np.concatenate(
+            ([0], np.cumsum(tf_all))).astype(np.int32)
         pay_list = pa.ListArray.from_arrays(
-            pa.array(offsets, pa.int32()), pa.array(pay_all, pa.int64()))
+            pa.array(pay_offsets, pa.int32()), pa.array(pay_all, pa.int64()))
         cols["payloads"] = pay_list.take(take)
     return pa.table(cols)
 
