@@ -51,9 +51,10 @@ def rand_node(rng: np.random.Generator, depth: int) -> Node:
     return And(children) if k == "and" else Or(children)
 
 
-@pytest.fixture(scope="module")
-def fuzz_index(tmp_path_factory, ray_session):
-    tmp = tmp_path_factory.mktemp("fuzz")
+@pytest.fixture(scope="module", params=["varint", "packed"])
+def fuzz_index(tmp_path_factory, ray_session, request):
+    codec = request.param
+    tmp = tmp_path_factory.mktemp(f"fuzz-{codec}")
     rng = np.random.default_rng(99)
     docs = [" ".join(rng.choice([v.lower() for v in VOCAB[:8]],
                                 rng.integers(1, 15)).tolist())
@@ -63,7 +64,8 @@ def fuzz_index(tmp_path_factory, ray_session):
     idx = str(tmp / "idx")
     build_index(str(tmp / "d.parquet"), idx, content_column="text",
                 tokenizer="simple", positions=True,
-                target_rows_per_partition=300)
+                target_rows_per_partition=300, codec=codec,
+                payloads="char_offset")
     oracle = OracleIndex("simple")
     for i, d in enumerate(docs):
         oracle.add(i, d)
