@@ -326,3 +326,90 @@ def test_packed_encode_many_huge_and_mixed_widths():
         gd, gf = pb.decode_docs_freqs()
         np.testing.assert_array_equal(gd, d)
         np.testing.assert_array_equal(gf, f)
+
+
+@given(st.integers(0, 10_000), st.booleans(), st.integers(0, 4))
+@settings(max_examples=25, deadline=None)
+def test_concat_encoded_many_differential(seed, with_pay, pay_width_sel):
+    """Byte-concat merge == decode+re-encode reference on random term
+    groups: docs/freqs/positions/payloads identical, block access works
+    across source seams, dictionary stats agree."""
+    from trinity_ray.codec import concat_encoded_many, encode_postings
+
+    rng = np.random.default_rng(seed)
+    pay_w = [0, 1, 2, 4, 8][pay_width_sel] if with_pay else 0
+    all_blobs, term_rows, refs = [], [0], []
+    for t in range(int(rng.integers(1, 12))):
+        n_src = int(rng.integers(1, 6))
+        base = int(rng.integers(0, 1000))
+        D, F, P, Y = [], [], [], []
+        for _ in range(n_src):
+            n = int(rng.integers(1, 3 * BLOCK))
+            gaps = rng.integers(1, 2000, n).astype(np.uint64)
+            d = np.cumsum(gaps, dtype=np.uint64) + np.uint64(base)
+            base = int(d[-1]) + int(rng.integers(1, 50))
+            f = rng.integers(1, 7, n).astype(np.uint64)
+            nh = int(f.sum())
+            pos = np.concatenate([
+                np.sort(rng.choice(np.arange(1, 1 << 13, dtype=np.uint64),
+                                   size=int(x), replace=False)) for x in f])
+            pay = (rng.integers(0, 1 << (8 * pay_w - 1) if pay_w < 8
+                                else 1 << 62, nh, dtype=np.uint64)
+                   if pay_w else None)
+            all_blobs.append(encode_postings(d, f, pos, payloads=pay,
+                                             payload_width=pay_w))
+            D.append(d)
+            F.append(f)
+            P.append(pos)
+            if pay_w:
+                Y.append(pay)
+        term_rows.append(len(all_blobs))
+        refs.append((np.concatenate(D), np.concatenate(F),
+                     np.concatenate(P),
+                     np.concatenate(Y) if pay_w else None))
+    lens = np.fromiter((len(b) for b in all_blobs), np.int64)
+    cat = np.frombuffer(b"".join(all_blobs), np.uint8)
+    off = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    out = concat_encoded_many(cat, off, lens,
+                              np.asarray(term_rows, np.int64))
+    assert out is not None
+    blobs, df, mtf, sh = out
+    for t, (d, f, p, y) in enumerate(refs):
+        pb = PostingsBlob(blobs[t])
+        gd, gf = pb.decode_docs_freqs()
+        np.testing.assert_array_equal(gd, d)
+        np.testing.assert_array_equal(gf, f)
+        gp, _ = pb.decode_positions(gf)
+        np.testing.assert_array_equal(gp, p)
+        if y is not None:
+            gy, _ = pb.decode_payloads(gf)
+            np.testing.assert_array_equal(gy, y)
+        assert df[t] == d.size and sh[t] == int(f.sum())
+        assert mtf[t] == int(f.max())
+        # block access through the stitched directory, incl. seam blocks
+        got_d = np.concatenate([pb.decode_block(i)[0]
+                                for i in range(pb.n_blocks)])
+        np.testing.assert_array_equal(got_d, d)
+
+
+def test_concat_encoded_many_rejects_overlap_and_mixed():
+    from trinity_ray.codec import concat_encoded_many, encode_postings
+
+    d1 = np.array([1, 5, 9], dtype=np.uint64)
+    d2 = np.array([7, 12], dtype=np.uint64)  # overlaps d1's range
+    f = lambda d: np.ones(d.size, dtype=np.uint64)
+    blobs = [encode_postings(d1, f(d1)), encode_postings(d2, f(d2))]
+    lens = np.fromiter((len(b) for b in blobs), np.int64)
+    cat = np.frombuffer(b"".join(blobs), np.uint8)
+    off = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    assert concat_encoded_many(cat, off, lens,
+                               np.array([0, 2], np.int64)) is None
+    # packed blobs defer to the decode path too
+    blobs2 = [encode_postings(d1, f(d1)),
+              encode_postings(np.array([20, 30], np.uint64),
+                              np.ones(2, np.uint64), codec="packed")]
+    lens2 = np.fromiter((len(b) for b in blobs2), np.int64)
+    cat2 = np.frombuffer(b"".join(blobs2), np.uint8)
+    off2 = np.concatenate(([0], np.cumsum(lens2)))[:-1]
+    assert concat_encoded_many(cat2, off2, lens2,
+                               np.array([0, 2], np.int64)) is None
