@@ -517,15 +517,34 @@ class SegmentReader:
                 return EMPTY_U64
             if len(parts) == 1:
                 return parts[0]
-            return np.unique(np.concatenate(parts))
+            return self._union_count(np.concatenate(parts), 1)
         if isinstance(node, MatchSome):
             parts = [self.match(c) for c in node.children]
             allv = np.concatenate([p for p in parts if p.size] or [EMPTY_U64])
             if allv.size == 0:
                 return EMPTY_U64
-            vals, counts = np.unique(allv, return_counts=True)
-            return vals[counts >= node.min_match]
+            return self._union_count(allv, node.min_match)
         raise TypeError(f"unknown node {node!r}")
+
+    def _union_count(self, allv: np.ndarray, k: int) -> np.ndarray:
+        """docIDs appearing >= k times in ``allv`` (k=1 == sorted union).
+
+        Dense path: when the segment's docID span is comparable to the
+        hit volume, a bincount over (id - doc_base) beats the O(N log N)
+        sort of np.unique — the 8K-window bitmap counting of
+        DocsSetSpanForDisjunctions (docset_spans.cpp) with the window as
+        the whole segment.  Sparse spans (a merged segment over a huge id
+        space) keep the sort path."""
+        span = self.doc_count
+        if 0 < span <= 4 * allv.size:
+            cnt = np.bincount((allv - np.uint64(self.doc_base)
+                               ).astype(np.int64), minlength=span)
+            hits = np.flatnonzero(cnt >= k)
+            return hits.astype(np.uint64) + np.uint64(self.doc_base)
+        if k == 1:
+            return np.unique(allv)
+        vals, counts = np.unique(allv, return_counts=True)
+        return vals[counts >= k]
 
     def _match_and(self, node: And) -> np.ndarray:
         """Cost-ordered intersection (reorder_execnodes, exec.cpp:27-131):
@@ -615,6 +634,26 @@ class SegmentReader:
         """Sum of per-term contributions over the matched set (default:
         BM25 with norm stubbed to k1, similarity.h:228-235)."""
         sc = get_scorer(scorer) if isinstance(scorer, str) else scorer
+        span = self.doc_count
+        if 0 < span <= min(4 * matched.size, 1 << 23):
+            # dense scatter: one O(df) fancy-assignment per term instead of
+            # a searchsorted probe per (term, candidate) — wins when the
+            # matched set is a sizable fraction of the segment span (hot
+            # unions).  Per-doc addition order equals the sparse path
+            # (same term iteration), so scores are bit-identical.
+            dense = np.zeros(span, dtype=np.float64)
+            base = np.uint64(self.doc_base)
+            touched = False
+            for term, w in weights.items():
+                tp = self.postings(term)
+                if tp is None or w == 0.0:
+                    continue
+                idx = (tp.doc_ids - base).astype(np.int64)
+                dense[idx] += sc.contrib(w, tp.freqs.astype(np.float64))
+                touched = True
+            if not touched:
+                return np.zeros(matched.size, dtype=np.float64)
+            return dense[(matched - base).astype(np.int64)]
         scores = np.zeros(matched.size, dtype=np.float64)
         for term, w in weights.items():
             tp = self.postings(term)
