@@ -1026,6 +1026,24 @@ def concat_encoded_many(cat: np.ndarray, off: np.ndarray, lens: np.ndarray,
     out_dl = dl - ln1 + head_len
     shift = head_len - ln1           # applies to in-blob offsets > block 0
 
+    # u32-overflow check BEFORE any stream allocation: a merged mega-term
+    # whose doc count / section bytes / hits exceed the u32 header and
+    # directory fields must take the decode path (which raises loudly on a
+    # true overflow) — and must not first assemble multi-GB streams here
+    T = term_rows.size - 1
+    t_dc = np.add.reduceat(dc, term_rows[:-1])
+    t_nb = np.add.reduceat(nb, term_rows[:-1])
+    t_dl = np.add.reduceat(out_dl, term_rows[:-1])
+    t_fl = np.add.reduceat(fl, term_rows[:-1])
+    t_pl = np.add.reduceat(pl, term_rows[:-1])
+    t_yl = np.add.reduceat(yl, term_rows[:-1])
+    t_nh = np.add.reduceat(nh, term_rows[:-1])
+    u32max = (1 << 32) - 1
+    if max(int(t_dc.max()), int(t_nb.max()), int(t_dl.max()),
+           int(t_fl.max()), int(t_pl.max()), int(t_yl.max()),
+           int(t_nh.max())) > u32max:
+        return None
+
     # ---- global output streams (row order == term-major output order) ----
     out_row_off = np.concatenate(([0], np.cumsum(out_dl)))[:-1]
     docs_stream = np.empty(int((out_dl).sum()), dtype=np.uint8)
@@ -1065,23 +1083,8 @@ def concat_encoded_many(cat: np.ndarray, off: np.ndarray, lens: np.ndarray,
     hb_b += h_base[block_row]
 
     # ---- per-term headers + dictionary stats ----
-    T = term_rows.size - 1
-    t_dc = np.add.reduceat(dc, term_rows[:-1])
-    t_nb = np.add.reduceat(nb, term_rows[:-1])
-    t_dl = np.add.reduceat(out_dl, term_rows[:-1])
-    t_fl = np.add.reduceat(fl, term_rows[:-1])
-    t_pl = np.add.reduceat(pl, term_rows[:-1])
-    t_yl = np.add.reduceat(yl, term_rows[:-1])
-    t_nh = np.add.reduceat(nh, term_rows[:-1])
-    u32max = (1 << 32) - 1
-    if max(int(t_dc.max()), int(t_nb.max()), int(t_dl.max()),
-           int(t_fl.max()), int(t_pl.max()), int(t_yl.max()),
-           int(t_nh.max()),
-           int(d_off_b.max()) if d_off_b.size else 0,
-           int(hb_b.max()) if hb_b.size else 0) > u32max:
-        # a merged mega-term overflows the u32 header/directory fields;
-        # the decode path re-encodes and raises loudly instead of wrapping
-        return None
+    # (directory offsets are bounded by the per-term section byte totals
+    # already checked above)
     mtf_all = maxtf_stream.copy().view("<u2").astype(np.int64)
     # per-term max over block max_tf: reduceat over block space
     t_first_block = row_block_off[term_rows[:-1]]

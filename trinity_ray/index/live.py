@@ -233,7 +233,8 @@ class LiveIndex:
         target = index_dir or self.base_dir
         if target is None:
             raise ValueError("flush needs an index_dir (no base index)")
-        if self.base_dir is not None and target != self.base_dir:
+        if self.base_dir is not None and \
+                os.path.realpath(target) != os.path.realpath(self.base_dir):
             # buffered docIDs and deletes live in the BASE index's id
             # space; building into another index would rebase the docs but
             # apply deletes (and previously handed-out ids) unrebased

@@ -58,7 +58,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from trinity_ray.codec import PostingsBlob, encode_postings
+from trinity_ray.codec import PostingsBlob, _range_idx, encode_postings
 from trinity_ray.index.segment import (
     DELETES_FILE,
     DOCS_FILE,
@@ -88,17 +88,6 @@ def compute_masks(manifest: IndexManifest, index_dir: str) -> dict[str, np.ndarr
     from trinity_ray.search import _segment_masks
 
     return _segment_masks(manifest, index_dir)
-
-
-def _range_gather_local(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
-    """Concatenated [s, s+len) index ranges (hit-stream reordering)."""
-    total = int(lens.sum())
-    if total == 0:
-        return np.empty(0, dtype=np.int64)
-    cum = np.concatenate(([0], np.cumsum(lens)))
-    out = np.arange(total, dtype=np.int64)
-    out += np.repeat(starts.astype(np.int64) - cum[:-1], lens)
-    return out
 
 
 def _write_shard(out_dir: str, stem: str,
@@ -285,16 +274,17 @@ class _MergeBlockWriter:
         if dids.size > 1 and np.any(
                 (np.diff(dids.astype(np.int64)) <= 0)[inner[1:]]):
             order = np.lexsort((dids, term_of_posting))
-            hit_off = np.concatenate(
-                ([0], np.cumsum(fr.astype(np.int64))))
-            hidx = _range_gather_local(hit_off[order],
-                                       fr[order].astype(np.int64))
+            if pos is not None or pay is not None:
+                hit_off = np.concatenate(
+                    ([0], np.cumsum(fr.astype(np.int64))))
+                hidx = _range_idx(hit_off[order],
+                                  fr[order].astype(np.int64))
+                if pos is not None:
+                    pos = pos[hidx]
+                if pay is not None:
+                    pay = pay[hidx]
             dids = dids[order]
             fr = fr[order]
-            if pos is not None:
-                pos = pos[hidx]
-            if pay is not None:
-                pay = pay[hidx]
         n_t = np.diff(term_offsets)
         live = n_t > 0
         if not live.all():

@@ -536,7 +536,8 @@ class SegmentReader:
         the whole segment.  Sparse spans (a merged segment over a huge id
         space) keep the sort path."""
         span = self.doc_count
-        if 0 < span <= 4 * allv.size:
+        if 0 < span <= min(4 * allv.size, 1 << 23):  # cap the per-query
+            # dense allocation (a merged segment's span is the id space)
             cnt = np.bincount((allv - np.uint64(self.doc_base)
                                ).astype(np.int64), minlength=span)
             hits = np.flatnonzero(cnt >= k)
