@@ -145,3 +145,20 @@ def test_clean_corpus_composition(ray_session):
     assert (out["n_words"] >= 5).all()
     assert (out["lang_pred"] == "en").all()
     assert out["doc_id"].is_unique
+
+
+def test_minhash_partial_count_fallback(ray_session, monkeypatch):
+    """Forcing the degenerate-corpus guard must route bucket counting
+    through the native aggregate with identical pairs."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    import trinity_ray.ops.dedup as dd
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    fast = dd.minhash_lsh_pairs(ds).to_pandas().sort_values(
+        ["id_a", "id_b"]).reset_index(drop=True)
+    monkeypatch.setattr(dd, "PARTIAL_COUNT_MAX", 0)
+    slow = dd.minhash_lsh_pairs(ds).to_pandas().sort_values(
+        ["id_a", "id_b"]).reset_index(drop=True)
+    assert fast.equals(slow)

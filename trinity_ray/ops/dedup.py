@@ -167,6 +167,9 @@ def _shingle_hashes(tokens: list[str], k: int) -> np.ndarray:
 
 
 _MERSENNE = (1 << 61) - 1
+# driver-combine guard for minhash bucket counting (rows of per-block
+# partial counts); above this the native hash aggregate takes over
+PARTIAL_COUNT_MAX = 5_000_000
 
 
 def _mix64(x: np.ndarray) -> np.ndarray:
@@ -336,17 +339,70 @@ def minhash_lsh_pairs(ds, *, num_perm: int = 64, bands: int = 8,
         return pa.concat_tables(parts)
 
     # pass 1: bucket sizes over LIGHT rows (band, hash, id) — the full
-    # signature is never replicated bands× through the shuffle
+    # signature is never replicated bands× through the shuffle.  Per-block
+    # PARTIAL counts (np.unique inside map_batches) shrink each block to
+    # its distinct keys; when the combined partials are small they merge on
+    # the driver (no all-to-all — a groupby's fixed cost dominates at this
+    # row volume), otherwise fall back to the native hash aggregate.
     keys = ["band", "band_hash"]
-    sizes = sigs.map_batches(
+    light = sigs.map_batches(
         lambda b: explode(b, False), batch_format="pyarrow",
-        runtime_env=package_runtime_env(),
-    ).groupby(keys).aggregate(Count(alias_name="bucket_n"))
-    hot = sizes.filter(expr="bucket_n >= 2").select_columns(keys)
-    hot_tbl = pa.concat_tables(
-        [b for b in hot.iter_batches(batch_format="pyarrow", batch_size=65536)]
-        or [pa.table({"band": pa.array([], pa.int32()),
-                      "band_hash": pa.array([], pa.int64())})])
+        runtime_env=package_runtime_env())
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        packed = _pack_keys(batch, keys).astype(np.int64) \
+            if batch.num_rows else np.empty(0, np.int64)
+        # the pack is only a driver-side combine key; (band, hash) ride
+        # along so hot buckets can be reported in original key space
+        uniq, first_idx, cnt = np.unique(packed, return_index=True,
+                                         return_counts=True)
+        return pa.table({
+            "band": pc.take(batch.column("band"), pa.array(first_idx)),
+            "band_hash": pc.take(batch.column("band_hash"),
+                                 pa.array(first_idx)),
+            "packed": pa.array(uniq, pa.int64()),
+            "cnt": pa.array(cnt, pa.int64()),
+        })
+
+    _PARTIAL_MAX = PARTIAL_COUNT_MAX
+    partial_batches = []
+    n_partials = 0
+    for b in light.map_batches(partial_counts, batch_format="pyarrow",
+                               runtime_env=package_runtime_env()
+                               ).iter_batches(batch_format="pyarrow",
+                                              batch_size=262144):
+        partial_batches.append(b)
+        n_partials += b.num_rows
+        if n_partials > _PARTIAL_MAX:
+            break
+    if n_partials > _PARTIAL_MAX:
+        # degenerate corpus (too many distinct buckets for the driver):
+        # native map-side-combining hash aggregate
+        sizes = light.groupby(keys).aggregate(Count(alias_name="bucket_n"))
+        hot = sizes.filter(expr="bucket_n >= 2").select_columns(keys)
+        hot_tbl = pa.concat_tables(
+            [b for b in hot.iter_batches(batch_format="pyarrow",
+                                         batch_size=65536)]
+            or [pa.table({"band": pa.array([], pa.int32()),
+                          "band_hash": pa.array([], pa.int64())})])
+    else:
+        pt = pa.concat_tables(partial_batches) if partial_batches else \
+            pa.table({"band": pa.array([], pa.int32()),
+                      "band_hash": pa.array([], pa.int64()),
+                      "packed": pa.array([], pa.int64()),
+                      "cnt": pa.array([], pa.int64())})
+        packed = pt.column("packed").to_numpy()
+        cnts = pt.column("cnt").to_numpy()
+        uniq, inv = np.unique(packed, return_inverse=True)
+        total = np.bincount(inv, weights=cnts.astype(np.float64))
+        first = np.zeros(uniq.size, dtype=np.int64)
+        first[inv[::-1]] = np.arange(packed.size - 1, -1, -1)
+        hot_sel = first[total >= 2]
+        hot_tbl = pa.table({
+            "band": pc.take(pt.column("band"), pa.array(hot_sel)),
+            "band_hash": pc.take(pt.column("band_hash"),
+                                 pa.array(hot_sel)),
+        })
     empty_pairs = pa.table({"id_a": pa.array([], pa.int64()),
                             "id_b": pa.array([], pa.int64()),
                             "est_jaccard": pa.array([], pa.float64())})
