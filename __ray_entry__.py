@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_rich_hits": dsp.q_search_rich_hits,
         "search_subtree_scored_top10": dsp.q_search_subtree_scored_top10,
         "search_sequence_top10": dsp.q_search_sequence_top10,
+        "suggest_terms": dsp.q_suggest_terms,
         "search_filtered_top10": dsp.q_search_filtered_top10,
         "search_docset_top10": dsp.q_search_docset_top10,
         "search_packed_top10": dsp.q_search_packed_top10,
@@ -186,6 +187,14 @@ def oracle_sql() -> dict[str, str]:
             "sum(ln(1.0 + (nn.n - df.df + 0.5) / (df.df + 0.5)) "
             "* (CASE WHEN tf.tok = 'VECTOR' THEN 0.5 ELSE 1.0 END) "
             f"* tf.tf / (tf.tf + {K1}))"),
+        # dictionary prefix suggestion: top terms by df
+        "suggest_terms": f"""
+WITH toks AS ({_TOKS}),
+df AS (SELECT tok AS term, count(DISTINCT doc_id) AS df FROM toks
+       WHERE tok LIKE 'S%' GROUP BY tok)
+SELECT term, CAST(df AS BIGINT) AS df FROM df
+ORDER BY df DESC, term LIMIT 10
+""",
         # matched-sequence proximity: adjacency bonus on top of BM25
         "search_sequence_top10": f"""
 WITH toks AS ({_TOKS}),

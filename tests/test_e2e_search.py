@@ -328,3 +328,23 @@ def test_sequence_rerank(index_dir, ray_session):
     assert longest_matched_sequence(
         [np.array([4, 9]), np.array([10]), np.array([11])]) == 3
     assert longest_matched_sequence([e, np.array([1])]) == 1
+
+
+def test_suggest_terms_prefix_scan(index_dir, monkeypatch):
+    """Dictionary prefix suggestions: eager and lazy (row-group-pruned)
+    paths agree; df ordering with lexicographic ties; merged-boundary
+    overlap handled by the range-intersection scan."""
+    import trinity_ray.query.exec as qe
+    from trinity_ray.search import LocalSearcher
+
+    s = LocalSearcher(index_dir)
+    got = s.suggest_terms("K", k=20)
+    assert got and all(t.startswith("K") for t, _ in got)
+    dfs = [d for _, d in got]
+    assert dfs == sorted(dfs, reverse=True)
+    # df values agree with direct lookups
+    for t, d in got[:5]:
+        assert sum(r.lookup_terms([t])[t] for r in s.readers) == d
+    monkeypatch.setattr(qe, "_EAGER_DICT_MAX", 0)
+    lazy = LocalSearcher(index_dir)
+    assert lazy.suggest_terms("K", k=20) == got

@@ -323,6 +323,16 @@ def q_search_sequence_top10(sf_dir: str) -> pa.Table:
     })
 
 
+def q_suggest_terms(sf_dir: str) -> pa.Table:
+    """Dictionary prefix suggestion (terms.cpp sorted-dictionary prefix
+    iteration): top-10 terms starting with 'S' by global df."""
+    rows = _searcher(base_index(sf_dir)).suggest_terms("S", k=10)
+    return pa.table({
+        "term": pa.array([t for t, _ in rows], pa.string()),
+        "df": pa.array([int(d) for _, d in rows], pa.int64()),
+    })
+
+
 def q_search_rich_hits(sf_dir: str) -> pa.Table:
     """Rich-match mode (the reference's DEFAULT ConsiderResponse shape,
     exec.h:11-43 / matches.h:139-186): top-k for 'dup OR vector' with one

@@ -421,6 +421,29 @@ class SegmentReader:
             out[t] = 0 if tp is None else tp.df
         return out
 
+    def prefix_terms(self, prefix: str) -> dict[str, int]:
+        """term -> df for every dictionary term starting with ``prefix`` —
+        the sorted-dictionary prefix scan (terms.cpp prefix iteration over
+        the skiplist): eager dicts scan the sorted key range; lazy dicts
+        decode only the row groups whose [min,max] range intersects
+        [prefix, prefix+1).  Dictionary only, zero postings IO."""
+        self._ensure_dict()
+        if not prefix:
+            raise ValueError("empty prefix")
+        hi = prefix[:-1] + chr(ord(prefix[-1]) + 1)
+        out: dict[str, int] = {}
+        if self._dict is not None:
+            for t, ent in self._dict.items():
+                if t.startswith(prefix):
+                    out[t] = ent[0]
+            return out
+        for j, (lo_t, hi_t, fi, rg) in enumerate(self._rg_index):
+            if lo_t < hi and hi_t >= prefix:  # range intersects [prefix, hi)
+                for t, ent in self._load_rg_dict(fi, rg).items():
+                    if t.startswith(prefix):
+                        out[t] = ent[0]
+        return out
+
     def postings(self, term: str) -> TermPostings | None:
         if term not in self._cache:
             self.lookup_terms([term])

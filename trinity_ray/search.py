@@ -244,6 +244,16 @@ class LocalSearcher:
             parts.append(r.execute(node, idf, k, scorer, allowed=allowed))
         return merge_topk([p for p in parts if p[0].size], k)
 
+    def suggest_terms(self, prefix: str, k: int = 10) -> list[tuple[str, int]]:
+        """Top-k dictionary terms with ``prefix`` by global df (term
+        autocomplete over the sorted dictionaries; ties broken
+        lexicographically).  Zero postings IO."""
+        acc: dict[str, int] = {}
+        for r in self.readers:
+            for t, df in r.prefix_terms(prefix).items():
+                acc[t] = acc.get(t, 0) + df
+        return sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
     def search_subtrees(self, query: str | Node, k: int = 10,
                         scorer: str = "bm25") -> SearchResult:
         """Accumulated-score OR-of-subtrees
