@@ -338,8 +338,9 @@ def test_suggest_terms_prefix_scan(index_dir, monkeypatch):
     from trinity_ray.search import LocalSearcher
 
     s = LocalSearcher(index_dir)
-    got = s.suggest_terms("K", k=20)
-    assert got and all(t.startswith("K") for t, _ in got)
+    got = s.suggest_terms("RE", k=20)  # trinity tokenizer uppercases
+    assert got and all(t.startswith("RE") for t, _ in got)
+    assert "RETURN" in dict(got)
     dfs = [d for _, d in got]
     assert dfs == sorted(dfs, reverse=True)
     # df values agree with direct lookups
@@ -347,4 +348,4 @@ def test_suggest_terms_prefix_scan(index_dir, monkeypatch):
         assert sum(r.lookup_terms([t])[t] for r in s.readers) == d
     monkeypatch.setattr(qe, "_EAGER_DICT_MAX", 0)
     lazy = LocalSearcher(index_dir)
-    assert lazy.suggest_terms("K", k=20) == got
+    assert lazy.suggest_terms("RE", k=20) == got
