@@ -349,3 +349,29 @@ def test_suggest_terms_prefix_scan(index_dir, monkeypatch):
     monkeypatch.setattr(qe, "_EAGER_DICT_MAX", 0)
     lazy = LocalSearcher(index_dir)
     assert lazy.suggest_terms("RE", k=20) == got
+
+
+def test_batch_search_modes(index_dir, ray_session):
+    """batch_search mode='rich'/'subtrees': per-query outputs equal the
+    scalar API."""
+    import ray.data as rd
+
+    from trinity_ray.search import LocalSearcher, batch_search
+
+    queries = ["return", "encode AND decode"]
+    ds = rd.from_items([{"query": q} for q in queries])
+    rich = batch_search(ds, index_dir, k=5, concurrency=2,
+                        mode="rich").to_pandas()
+    s = LocalSearcher(index_dir)
+    for q in queries:
+        sub = rich[rich["query"] == q].reset_index(drop=True)
+        _, tbl = s.search_rich(q, k=5)
+        ref = tbl.to_pandas()
+        assert sub["doc_id"].tolist() == ref["doc_id"].tolist()
+        assert sub["tf"].tolist() == ref["tf"].tolist()
+    st = batch_search(ds, index_dir, k=5, concurrency=2,
+                      mode="subtrees").to_pandas()
+    for q in queries:
+        sub = st[st["query"] == q].sort_values("rank")
+        ref = s.search_subtrees(q, k=5)
+        assert sub["doc_id"].tolist() == [int(d) for d in ref.doc_ids]

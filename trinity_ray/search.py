@@ -441,17 +441,33 @@ class QueryExec:
     RaySearcher (SEGMENT-parallel scatter-gather) instead.
     """
 
-    def __init__(self, index_dir: str, k: int = 10, scorer: str = "bm25"):
+    def __init__(self, index_dir: str, k: int = 10, scorer: str = "bm25",
+                 mode: str = "topk"):
         self.searcher = LocalSearcher(index_dir)
         self.k = k
         self.scorer = scorer
+        if mode not in ("topk", "rich", "subtrees"):
+            raise ValueError(f"unknown mode {mode!r}")
+        self.mode = mode
 
     def __call__(self, batch):
         import pyarrow as pa
 
+        if self.mode == "rich":
+            parts = []
+            for q in batch.column("query").to_pylist():
+                _res, tbl = self.searcher.search_rich(q, k=self.k,
+                                                      scorer=self.scorer)
+                parts.append(tbl.add_column(
+                    0, "query", pa.array([q] * tbl.num_rows, pa.string())))
+            return pa.concat_tables(parts, promote_options="default")
         q_out, rank_out, doc_out, score_out = [], [], [], []
         for q in batch.column("query").to_pylist():
-            res = self.searcher.search(q, k=self.k, scorer=self.scorer)
+            if self.mode == "subtrees":
+                res = self.searcher.search_subtrees(q, k=self.k,
+                                                    scorer=self.scorer)
+            else:
+                res = self.searcher.search(q, k=self.k, scorer=self.scorer)
             for rank, (d, s) in enumerate(zip(res.doc_ids, res.scores), 1):
                 q_out.append(q)
                 rank_out.append(rank)
@@ -467,14 +483,17 @@ class QueryExec:
 
 def batch_search(queries_ds, index_dir: str, *, k: int = 10,
                  scorer: str = "bm25", batch_size: int = 64,
-                 concurrency: int = 8):
+                 concurrency: int = 8, mode: str = "topk"):
     """(query, rank, doc_id, score) rows for a Dataset with a ``query``
-    column — the Ray-Data-native high-throughput query path."""
+    column — the Ray-Data-native high-throughput query path.  ``mode``:
+    "topk" (default), "subtrees" (accumulated-score OR-of-subtrees), or
+    "rich" (per-term tf/positions/payload rows, prefixed with the query)."""
     from trinity_ray.rayutil import actor_pool, package_runtime_env
 
     return queries_ds.map_batches(
         QueryExec,
-        fn_constructor_kwargs=dict(index_dir=index_dir, k=k, scorer=scorer),
+        fn_constructor_kwargs=dict(index_dir=index_dir, k=k, scorer=scorer,
+                                   mode=mode),
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=actor_pool(concurrency),
         runtime_env=package_runtime_env(),
