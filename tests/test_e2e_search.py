@@ -338,9 +338,10 @@ def test_suggest_terms_prefix_scan(index_dir, monkeypatch):
     from trinity_ray.search import LocalSearcher
 
     s = LocalSearcher(index_dir)
-    got = s.suggest_terms("RE", k=20)  # trinity tokenizer uppercases
+    got = s.suggest_terms("re", k=20)  # normalized via the index tokenizer
     assert got and all(t.startswith("RE") for t, _ in got)
     assert "RETURN" in dict(got)
+    assert s.suggest_terms("RE", k=20) == got
     dfs = [d for _, d in got]
     assert dfs == sorted(dfs, reverse=True)
     # df values agree with direct lookups
@@ -375,3 +376,19 @@ def test_batch_search_modes(index_dir, ray_session):
         sub = st[st["query"] == q].sort_values("rank")
         ref = s.search_subtrees(q, k=5)
         assert sub["doc_id"].tolist() == [int(d) for d in ref.doc_ids]
+
+
+def test_batch_rich_empty_blocks_stable_schema(index_dir, ray_session):
+    """Rich-mode batch search with zero-hit queries and empty blocks keeps
+    one stable schema (review finding: concat_tables([]) crashed and
+    payload columns drifted)."""
+    import ray.data as rd
+
+    from trinity_ray.search import batch_search
+
+    ds = rd.from_items([{"query": "zzznothing"}] * 3).repartition(6)
+    out = batch_search(ds, index_dir, k=5, concurrency=2, mode="rich")
+    assert out.count() == 0
+    names = set(out.schema().names)
+    assert names >= {"query", "rank", "doc_id", "score", "term",
+                     "tf", "positions"}

@@ -68,6 +68,7 @@ class MemorySegmentReader(SegmentReader):
         self._handles = {}
         self._universe = None
         self._cache = {}
+        self._sorted_terms = None
         self._docs_tbl = docs_table
 
     def _ensure_dict(self) -> None:  # dictionary is always resident

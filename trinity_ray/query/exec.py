@@ -290,6 +290,7 @@ class SegmentReader:
         self._handles: dict[int, object] = {}
         self._universe: np.ndarray | None = None
         self._cache: dict[str, TermPostings | None] = {}
+        self._sorted_terms: list[str] | None = None
 
     # -- dictionary probe ----------------------------------------------------
     def _ensure_dict(self) -> None:
@@ -424,24 +425,38 @@ class SegmentReader:
     def prefix_terms(self, prefix: str) -> dict[str, int]:
         """term -> df for every dictionary term starting with ``prefix`` —
         the sorted-dictionary prefix scan (terms.cpp prefix iteration over
-        the skiplist): eager dicts scan the sorted key range; lazy dicts
-        decode only the row groups whose [min,max] range intersects
-        [prefix, prefix+1).  Dictionary only, zero postings IO."""
-        self._ensure_dict()
+        the skiplist): eager dicts bisect a sorted key list to the
+        [prefix, prefix+1) slice; lazy dicts decode only the row groups
+        whose [min,max] range intersects it, WITHOUT populating the probe
+        cache (a handful of prefix scans must not pin the whole dictionary
+        the lazy mode exists to avoid).  Dictionary only, zero postings IO."""
         if not prefix:
             raise ValueError("empty prefix")
-        hi = prefix[:-1] + chr(ord(prefix[-1]) + 1)
+        self._ensure_dict()
+        last = prefix[-1]
+        hi = (prefix[:-1] + chr(ord(last) + 1)
+              if ord(last) < 0x10FFFF else None)  # None = no upper bound
         out: dict[str, int] = {}
         if self._dict is not None:
-            for t, ent in self._dict.items():
-                if t.startswith(prefix):
-                    out[t] = ent[0]
+            import bisect
+
+            if self._sorted_terms is None:
+                self._sorted_terms = sorted(self._dict)
+            ks = self._sorted_terms
+            lo_i = bisect.bisect_left(ks, prefix)
+            hi_i = bisect.bisect_left(ks, hi) if hi is not None else len(ks)
+            for t in ks[lo_i:hi_i]:
+                out[t] = self._dict[t][0]
             return out
-        for j, (lo_t, hi_t, fi, rg) in enumerate(self._rg_index):
-            if lo_t < hi and hi_t >= prefix:  # range intersects [prefix, hi)
-                for t, ent in self._load_rg_dict(fi, rg).items():
+        for lo_t, hi_t, fi, rg in self._rg_index:
+            if (hi is None or lo_t < hi) and hi_t >= prefix:
+                cached = (fi, rg) in self._rg_cache
+                d = self._load_rg_dict(fi, rg)
+                for t, ent in d.items():
                     if t.startswith(prefix):
                         out[t] = ent[0]
+                if not cached:
+                    self._rg_cache.pop((fi, rg), None)  # scan, don't pin
         return out
 
     def postings(self, term: str) -> TermPostings | None:

@@ -247,7 +247,14 @@ class LocalSearcher:
     def suggest_terms(self, prefix: str, k: int = 10) -> list[tuple[str, int]]:
         """Top-k dictionary terms with ``prefix`` by global df (term
         autocomplete over the sorted dictionaries; ties broken
-        lexicographically).  Zero postings IO."""
+        lexicographically).  The prefix is normalized through the index
+        tokenizer when it maps to a single token (so 're' finds 'RETURN'
+        like every other query entry point).  Zero postings IO."""
+        from trinity_ray.tokenizer import get_tokenizer
+
+        toks = get_tokenizer(self.manifest.tokenizer)(prefix)
+        if len(toks) == 1:
+            prefix = toks[0]
         acc: dict[str, int] = {}
         for r in self.readers:
             for t, df in r.prefix_terms(prefix).items():
@@ -449,6 +456,50 @@ class QueryExec:
         if mode not in ("topk", "rich", "subtrees"):
             raise ValueError(f"unknown mode {mode!r}")
         self.mode = mode
+        self._payloads: bool | None = None
+
+    def _has_payloads(self) -> bool:
+        """True iff every posting segment carries the payload channel (the
+        same rule rich_hits_table applies per result) — fixes the OUTPUT
+        SCHEMA per index so every block agrees, hits or not."""
+        if self._payloads is None:
+            import json as _json
+            import os as _os
+
+            vals = []
+            for seg in self.searcher.manifest.segments:
+                p = _os.path.join(self.searcher.index_dir, "segments",
+                                  seg.name, "stats.json")
+                try:
+                    with open(p) as f:
+                        st = _json.load(f)
+                except (OSError, ValueError):
+                    continue
+                if not seg.has_deletes:
+                    vals.append(bool(st.get("payloads")))
+            self._payloads = bool(vals) and all(vals)
+        return self._payloads
+
+    def _normalize_rich(self, tbl):
+        import pyarrow as pa
+
+        base = {
+            "rank": pa.int32(), "doc_id": pa.int64(), "score": pa.float64(),
+            "term": pa.string(), "tf": pa.int64(),
+            "positions": pa.list_(pa.int64()),
+        }
+        if self._has_payloads():
+            base["payloads"] = pa.list_(pa.int64())
+        if tbl is None:
+            return pa.table({k: pa.array([], t) for k, t in base.items()})
+        cols = {}
+        for k, t in base.items():
+            if k in tbl.column_names:
+                cols[k] = tbl.column(k)
+            else:  # zero-hit result from rich_hits_table: add typed empties
+                cols[k] = pa.array([[] if pa.types.is_list(t) else None
+                                    for _ in range(tbl.num_rows)], t)
+        return pa.table(cols)
 
     def __call__(self, batch):
         import pyarrow as pa
@@ -458,8 +509,13 @@ class QueryExec:
             for q in batch.column("query").to_pylist():
                 _res, tbl = self.searcher.search_rich(q, k=self.k,
                                                       scorer=self.scorer)
+                tbl = self._normalize_rich(tbl)
                 parts.append(tbl.add_column(
                     0, "query", pa.array([q] * tbl.num_rows, pa.string())))
+            if not parts:  # empty input block: stable-schema empty table
+                empty = self._normalize_rich(None)
+                return empty.add_column(
+                    0, "query", pa.array([], pa.string()))
             return pa.concat_tables(parts, promote_options="default")
         q_out, rank_out, doc_out, score_out = [], [], [], []
         for q in batch.column("query").to_pylist():
