@@ -330,6 +330,57 @@ def test_sequence_rerank(index_dir, ray_session):
     assert longest_matched_sequence([e, np.array([1])]) == 1
 
 
+def test_search_sequence_in_engine(index_dir, ray_session):
+    """In-engine matched-sequence scoring (execute_sequence): bit-identical
+    to the full-pool rerank, exact at bounded k, and the vectorized
+    per-segment kernel equals the per-doc reference chain on every
+    matching doc."""
+    from trinity_ray.query.ast import collect_scorable_terms, parse_query
+    from trinity_ray.search import (
+        LocalSearcher,
+        RaySearcher,
+        longest_matched_sequence,
+        sequence_rerank,
+    )
+
+    s = LocalSearcher(index_dir)
+    for q in ("key AND order", "dup OR vector", "key order status"):
+        base = s.search(q, k=0)
+        full = sequence_rerank(s, q, k=10, pool=max(1, base.doc_ids.size),
+                               bonus=0.5)
+        eng = s.search_sequence(q, k=10, bonus=0.5)
+        np.testing.assert_array_equal(eng.doc_ids, full.doc_ids)
+        np.testing.assert_allclose(eng.scores, full.scores, rtol=0, atol=0)
+    # kernel vs per-doc reference: every matched doc, via rich positions
+    q = "key AND order"
+    node = parse_query(q, s.manifest.tokenizer)
+    seq = collect_scorable_terms(node)
+    _res, tbl = s.search_rich(q, k=0)
+    by_doc: dict[int, dict[str, np.ndarray]] = {}
+    for d, t, p in zip(tbl.column("doc_id").to_pylist(),
+                       tbl.column("term").to_pylist(),
+                       tbl.column("positions").to_pylist()):
+        by_doc.setdefault(int(d), {})[t] = np.asarray(p, dtype=np.int64)
+    empty = np.empty(0, dtype=np.int64)
+    for r in s.readers:
+        idf = s.resolve_idf(node)
+        matched = r.match(node)
+        if r.mask is not None and matched.size:
+            matched = matched[~np.isin(matched, r.mask)]
+        lengths = r.sequence_lengths(matched, seq)
+        for d, L in zip(matched, lengths):
+            tp = by_doc.get(int(d), {})
+            want = longest_matched_sequence(
+                [tp.get(t, empty) for t in seq])
+            assert L == want, (int(d), L, want)
+    # distributed path agrees with local
+    rs = RaySearcher(index_dir, num_actors=2)
+    r1 = s.search_sequence("key AND order", k=10)
+    r2 = rs.search_sequence("key AND order", k=10)
+    np.testing.assert_array_equal(r1.doc_ids, r2.doc_ids)
+    np.testing.assert_array_equal(r1.scores, r2.scores)
+
+
 def test_suggest_terms_prefix_scan(index_dir, monkeypatch):
     """Dictionary prefix suggestions: eager and lazy (row-group-pruned)
     paths agree; df ordering with lexicographic ties; merged-boundary

@@ -310,13 +310,12 @@ def q_search_sequence_top10(sf_dir: str) -> pa.Table:
     """Matched-sequence proximity ranking (assign_query_indices/toNextSpan
     geometry, queries.cpp:1048-1249): BM25 + 0.5 per extra token of the
     longest contiguous matched query-token run — docs with the adjacent
-    phrase outrank bags of the same tokens.  Pool covers every match, so
-    the DuckDB oracle is exact."""
-    from trinity_ray.search import sequence_rerank
-
-    res = sequence_rerank(_searcher(base_index(sf_dir)),
-                          DRIVER_QUERIES["and2"], k=TOPK, pool=1_000_000,
-                          bonus=0.5)
+    phrase outrank bags of the same tokens.  In-engine: the bonus is
+    computed per segment for EVERY matching doc during execution
+    (SegmentReader.execute_sequence), so the DuckDB oracle is exact with
+    no rerank pool and no driver-side position gather."""
+    res = _searcher(base_index(sf_dir)).search_sequence(
+        DRIVER_QUERIES["and2"], k=TOPK, bonus=0.5)
     return pa.table({
         "doc_id": pa.array(res.doc_ids.astype(np.int64), pa.int64()),
         "score_r": pa.array(np.round(res.scores, 4), pa.float64()),

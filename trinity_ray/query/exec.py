@@ -742,6 +742,89 @@ class SegmentReader:
             return EMPTY_U64, EMPTY_F64
         return _topk(acc_docs, acc_scores, k)
 
+    def sequence_lengths(self, cand: np.ndarray, seq_terms: list[str]
+                         ) -> np.ndarray:
+        """Longest contiguous matched query-token run per candidate doc —
+        the in-engine matched-SEQUENCE geometry of assign_query_indices /
+        toNextSpan (queries.cpp:1048-1249), computed where positions are
+        already decoded (the same selective block gathers phrase
+        verification uses) instead of via a driver-side rich-hit gather.
+
+        ``seq_terms`` = ordered distinct ORIGINAL query tokens; a run
+        [j, j+L) counts for a doc when token j+i occurs at position p+i for
+        every i.  Fully vectorized: per-term occurrence keys
+        (cand_rank << 15 | position) chained with sorted-membership probes
+        — n_terms^2/2 numpy passes over flat key arrays, never a per-doc
+        Python loop.  Returns int64 lengths (0 = no seq term present)."""
+        n = len(seq_terms)
+        best = np.zeros(cand.size, dtype=np.int64)
+        if cand.size == 0 or n == 0:
+            return best
+        term_keys: list[np.ndarray | None] = []
+        for t in seq_terms:
+            tp = self.postings(t)
+            if tp is None:
+                term_keys.append(None)
+                continue
+            tf, found = tp.gather_tfs(cand)
+            if not found.any():
+                term_keys.append(None)
+                continue
+            np.maximum(best, 1, out=best, where=found)  # presence => L >= 1
+            if not tp.blob.has_positions:
+                term_keys.append(None)
+                continue
+            sub = cand[found]
+            pos_flat, lens = tp.gather_positions(sub)
+            fidx = np.flatnonzero(found).astype(np.uint64)
+            keys = (np.repeat(fidx, lens) << np.uint64(_POS_SHIFT)) + pos_flat
+            term_keys.append(keys if keys.size else None)
+        one = np.uint64(1)
+        shift = np.uint64(_POS_SHIFT)
+        for j in range(n - 1):
+            chain = term_keys[j]
+            if chain is None:
+                continue
+            L = 1
+            while j + L < n and chain is not None and chain.size:
+                nxt = term_keys[j + L]
+                if nxt is None:
+                    break
+                chain = chain[_member(chain + one, nxt)] + one
+                if chain.size == 0:
+                    break
+                L += 1
+                docs = np.unique(chain >> shift).astype(np.int64)
+                np.maximum.at(best, docs, L)
+        return best
+
+    def execute_sequence(self, node: Node, weights: dict[str, float],
+                         seq_terms: list[str], k: int,
+                         scorer: str | Scorer = "bm25", bonus: float = 0.5,
+                         allowed: np.ndarray | None = None,
+                         ) -> tuple[np.ndarray, np.ndarray]:
+        """Match + mask + score + matched-sequence bonus + local top-k:
+        score(d) = base(d) + bonus * (longest_matched_sequence(d) - 1).
+
+        The reference scores sequences DURING span execution
+        (queries.cpp:1048-1249); this is the batch equivalent — the bonus
+        is computed per segment for EVERY matching doc, so the global
+        merge is exact at any k (no rerank pool).  Exhaustive scoring
+        (no max-score pruning: the bonus can lift any doc by up to
+        bonus*(n-1), which would invalidate the pruning bound)."""
+        sc = get_scorer(scorer) if isinstance(scorer, str) else scorer
+        matched = self.match(node)
+        if allowed is not None and matched.size:
+            matched = _intersect(matched, allowed)
+        if self.mask is not None and matched.size:
+            matched = _setdiff(matched, self.mask)
+        if matched.size == 0:
+            return EMPTY_U64, EMPTY_F64
+        scores = self.score(matched, weights, sc)
+        lengths = self.sequence_lengths(matched, seq_terms)
+        scores = scores + bonus * (lengths - 1).astype(np.float64)
+        return _topk(matched, scores, k)
+
     def execute(self, node: Node, weights: dict[str, float], k: int,
                 scorer: str | Scorer = "bm25",
                 allowed: np.ndarray | None = None,

@@ -290,6 +290,24 @@ class LocalSearcher:
         parts = _collect_rich_parts(self.readers, sorted_docs, terms)
         return res, rich_hits_table(res, parts)
 
+    def search_sequence(self, query: str | Node, k: int = 10,
+                        bonus: float = 0.5, scorer: str = "bm25"
+                        ) -> SearchResult:
+        """In-engine matched-SEQUENCE proximity ranking
+        (assign_query_indices/toNextSpan, queries.cpp:1048-1249):
+        score(d) = base(d) + bonus * (longest contiguous matched
+        query-token run - 1), computed PER SEGMENT for every matching doc
+        during execution — exact at any k, no rerank pool, no driver-side
+        position gather (cf. ``sequence_rerank``, the bounded-pool
+        approximation)."""
+        node = parse_query(query, self.manifest.tokenizer) \
+            if isinstance(query, str) else query
+        idf = self.resolve_idf(node, scorer)
+        seq = collect_scorable_terms(node)
+        parts = [r.execute_sequence(node, idf, seq, k, scorer, bonus)
+                 for r in self.readers]
+        return merge_topk([p for p in parts if p[0].size], k)
+
 
 class SegmentSearchActor:
     """One actor owns a shard of segments; postings caches stay warm."""
@@ -334,6 +352,16 @@ class SegmentSearchActor:
                          scorer: str = "bm25"
                          ) -> tuple[np.ndarray, np.ndarray]:
         parts = [r.execute_subtrees(node, idf, k, scorer)
+                 for r in self.readers]
+        parts = [p for p in parts if p[0].size]
+        merged = merge_topk(parts, k)
+        return merged.doc_ids, merged.scores
+
+    def execute_sequence(self, node: Node, idf: dict[str, float],
+                         seq_terms: list[str], k: int,
+                         scorer: str = "bm25", bonus: float = 0.5
+                         ) -> tuple[np.ndarray, np.ndarray]:
+        parts = [r.execute_sequence(node, idf, seq_terms, k, scorer, bonus)
                  for r in self.readers]
         parts = [p for p in parts if p[0].size]
         merged = merge_topk(parts, k)
@@ -405,6 +433,20 @@ class RaySearcher:
             if isinstance(query, str) else query
         idf = self.resolve_idf(node, scorer)
         futs = [a.execute_subtrees.remote(node, idf, k, scorer)
+                for a in self.actors]
+        return merge_topk([p for p in self._ray.get(futs) if p[0].size], k)
+
+    def search_sequence(self, query: str | Node, k: int = 10,
+                        bonus: float = 0.5, scorer: str = "bm25"
+                        ) -> SearchResult:
+        """In-engine matched-sequence ranking: the bonus is computed
+        actor-side per segment (positions never leave their actor); the
+        driver merges bonused partial top-k's — exact at any k."""
+        node = parse_query(query, self.manifest.tokenizer) \
+            if isinstance(query, str) else query
+        idf = self.resolve_idf(node, scorer)
+        seq = collect_scorable_terms(node)
+        futs = [a.execute_sequence.remote(node, idf, seq, k, scorer, bonus)
                 for a in self.actors]
         return merge_topk([p for p in self._ray.get(futs) if p[0].size], k)
 
