@@ -226,11 +226,29 @@ def run_once() -> dict:
             bin_bytes(packed_dir) / max(1, bin_bytes(index_dir)), 4)
         from trinity_ray.search import LocalSearcher
 
+        # packed-codec serving: merge first (same lifecycle as varint),
+        # report cold (searcher construction + dictionary load + first
+        # query) and warm (steady-state decode) separately — the r2 number
+        # conflated them over the 376-segment UNMERGED index
+        packed_merged = packed_dir + "-merged"
+        shutil.rmtree(packed_merged, ignore_errors=True)
+        merge_index(packed_dir, packed_merged)
         t0 = time.time()
-        sp = LocalSearcher(packed_dir)
-        for _ in range(5):
-            sp.search("key AND order", k=10)
-        queries["q_packed_and"] = (time.time() - t0) / 5
+        sp = LocalSearcher(packed_merged)
+        sp.search("key AND order", k=10)
+        queries["q_packed_and_cold"] = time.time() - t0
+        # warm: same RaySearcher methodology as the varint q_* numbers
+        from trinity_ray.search import RaySearcher
+
+        rsp = RaySearcher(packed_merged, num_actors=min(8, NUM_CPUS))
+        for _ in range(2):
+            rsp.search("key AND order", k=10)
+        times = []
+        for _ in range(QUERY_REPS):
+            t0 = time.time()
+            rsp.search("key AND order", k=10)
+            times.append(time.time() - t0)
+        queries["q_packed_and_warm"] = statistics.median(times)
         queries.update(bench_ops(SF_DIR))
         total = time.time() - t_all
         return {

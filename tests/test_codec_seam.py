@@ -162,3 +162,34 @@ def test_positionless_payload_rich_hits(ray_session, corpus, tmp_path):
         expect = [m.start() for m in re.finditer(r"[A-Za-z0-9]+", text)
                   if m.group(0).upper() == r["term"]]
         assert list(r["payloads"]) == expect
+
+
+def test_trinity_tokenizer_payload_round_trip(ray_session, tmp_path):
+    """payloads="char_offset" composes with tokenizer="trinity" (the
+    reference's payload channel is tokenizer-agnostic, indexer.h:99-149):
+    rich hits carry each hit's char offset, verified against a direct
+    TOKEN_RE scan of the source docs."""
+    from trinity_ray.tokenizer import trinity_tokenize_spans
+
+    docs = [
+        "I.B.M ships C++ code to site:x-box.com again and again",
+        "John's C++ parser beats I.B.M parser",
+        "d&d night at 9.000 with L'Oreal sponsors",
+        "plain words only here",
+    ] * 20
+    src = str(tmp_path / "t.parquet")
+    pq.write_table(pa.table({"text": pa.array(docs)}), src)
+    idx = str(tmp_path / "idx")
+    build_index(src, idx, content_column="text", tokenizer="trinity",
+                payloads="char_offset")
+    s = LocalSearcher(idx)
+    res, tbl = s.search_rich("IBM AND parser", k=5)
+    assert "payloads" in tbl.column_names
+    df = tbl.to_pandas()
+    assert len(df)
+    for _, r in df.iterrows():
+        text = docs[int(r["doc_id"])]
+        toks, offs = trinity_tokenize_spans(text)
+        expect = [o for t, o in zip(toks, offs) if t == r["term"]]
+        assert list(r["payloads"]) == expect, (r["term"], r["doc_id"])
+        assert len(r["payloads"]) == r["tf"] == len(r["positions"])

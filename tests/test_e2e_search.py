@@ -443,3 +443,52 @@ def test_batch_rich_empty_blocks_stable_schema(index_dir, ray_session):
     names = set(out.schema().names)
     assert names >= {"query", "rank", "doc_id", "score", "term",
                      "tf", "positions"}
+
+
+def test_doc_predicate_pushdown_and_cache(index_dir, ray_session, monkeypatch):
+    """DocPredicate: column-pruned docs read, Arrow-expression pushdown, and
+    per-(segment, key) id-set caching — a repeated query carrying the same
+    predicate must NOT re-read docs.parquet (VERDICT r2 wrong-#2)."""
+    import pyarrow.dataset as real_pads
+
+    from trinity_ray.query import exec as qx
+    from trinity_ray.search import LocalSearcher
+
+    s = LocalSearcher(index_dir)
+    legacy = s.search("key", k=10,
+                      doc_predicate=lambda t:
+                      t.column("doc_id").to_numpy() % 2 == 0)
+
+    calls = {"n": 0, "columns": []}
+    real_dataset = real_pads.dataset
+
+    class CountingDataset:
+        def __init__(self, ds):
+            self._ds = ds
+
+        def to_table(self, *a, **kw):
+            calls["n"] += 1
+            calls["columns"].append(kw.get("columns"))
+            return self._ds.to_table(*a, **kw)
+
+    monkeypatch.setattr(qx.pads, "dataset",
+                        lambda *a, **kw: CountingDataset(real_dataset(*a, **kw)))
+    pred = qx.DocPredicate(lambda t: t.column("doc_id").to_numpy() % 2 == 0,
+                           columns=[], key="even")
+    r1 = s.search("key", k=10, doc_predicate=pred)
+    first_reads = calls["n"]
+    assert first_reads >= 1
+    # pruned to doc_id only, never a full-column read
+    assert all(cols == ["doc_id"] for cols in calls["columns"])
+    r2 = s.search("key", k=10, doc_predicate=pred)
+    assert calls["n"] == first_reads  # cache hit: zero further docs reads
+    np.testing.assert_array_equal(r1.doc_ids, legacy.doc_ids)
+    np.testing.assert_array_equal(r2.doc_ids, r1.doc_ids)
+    np.testing.assert_allclose(r2.scores, r1.scores)
+    # expression-only predicate: filter pushed to the scan, key derived
+    expr = real_pads.field("doc_id") >= 0
+    pe = qx.DocPredicate(filter=expr)
+    assert pe.key.startswith("expr:")
+    r3 = s.search("key", k=10, doc_predicate=pe)
+    plain = s.search("key", k=10)
+    np.testing.assert_array_equal(r3.doc_ids, plain.doc_ids)

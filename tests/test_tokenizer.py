@@ -75,3 +75,25 @@ def test_position_cap():
     pairs = tokenize_with_positions(text, simple_tokenize)
     assert len(pairs) == (1 << 14) - 1
     assert pairs[-1][1] == (1 << 14) - 1
+
+
+def test_trinity_tokenize_spans_parity():
+    """The span variant returns exactly trinity_tokenize's tokens, with each
+    offset pointing at the token's match start in the ORIGINAL text — the
+    payload channel is tokenizer-agnostic (indexer.h:99-149)."""
+    from trinity_ray.tokenizer import trinity_tokenize_spans
+
+    cases = [t for t, _ in GOLDEN] + [
+        "Visit site:x-box.com for I.B.M deals, John's C++ code & 9.000 more",
+        "naïve café L'Oreal ß test",  # non-ASCII path
+    ]
+    for text in cases:
+        toks, offs = trinity_tokenize_spans(text)
+        assert toks == trinity_tokenize(text), text
+        assert len(offs) == len(toks)
+        assert all(0 <= o < max(1, len(text)) for o in offs)
+        assert offs == sorted(offs)
+        for t, o in zip(toks, offs):
+            # the source span starts with the token's first character
+            # (normalization may change the rest: dots stripped, etc.)
+            assert text[o].upper() == t[0] or text[o] in "'’", (text, t, o)

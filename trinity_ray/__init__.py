@@ -41,6 +41,8 @@ _EXPORTS = {
     "decode_bmp": ("trinity_ray.ops.imagecodec", "decode_bmp"),
     "ivf_write_partitioned": ("trinity_ray.ops.ann", "ivf_write_partitioned"),
     "ivf_topk_partitioned": ("trinity_ray.ops.ann", "ivf_topk_partitioned"),
+    # round 3: storage-aware doc predicates
+    "DocPredicate": ("trinity_ray.query.exec", "DocPredicate"),
 }
 
 __all__ = sorted(_EXPORTS) + ["__version__"]

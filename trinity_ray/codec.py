@@ -82,17 +82,6 @@ def _codec_version(codec: str) -> int:
 # bit-packed FOR kernels (codec "packed")
 # ---------------------------------------------------------------------------
 
-_BIT_W: dict[int, np.ndarray] = {}
-
-
-def _bit_weights(w: int) -> np.ndarray:
-    wt = _BIT_W.get(w)
-    if wt is None:
-        wt = (np.uint64(1) << np.arange(w, dtype=np.uint64))
-        _BIT_W[w] = wt
-    return wt
-
-
 def _bit_width(values: np.ndarray) -> int:
     """Bits needed for the max value (0 if all zero)."""
     return int(values.max()).bit_length() if values.size else 0
@@ -112,7 +101,17 @@ def _unpack_bits(buf: np.ndarray, w: int, count: int) -> np.ndarray:
     if w == 0 or count == 0:
         return np.zeros(count, dtype=np.uint64)
     bits = np.unpackbits(buf, count=count * w, bitorder="little")
-    return bits.reshape(count, w).astype(np.uint64) @ _bit_weights(w)
+    return _bits_to_values(bits.reshape(count, w), w)
+
+
+def _bits_to_values(bits2d: np.ndarray, w: int) -> np.ndarray:
+    """(n, w) little-endian bit matrix -> uint64 values via w
+    shift-accumulate passes — numpy integer matmul has no BLAS path and
+    runs 2-9x slower than this at the widths FOR blocks use."""
+    out = np.zeros(bits2d.shape[0], dtype=np.uint64)
+    for k in range(w):
+        out |= bits2d[:, k].astype(np.uint64) << np.uint64(k)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -382,7 +381,7 @@ def _unpack_section(sec: np.ndarray, offs: np.ndarray, widths: np.ndarray,
         if sel.size:
             raw = sec[_range_idx(offs[sel].astype(np.int64), blen[sel])]
             bits = np.unpackbits(raw, bitorder="little")
-            vals = bits.reshape(-1, w).astype(np.uint64) @ _bit_weights(int(w))
+            vals = _bits_to_values(bits.reshape(-1, int(w)), int(w))
             out[_range_idx(vstarts[sel], cnt[sel])] = vals
         for i in np.flatnonzero((widths == w) & ~aligned):
             o = int(offs[i])

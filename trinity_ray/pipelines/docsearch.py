@@ -269,9 +269,13 @@ def q_search_filtered_top10(sf_dir: str) -> pa.Table:
     BM25 top-k for the hot term restricted to docs whose metadata satisfies
     doc_id % 3 == 0.  The predicate is evaluated segment-side over the docs
     table; collection stats (df/N) are untouched, like delete masks."""
+    from trinity_ray.query.exec import DocPredicate
+
     res = _searcher(base_index(sf_dir)).search(
         DRIVER_QUERIES["hot_term"], k=TOPK,
-        doc_predicate=lambda t: t.column("doc_id").to_numpy() % 3 == 0)
+        doc_predicate=DocPredicate(
+            lambda t: t.column("doc_id").to_numpy() % 3 == 0,
+            columns=[], key="doc_id_mod3"))
     return pa.table({
         "doc_id": pa.array(res.doc_ids.astype(np.int64), pa.int64()),
         "score_r": pa.array(np.round(res.scores, 4), pa.float64()),

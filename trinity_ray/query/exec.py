@@ -75,6 +75,44 @@ def bm25_idf(df: np.ndarray | float, n_docs: float) -> np.ndarray | float:
     return np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
 
+class DocPredicate:
+    """Declarative app-side metadata predicate (the IndexDocumentsFilter
+    seam, matches.h:188-201, made storage-aware):
+
+    - ``columns``: the docs-metadata columns the predicate touches — the
+      per-query read is pruned to these (plus doc_id) instead of the full
+      table;
+    - ``filter``: optional ``pyarrow.dataset`` expression pushed down to
+      the Parquet scan, so row-group statistics skip non-matching groups
+      before any IO;
+    - ``fn``: optional callable refinement over the pruned table
+      (rows the expression admitted) returning a boolean mask;
+    - ``key``: stable identity for per-(segment, predicate) caching of
+      the qualifying id set — repeated queries carrying the same
+      predicate never re-read docs metadata (defaults to the filter's
+      string form when only a filter is given; REQUIRED with ``fn`` since
+      callables have no stable identity across pickling).
+
+    Plain callables remain accepted everywhere a predicate is (legacy
+    seam, full-column uncached read).
+    """
+
+    __slots__ = ("fn", "columns", "filter", "key")
+
+    def __init__(self, fn=None, *, columns: list[str] | None = None,
+                 filter=None, key: str | None = None):
+        if fn is None and filter is None:
+            raise ValueError("DocPredicate needs fn and/or filter")
+        if fn is not None and key is None:
+            raise ValueError(
+                "DocPredicate with a callable needs an explicit key= for "
+                "caching identity")
+        self.fn = fn
+        self.columns = list(columns or [])
+        self.filter = filter
+        self.key = key if key is not None else f"expr:{filter}"
+
+
 class TermPostings:
     """Lazily-loaded view over one term's postings.
 
@@ -291,6 +329,7 @@ class SegmentReader:
         self._universe: np.ndarray | None = None
         self._cache: dict[str, TermPostings | None] = {}
         self._sorted_terms: list[str] | None = None
+        self._pred_cache: dict[str, np.ndarray] = {}  # DocPredicate.key -> ids
 
     # -- dictionary probe ----------------------------------------------------
     def _ensure_dict(self) -> None:
@@ -516,19 +555,44 @@ class SegmentReader:
 
     def doc_ids_where(self, predicate) -> np.ndarray:
         """Sorted doc_ids whose metadata row satisfies ``predicate`` — the
-        IndexDocumentsFilter seam (matches.h:188-201): a callable taking the
-        segment's docs table (doc_id, id columns, content_sha256, doc_len)
-        and returning a boolean mask.  Evaluated segment-side so only the
-        qualifying id set, never the metadata, reaches the query plan."""
+        IndexDocumentsFilter seam (matches.h:188-201).
+
+        ``predicate`` is either a plain callable taking the segment's docs
+        table (doc_id, id columns, content_sha256, doc_len) and returning a
+        boolean mask — legacy seam, full-column read — or a
+        :class:`DocPredicate`, which prunes the read to the columns it
+        declares, pushes an optional Arrow expression filter down to the
+        Parquet scan (row-group statistics skip non-matching groups), and
+        caches the qualifying id set per (segment, predicate.key) so a
+        repeated query never re-reads docs metadata.  Evaluated
+        segment-side so only the id set, never the metadata, reaches the
+        query plan."""
+        key = getattr(predicate, "key", None)
+        if key is not None:
+            cached = self._pred_cache.get(key)
+            if cached is not None:
+                return cached
         docs_path = os.path.join(self.seg_path, "docs.parquet")
         docs_dir = os.path.join(self.seg_path, "docs")
         if not (os.path.exists(docs_path) or os.path.isdir(docs_dir)):
             # deletes-only segment: no docs of its own
             return EMPTY_U64
         src = docs_path if os.path.exists(docs_path) else docs_dir
-        t = pads.dataset(src, format="parquet").to_table()
-        mask = np.asarray(predicate(t), dtype=bool)
-        return np.sort(t.column("doc_id").to_numpy().astype(np.uint64)[mask])
+        if isinstance(predicate, DocPredicate):
+            cols = ["doc_id"] + [c for c in predicate.columns
+                                 if c != "doc_id"]
+            t = pads.dataset(src, format="parquet").to_table(
+                columns=cols, filter=predicate.filter)
+            mask = (np.asarray(predicate.fn(t), dtype=bool)
+                    if predicate.fn is not None
+                    else np.ones(t.num_rows, dtype=bool))
+        else:
+            t = pads.dataset(src, format="parquet").to_table()
+            mask = np.asarray(predicate(t), dtype=bool)
+        out = np.sort(t.column("doc_id").to_numpy().astype(np.uint64)[mask])
+        if key is not None:
+            self._pred_cache[key] = out
+        return out
 
     # -- boolean evaluation --------------------------------------------------
     def match(self, node: Node) -> np.ndarray:

@@ -133,6 +133,34 @@ def simple_tokenize_spans(text: str) -> tuple[list[str], list[int]]:
     return toks, offs
 
 
+def trinity_tokenize_spans(text: str) -> tuple[list[str], list[int]]:
+    """(tokens, char start offsets) for the trinity tokenizer — the
+    reference's payload channel is tokenizer-agnostic (indexer.h:99-149),
+    so the span variant must exist for every tokenizer.  The offset is the
+    match start in the ORIGINAL text (normalization like acronym-dot
+    stripping changes the token, not its source span)."""
+    pre_upper = text.isascii()
+    utext = text.upper() if pre_upper else text
+    toks: list[str] = []
+    offs: list[int] = []
+    for m in TOKEN_RE.finditer(utext):
+        kind = m.lastgroup
+        tok = m.group()
+        if kind == "acro":
+            tok = tok.replace(".", "")
+        elif kind == "contr":
+            tok = tok[0] + tok[2:]
+        elif kind == "num":
+            tok = _norm_num(tok)
+        elif kind == "word":
+            if "'" in tok or "’" in tok:
+                tok = _WORD_APOS_RE.sub(r"\1", tok)
+        if len(tok) <= MAX_TERM_LEN:
+            toks.append(tok if pre_upper else tok.upper())
+            offs.append(m.start())
+    return toks, offs
+
+
 TOKENIZERS: dict[str, Callable[[str], list[str]]] = {
     "trinity": trinity_tokenize,
     "simple": simple_tokenize,
@@ -140,6 +168,7 @@ TOKENIZERS: dict[str, Callable[[str], list[str]]] = {
 
 TOKENIZER_SPANS: dict[str, Callable[[str], tuple[list[str], list[int]]]] = {
     "simple": simple_tokenize_spans,
+    "trinity": trinity_tokenize_spans,
 }
 
 
