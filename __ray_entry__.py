@@ -487,9 +487,86 @@ SELECT doc_id, 'application/octet-stream' AS media_type,
        sha256(text) AS payload_sha256
 FROM documents
 """,
+        # IVF oracles: the query entry exports the probed clusters' member
+        # vec_ids (the clustering is the approximate part; the in-cluster
+        # search is exact), so the oracle = exact cosine top-k restricted
+        # to those members.  The member manifest is written by the Ray
+        # entry immediately before the oracle runs (driver compares
+        # side-by-side, query first).
+        "ann_ivf_top10": """
+WITH mem AS (SELECT vec_id FROM
+             read_parquet('/tmp/trinity_ray_driver_indexes/ann_ivf_members.parquet')),
+ev AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+              generate_subscripts(embedding, 1) AS i FROM embeddings),
+q AS (SELECT i, v AS qv FROM ev WHERE vec_id = 0),
+dots AS (SELECT e.vec_id, sum(e.v * q.qv) AS dot, sum(e.v * e.v) AS n2
+         FROM ev e JOIN q ON e.i = q.i
+         WHERE e.vec_id <> 0 AND e.vec_id IN (SELECT vec_id FROM mem)
+         GROUP BY e.vec_id),
+qn AS (SELECT sum(qv * qv) AS qn2 FROM q)
+SELECT vec_id, round(dot / (sqrt(n2) * sqrt(qn2)), 4) AS cos_r
+FROM dots, qn
+ORDER BY dot / (sqrt(n2) * sqrt(qn2)) DESC, vec_id LIMIT 10
+""",
+        "ann_ivf_partitioned_top10": """
+WITH mem AS (SELECT vec_id FROM
+             read_parquet('/tmp/trinity_ray_driver_indexes/ann_ivf_part_members.parquet')),
+ev AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+              generate_subscripts(embedding, 1) AS i FROM embeddings),
+q AS (SELECT i, v AS qv FROM ev WHERE vec_id = 0),
+dots AS (SELECT e.vec_id, sum(e.v * q.qv) AS dot, sum(e.v * e.v) AS n2
+         FROM ev e JOIN q ON e.i = q.i
+         WHERE e.vec_id <> 0 AND e.vec_id IN (SELECT vec_id FROM mem)
+         GROUP BY e.vec_id),
+qn AS (SELECT sum(qv * qv) AS qn2 FROM q)
+SELECT vec_id, round(dot / (sqrt(n2) * sqrt(qn2)), 4) AS cos_r
+FROM dots, qn
+ORDER BY dot / (sqrt(n2) * sqrt(qn2)) DESC, vec_id LIMIT 10
+""",
+        # SimHash oracle: the engine exports (doc_id, sig) signatures; the
+        # oracle brute-forces all-pairs Hamming over them.  Banding with 4
+        # bands at max_hamming=3 is pigeonhole-complete, so engine == oracle.
+        "dedup_simhash_pairs": """
+WITH s AS (SELECT doc_id, sig FROM
+           read_parquet('/tmp/trinity_ray_driver_indexes/simhash_sigs/*.parquet'))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
+""",
+        # frame sampling: the motion-PNG stream is doc-deterministic
+        # (2 + doc_id%7 frames); sampled count = ceil(k/2) capped at 4 —
+        # verifies stream synthesis + real PNG splitting + sampling math
+        "multimodal_frames": """
+SELECT doc_id,
+       CAST(least(4, (3 + doc_id % 7) // 2) AS BIGINT) AS n_frames
+FROM documents
+""",
+        # MinHash oracle: the engine exports signatures + band rows; the
+        # oracle re-derives pairs = (share >= 1 band) AND (fraction of
+        # equal components >= threshold) — banding and estimation checked
+        # independently of the engine's two-pass shuffle strategy.
+        "dedup_minhash_pairs": """
+WITH bh AS (SELECT * FROM
+            read_parquet('/tmp/trinity_ray_driver_indexes/minhash_export/bands/*.parquet')),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bh a JOIN bh b
+           ON a.band = b.band AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id),
+se AS (SELECT doc_id, unnest(minhash) AS v,
+              generate_subscripts(minhash, 1) AS i
+       FROM read_parquet('/tmp/trinity_ray_driver_indexes/minhash_export/sigs/*.parquet')),
+est AS (SELECT c.id_a, c.id_b,
+               sum(CASE WHEN x.v = y.v THEN 1 ELSE 0 END) / 64.0 AS est_jaccard
+        FROM cand c JOIN se x ON x.doc_id = c.id_a
+             JOIN se y ON y.doc_id = c.id_b AND y.i = x.i
+        GROUP BY c.id_a, c.id_b)
+SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
+""",
         # no oracle (non-SQL-expressible, driver records rows-only):
         # search_trinity_top10 (trinity parser not expressible in SQL),
-        # dedup_minhash_pairs, dedup_simhash_pairs, dedup_embedding_pairs,
-        # dedup_jaccard_pairs, text_lang_id, text_fingerprint, ann_ivf_top10,
+        # dedup_embedding_pairs (hyperplane LSH buckets),
+        # search_payload_hits (char offsets not expressible in SQL),
+        # text_fingerprint (crc32-poly rolling hash),
         # multimodal_decode_shape (stubbed pixel decode)
     }

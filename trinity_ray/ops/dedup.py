@@ -286,7 +286,7 @@ def minhash_lsh_pairs(ds, *, num_perm: int = 64, bands: int = 8,
                       threshold: float = 0.5, shingle_k: int = 3,
                       text_column: str = "text", id_column: str = "doc_id",
                       tokenizer: str = "simple", max_bucket: int = 200,
-                      concurrency: int = 8):
+                      concurrency: int = 8, export_dir: str | None = None):
     """Candidate near-dup pairs via banded MinHash LSH, verified by the
     estimated Jaccard (fraction of equal minhash components).
 
@@ -294,6 +294,12 @@ def minhash_lsh_pairs(ds, *, num_perm: int = 64, bands: int = 8,
     ``max_bucket`` caps pair explosion in degenerate buckets (boilerplate):
     buckets larger than the cap are truncated and counted, not silently
     dropped — at scale you'd split them by a secondary band.
+
+    ``export_dir``: optionally persist the signatures
+    (``<export_dir>/sigs``: id, minhash list<int64>) and band rows
+    (``<export_dir>/bands``: band, band_hash, id) as Parquet so an oracle
+    can re-derive the pairs (band self-join + component-equality estimate)
+    independently of the engine's shuffle strategy.
     """
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
@@ -348,6 +354,26 @@ def minhash_lsh_pairs(ds, *, num_perm: int = 64, bands: int = 8,
     light = sigs.map_batches(
         lambda b: explode(b, False), batch_format="pyarrow",
         runtime_env=package_runtime_env())
+    if export_dir is not None:
+        import os as _os
+        import shutil as _sh
+
+        for sub in ("sigs", "bands"):
+            _sh.rmtree(_os.path.join(export_dir, sub), ignore_errors=True)
+
+        def sig_signed(batch: pa.Table) -> pa.Table:
+            mh = batch.column("minhash").combine_chunks()
+            flat = mh.flatten().to_numpy(zero_copy_only=False
+                                         ).astype(np.uint64).view(np.int64)
+            return pa.table({
+                id_column: batch.column(id_column),
+                "minhash": pa.FixedSizeListArray.from_arrays(
+                    pa.array(flat, pa.int64()), num_perm),
+            })
+
+        sigs.map_batches(sig_signed, batch_format="pyarrow").write_parquet(
+            _os.path.join(export_dir, "sigs"))
+        light.write_parquet(_os.path.join(export_dir, "bands"))
 
     def partial_counts(batch: pa.Table) -> pa.Table:
         packed = _pack_keys(batch, keys).astype(np.int64) \
@@ -486,15 +512,37 @@ class SimHasher:
 
 def simhash_pairs(ds, *, max_hamming: int = 3, text_column: str = "text",
                   id_column: str = "doc_id", tokenizer: str = "simple",
-                  max_bucket: int = 500, concurrency: int = 8):
+                  max_bucket: int = 500, concurrency: int = 8,
+                  sig_export_dir: str | None = None):
     """Near-dup pairs with Hamming distance <= max_hamming, blocked by 4
-    16-bit bands (pigeonhole: <=3 differing bits ⇒ >=1 identical band)."""
+    16-bit bands (pigeonhole: <=3 differing bits ⇒ >=1 identical band —
+    for max_hamming <= 3 the banding is candidate-complete up to the
+    per-bucket cap, so the result is EXACT all-pairs).
+
+    ``sig_export_dir``: optionally persist (id, sig int64) signatures as
+    Parquet — an oracle can then brute-force bit_count(xor) <= max_hamming
+    over the export to verify the banded result."""
     sigs = ds.map_batches(
         SimHasher, fn_constructor_kwargs=dict(
             text_column=text_column, id_column=id_column, tokenizer=tokenizer),
         batch_format="pyarrow", concurrency=actor_pool(concurrency), batch_size=1024,
         runtime_env=package_runtime_env(),
     )
+    if sig_export_dir is not None:
+        import shutil as _sh
+
+        sigs = sigs.materialize()  # consumed twice: export + banding
+        _sh.rmtree(sig_export_dir, ignore_errors=True)
+
+        def to_signed(batch: pa.Table) -> pa.Table:
+            sh = batch.column("simhash").to_numpy().astype(np.uint64)
+            return pa.table({
+                id_column: batch.column(id_column),
+                "sig": pa.array(sh.view(np.int64), pa.int64()),
+            })
+
+        sigs.map_batches(to_signed, batch_format="pyarrow").write_parquet(
+            sig_export_dir)
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_column).to_numpy()

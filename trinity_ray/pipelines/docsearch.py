@@ -595,17 +595,49 @@ def q_dedup_exact_keep(sf_dir: str):
 
 
 def q_dedup_minhash_pairs(sf_dir: str):
+    """MinHash-LSH near-dup pairs.  Oracle-exact: signatures and band rows
+    are exported so the oracle re-derives the pairs independently — band
+    self-join for candidates, component-equality fraction for the
+    estimate, threshold filter — checking the whole banding + estimation
+    path in SQL."""
     from trinity_ray.ops.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(read_documents(sf_dir), id_column="doc_id",
-                             text_column="text", threshold=0.5)
+    os.makedirs(INDEX_ROOT, exist_ok=True)
+    pairs = minhash_lsh_pairs(
+        read_documents(sf_dir), id_column="doc_id", text_column="text",
+        threshold=0.5, export_dir=os.path.join(INDEX_ROOT, "minhash_export"))
+
+    def cast_types(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "id_a": t.column("id_a").cast(pa.int64()),
+            "id_b": t.column("id_b").cast(pa.int64()),
+            "est_jaccard": t.column("est_jaccard").cast(pa.float64()),
+        })
+
+    return pairs.map_batches(cast_types, batch_format="pyarrow")
 
 
 def q_dedup_simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs.  Oracle-exact: signatures are exported so
+    the oracle brute-forces bit_count(xor(sig_a, sig_b)) <= 3 over them —
+    for max_hamming=3 under 4 bands the pigeonhole guarantee makes the
+    banded engine result complete, so the two agree exactly."""
     from trinity_ray.ops.dedup import simhash_pairs
 
-    return simhash_pairs(read_documents(sf_dir), id_column="doc_id",
-                         text_column="text", max_hamming=3)
+    os.makedirs(INDEX_ROOT, exist_ok=True)
+    pairs = simhash_pairs(
+        read_documents(sf_dir), id_column="doc_id", text_column="text",
+        max_hamming=3,
+        sig_export_dir=os.path.join(INDEX_ROOT, "simhash_sigs"))
+
+    def cast_types(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "id_a": t.column("id_a").cast(pa.int64()),
+            "id_b": t.column("id_b").cast(pa.int64()),
+            "hamming": t.column("hamming").cast(pa.int64()),
+        })
+
+    return pairs.map_batches(cast_types, batch_format="pyarrow")
 
 
 def q_dedup_embedding_pairs(sf_dir: str):
@@ -668,6 +700,35 @@ def q_ann_bruteforce_top10(sf_dir: str) -> pa.Table:
     })
 
 
+def _export_ivf_members(assigned, centroids, qvec: np.ndarray, nprobe: int,
+                        out_name: str) -> None:
+    """Write the probed clusters' member vec_ids to a fixed path so the
+    DuckDB oracle can verify the IVF result EXACTLY: top-k = exact cosine
+    restricted to these members (the clustering itself is the approximate
+    part; the in-cluster search math is oracle-checkable)."""
+    from trinity_ray.ops.ann import _normalize
+
+    q = _normalize(qvec[None, :])
+    cent = np.asarray(centroids, dtype=np.float64)
+    probes = np.argsort(-(q @ cent.T), axis=1)[:, :min(nprobe, cent.shape[0])]
+    probeset = np.asarray(sorted(int(c) for c in probes[0]), dtype=np.int64)
+
+    def member_ids(batch: pa.Table) -> pa.Table:
+        cl = batch.column("cluster").to_numpy().astype(np.int64)
+        return batch.select(["vec_id"]).filter(
+            pa.array(np.isin(cl, probeset)))
+
+    parts = list(assigned.map_batches(member_ids, batch_format="pyarrow")
+                 .iter_batches(batch_size=65536, batch_format="pyarrow"))
+    ids = (np.concatenate([p.column("vec_id").to_numpy() for p in parts])
+           if parts else np.empty(0, np.int64))
+    os.makedirs(INDEX_ROOT, exist_ok=True)
+    pq.write_table(
+        pa.table({"vec_id": pa.array(np.sort(ids).astype(np.int64),
+                                     pa.int64())}),
+        os.path.join(INDEX_ROOT, out_name))
+
+
 def q_ann_ivf_top10(sf_dir: str) -> pa.Table:
     from trinity_ray.ops.ann import ivf_build, ivf_topk
 
@@ -677,6 +738,8 @@ def q_ann_ivf_top10(sf_dir: str) -> pa.Table:
     # IVF worst case: nprobe=4 of 8 lists measures recall 0.8 vs brute
     # force here; real embedding manifolds cluster far better
     cent, assigned = ivf_build(read_embeddings(sf_dir), n_clusters=8)
+    assigned = assigned.materialize()  # consumed twice: members + search
+    _export_ivf_members(assigned, cent, qvec, 4, "ann_ivf_members.parquet")
     t = ivf_topk(assigned, cent, qvec[None, :], k=TOPK + 1, nprobe=4)
     # drop the query vector itself if present
     keep = t.column("vec_id").to_numpy() != 0
@@ -693,7 +756,8 @@ def q_ann_ivf_partitioned_top10(sf_dir: str) -> pa.Table:
     a query READS only its nprobe clusters' partitions from storage (the
     100-TB story; the in-memory variant scans-and-masks instead).  Same
     centroids/params as ann_ivf_top10, so results are identical to it
-    (asserted in tests); rows-only for the driver (approximate op)."""
+    (asserted in tests).  Oracle-exact: the probed partitions' member ids
+    are exported so the oracle checks exact cosine over those members."""
     import shutil
 
     from trinity_ray.ops.ann import ivf_topk_partitioned, ivf_write_partitioned
@@ -708,6 +772,25 @@ def q_ann_ivf_partitioned_top10(sf_dir: str) -> pa.Table:
             ivf_write_partitioned(read_embeddings(sf_dir), part_dir,
                                   n_clusters=8)
         _memo[key] = True
+    # oracle manifest: member ids of the probed partitions (read back with
+    # vec_id column only — the partition layout IS the assignment export)
+    from trinity_ray.ops.ann import _normalize
+
+    cent = np.load(os.path.join(part_dir, "centroids.npy"))
+    probes = np.argsort(-(_normalize(qvec[None, :]) @ cent.T),
+                        axis=1)[:, :min(4, cent.shape[0])]
+    import pyarrow.dataset as pads
+
+    mids = []
+    for c in sorted(int(x) for x in probes[0]):
+        d = os.path.join(part_dir, f"cluster={c}")
+        if os.path.isdir(d):
+            mids.append(pads.dataset(d, format="parquet").to_table(
+                columns=["vec_id"]).column("vec_id").to_numpy())
+    ids = np.sort(np.concatenate(mids)) if mids else np.empty(0, np.int64)
+    pq.write_table(
+        pa.table({"vec_id": pa.array(ids.astype(np.int64), pa.int64())}),
+        os.path.join(INDEX_ROOT, "ann_ivf_part_members.parquet"))
     t = ivf_topk_partitioned(part_dir, qvec[None, :], k=TOPK + 1, nprobe=4)
     keep = t.column("vec_id").to_numpy() != 0
     t = t.filter(pa.array(keep))
