@@ -129,3 +129,76 @@ def test_flush_target_restrictions(tmp_path, ray_session):
     li2.flush(fresh)
     assert [int(d) for d in LocalSearcher(fresh).search("aa", k=0).doc_ids] \
         == [0]
+
+
+def test_live_multi_shard_ingest_and_fanout(ray_session, tmp_path):
+    """The documented scale shape (live.py module docstring): one LiveIndex
+    per ingest ACTOR over its shard of the stream; search fans out across
+    actors like RaySearcher over segments, with GLOBAL df across live +
+    durable docs.  Results equal a single LiveIndex ingesting everything
+    (VERDICT r2 next-#8)."""
+    import ray
+
+    from trinity_ray.query.ast import (
+        collect_scorable_weights,
+        collect_terms,
+        parse_query,
+    )
+    from trinity_ray.query.scorers import get_scorer
+    from trinity_ray.search import merge_topk
+
+    docs = [f"alpha beta {'gamma' if i % 3 == 0 else 'delta'} tok{i % 7}"
+            for i in range(200)]
+    # durable base over docs[:60]; shard 0 = base + live docs[60:100],
+    # shard 1 = baseless live docs[100:200] at id offset 100
+    base_src = _write(tmp_path, "base.parquet", docs[:60])
+    base_idx = str(tmp_path / "base_idx")
+    build_index(base_src, base_idx, content_column="text", tokenizer="simple")
+
+    @ray.remote
+    class IngestWorker:
+        def __init__(self, base_dir, id_offset):
+            self.offset = np.uint64(id_offset)
+            self.live = LiveIndex(base_dir) if base_dir else LiveIndex()
+
+        def add(self, texts):
+            self.live.add_documents(texts)
+
+        def stats(self, terms):
+            s = self.live.searcher()
+            df = {t: 0 for t in terms}
+            for r in s.readers:
+                for t, d in r.lookup_terms(terms).items():
+                    df[t] += d
+            return df, s.n_docs
+
+        def execute(self, query, idf, k):
+            s = self.live.searcher()
+            node = parse_query(query, "simple")
+            parts = [r.execute(node, idf, k) for r in s.readers]
+            parts = [p for p in parts if p[0].size]
+            m = merge_topk(parts, k)
+            return m.doc_ids + self.offset, m.scores
+
+    workers = [IngestWorker.remote(base_idx, 0),
+               IngestWorker.remote(None, 100)]
+    ray.get([workers[0].add.remote(docs[60:100]),
+             workers[1].add.remote(docs[100:200])])
+    for query in ("alpha AND gamma", "beta", "delta OR tok3", '"alpha beta"'):
+        node = parse_query(query, "simple")
+        terms = collect_terms(node)
+        stats = ray.get([w.stats.remote(terms) for w in workers])
+        df = {t: sum(s[0][t] for s in stats) for t in terms}
+        n = sum(s[1] for s in stats)
+        assert n == 200
+        sc = get_scorer("bm25")
+        wmul = collect_scorable_weights(node)
+        idf = {t: sc.weight(float(df[t]), n) * w
+               for t, w in wmul.items() if df[t] > 0}
+        parts = ray.get([w.execute.remote(query, idf, 10) for w in workers])
+        got = merge_topk([p for p in parts if p[0].size], 10)
+        ref = LiveIndex()
+        ref.add_documents(docs)
+        want = ref.searcher().search(query, k=10)
+        np.testing.assert_array_equal(got.doc_ids, want.doc_ids), query
+        np.testing.assert_allclose(got.scores, want.scores, rtol=0, atol=0)

@@ -233,3 +233,80 @@ def test_rich_match_on_masked_and_merged(dirs):
     assert [list(p) for p in di["positions"]] == \
            [list(p) for p in dm["positions"]]
     assert not set(di["doc_id"]) & set(DELETED)
+
+
+def test_concat_u32_guard_routes_megaterm_to_decode():
+    """A merged mega-term whose summed header fields would overflow the u32
+    blob format must make concat_encoded_many return None (routing the
+    whole group to the decode path) BEFORE any stream allocation — forged
+    near-max headers stand in for the multi-billion-row term that cannot
+    be synthesized (VERDICT r2 next-#7)."""
+    import struct
+
+    from trinity_ray.codec import concat_encoded_many, encode_postings
+
+    def blob(base):
+        ids = np.arange(base, base + 50, dtype=np.uint64)
+        freqs = np.ones(50, dtype=np.uint32)
+        pos = np.ones(50, dtype=np.uint32)
+        return encode_postings(ids, freqs, pos)
+
+    b1, b2 = blob(0), blob(1000)
+    cat = np.frombuffer(b1 + b2, dtype=np.uint8)
+    off = np.array([0, len(b1)], dtype=np.int64)
+    lens = np.array([len(b1), len(b2)], dtype=np.int64)
+    rows = np.array([0, 2], dtype=np.int64)
+    ok = concat_encoded_many(cat, off, lens, rows)
+    assert ok is not None and len(ok[0]) == 1  # sane input concats fine
+
+    for field_off in (4, 28):  # doc_count, n_hits u32 header fields
+        forged = bytearray(b1 + b2)
+        for blob_off in (0, len(b1)):
+            forged[blob_off + field_off:blob_off + field_off + 4] = \
+                struct.pack("<I", 0xFFFFFFF0)
+        res = concat_encoded_many(
+            np.frombuffer(bytes(forged), dtype=np.uint8), off, lens, rows)
+        assert res is None, f"field at +{field_off} overflow not caught"
+
+
+def test_hot_term_spanning_sort_blocks(ray_session, tmp_path):
+    """A hot term whose rows outnumber a whole sort partition must straddle
+    partition boundaries; the boundary-finish path merges its blob chain
+    correctly at volume (VERDICT r2 next-#7).  40 segments x 'HOT' rows vs
+    ~30 rows/partition guarantees the straddle."""
+    import glob
+
+    import pyarrow as pa
+
+    rare = ["ALPHAX", "BETAX", "GAMMAX", "DELTAX", "EPSX"]
+    docs = [f"hot hot hot {rare[i % 5].lower()}" for i in range(4000)]
+    src = str(tmp_path / "c.parquet")
+    pq.write_table(pa.table({"text": pa.array(docs)}), src,
+                   row_group_size=100)
+    idx = str(tmp_path / "idx")
+    build_index(src, idx, content_column="text", tokenizer="simple",
+                target_rows_per_partition=100)
+    s0 = LocalSearcher(idx)
+    assert len(s0.manifest.segments) == 40
+    merged = str(tmp_path / "merged")
+    merge_index(idx, merged)
+    sm = LocalSearcher(merged)
+    # the hot term's 40 source rows span >=2 sorted blocks -> it must be
+    # finished via the boundary shard, not an interior block
+    bshards = glob.glob(os.path.join(merged, "segments", "*", "postings",
+                                     "*boundary*.parquet"))
+    assert bshards
+    bterms = set()
+    for p in bshards:
+        bterms.update(pq.read_table(p, columns=["term"]
+                                    ).column("term").to_pylist())
+    assert "HOT" in bterms
+    # full-set equality + positional integrity across the stitched blob
+    r0 = s0.search("hot", k=0)
+    rm = sm.search("hot", k=0)
+    np.testing.assert_array_equal(rm.doc_ids, r0.doc_ids)
+    np.testing.assert_allclose(rm.scores, r0.scores, rtol=0, atol=0)
+    assert rm.doc_ids.size == 4000
+    ph0 = s0.search('"hot hot hot"', k=0)
+    phm = sm.search('"hot hot hot"', k=0)
+    np.testing.assert_array_equal(phm.doc_ids, ph0.doc_ids)

@@ -80,8 +80,18 @@ class MemorySegmentReader(SegmentReader):
     def doc_ids_where(self, predicate) -> np.ndarray:
         if self._docs_tbl is None:
             return EMPTY_U64
-        mask = np.asarray(predicate(self._docs_tbl), dtype=bool)
-        ids = self._docs_tbl.column("doc_id").to_numpy().astype(np.uint64)
+        from trinity_ray.query.exec import DocPredicate
+
+        t = self._docs_tbl
+        if isinstance(predicate, DocPredicate):
+            if predicate.filter is not None:
+                t = t.filter(predicate.filter)
+            mask = (np.asarray(predicate.fn(t), dtype=bool)
+                    if predicate.fn is not None
+                    else np.ones(t.num_rows, dtype=bool))
+        else:
+            mask = np.asarray(predicate(t), dtype=bool)
+        ids = t.column("doc_id").to_numpy().astype(np.uint64)
         return np.sort(ids[mask])
 
     def close(self) -> None:

@@ -59,11 +59,13 @@ def tumbling_window(ds, *, ts_column: str = "ts", every_s: int = 3600,
                  Sum("cents", alias_name="sum_cents"))
 
 
-def sessionize(ds, *, ts_column: str = "ts", user_column: str = "user_id",
-               gap_s: int = 1800):
-    """One row per (user, session): session index (0-based, time order),
-    event count, and duration in seconds.  A session breaks when the gap
-    between consecutive events exceeds ``gap_s``."""
+def session_partials(ds, *, ts_column: str = "ts",
+                     user_column: str = "user_id", gap_s: int = 1800):
+    """The mini-session (partial/combiner) stage of :func:`sessionize`,
+    exposed so the whale guarantee is testable: one sort((user, ts))
+    shuffle, then per-sorted-block session detection.  Returns a Dataset
+    of (user, start_ts, end_ts, n_events) partials — per user, at most
+    (sessions + blocks_spanned - 1) rows, NEVER raw event volume."""
     gap_us = gap_s * US
 
     def col_select(batch: pa.Table) -> pa.Table:
@@ -98,6 +100,21 @@ def sessionize(ds, *, ts_column: str = "ts", user_column: str = "user_id",
             "n_events": pa.array((ends - starts + 1), pa.int64()),
         })
 
+    return ds.map_batches(col_select, batch_format="pyarrow",
+                          runtime_env=package_runtime_env()) \
+             .sort([user_column, "ts_us", "event_id"]) \
+             .map_batches(block_sessions, batch_size=None,
+                          batch_format="pyarrow",
+                          runtime_env=package_runtime_env())
+
+
+def sessionize(ds, *, ts_column: str = "ts", user_column: str = "user_id",
+               gap_s: int = 1800):
+    """One row per (user, session): session index (0-based, time order),
+    event count, and duration in seconds.  A session breaks when the gap
+    between consecutive events exceeds ``gap_s``."""
+    gap_us = gap_s * US
+
     def merge_minis(g: pd.DataFrame) -> pd.DataFrame:
         """Stitch one user's mini-sessions (already time-disjoint and tiny
         relative to events — whale users shrink from millions of events to
@@ -119,15 +136,11 @@ def sessionize(ds, *, ts_column: str = "ts", user_column: str = "user_id",
                  - st[np.flatnonzero(new)]) / US, 6),
         })
 
-    # ONE wide op (the sort); session detection runs over whole sorted
-    # blocks; only (user, start, end, count) partials reach the per-user
-    # merge — no single task ever holds a whale user's full event stream
-    return ds.map_batches(col_select, batch_format="pyarrow",
-                          runtime_env=package_runtime_env()) \
-             .sort([user_column, "ts_us", "event_id"]) \
-             .map_batches(block_sessions, batch_size=None,
-                          batch_format="pyarrow",
-                          runtime_env=package_runtime_env()) \
-             .groupby(user_column).map_groups(
-                 merge_minis, batch_format="pandas",
-                 runtime_env=package_runtime_env())
+    # ONE wide op (the sort, inside session_partials); only
+    # (user, start, end, count) partials reach the per-user merge — no
+    # single task ever holds a whale user's full event stream
+    return session_partials(ds, ts_column=ts_column,
+                            user_column=user_column, gap_s=gap_s) \
+        .groupby(user_column).map_groups(
+            merge_minis, batch_format="pandas",
+            runtime_env=package_runtime_env())
