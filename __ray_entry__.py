@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_trivial_top10": dsp.q_search_trivial_top10,
         "search_rewrite_top10": dsp.q_search_rewrite_top10,
         "search_rewrite_weighted_top10": dsp.q_search_rewrite_weighted_top10,
+        "search_rewrite_sequence_top10": dsp.q_search_rewrite_sequence_top10,
         "search_trinity_top10": dsp.q_search_trinity_top10,
         "percolate_matches": dsp.q_percolate_matches,
         "intersect_counts": dsp.q_intersect_counts,
@@ -208,6 +209,34 @@ matched AS (SELECT doc_id FROM tf GROUP BY doc_id
 adj AS (SELECT DISTINCT a.doc_id FROM pos a JOIN pos b
         ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
         WHERE a.tok = 'KEY' AND b.tok = 'ORDER'),
+scores AS (
+  SELECT m.doc_id,
+         sum(ln(1.0 + (nn.n - df.df + 0.5) / (df.df + 0.5)) * tf.tf / (tf.tf + {K1}))
+         + (CASE WHEN m.doc_id IN (SELECT doc_id FROM adj)
+                 THEN 0.5 ELSE 0.0 END) AS score
+  FROM matched m
+  JOIN tf ON tf.doc_id = m.doc_id
+  JOIN df ON df.tok = tf.tok
+  CROSS JOIN nn
+  GROUP BY m.doc_id)
+SELECT doc_id, round(score, 4) AS score_r
+FROM scores ORDER BY score DESC, doc_id LIMIT 10
+""",
+        # sequence-aware rewrite: the synonym (DUP for KEY) inherits query
+        # index 0, so DUP-adjacent-to-ORDER earns the same 0.5 bonus
+        "search_rewrite_sequence_top10": f"""
+WITH toks AS ({_TOKS}),
+pos AS ({_POS}),
+tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM toks
+       WHERE tok IN ('KEY', 'DUP', 'ORDER') GROUP BY doc_id, tok),
+df AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok),
+nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+matched AS (SELECT doc_id FROM tf GROUP BY doc_id
+            HAVING max(CASE WHEN tok IN ('KEY', 'DUP') THEN 1 ELSE 0 END) = 1
+               AND max(CASE WHEN tok = 'ORDER' THEN 1 ELSE 0 END) = 1),
+adj AS (SELECT DISTINCT a.doc_id FROM pos a JOIN pos b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        WHERE a.tok IN ('KEY', 'DUP') AND b.tok = 'ORDER'),
 scores AS (
   SELECT m.doc_id,
          sum(ln(1.0 + (nn.n - df.df + 0.5) / (df.df + 0.5)) * tf.tf / (tf.tf + {K1}))

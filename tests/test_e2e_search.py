@@ -492,3 +492,21 @@ def test_doc_predicate_pushdown_and_cache(index_dir, ray_session, monkeypatch):
     r3 = s.search("key", k=10, doc_predicate=pe)
     plain = s.search("key", k=10)
     np.testing.assert_array_equal(r3.doc_ids, plain.doc_ids)
+
+
+def test_batch_search_sequence_mode(index_dir, ray_session):
+    """Dataset batch path mode="sequence" == per-query search_sequence."""
+    import ray.data as rd
+
+    from trinity_ray.search import LocalSearcher, batch_search
+
+    queries = ["key AND order", "dup OR vector"]
+    ds = rd.from_items([{"query": q} for q in queries])
+    got = batch_search(ds, index_dir, k=5, concurrency=2,
+                       mode="sequence").to_pandas()
+    s = LocalSearcher(index_dir)
+    for q in queries:
+        sub = got[got["query"] == q].sort_values("rank")
+        res = s.search_sequence(q, k=5)
+        assert sub["doc_id"].tolist() == [int(d) for d in res.doc_ids], q
+        np.testing.assert_allclose(sub["score"].to_numpy(), res.scores)

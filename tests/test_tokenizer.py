@@ -97,3 +97,29 @@ def test_trinity_tokenize_spans_parity():
             # the source span starts with the token's first character
             # (normalization may change the rest: dots stripped, etc.)
             assert text[o].upper() == t[0] or text[o] in "'’", (text, t, o)
+
+
+def test_fast_classification_matches_named_group_dispatch():
+    """trinity_tokenize's capture-free findall + char-class classification
+    must be token-for-token identical to the named-group dispatch (kept in
+    trinity_tokenize_spans) — fuzzed over adversarial special-char soup."""
+    import random
+
+    from trinity_ray.tokenizer import trinity_tokenize_spans
+
+    rng = random.Random(1234)
+    atoms = ["I.B.M", "U.S.A.", "site:x-box.com", "site:.gr", "L'Oreal",
+             "9.000", "1.0", "8.25", "8,25", "1,500", "John's", "it's",
+             "d&d", "x&y", "ab&c", "C++", "C#", "c++11", "x-men", "A's",
+             "a'b", "B2's", "M.P.ACT", "word", "42", "..", "''", "&&",
+             "a", "Z", "9", ":", "#x", "+y", "naïve", "ß", "café's"]
+    for _ in range(400):
+        text = " ".join(rng.choice(atoms)
+                        for _ in range(rng.randint(0, 12)))
+        # also glue some atoms with random separators
+        if rng.random() < 0.5:
+            sep = rng.choice([",", ".", "-", "  ", "\t", "/", ""])
+            text += " " + sep.join(rng.choice(atoms) for _ in range(3))
+        fast = trinity_tokenize(text)
+        slow = trinity_tokenize_spans(text)[0]
+        assert fast == slow, repr(text)

@@ -75,6 +75,9 @@ def cmd_search(args: argparse.Namespace) -> int:
     if args.mode == "subtrees":
         res = searcher.search_subtrees(args.query, k=args.k,
                                        scorer=args.scorer)
+    elif args.mode == "sequence":
+        res = searcher.search_sequence(args.query, k=args.k,
+                                       scorer=args.scorer)
     else:
         res = searcher.search(args.query, k=args.k, scorer=args.scorer)
     for row in res.to_rows():
@@ -139,7 +142,7 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--index", required=True)
     s.add_argument("--query", required=True)
     s.add_argument("--mode", default="topk",
-                   choices=["topk", "rich", "subtrees"],
+                   choices=["topk", "rich", "subtrees", "sequence"],
                    help="topk = (doc, score); rich = per-term tf/positions"
                         "/payloads rows; subtrees = accumulated-score "
                         "OR-of-subtrees")

@@ -139,14 +139,23 @@ def varint_encode(values: np.ndarray, nbytes: np.ndarray | None = None) -> bytes
         return b""
     mask7f = v.dtype.type(0x7F)
     nbits = _byte_lengths(v) if nbytes is None else nbytes
-    offsets = np.concatenate(([0], np.cumsum(nbits)))
-    out = np.zeros(offsets[-1], dtype=np.uint8)
     maxlen = int(nbits.max())
-    for k in range(maxlen):
+    if maxlen == 1:
+        # all values < 128 (the common case for tf and dense doc deltas):
+        # the encoding IS the low byte — one astype, no offset scatter
+        return v.astype(np.uint8).tobytes()
+    offsets = np.concatenate(([0], np.cumsum(nbits, dtype=np.int64)))
+    out = np.zeros(offsets[-1], dtype=np.uint8)
+    starts = offsets[:-1]
+    # k=0 writes EVERY value — skip the all-true mask's fancy gather
+    out[starts] = ((v & mask7f)
+                   | ((nbits > 1).astype(v.dtype) << v.dtype.type(7))
+                   ).astype(np.uint8)
+    for k in range(1, maxlen):
         m = nbits > k
         byte = ((v[m] >> v.dtype.type(7 * k)) & mask7f).astype(np.uint8)
         cont = (nbits[m] > k + 1).astype(np.uint8) << 7
-        out[offsets[:-1][m] + k] = byte | cont
+        out[starts[m] + k] = byte | cont
     return out.tobytes()
 
 
@@ -392,14 +401,16 @@ def _unpack_section(sec: np.ndarray, offs: np.ndarray, widths: np.ndarray,
 
 def _section_offsets(values: np.ndarray, starts: np.ndarray) -> np.ndarray:
     """Byte offset of each block start within one varint section."""
-    cum = np.concatenate(([0], np.cumsum(_byte_lengths(values))))
+    cum = np.concatenate(([0], np.cumsum(_byte_lengths(values), dtype=np.int64)))
     return cum[starts].astype(np.uint32)
 
 
 def _byte_lengths(values: np.ndarray) -> np.ndarray:
-    """LEB128 byte length per value (vectorized, dtype-preserving)."""
+    """LEB128 byte length per value, as int8 (max 10) — encode is
+    bandwidth-bound, so the per-value metadata array is kept 8x narrower
+    than int64; CALLERS must cumsum with dtype=np.int64."""
     v = values if values.dtype.kind == "u" else values.astype(np.uint64)
-    nbytes = np.ones(v.shape, dtype=np.int64)
+    nbytes = np.ones(v.shape, dtype=np.int8)
     tmp = v >> v.dtype.type(7)
     mask = tmp > 0
     while mask.any():
@@ -499,16 +510,16 @@ def encode_many(
         deltas_c = _compact(deltas)
         nb_d = _byte_lengths(deltas_c)
         docs_all = np.frombuffer(varint_encode(deltas_c, nb_d), dtype=np.uint8)
-        docs_cum = np.concatenate(([0], np.cumsum(nb_d)))
+        docs_cum = np.concatenate(([0], np.cumsum(nb_d, dtype=np.int64)))
         freqs_c = _compact(freqs)
         nb_f = _byte_lengths(freqs_c)
         freqs_all = np.frombuffer(varint_encode(freqs_c, nb_f), dtype=np.uint8)
-        freqs_cum = np.concatenate(([0], np.cumsum(nb_f)))
+        freqs_cum = np.concatenate(([0], np.cumsum(nb_f, dtype=np.int64)))
         if has_pos:
             pdelta_c = _compact(pdelta)
             nb_p = _byte_lengths(pdelta_c)
             pos_all = np.frombuffer(varint_encode(pdelta_c, nb_p), dtype=np.uint8)
-            pos_cum = np.concatenate(([0], np.cumsum(nb_p)))
+            pos_cum = np.concatenate(([0], np.cumsum(nb_p, dtype=np.int64)))
         else:
             pos_all = np.empty(0, dtype=np.uint8)
             pos_cum = np.zeros(1, dtype=np.int64)
@@ -1017,7 +1028,7 @@ def concat_encoded_many(cat: np.ndarray, off: np.ndarray, lens: np.ndarray,
     nb_new = _byte_lengths(ndc) if new_delta.size else np.empty(0, np.int64)
     vb = np.frombuffer(varint_encode(ndc, nb_new), dtype=np.uint8) \
         if new_delta.size else np.empty(0, np.uint8)
-    vb_off = np.concatenate(([0], np.cumsum(nb_new)))[:-1] \
+    vb_off = np.concatenate(([0], np.cumsum(nb_new, dtype=np.int64)))[:-1] \
         if new_delta.size else np.empty(0, np.int64)
 
     head_len = ln1.copy()

@@ -84,13 +84,10 @@ class MemorySegmentReader(SegmentReader):
 
         t = self._docs_tbl
         if isinstance(predicate, DocPredicate):
-            if predicate.filter is not None:
-                t = t.filter(predicate.filter)
-            mask = (np.asarray(predicate.fn(t), dtype=bool)
-                    if predicate.fn is not None
-                    else np.ones(t.num_rows, dtype=bool))
-        else:
-            mask = np.asarray(predicate(t), dtype=bool)
+            # shared evaluation path: fn sees the same pruned column shape
+            # on a RAM segment as on a durable one
+            return predicate.ids(t)
+        mask = np.asarray(predicate(t), dtype=bool)
         ids = t.column("doc_id").to_numpy().astype(np.uint64)
         return np.sort(ids[mask])
 

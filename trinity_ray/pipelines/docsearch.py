@@ -552,6 +552,27 @@ def q_search_rewrite_top10(sf_dir: str) -> pa.Table:
     })
 
 
+def q_search_rewrite_sequence_top10(sf_dir: str) -> pa.Table:
+    """Sequence-aware scoring of a REWRITTEN query (rewrite_ctx provenance
+    / translationCoefficient, queries_rewrite.h:312-492): 'key AND order'
+    with 'key' expanded to (key OR dup); the rewrite's collected geometry
+    makes a doc where DUP immediately precedes ORDER earn the same
+    adjacency bonus as KEY ORDER — the synonym inherits query index 0."""
+    from trinity_ray.query.ast import parse_query
+    from trinity_ray.query.rewrite import rewrite_query
+
+    geom: list = []
+    rq = rewrite_query(parse_query("key AND order", "simple"), k=1,
+                       callback=lambda g: ["DUP"] if g == ("KEY",) else None,
+                       geometry=geom)
+    res = _searcher(base_index(sf_dir)).search_sequence(
+        rq, k=TOPK, bonus=0.5, index_terms=geom)
+    return pa.table({
+        "doc_id": pa.array(res.doc_ids.astype(np.int64), pa.int64()),
+        "score_r": pa.array(np.round(res.scores, 4), pa.float64()),
+    })
+
+
 def q_match_not(sf_dir: str) -> pa.Table:
     return match_table(base_index(sf_dir), DRIVER_QUERIES["not"])
 

@@ -65,6 +65,7 @@ from trinity_ray.query.scorers import K1, Scorer, get_scorer
 _POS_SHIFT = 15  # > log2(MAX_POSITION)+1 headroom for pos+phrase-offset keys
 _EAGER_DICT_MAX = 262_144  # terms; above this, probe via row-group pruning
 _PRUNE_EPS = 1e-9  # float-associativity slack for max-score bounds
+_PRED_CACHE_MAX = 64  # DocPredicate id-set cache entries per SegmentReader
 
 EMPTY_U64 = np.empty(0, dtype=np.uint64)
 EMPTY_F64 = np.empty(0, dtype=np.float64)
@@ -111,6 +112,21 @@ class DocPredicate:
         self.columns = list(columns or [])
         self.filter = filter
         self.key = key if key is not None else f"expr:{filter}"
+
+    def ids(self, t, *, prefiltered: bool = False) -> np.ndarray:
+        """Sorted qualifying doc_ids from a docs-metadata table — the ONE
+        evaluation path shared by durable and in-memory segments, so fn
+        always sees the same pruned shape (doc_id + declared columns).
+        ``prefiltered``: the table already went through ``filter`` (a
+        storage-level scan pushdown)."""
+        if self.filter is not None and not prefiltered:
+            t = t.filter(self.filter)
+        cols = ["doc_id"] + [c for c in self.columns
+                             if c != "doc_id" and c in t.column_names]
+        t = t.select(cols)
+        mask = (np.asarray(self.fn(t), dtype=bool) if self.fn is not None
+                else np.ones(t.num_rows, dtype=bool))
+        return np.sort(t.column("doc_id").to_numpy().astype(np.uint64)[mask])
 
 
 class TermPostings:
@@ -583,14 +599,18 @@ class SegmentReader:
                                  if c != "doc_id"]
             t = pads.dataset(src, format="parquet").to_table(
                 columns=cols, filter=predicate.filter)
-            mask = (np.asarray(predicate.fn(t), dtype=bool)
-                    if predicate.fn is not None
-                    else np.ones(t.num_rows, dtype=bool))
+            out = predicate.ids(t, prefiltered=True)
         else:
             t = pads.dataset(src, format="parquet").to_table()
             mask = np.asarray(predicate(t), dtype=bool)
-        out = np.sort(t.column("doc_id").to_numpy().astype(np.uint64)[mask])
+            out = np.sort(
+                t.column("doc_id").to_numpy().astype(np.uint64)[mask])
         if key is not None:
+            if len(self._pred_cache) >= _PRED_CACHE_MAX:
+                # FIFO bound: per-query keys (e.g. a timestamp in the
+                # filter expression) must not grow a long-lived actor's
+                # memory without limit
+                self._pred_cache.pop(next(iter(self._pred_cache)))
             self._pred_cache[key] = out
         return out
 
@@ -806,7 +826,8 @@ class SegmentReader:
             return EMPTY_U64, EMPTY_F64
         return _topk(acc_docs, acc_scores, k)
 
-    def sequence_lengths(self, cand: np.ndarray, seq_terms: list[str]
+    def sequence_lengths(self, cand: np.ndarray,
+                         seq_terms: list[str] | list[tuple[str, ...]]
                          ) -> np.ndarray:
         """Longest contiguous matched query-token run per candidate doc —
         the in-engine matched-SEQUENCE geometry of assign_query_indices /
@@ -814,35 +835,47 @@ class SegmentReader:
         already decoded (the same selective block gathers phrase
         verification uses) instead of via a driver-side rich-hit gather.
 
-        ``seq_terms`` = ordered distinct ORIGINAL query tokens; a run
-        [j, j+L) counts for a doc when token j+i occurs at position p+i for
-        every i.  Fully vectorized: per-term occurrence keys
+        ``seq_terms[j]`` = the term at ORIGINAL query index j, or a tuple
+        of ALTERNATIVE terms sharing that index (rewrite-spliced synonyms
+        inherit their source gram's index — the rewrite_ctx provenance /
+        translationCoefficient of queries_rewrite.h:312-492 reduced to
+        positional index sharing).  A run [j, j+L) counts for a doc when
+        SOME alternative of index j+i occurs at position p+i for every i.
+        Fully vectorized: per-index occurrence keys
         (cand_rank << 15 | position) chained with sorted-membership probes
-        — n_terms^2/2 numpy passes over flat key arrays, never a per-doc
+        — n_indices^2/2 numpy passes over flat key arrays, never a per-doc
         Python loop.  Returns int64 lengths (0 = no seq term present)."""
-        n = len(seq_terms)
+        groups = [(g,) if isinstance(g, str) else tuple(g)
+                  for g in seq_terms]
+        n = len(groups)
         best = np.zeros(cand.size, dtype=np.int64)
         if cand.size == 0 or n == 0:
             return best
         term_keys: list[np.ndarray | None] = []
-        for t in seq_terms:
-            tp = self.postings(t)
-            if tp is None:
+        for grp in groups:
+            parts: list[np.ndarray] = []
+            for t in grp:
+                tp = self.postings(t)
+                if tp is None:
+                    continue
+                tf, found = tp.gather_tfs(cand)
+                if not found.any():
+                    continue
+                np.maximum(best, 1, out=best, where=found)  # presence => L>=1
+                if not tp.blob.has_positions:
+                    continue
+                sub = cand[found]
+                pos_flat, lens = tp.gather_positions(sub)
+                fidx = np.flatnonzero(found).astype(np.uint64)
+                parts.append((np.repeat(fidx, lens)
+                              << np.uint64(_POS_SHIFT)) + pos_flat)
+            if not parts:
                 term_keys.append(None)
-                continue
-            tf, found = tp.gather_tfs(cand)
-            if not found.any():
-                term_keys.append(None)
-                continue
-            np.maximum(best, 1, out=best, where=found)  # presence => L >= 1
-            if not tp.blob.has_positions:
-                term_keys.append(None)
-                continue
-            sub = cand[found]
-            pos_flat, lens = tp.gather_positions(sub)
-            fidx = np.flatnonzero(found).astype(np.uint64)
-            keys = (np.repeat(fidx, lens) << np.uint64(_POS_SHIFT)) + pos_flat
-            term_keys.append(keys if keys.size else None)
+            elif len(parts) == 1:
+                term_keys.append(parts[0] if parts[0].size else None)
+            else:  # alternatives' keys merged sorted-unique per index
+                keys = np.unique(np.concatenate(parts))
+                term_keys.append(keys if keys.size else None)
         one = np.uint64(1)
         shift = np.uint64(_POS_SHIFT)
         for j in range(n - 1):

@@ -66,8 +66,16 @@ def _gram_node(gram: tuple[str, ...]) -> Node:
 
 
 def _rewrite_run(tokens: list[str], k: int, callback: RewriteCallback,
-                 budget: list[int], alt_weight: float = 1.0) -> list[Node]:
-    """Expand one AND-run of tokens; returns replacement child nodes."""
+                 budget: list[int], alt_weight: float = 1.0,
+                 geometry: list | None = None) -> list[Node]:
+    """Expand one AND-run of tokens; returns replacement child nodes.
+
+    When ``geometry`` is given, one entry per ORIGINAL token is appended:
+    a tuple of the terms occupying that query index — the original token
+    plus any alternative tokens mapped onto it positionally (an
+    alternative's j-th token lands on source index i+min(j, glen-1); the
+    reference's translationCoefficient span math reduced to positional
+    clamping, queries_rewrite.h:312-492)."""
     out: list[Node] = []
     i = 0
     n = len(tokens)
@@ -81,36 +89,57 @@ def _rewrite_run(tokens: list[str], k: int, callback: RewriteCallback,
                     branches = [_gram_node(gram)] + [
                         _alt_node(a, alt_weight) for a in alts]
                     out.append(Or(tuple(branches)))
+                    if geometry is not None:
+                        slots = [[t] for t in gram]
+                        for a in alts:
+                            text = a[0] if isinstance(a, tuple) else a
+                            for j, p in enumerate(text.split()):
+                                slot = slots[min(j, glen - 1)]
+                                if p and p not in slot:
+                                    slot.append(p)
+                        geometry.extend(tuple(s) for s in slots)
                     budget[0] -= 1
                     i += glen
                     replaced = True
                     break
         if not replaced:
             out.append(Token(tokens[i]))
+            if geometry is not None:
+                geometry.append((tokens[i],))
             i += 1
     return out
 
 
 def rewrite_query(node: Node, k: int, callback: RewriteCallback,
-                  budget: int = 64, alt_weight: float = 1.0) -> Node:
+                  budget: int = 64, alt_weight: float = 1.0,
+                  geometry: list | None = None) -> Node:
     """Expand token runs with callback-provided alternatives (the
     queries_rewrite.h:992 entry point, AND-run walk per queries.h:692-778).
     ``alt_weight`` is the default scoring multiplier for alternatives whose
     callback didn't weight them explicitly (1.0 = score like originals).
-    Returns a new normalized AST; the input is not modified."""
+    Returns a new normalized AST; the input is not modified.
+
+    ``geometry``: optional list the rewrite fills with one entry per
+    ORIGINAL query index — a tuple of the terms occupying that index
+    (original token + rewrite alternatives mapped onto it) — the
+    rewrite_ctx provenance needed for sequence-aware scoring of rewritten
+    queries (queries_rewrite.h:312-492); feed it to
+    ``search_sequence(index_terms=...)``."""
     state = [budget]
-    return normalize(_walk(node, k, callback, state, alt_weight))
+    return normalize(_walk(node, k, callback, state, alt_weight, geometry))
 
 
 def _walk(node: Node, k: int, callback: RewriteCallback,
-          budget: list[int], alt_weight: float = 1.0) -> Node:
+          budget: list[int], alt_weight: float = 1.0,
+          geometry: list | None = None) -> Node:
     if isinstance(node, And):
         new_children: list[Node] = []
         run: list[str] = []
 
         def flush() -> None:
             if run:
-                new_children.extend(_rewrite_run(run, k, callback, budget, alt_weight))
+                new_children.extend(_rewrite_run(run, k, callback, budget,
+                                                 alt_weight, geometry))
                 run.clear()
 
         for c in node.children:
@@ -118,22 +147,29 @@ def _walk(node: Node, k: int, callback: RewriteCallback,
                 run.append(c.term)  # contiguous token run (process_runs)
             else:
                 flush()
-                new_children.append(_walk(c, k, callback, budget, alt_weight))
+                new_children.append(_walk(c, k, callback, budget, alt_weight,
+                                          geometry))
         flush()
         return And(tuple(new_children))
     if isinstance(node, Or):
-        return Or(tuple(_walk(c, k, callback, budget, alt_weight)
+        return Or(tuple(_walk(c, k, callback, budget, alt_weight, geometry)
                         for c in node.children))
     if isinstance(node, Not):
+        # negated terms are not scorable: excluded from sequence geometry
         return Not(_walk(node.child, k, callback, budget, alt_weight))
     if isinstance(node, Optional_):
-        return Optional_(_walk(node.child, k, callback, budget, alt_weight))
+        return Optional_(_walk(node.child, k, callback, budget, alt_weight,
+                               geometry))
     if isinstance(node, MatchSome):
         return MatchSome(node.min_match,
-                         tuple(_walk(c, k, callback, budget, alt_weight)
+                         tuple(_walk(c, k, callback, budget, alt_weight,
+                                     geometry)
                                for c in node.children))
     if isinstance(node, Token):
         # a lone token is a run of one
-        replaced = _rewrite_run([node.term], k, callback, budget, alt_weight)
+        replaced = _rewrite_run([node.term], k, callback, budget, alt_weight,
+                                geometry)
         return replaced[0]
+    if isinstance(node, Phrase) and geometry is not None:
+        geometry.extend((t,) for t in node.terms)
     return node

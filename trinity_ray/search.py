@@ -291,19 +291,27 @@ class LocalSearcher:
         return res, rich_hits_table(res, parts)
 
     def search_sequence(self, query: str | Node, k: int = 10,
-                        bonus: float = 0.5, scorer: str = "bm25"
-                        ) -> SearchResult:
+                        bonus: float = 0.5, scorer: str = "bm25",
+                        index_terms: list | None = None) -> SearchResult:
         """In-engine matched-SEQUENCE proximity ranking
         (assign_query_indices/toNextSpan, queries.cpp:1048-1249):
         score(d) = base(d) + bonus * (longest contiguous matched
         query-token run - 1), computed PER SEGMENT for every matching doc
         during execution — exact at any k, no rerank pool, no driver-side
         position gather (cf. ``sequence_rerank``, the bounded-pool
-        approximation)."""
+        approximation).
+
+        ``index_terms`` overrides the query-index geometry: entry j is the
+        term (or tuple of ALTERNATIVE terms) occupying original query
+        index j — pass ``rewrite_query(..., geometry=g)``'s collected
+        geometry so rewrite-spliced synonyms score sequences as their
+        source token (rewrite_ctx provenance, queries_rewrite.h:312-492).
+        Default: one index per scorable query token, in query order."""
         node = parse_query(query, self.manifest.tokenizer) \
             if isinstance(query, str) else query
         idf = self.resolve_idf(node, scorer)
-        seq = collect_scorable_terms(node)
+        seq = (index_terms if index_terms is not None
+               else collect_scorable_terms(node))
         parts = [r.execute_sequence(node, idf, seq, k, scorer, bonus)
                  for r in self.readers]
         return merge_topk([p for p in parts if p[0].size], k)
@@ -437,15 +445,18 @@ class RaySearcher:
         return merge_topk([p for p in self._ray.get(futs) if p[0].size], k)
 
     def search_sequence(self, query: str | Node, k: int = 10,
-                        bonus: float = 0.5, scorer: str = "bm25"
-                        ) -> SearchResult:
+                        bonus: float = 0.5, scorer: str = "bm25",
+                        index_terms: list | None = None) -> SearchResult:
         """In-engine matched-sequence ranking: the bonus is computed
         actor-side per segment (positions never leave their actor); the
-        driver merges bonused partial top-k's — exact at any k."""
+        driver merges bonused partial top-k's — exact at any k.
+        ``index_terms`` as LocalSearcher.search_sequence (rewrite
+        provenance geometry)."""
         node = parse_query(query, self.manifest.tokenizer) \
             if isinstance(query, str) else query
         idf = self.resolve_idf(node, scorer)
-        seq = collect_scorable_terms(node)
+        seq = (index_terms if index_terms is not None
+               else collect_scorable_terms(node))
         futs = [a.execute_sequence.remote(node, idf, seq, k, scorer, bonus)
                 for a in self.actors]
         return merge_topk([p for p in self._ray.get(futs) if p[0].size], k)
@@ -495,7 +506,7 @@ class QueryExec:
         self.searcher = LocalSearcher(index_dir)
         self.k = k
         self.scorer = scorer
-        if mode not in ("topk", "rich", "subtrees"):
+        if mode not in ("topk", "rich", "subtrees", "sequence"):
             raise ValueError(f"unknown mode {mode!r}")
         self.mode = mode
         self._payloads: bool | None = None
@@ -564,6 +575,9 @@ class QueryExec:
             if self.mode == "subtrees":
                 res = self.searcher.search_subtrees(q, k=self.k,
                                                     scorer=self.scorer)
+            elif self.mode == "sequence":
+                res = self.searcher.search_sequence(q, k=self.k,
+                                                    scorer=self.scorer)
             else:
                 res = self.searcher.search(q, k=self.k, scorer=self.scorer)
             for rank, (d, s) in enumerate(zip(res.doc_ids, res.scores), 1):
@@ -584,8 +598,9 @@ def batch_search(queries_ds, index_dir: str, *, k: int = 10,
                  concurrency: int = 8, mode: str = "topk"):
     """(query, rank, doc_id, score) rows for a Dataset with a ``query``
     column — the Ray-Data-native high-throughput query path.  ``mode``:
-    "topk" (default), "subtrees" (accumulated-score OR-of-subtrees), or
-    "rich" (per-term tf/positions/payload rows, prefixed with the query)."""
+    "topk" (default), "subtrees" (accumulated-score OR-of-subtrees),
+    "sequence" (matched-sequence proximity bonus), or "rich" (per-term
+    tf/positions/payload rows, prefixed with the query)."""
     from trinity_ray.rayutil import actor_pool, package_runtime_env
 
     return queries_ds.map_batches(
