@@ -123,3 +123,34 @@ def test_fast_classification_matches_named_group_dispatch():
         fast = trinity_tokenize(text)
         slow = trinity_tokenize_spans(text)[0]
         assert fast == slow, repr(text)
+
+
+def test_batch_raw_tokens_parity():
+    """The builder's vectorization seam (raw stream + dictionary-level
+    normalization) must reproduce the per-doc tokenizer exactly, including
+    MAX_TERM_LEN drops, non-ASCII fallback, and empty docs."""
+    import numpy as np
+
+    from trinity_ray.tokenizer import batch_raw_tokens, normalize_raw_terms
+
+    texts = [t for t, _ in GOLDEN]
+    texts += [
+        "x" * (MAX_TERM_LEN + 1) + " kept " + "y" * MAX_TERM_LEN,
+        "straße GROSS muß",                 # non-ASCII fallback path
+        "ße" * 40,                          # non-ASCII, long
+        None if False else "",              # empty
+        "I.B.M meets John's 9.000 d&d site:.gr L'Oreal C++ x-men",
+    ]
+    for name in ("trinity", "simple"):
+        from trinity_ray.tokenizer import TOKENIZERS
+
+        exact = TOKENIZERS[name]
+        flat, counts = batch_raw_tokens(texts, name)
+        assert int(counts.sum()) == len(flat)
+        distinct = sorted(set(flat))
+        norm = dict(zip(distinct, normalize_raw_terms(distinct, name)))
+        starts = np.concatenate(([0], np.cumsum(counts)))
+        for i, text in enumerate(texts):
+            raw = flat[starts[i]:starts[i + 1]]
+            got = [norm[t] for t in raw if norm[t] is not None]
+            assert got == exact(text or ""), (name, text)

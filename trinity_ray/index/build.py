@@ -65,7 +65,8 @@ from trinity_ray.index.segment import (
     segment_is_complete,
     write_manifest,
 )
-from trinity_ray.tokenizer import MAX_POSITION, get_tokenizer
+from trinity_ray.tokenizer import (MAX_POSITION, batch_raw_tokens,
+                                   get_tokenizer, normalize_raw_terms)
 
 
 @dataclass
@@ -346,51 +347,83 @@ class SegmentBuilder:
                                   row_groups=row_groups, columns=columns):
             texts = rb.column(self.content_column).to_pylist()
             n = len(texts)
+            batch_docs = np.arange(next_doc, next_doc + n, dtype=np.uint64)
             if self.payload_kind is None:
-                tok_lists = [self.tokenize(t or "") for t in texts]
-                span_lists = None
+                # hot path: flat RAW token stream (regex scan only), then
+                # one Arrow dictionary_encode over the batch and Python
+                # normalization + vocab probes per DISTINCT token only
+                # (~1000x fewer Python ops than per-token classification
+                # — the tokenize->encode memory-traffic hot spot)
+                flat_toks, counts_raw = batch_raw_tokens(
+                    texts, self.tokenizer_name)
+                # large_string: a batch of max-length docs can flatten past
+                # the 2 GiB 32-bit-offset cap of plain string
+                de = pa.array(flat_toks, pa.large_string()).dictionary_encode()
+                del flat_toks
+                norm = normalize_raw_terms(de.dictionary.to_pylist(),
+                                           self.tokenizer_name)
+                v = vocab
+                # dropped terms (MAX_TERM_LEN) map to -1; zero-hit vocab
+                # entries are tolerated by _encode_segment (same as terms
+                # seen only beyond the position cap)
+                mapping = np.fromiter(
+                    (v.setdefault(t, len(v)) if t is not None else -1
+                     for t in norm),
+                    dtype=np.int64, count=len(norm))
+                idx = de.indices.to_numpy(zero_copy_only=False)
+                tids_all = (mapping[idx] if idx.size
+                            else np.empty(0, np.int64))
+                keep = tids_all >= 0
+                # 1-based position among KEPT tokens, restarting per doc
+                # (dropped tokens do not consume a position — parity with
+                # the per-doc tokenizer, which never emits them)
+                ck = np.cumsum(keep.astype(np.int64))
+                starts = np.concatenate(([0], np.cumsum(counts_raw)))
+                before = np.concatenate(([0], ck))[starts[:-1]]
+                kept_per_doc = np.diff(np.concatenate(([0], ck))[starts])
+                pos_all = ck - np.repeat(before, counts_raw)
+                keep &= pos_all < MAX_POSITION  # cap: pos <= MAX_POSITION-1
+                counts = np.minimum(kept_per_doc, MAX_POSITION - 1)
+                term_ids_parts.append(tids_all[keep])
+                doc_ids_parts.append(np.repeat(batch_docs, counts_raw)[keep])
+                if self.positions:
+                    pos_parts.append(pos_all[keep].astype(np.uint64))
+                pending_hits += int(counts.sum())
             else:
                 pairs = [self.tokenize_spans(t or "") for t in texts]
                 tok_lists = [p[0] for p in pairs]
                 span_lists = [p[1] for p in pairs]
-            counts = np.fromiter((min(len(l), MAX_POSITION - 1) for l in tok_lists),
-                                 dtype=np.int64, count=n)
-            # term-id mapping: one Arrow dictionary_encode over the batch's
-            # flat token array, then a Python probe only per DISTINCT
-            # batch token (~1000x fewer dict ops than per-token setdefault
-            # — the tokenize->encode memory-traffic hot spot)
-            import itertools as _it
+                counts = np.fromiter(
+                    (min(len(l), MAX_POSITION - 1) for l in tok_lists),
+                    dtype=np.int64, count=n)
+                import itertools as _it
 
-            flat_toks = list(_it.chain.from_iterable(
-                toks if len(toks) <= MAX_POSITION - 1
-                else toks[: MAX_POSITION - 1]
-                for toks in tok_lists))
-            # large_string: a batch of max-length docs can flatten past the
-            # 2 GiB 32-bit-offset cap of plain string
-            de = pa.array(flat_toks, pa.large_string()).dictionary_encode()
-            bdict = de.dictionary.to_pylist()
-            v = vocab
-            mapping = np.fromiter((v.setdefault(t, len(v)) for t in bdict),
-                                  dtype=np.int64, count=len(bdict))
-            idx = de.indices.to_numpy(zero_copy_only=False)
-            term_ids_parts.append(mapping[idx] if idx.size
-                                  else np.empty(0, np.int64))
-            batch_docs = np.arange(next_doc, next_doc + n, dtype=np.uint64)
-            doc_ids_parts.append(np.repeat(batch_docs, counts))
-            if self.positions:
-                # positions restart at 1 per doc
-                pos = np.arange(1, int(counts.sum()) + 1, dtype=np.uint64)
-                cum = np.concatenate(([0], np.cumsum(counts)))
-                pos -= np.repeat(cum[:-1], counts).astype(np.uint64)
-                pos_parts.append(pos)
-            if span_lists is not None:
+                flat_toks = list(_it.chain.from_iterable(
+                    toks if len(toks) <= MAX_POSITION - 1
+                    else toks[: MAX_POSITION - 1]
+                    for toks in tok_lists))
+                de = pa.array(flat_toks, pa.large_string()).dictionary_encode()
+                bdict = de.dictionary.to_pylist()
+                v = vocab
+                mapping = np.fromiter((v.setdefault(t, len(v)) for t in bdict),
+                                      dtype=np.int64, count=len(bdict))
+                idx = de.indices.to_numpy(zero_copy_only=False)
+                term_ids_parts.append(mapping[idx] if idx.size
+                                      else np.empty(0, np.int64))
+                doc_ids_parts.append(np.repeat(batch_docs, counts))
+                if self.positions:
+                    # positions restart at 1 per doc
+                    pos = np.arange(1, int(counts.sum()) + 1, dtype=np.uint64)
+                    cum = np.concatenate(([0], np.cumsum(counts)))
+                    pos -= np.repeat(cum[:-1], counts).astype(np.uint64)
+                    pos_parts.append(pos)
                 flat_sp: list[int] = []
                 for sp, c in zip(span_lists, counts):
                     flat_sp.extend(sp[: int(c)])
                 pay_parts.append(
                     np.minimum(np.asarray(flat_sp, dtype=np.uint64),
                                np.uint64(0xFFFFFFFF)))
-            pending_hits += int(counts.sum())
+                pending_hits += int(counts.sum())
 
             sha = pa.array(
                 [hashlib.sha256((t or "").encode()).hexdigest() for t in texts]

@@ -174,6 +174,63 @@ def trinity_tokenize_spans(text: str) -> tuple[list[str], list[int]]:
     return toks, offs
 
 
+def _normalize_trinity_term(tok: str) -> str | None:
+    """Normalization half of :func:`trinity_tokenize` for ONE raw
+    (already upper-cased) token; ``None`` == dropped (> MAX_TERM_LEN).
+
+    Idempotent on its own output: every rewrite removes the character that
+    triggered it (dots, apostrophes) or keeps the token verbatim — so a
+    stream that mixes raw tokens with already-normalized ones (the
+    non-ASCII fallback in :func:`batch_raw_tokens`) normalizes correctly.
+    """
+    if not tok.isalnum():
+        if ":" in tok or "&" in tok:
+            pass                      # site / amp kept verbatim
+        elif "." in tok or "," in tok:
+            tok = _norm_num(tok) if tok[0].isdigit() else tok.replace(".", "")
+        elif "'" in tok or "’" in tok:
+            if tok[1] in _APOS:       # single-letter contraction
+                tok = tok[0] + tok[2:]
+            else:                     # genitive 's
+                tok = _WORD_APOS_RE.sub(r"\1", tok)
+    return tok if len(tok) <= MAX_TERM_LEN else None
+
+
+def batch_raw_tokens(texts: list[str], name: str) -> tuple[list[str], "object"]:
+    """Vectorization seam for the index build: the flat RAW token stream of
+    a batch plus per-doc raw counts (numpy int64).
+
+    Raw means upper-cased but NOT normalized/length-filtered — the builder
+    dictionary-encodes this stream (Arrow, C speed) and then runs
+    :func:`normalize_raw_terms` over the ~1000x smaller set of DISTINCT
+    tokens instead of per-token Python classification (the tokenize loop
+    was ~50% of build CPU; the regex scan itself is the irreducible part).
+    Non-ASCII docs (where upper-casing does not commute with tokenization)
+    fall back to the exact per-doc tokenizer; its output is already
+    normalized, which is safe because normalization is idempotent.
+    """
+    import numpy as _np
+
+    regex = _TOKEN_RE_NC if name == "trinity" else _SIMPLE_RE
+    exact = TOKENIZERS[name]
+    flat: list[str] = []
+    counts = _np.empty(len(texts), _np.int64)
+    for i, t in enumerate(texts):
+        t = t or ""
+        toks = regex.findall(t.upper()) if t.isascii() else exact(t)
+        flat.extend(toks)
+        counts[i] = len(toks)
+    return flat, counts
+
+
+def normalize_raw_terms(terms: list[str], name: str) -> list[str | None]:
+    """Map DISTINCT raw tokens from :func:`batch_raw_tokens` to indexed
+    terms (``None`` == dropped by MAX_TERM_LEN)."""
+    if name == "trinity":
+        return [_normalize_trinity_term(t) for t in terms]
+    return [t if len(t) <= MAX_TERM_LEN else None for t in terms]
+
+
 TOKENIZERS: dict[str, Callable[[str], list[str]]] = {
     "trinity": trinity_tokenize,
     "simple": simple_tokenize,
