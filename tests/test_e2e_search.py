@@ -348,7 +348,12 @@ def test_search_sequence_in_engine(index_dir, ray_session):
         base = s.search(q, k=0)
         full = sequence_rerank(s, q, k=10, pool=max(1, base.doc_ids.size),
                                bonus=0.5)
-        eng = s.search_sequence(q, k=10, bonus=0.5)
+        # pin the rerank's FLAT geometry (one index per distinct token):
+        # the default is now assign_query_indices, where OR branches
+        # overlap at one index and thus never chain into a run
+        node_q = parse_query(q, s.manifest.tokenizer)
+        eng = s.search_sequence(q, k=10, bonus=0.5,
+                                index_terms=collect_scorable_terms(node_q))
         np.testing.assert_array_equal(eng.doc_ids, full.doc_ids)
         np.testing.assert_allclose(eng.scores, full.scores, rtol=0, atol=0)
     # kernel vs per-doc reference: every matched doc, via rich positions
@@ -510,3 +515,63 @@ def test_batch_search_sequence_mode(index_dir, ray_session):
         res = s.search_sequence(q, k=5)
         assert sub["doc_id"].tolist() == [int(d) for d in res.doc_ids], q
         np.testing.assert_allclose(sub["score"].to_numpy(), res.scores)
+
+
+def test_assign_query_indices_geometry():
+    """Reference query-index geometry (assign_query_indices,
+    queries.cpp:1140-1249): phrase spans, AND adjacency, OR overlap with
+    longest-branch resume, the NOT +4 gap, MatchSome exclusion."""
+    from trinity_ray.query.ast import (
+        And,
+        MatchSome,
+        Not,
+        Optional_,
+        Or,
+        Phrase,
+        Token,
+        assign_query_indices,
+    )
+
+    t = Token
+    # phrase occupies consecutive indices; AND children are adjacent
+    g = assign_query_indices(And((Phrase(("A", "B")), t("C"))))
+    assert g == [("A",), ("B",), ("C",)]
+    # OR branches overlap at the same start index; alternatives merge
+    g = assign_query_indices(Or((t("A"), t("B"))))
+    assert g == [("A", "B")]
+    # walk resumes at the LONGEST branch's end
+    g = assign_query_indices(And((Or((Phrase(("A", "B")), t("C"))), t("D"))))
+    assert g == [("A", "C"), ("B",), ("D",)]
+    # NOT places nothing and leaves a 4-index adjacency gap
+    g = assign_query_indices(And((t("A"), Not(t("X")), t("B"))))
+    assert g == [("A",), (), (), (), (), ("B",)]
+    # MatchSome members get no index; Optional_ descends
+    g = assign_query_indices(
+        And((MatchSome(1, (t("X"), t("Y"))), Optional_(t("A")))))
+    assert g == [("A",)]
+    # duplicate token occurrences each own an index (unlike the flat
+    # distinct-terms geometry)
+    g = assign_query_indices(And((t("A"), t("B"), t("A"))))
+    assert g == [("A",), ("B",), ("A",)]
+
+
+def test_search_sequence_default_geometry(index_dir):
+    """Default search_sequence geometry is assign_query_indices: OR
+    alternatives share ONE index (run length 1 — no adjacency bonus),
+    matching the reference's overlapping-branch walk."""
+    from trinity_ray.query.ast import assign_query_indices, parse_query
+    from trinity_ray.search import LocalSearcher
+
+    s = LocalSearcher(index_dir)
+    q = "dup OR vector"
+    node = parse_query(q, s.manifest.tokenizer)
+    terms = sorted({t for grp in assign_query_indices(node) for t in grp})
+    dflt = s.search_sequence(q, k=10, bonus=0.5)
+    expl = s.search_sequence(q, k=10, bonus=0.5,
+                             index_terms=[tuple(terms)])
+    np.testing.assert_array_equal(dflt.doc_ids, expl.doc_ids)
+    np.testing.assert_allclose(dflt.scores, expl.scores, rtol=0, atol=0)
+    # single shared index => bonus contributes nothing: equals plain search
+    base = s.search(q, k=10)
+    np.testing.assert_array_equal(dflt.doc_ids, base.doc_ids)
+    np.testing.assert_allclose(dflt.scores, base.scores, rtol=0, atol=0)

@@ -450,6 +450,64 @@ def collect_scorable_weights(node: Node) -> dict[str, float]:
     return out
 
 
+def assign_query_indices(node: Node) -> list[tuple[str, ...]]:
+    """Reference query-index geometry (assign_query_indices,
+    queries.cpp:1140-1249) as an index -> alternative-terms table, directly
+    consumable by ``search_sequence(index_terms=...)`` / sequence_lengths.
+
+    Ported rules:
+
+    - a Token occupies one index; a Phrase occupies ``len(terms)``
+      consecutive indices (matched runs may pass through phrase members);
+    - And children occupy consecutive index ranges (the toNextSpan
+      geometry: the last phrase of the lhs is exactly adjacent to the
+      first of the rhs);
+    - Or branches OVERLAP: every branch starts at the same index and the
+      walk resumes at the LONGEST branch's end (``nextIndex =
+      max(maxL, maxR)``) — so a doc matching one branch's token adjacent
+      to the token after the group still scores a run, and alternatives
+      at the same index merge (the same sharing rewrite provenance uses);
+    - Not places no terms and advances the cursor by 4 (the reference's
+      guard so content after a NOT is never considered adjacent to
+      content before it);
+    - MatchSome members get NO index (reference: uint16::max sentinel —
+      excluded from sequences);
+    - Optional_ (ConstTrueExpr) descends normally.
+    """
+    slots: dict[int, list[str]] = {}
+
+    def place(i: int, term: str) -> None:
+        bucket = slots.setdefault(i, [])
+        if term not in bucket:
+            bucket.append(term)
+
+    def walk(n: Node, at: int) -> int:
+        if isinstance(n, Token):
+            place(at, n.term)
+            return at + 1
+        if isinstance(n, Phrase):
+            for j, t in enumerate(n.terms):
+                place(at + j, t)
+            return at + len(n.terms)
+        if isinstance(n, And):
+            for c in n.children:
+                at = walk(c, at)
+            return at
+        if isinstance(n, Or):
+            return max((walk(c, at) for c in n.children), default=at)
+        if isinstance(n, Not):
+            return at + 4
+        if isinstance(n, Optional_):
+            return walk(n.child, at)
+        return at  # MatchSome / ConstFalse / MatchAll: no geometry
+
+    end = walk(node, 0)
+    out = [tuple(slots.get(i, ())) for i in range(end)]
+    while out and not out[-1]:  # trailing NOT gap carries no information
+        out.pop()
+    return out
+
+
 def collect_scorable_terms(node: Node) -> list[str]:
     """Distinct terms contributing to BM25 — everything NOT under a Not.
 

@@ -37,6 +37,7 @@ from trinity_ray.index.segment import (
 )
 from trinity_ray.query.ast import (
     Node,
+    assign_query_indices,
     collect_scorable_terms,
     collect_scorable_weights,
     collect_terms,
@@ -306,12 +307,14 @@ class LocalSearcher:
         index j — pass ``rewrite_query(..., geometry=g)``'s collected
         geometry so rewrite-spliced synonyms score sequences as their
         source token (rewrite_ctx provenance, queries_rewrite.h:312-492).
-        Default: one index per scorable query token, in query order."""
+        Default: ``assign_query_indices(node)`` — the reference geometry
+        (phrases span consecutive indices, OR branches overlap, NOT
+        leaves a 4-index gap, MatchSome members are excluded)."""
         node = parse_query(query, self.manifest.tokenizer) \
             if isinstance(query, str) else query
         idf = self.resolve_idf(node, scorer)
         seq = (index_terms if index_terms is not None
-               else collect_scorable_terms(node))
+               else assign_query_indices(node))
         parts = [r.execute_sequence(node, idf, seq, k, scorer, bonus)
                  for r in self.readers]
         return merge_topk([p for p in parts if p[0].size], k)
@@ -456,7 +459,7 @@ class RaySearcher:
             if isinstance(query, str) else query
         idf = self.resolve_idf(node, scorer)
         seq = (index_terms if index_terms is not None
-               else collect_scorable_terms(node))
+               else assign_query_indices(node))
         futs = [a.execute_sequence.remote(node, idf, seq, k, scorer, bonus)
                 for a in self.actors]
         return merge_topk([p for p in self._ray.get(futs) if p[0].size], k)
