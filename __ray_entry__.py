@@ -553,15 +553,33 @@ FROM dots, qn
 ORDER BY dot / (sqrt(n2) * sqrt(qn2)) DESC, vec_id LIMIT 10
 """,
         # SimHash oracle: the engine exports (doc_id, sig) signatures; the
-        # oracle brute-forces all-pairs Hamming over them.  Banding with 4
-        # bands at max_hamming=3 is pigeonhole-complete, so engine == oracle.
+        # oracle re-derives the 4x16-bit band buckets and replicates the
+        # engine's deterministic per-bucket cap (sort by doc_id, first
+        # max_bucket=500) via row_number, so engine == oracle EXACTLY even
+        # on degenerate corpora where a bucket truncates.  Banding with 4
+        # bands at max_hamming=3 is pigeonhole-complete below the cap.
         "dedup_simhash_pairs": """
-WITH s AS (SELECT doc_id, sig FROM
-           read_parquet('/tmp/trinity_ray_driver_indexes/simhash_sigs/*.parquet'))
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
-FROM s a JOIN s b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.sig, b.sig)) <= 3
+WITH s AS (SELECT doc_id, sig,
+           CAST(sig AS HUGEINT)
+             + CASE WHEN sig < 0
+                    THEN CAST('18446744073709551616' AS HUGEINT)
+                    ELSE CAST(0 AS HUGEINT) END AS u FROM
+           read_parquet('/tmp/trinity_ray_driver_indexes/simhash_sigs/*.parquet')),
+b AS (SELECT doc_id, sig, band, (u // dv) % 65536 AS band_val,
+             row_number() OVER (PARTITION BY band, (u // dv) % 65536
+                                ORDER BY doc_id) AS rk
+      FROM s CROSS JOIN (VALUES (0, CAST(1 AS HUGEINT)),
+                                (1, CAST(65536 AS HUGEINT)),
+                                (2, CAST(4294967296 AS HUGEINT)),
+                                (3, CAST(281474976710656 AS HUGEINT)))
+                        AS t(band, dv)),
+p AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+             CAST(bit_count(xor(a.sig, b2.sig)) AS BIGINT) AS hamming
+      FROM b a JOIN b b2 ON a.band = b2.band AND a.band_val = b2.band_val
+           AND a.doc_id < b2.doc_id
+      WHERE a.rk <= 500 AND b2.rk <= 500
+        AND bit_count(xor(a.sig, b2.sig)) <= 3)
+SELECT id_a, id_b, min(hamming) AS hamming FROM p GROUP BY id_a, id_b
 """,
         # frame sampling: the motion-PNG stream is doc-deterministic
         # (2 + doc_id%7 frames); sampled count = ceil(k/2) capped at 4 —
@@ -572,16 +590,22 @@ SELECT doc_id,
 FROM documents
 """,
         # MinHash oracle: the engine exports signatures + band rows; the
-        # oracle re-derives pairs = (share >= 1 band) AND (fraction of
-        # equal components >= threshold) — banding and estimation checked
-        # independently of the engine's two-pass shuffle strategy.
+        # oracle re-derives pairs = (share >= 1 band, both within the
+        # engine's deterministic per-bucket cap of max_bucket=200 ordered
+        # by doc_id) AND (fraction of equal components >= threshold) —
+        # banding, truncation and estimation checked independently of the
+        # engine's two-pass shuffle strategy, exact even on degenerate
+        # corpora where a bucket truncates.
         "dedup_minhash_pairs": """
-WITH bh AS (SELECT * FROM
+WITH bh AS (SELECT band, band_hash, doc_id,
+            row_number() OVER (PARTITION BY band, band_hash
+                               ORDER BY doc_id) AS rk FROM
             read_parquet('/tmp/trinity_ray_driver_indexes/minhash_export/bands/*.parquet')),
 cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          FROM bh a JOIN bh b
            ON a.band = b.band AND a.band_hash = b.band_hash
-              AND a.doc_id < b.doc_id),
+              AND a.doc_id < b.doc_id
+         WHERE a.rk <= 200 AND b.rk <= 200),
 se AS (SELECT doc_id, unnest(minhash) AS v,
               generate_subscripts(minhash, 1) AS i
        FROM read_parquet('/tmp/trinity_ray_driver_indexes/minhash_export/sigs/*.parquet')),

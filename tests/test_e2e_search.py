@@ -471,6 +471,10 @@ def test_doc_predicate_pushdown_and_cache(index_dir, ray_session, monkeypatch):
         def __init__(self, ds):
             self._ds = ds
 
+        @property
+        def schema(self):
+            return self._ds.schema
+
         def to_table(self, *a, **kw):
             calls["n"] += 1
             calls["columns"].append(kw.get("columns"))
@@ -575,3 +579,23 @@ def test_search_sequence_default_geometry(index_dir):
     base = s.search(q, k=10)
     np.testing.assert_array_equal(dflt.doc_ids, base.doc_ids)
     np.testing.assert_allclose(dflt.scores, base.scores, rtol=0, atol=0)
+
+
+def test_doc_predicate_missing_column_raises(index_dir):
+    """A DocPredicate declaring a column absent from docs metadata raises
+    the SAME KeyError on the durable Parquet path and the in-memory table
+    path — never a silently-narrower fn input (schema errors must not
+    depend on segment kind)."""
+    import pyarrow as pa
+
+    from trinity_ray.query.exec import DocPredicate
+
+    pred = DocPredicate(lambda t: np.ones(t.num_rows, bool),
+                        columns=["no_such_col"], key="missing-col-test")
+    s = LocalSearcher(index_dir)
+    with pytest.raises(KeyError, match="no_such_col"):
+        s.readers[0].doc_ids_where(pred)
+    # in-memory evaluation path (what a RAM/live segment uses)
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64())})
+    with pytest.raises(KeyError, match="no_such_col"):
+        pred.ids(t)

@@ -162,3 +162,89 @@ def test_minhash_partial_count_fallback(ray_session, monkeypatch):
     slow = dd.minhash_lsh_pairs(ds).to_pandas().sort_values(
         ["id_a", "id_b"]).reset_index(drop=True)
     assert fast.equals(slow)
+
+
+def test_truncated_bucket_oracle_parity(ray_session, tmp_path):
+    """The driver oracles replicate the engine's deterministic per-bucket
+    cap (sort by id, head(max_bucket)) via row_number — engine == oracle
+    even on a degenerate corpus where a hot bucket truncates.  This runs
+    the SAME SQL shape as oracle_sql() with a tiny cap so truncation
+    actually triggers."""
+    import duckdb
+    import ray.data as rd
+
+    from trinity_ray.ops.dedup import minhash_lsh_pairs, simhash_pairs
+
+    # 12 identical docs (one all-bands-hot bucket) + some distinct ones
+    docs = ["identical boilerplate text shared by everyone"] * 12 + [
+        f"unique document number {i} with its own words" for i in range(8)]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.string()),
+    }))
+
+    # --- minhash, cap 4 < 12 hot-bucket members ---
+    exp = str(tmp_path / "mh")
+    pairs = minhash_lsh_pairs(ds, id_column="doc_id", text_column="text",
+                              threshold=0.5, max_bucket=4, export_dir=exp)
+    got = pairs.to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    want = duckdb.sql(f"""
+WITH bh AS (SELECT band, band_hash, doc_id,
+            row_number() OVER (PARTITION BY band, band_hash
+                               ORDER BY doc_id) AS rk
+            FROM read_parquet('{exp}/bands/*.parquet')),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bh a JOIN bh b
+           ON a.band = b.band AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id
+         WHERE a.rk <= 4 AND b.rk <= 4),
+se AS (SELECT doc_id, unnest(minhash) AS v,
+              generate_subscripts(minhash, 1) AS i
+       FROM read_parquet('{exp}/sigs/*.parquet')),
+est AS (SELECT c.id_a, c.id_b,
+               sum(CASE WHEN x.v = y.v THEN 1 ELSE 0 END) / 64.0 AS est_jaccard
+        FROM cand c JOIN se x ON x.doc_id = c.id_a
+             JOIN se y ON y.doc_id = c.id_b AND y.i = x.i
+        GROUP BY c.id_a, c.id_b)
+SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
+ORDER BY id_a, id_b
+""").df()
+    assert got["id_a"].tolist() == want["id_a"].tolist()
+    assert got["id_b"].tolist() == want["id_b"].tolist()
+    np.testing.assert_allclose(got["est_jaccard"], want["est_jaccard"])
+    # truncation DID trigger: the full (untruncated) pair set is larger
+    assert len(got) < 12 * 11 // 2
+
+    # --- simhash, cap 4 ---
+    sexp = str(tmp_path / "sh")
+    spairs = simhash_pairs(ds, id_column="doc_id", text_column="text",
+                           max_hamming=3, max_bucket=4, sig_export_dir=sexp)
+    sgot = spairs.to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    swant = duckdb.sql(f"""
+WITH s AS (SELECT doc_id, sig,
+           CAST(sig AS HUGEINT)
+             + CASE WHEN sig < 0
+                    THEN CAST('18446744073709551616' AS HUGEINT)
+                    ELSE CAST(0 AS HUGEINT) END AS u
+           FROM read_parquet('{sexp}/*.parquet')),
+b AS (SELECT doc_id, sig, band, (u // dv) % 65536 AS band_val,
+             row_number() OVER (PARTITION BY band, (u // dv) % 65536
+                                ORDER BY doc_id) AS rk
+      FROM s CROSS JOIN (VALUES (0, CAST(1 AS HUGEINT)),
+                                (1, CAST(65536 AS HUGEINT)),
+                                (2, CAST(4294967296 AS HUGEINT)),
+                                (3, CAST(281474976710656 AS HUGEINT)))
+                        AS t(band, dv)),
+p AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+             CAST(bit_count(xor(a.sig, b2.sig)) AS BIGINT) AS hamming
+      FROM b a JOIN b b2 ON a.band = b2.band AND a.band_val = b2.band_val
+           AND a.doc_id < b2.doc_id
+      WHERE a.rk <= 4 AND b2.rk <= 4
+        AND bit_count(xor(a.sig, b2.sig)) <= 3)
+SELECT id_a, id_b, min(hamming) AS hamming FROM p GROUP BY id_a, id_b
+ORDER BY id_a, id_b
+""").df()
+    assert sgot["id_a"].tolist() == swant["id_a"].tolist()
+    assert sgot["id_b"].tolist() == swant["id_b"].tolist()
+    assert sgot["hamming"].tolist() == swant["hamming"].tolist()
+    assert len(sgot) < 12 * 11 // 2

@@ -145,7 +145,9 @@ def main(argv: list[str] | None = None) -> int:
                    choices=["topk", "rich", "subtrees", "sequence"],
                    help="topk = (doc, score); rich = per-term tf/positions"
                         "/payloads rows; subtrees = accumulated-score "
-                        "OR-of-subtrees")
+                        "OR-of-subtrees; sequence = matched-sequence "
+                        "proximity bonus (adjacent query tokens matched "
+                        "adjacently outrank bags of the same tokens)")
     s.add_argument("-k", type=int, default=10)
     s.add_argument("--scorer", default="bm25", choices=["bm25", "tfidf", "trivial"])
     s.add_argument("--actors", type=int, default=0,

@@ -373,6 +373,10 @@ def minhash_lsh_pairs(ds, *, num_perm: int = 64, bands: int = 8,
 
         sigs.map_batches(sig_signed, batch_format="pyarrow").write_parquet(
             _os.path.join(export_dir, "sigs"))
+        # the bands export AND the pass-1 counts scan both consume `light`:
+        # pin the exploded rows once so the band hashing doesn't re-run
+        # (cf. simhash_pairs' sigs.materialize() for the same reason)
+        light = light.materialize()
         light.write_parquet(_os.path.join(export_dir, "bands"))
 
     def partial_counts(batch: pa.Table) -> pa.Table:

@@ -121,8 +121,15 @@ class DocPredicate:
         storage-level scan pushdown)."""
         if self.filter is not None and not prefiltered:
             t = t.filter(self.filter)
-        cols = ["doc_id"] + [c for c in self.columns
-                             if c != "doc_id" and c in t.column_names]
+        missing = [c for c in self.columns if c not in t.column_names]
+        if missing:
+            # consistent with the durable path (whose pruned Parquet scan
+            # raises on unknown columns): a declared column that a segment
+            # lacks is a schema error, never a silently-narrower fn input
+            raise KeyError(
+                f"DocPredicate column(s) {missing} not in docs metadata "
+                f"(has {t.column_names})")
+        cols = ["doc_id"] + [c for c in self.columns if c != "doc_id"]
         t = t.select(cols)
         mask = (np.asarray(self.fn(t), dtype=bool) if self.fn is not None
                 else np.ones(t.num_rows, dtype=bool))
@@ -597,8 +604,15 @@ class SegmentReader:
         if isinstance(predicate, DocPredicate):
             cols = ["doc_id"] + [c for c in predicate.columns
                                  if c != "doc_id"]
-            t = pads.dataset(src, format="parquet").to_table(
-                columns=cols, filter=predicate.filter)
+            dset = pads.dataset(src, format="parquet")
+            missing = [c for c in cols if c not in dset.schema.names]
+            if missing:  # same error shape as DocPredicate.ids on a RAM
+                # segment: a declared column absent from this segment's
+                # docs schema is a schema error, not a scan-time surprise
+                raise KeyError(
+                    f"DocPredicate column(s) {missing} not in docs "
+                    f"metadata (has {dset.schema.names})")
+            t = dset.to_table(columns=cols, filter=predicate.filter)
             out = predicate.ids(t, prefiltered=True)
         else:
             t = pads.dataset(src, format="parquet").to_table()

@@ -34,6 +34,7 @@ from trinity_ray.query.ast import (
     Or,
     Phrase,
     Token,
+    assign_query_indices,
     normalize,
 )
 
@@ -66,16 +67,8 @@ def _gram_node(gram: tuple[str, ...]) -> Node:
 
 
 def _rewrite_run(tokens: list[str], k: int, callback: RewriteCallback,
-                 budget: list[int], alt_weight: float = 1.0,
-                 geometry: list | None = None) -> list[Node]:
-    """Expand one AND-run of tokens; returns replacement child nodes.
-
-    When ``geometry`` is given, one entry per ORIGINAL token is appended:
-    a tuple of the terms occupying that query index — the original token
-    plus any alternative tokens mapped onto it positionally (an
-    alternative's j-th token lands on source index i+min(j, glen-1); the
-    reference's translationCoefficient span math reduced to positional
-    clamping, queries_rewrite.h:312-492)."""
+                 budget: list[int], alt_weight: float = 1.0) -> list[Node]:
+    """Expand one AND-run of tokens; returns replacement child nodes."""
     out: list[Node] = []
     i = 0
     n = len(tokens)
@@ -89,23 +82,12 @@ def _rewrite_run(tokens: list[str], k: int, callback: RewriteCallback,
                     branches = [_gram_node(gram)] + [
                         _alt_node(a, alt_weight) for a in alts]
                     out.append(Or(tuple(branches)))
-                    if geometry is not None:
-                        slots = [[t] for t in gram]
-                        for a in alts:
-                            text = a[0] if isinstance(a, tuple) else a
-                            for j, p in enumerate(text.split()):
-                                slot = slots[min(j, glen - 1)]
-                                if p and p not in slot:
-                                    slot.append(p)
-                        geometry.extend(tuple(s) for s in slots)
                     budget[0] -= 1
                     i += glen
                     replaced = True
                     break
         if not replaced:
             out.append(Token(tokens[i]))
-            if geometry is not None:
-                geometry.append((tokens[i],))
             i += 1
     return out
 
@@ -119,19 +101,25 @@ def rewrite_query(node: Node, k: int, callback: RewriteCallback,
     callback didn't weight them explicitly (1.0 = score like originals).
     Returns a new normalized AST; the input is not modified.
 
-    ``geometry``: optional list the rewrite fills with one entry per
-    ORIGINAL query index — a tuple of the terms occupying that index
-    (original token + rewrite alternatives mapped onto it) — the
-    rewrite_ctx provenance needed for sequence-aware scoring of rewritten
-    queries (queries_rewrite.h:312-492); feed it to
-    ``search_sequence(index_terms=...)``."""
+    ``geometry``: optional list the rewrite fills with the rewritten
+    query's index geometry — ``assign_query_indices`` over the REWRITTEN
+    AST, exactly as the reference assigns indices after Query::rewrite
+    (queries.cpp:1140-1249 runs post-rewrite, so spliced alternatives
+    overlap their source gram's index range and phrase alternatives
+    extend it via the longest-branch resume) — the rewrite_ctx
+    provenance needed for sequence-aware scoring of rewritten queries
+    (queries_rewrite.h:312-492); feed it to
+    ``search_sequence(index_terms=...)``, or rely on the identical
+    search_sequence default."""
     state = [budget]
-    return normalize(_walk(node, k, callback, state, alt_weight, geometry))
+    rewritten = normalize(_walk(node, k, callback, state, alt_weight))
+    if geometry is not None:
+        geometry[:] = assign_query_indices(rewritten)
+    return rewritten
 
 
 def _walk(node: Node, k: int, callback: RewriteCallback,
-          budget: list[int], alt_weight: float = 1.0,
-          geometry: list | None = None) -> Node:
+          budget: list[int], alt_weight: float = 1.0) -> Node:
     if isinstance(node, And):
         new_children: list[Node] = []
         run: list[str] = []
@@ -139,7 +127,7 @@ def _walk(node: Node, k: int, callback: RewriteCallback,
         def flush() -> None:
             if run:
                 new_children.extend(_rewrite_run(run, k, callback, budget,
-                                                 alt_weight, geometry))
+                                                 alt_weight))
                 run.clear()
 
         for c in node.children:
@@ -147,29 +135,21 @@ def _walk(node: Node, k: int, callback: RewriteCallback,
                 run.append(c.term)  # contiguous token run (process_runs)
             else:
                 flush()
-                new_children.append(_walk(c, k, callback, budget, alt_weight,
-                                          geometry))
+                new_children.append(_walk(c, k, callback, budget, alt_weight))
         flush()
         return And(tuple(new_children))
     if isinstance(node, Or):
-        return Or(tuple(_walk(c, k, callback, budget, alt_weight, geometry)
+        return Or(tuple(_walk(c, k, callback, budget, alt_weight)
                         for c in node.children))
     if isinstance(node, Not):
-        # negated terms are not scorable: excluded from sequence geometry
         return Not(_walk(node.child, k, callback, budget, alt_weight))
     if isinstance(node, Optional_):
-        return Optional_(_walk(node.child, k, callback, budget, alt_weight,
-                               geometry))
+        return Optional_(_walk(node.child, k, callback, budget, alt_weight))
     if isinstance(node, MatchSome):
         return MatchSome(node.min_match,
-                         tuple(_walk(c, k, callback, budget, alt_weight,
-                                     geometry)
+                         tuple(_walk(c, k, callback, budget, alt_weight)
                                for c in node.children))
     if isinstance(node, Token):
         # a lone token is a run of one
-        replaced = _rewrite_run([node.term], k, callback, budget, alt_weight,
-                                geometry)
-        return replaced[0]
-    if isinstance(node, Phrase) and geometry is not None:
-        geometry.extend((t,) for t in node.terms)
+        return _rewrite_run([node.term], k, callback, budget, alt_weight)[0]
     return node

@@ -96,31 +96,22 @@ def trinity_tokenize(text: str) -> list[str]:
     the per-token path for exact parity.
 
     Hot-path shape: one capture-free ``findall`` (token strings come back
-    from the C regex engine with no Match objects), then classification by
-    disjoint character inventories — ``tok.isalnum()`` short-circuits the
-    overwhelmingly common plain-word case.  1.8x faster than named-group
-    dispatch on the code corpus, token-for-token identical (parity fuzzed
-    against the spans variant, which keeps the named groups)."""
+    from the C regex engine with no Match objects), then per-token
+    classification via :func:`_normalize_trinity_term` — the SINGLE source
+    of truth for trinity normalization, shared with the build path
+    (``normalize_raw_terms``).  1.8x faster than named-group dispatch on
+    the code corpus, token-for-token identical (parity fuzzed against the
+    spans variant, which keeps the named groups).  Every TOKEN_RE match is
+    pure ASCII by construction (all character classes are ASCII), so
+    per-token upper-casing on the non-ASCII path is length-preserving."""
     pre_upper = text.isascii()
     if pre_upper:
         text = text.upper()
     out: list[str] = []
     for tok in _TOKEN_RE_NC.findall(text):
-        if not tok.isalnum():
-            if ":" in tok or "&" in tok:
-                pass                      # site / amp kept verbatim
-            elif "." in tok or "," in tok:
-                # digits-first => number; letter-first => acronym
-                tok = _norm_num(tok) if tok[0].isdigit() \
-                    else tok.replace(".", "")
-            elif "'" in tok or "’" in tok:
-                if tok[1] in _APOS:       # single-letter contraction
-                    tok = tok[0] + tok[2:]
-                else:                     # genitive 's
-                    tok = _WORD_APOS_RE.sub(r"\1", tok)
-            # '+'/'#' suffix words kept verbatim
-        if len(tok) <= MAX_TERM_LEN:
-            out.append(tok if pre_upper else tok.upper())
+        norm = _normalize_trinity_term(tok if pre_upper else tok.upper())
+        if norm is not None:
+            out.append(norm)
     return out
 
 
