@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_rich_hits": dsp.q_search_rich_hits,
         "search_subtree_scored_top10": dsp.q_search_subtree_scored_top10,
         "search_sequence_top10": dsp.q_search_sequence_top10,
+        "search_sequence_geometry_top10": dsp.q_search_sequence_geometry_top10,
         "suggest_terms": dsp.q_suggest_terms,
         "search_filtered_top10": dsp.q_search_filtered_top10,
         "search_docset_top10": dsp.q_search_docset_top10,
@@ -214,6 +215,47 @@ scores AS (
          sum(ln(1.0 + (nn.n - df.df + 0.5) / (df.df + 0.5)) * tf.tf / (tf.tf + {K1}))
          + (CASE WHEN m.doc_id IN (SELECT doc_id FROM adj)
                  THEN 0.5 ELSE 0.0 END) AS score
+  FROM matched m
+  JOIN tf ON tf.doc_id = m.doc_id
+  JOIN df ON df.tok = tf.tok
+  CROSS JOIN nn
+  GROUP BY m.doc_id)
+SELECT doc_id, round(score, 4) AS score_r
+FROM scores ORDER BY score DESC, doc_id LIMIT 10
+""",
+        # full reference geometry: phrase spans indices 0-1, OR branch DUP
+        # overlaps index 0, walk resumes at the longest branch's end so
+        # VECTOR is index 2; bonus = 0.5 * (longest contiguous run - 1)
+        "search_sequence_geometry_top10": f"""
+WITH toks AS ({_TOKS}),
+pos AS ({_POS}),
+tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM toks
+       WHERE tok IN ('KEY', 'ORDER', 'DUP', 'VECTOR') GROUP BY doc_id, tok),
+df AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok),
+nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+matched AS (
+  SELECT doc_id FROM (
+    SELECT a.doc_id FROM pos a JOIN pos b
+      ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+     WHERE a.tok = 'KEY' AND b.tok = 'ORDER'
+    UNION
+    SELECT doc_id FROM tf WHERE tok = 'DUP')
+  WHERE doc_id IN (SELECT doc_id FROM tf WHERE tok = 'VECTOR')),
+run3 AS (SELECT DISTINCT a.doc_id FROM pos a
+         JOIN pos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         JOIN pos c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+         WHERE a.tok IN ('KEY', 'DUP') AND b.tok = 'ORDER'
+           AND c.tok = 'VECTOR'),
+run2 AS (SELECT DISTINCT a.doc_id FROM pos a
+         JOIN pos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         WHERE (a.tok IN ('KEY', 'DUP') AND b.tok = 'ORDER')
+            OR (a.tok = 'ORDER' AND b.tok = 'VECTOR')),
+scores AS (
+  SELECT m.doc_id,
+         sum(ln(1.0 + (nn.n - df.df + 0.5) / (df.df + 0.5)) * tf.tf / (tf.tf + {K1}))
+         + (CASE WHEN m.doc_id IN (SELECT doc_id FROM run3) THEN 1.0
+                 WHEN m.doc_id IN (SELECT doc_id FROM run2) THEN 0.5
+                 ELSE 0.0 END) AS score
   FROM matched m
   JOIN tf ON tf.doc_id = m.doc_id
   JOIN df ON df.tok = tf.tok

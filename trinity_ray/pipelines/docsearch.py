@@ -326,6 +326,23 @@ def q_search_sequence_top10(sf_dir: str) -> pa.Table:
     })
 
 
+def q_search_sequence_geometry_top10(sf_dir: str) -> pa.Table:
+    """FULL reference query-index geometry (assign_query_indices,
+    queries.cpp:1140-1249) driven end-to-end: ``("key order" OR dup) AND
+    vector`` assigns [(KEY, DUP), (ORDER,), (VECTOR,)] — the phrase spans
+    indices 0-1, the OR branch DUP overlaps index 0, the walk resumes at
+    the LONGEST branch's end so VECTOR sits at index 2.  A doc with
+    ``DUP ORDER VECTOR`` adjacent earns the same 3-run bonus as
+    ``KEY ORDER VECTOR``; runs may also start mid-geometry
+    (``ORDER VECTOR`` = 2-run)."""
+    res = _searcher(base_index(sf_dir)).search_sequence(
+        '("key order" OR dup) AND vector', k=TOPK, bonus=0.5)
+    return pa.table({
+        "doc_id": pa.array(res.doc_ids.astype(np.int64), pa.int64()),
+        "score_r": pa.array(np.round(res.scores, 4), pa.float64()),
+    })
+
+
 def q_suggest_terms(sf_dir: str) -> pa.Table:
     """Dictionary prefix suggestion (terms.cpp sorted-dictionary prefix
     iteration): top-10 terms starting with 'S' by global df."""
