@@ -599,3 +599,76 @@ def test_doc_predicate_missing_column_raises(index_dir):
     t = pa.table({"doc_id": pa.array([1, 2], pa.int64())})
     with pytest.raises(KeyError, match="no_such_col"):
         pred.ids(t)
+
+
+def test_sequence_lengths_fuzz_alternative_geometries(index_dir):
+    """Property fuzz of the vectorized sequence kernel under the FULL
+    geometry vocabulary the reference walk can produce: alternative
+    tuples (OR overlap / rewrite provenance), gap indices (NOT), repeated
+    terms — vs a per-doc brute force over the same positions."""
+    import random
+
+    s = LocalSearcher(index_dir)
+    r = s.readers[0]
+    vocab = ["KEY", "ORDER", "DUP", "VECTOR", "RETURN", "THE", "SCAN",
+             "MERGE", "TABLE", "STATUS"]
+    rng = random.Random(11)
+    cand = r.universe()[:400]
+
+    def doc_positions(term):
+        tp = r.postings(term)
+        if tp is None:
+            return {}
+        tf, found = tp.gather_tfs(cand)
+        sub = cand[found]
+        if sub.size == 0:
+            return {}
+        pos_flat, lens = tp.gather_positions(sub)
+        out = {}
+        start = 0
+        for d, ln in zip(sub, lens):
+            out[int(d)] = pos_flat[start:start + ln].astype(np.int64)
+            start += ln
+        return out
+
+    pos_by_term = {t: doc_positions(t) for t in vocab}
+    empty = np.empty(0, dtype=np.int64)
+
+    def brute(doc, groups):
+        # per-index position set = union over alternatives; gap = empty
+        sets = [np.unique(np.concatenate(
+                    [pos_by_term[t].get(doc, empty) for t in grp] or [empty]))
+                for grp in groups]
+        n = len(sets)
+        best = min(1, sum(1 for p in sets if p.size))
+        for j in range(n):
+            if not sets[j].size:
+                continue
+            chain = sets[j]
+            L = 1
+            while j + L < n and chain.size:
+                nxt = sets[j + L]
+                if not nxt.size:
+                    break
+                chain = chain[np.isin(chain + 1, nxt)] + 1
+                if chain.size:
+                    L += 1
+            best = max(best, L)
+        return best
+
+    for trial in range(40):
+        n_idx = rng.randint(1, 6)
+        groups = []
+        for _ in range(n_idx):
+            if rng.random() < 0.15:
+                groups.append(())            # NOT-style gap index
+            else:
+                groups.append(tuple(rng.sample(vocab, rng.randint(1, 3))))
+        lengths = r.sequence_lengths(cand, groups)
+        # spot-check 25 random candidates per trial against brute force
+        for i in rng.sample(range(cand.size), 25):
+            want = brute(int(cand[i]), groups)
+            assert lengths[i] == want, (
+                trial, groups, int(cand[i]), int(lengths[i]), want,
+                [[(t, pos_by_term[t].get(int(cand[i]))) for t in grp]
+                 for grp in groups])
