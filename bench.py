@@ -232,7 +232,9 @@ def run_once() -> dict:
         # conflated them over the 376-segment UNMERGED index
         packed_merged = packed_dir + "-merged"
         shutil.rmtree(packed_merged, ignore_errors=True)
+        t0 = time.time()
         merge_index(packed_dir, packed_merged)
+        queries["merge_packed_sec"] = time.time() - t0
         t0 = time.time()
         sp = LocalSearcher(packed_merged)
         sp.search("key AND order", k=10)

@@ -328,12 +328,16 @@ def test_packed_encode_many_huge_and_mixed_widths():
         np.testing.assert_array_equal(gf, f)
 
 
-@given(st.integers(0, 10_000), st.booleans(), st.integers(0, 4))
-@settings(max_examples=25, deadline=None)
-def test_concat_encoded_many_differential(seed, with_pay, pay_width_sel):
+@given(st.integers(0, 10_000), st.booleans(), st.integers(0, 4),
+       st.sampled_from(["varint", "packed"]))
+@settings(max_examples=40, deadline=None)
+def test_concat_encoded_many_differential(seed, with_pay, pay_width_sel,
+                                          codec):
     """Byte-concat merge == decode+re-encode reference on random term
-    groups: docs/freqs/positions/payloads identical, block access works
-    across source seams, dictionary stats agree."""
+    groups, for BOTH codecs (v1 re-varints each non-first first delta; v2
+    overwrites it in place within the block's bit width):
+    docs/freqs/positions/payloads identical, block access works across
+    source seams, dictionary stats agree."""
     from trinity_ray.codec import concat_encoded_many, encode_postings
 
     rng = np.random.default_rng(seed)
@@ -357,7 +361,8 @@ def test_concat_encoded_many_differential(seed, with_pay, pay_width_sel):
                                 else 1 << 62, nh, dtype=np.uint64)
                    if pay_w else None)
             all_blobs.append(encode_postings(d, f, pos, payloads=pay,
-                                             payload_width=pay_w))
+                                             payload_width=pay_w,
+                                             codec=codec))
             D.append(d)
             F.append(f)
             P.append(pos)
@@ -370,8 +375,11 @@ def test_concat_encoded_many_differential(seed, with_pay, pay_width_sel):
     lens = np.fromiter((len(b) for b in all_blobs), np.int64)
     cat = np.frombuffer(b"".join(all_blobs), np.uint8)
     off = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    from trinity_ray.codec import _codec_version
+
     out = concat_encoded_many(cat, off, lens,
-                              np.asarray(term_rows, np.int64))
+                              np.asarray(term_rows, np.int64),
+                              want_version=_codec_version(codec))
     assert out is not None
     blobs, df, mtf, sh = out
     for t, (d, f, p, y) in enumerate(refs):
@@ -404,7 +412,7 @@ def test_concat_encoded_many_rejects_overlap_and_mixed():
     off = np.concatenate(([0], np.cumsum(lens)))[:-1]
     assert concat_encoded_many(cat, off, lens,
                                np.array([0, 2], np.int64)) is None
-    # packed blobs defer to the decode path too
+    # MIXED-codec groups defer to the decode path
     blobs2 = [encode_postings(d1, f(d1)),
               encode_postings(np.array([20, 30], np.uint64),
                               np.ones(2, np.uint64), codec="packed")]
@@ -412,4 +420,23 @@ def test_concat_encoded_many_rejects_overlap_and_mixed():
     cat2 = np.frombuffer(b"".join(blobs2), np.uint8)
     off2 = np.concatenate(([0], np.cumsum(lens2)))[:-1]
     assert concat_encoded_many(cat2, off2, lens2,
+                               np.array([0, 2], np.int64)) is None
+    # an explicit cross-codec rewrite (want_version != source codec) defers
+    # to the decode path even when sources are uniform
+    blobs3 = [encode_postings(d1, f(d1), codec="packed"),
+              encode_postings(np.array([20, 30], np.uint64),
+                              np.ones(2, np.uint64), codec="packed")]
+    lens3 = np.fromiter((len(b) for b in blobs3), np.int64)
+    cat3 = np.frombuffer(b"".join(blobs3), np.uint8)
+    off3 = np.concatenate(([0], np.cumsum(lens3)))[:-1]
+    assert concat_encoded_many(cat3, off3, lens3,
+                               np.array([0, 2], np.int64),
+                               want_version=1) is None
+    # ...and packed-overlap is rejected like varint-overlap
+    blobs4 = [encode_postings(d1, f(d1), codec="packed"),
+              encode_postings(d2, f(d2), codec="packed")]
+    lens4 = np.fromiter((len(b) for b in blobs4), np.int64)
+    cat4 = np.frombuffer(b"".join(blobs4), np.uint8)
+    off4 = np.concatenate(([0], np.cumsum(lens4)))[:-1]
+    assert concat_encoded_many(cat4, off4, lens4,
                                np.array([0, 2], np.int64)) is None

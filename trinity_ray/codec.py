@@ -953,7 +953,7 @@ def _reset_cumsum(vals: np.ndarray, group_offsets: np.ndarray) -> np.ndarray:
 
 
 def concat_encoded_many(cat: np.ndarray, off: np.ndarray, lens: np.ndarray,
-                        term_rows: np.ndarray):
+                        term_rows: np.ndarray, want_version: int | None = None):
     """Merge MANY terms' source blobs by BYTE CONCATENATION — the
     reference's append_index_chunk fast path (merge.cpp:166-180): no
     posting is decoded; the only rewrite is each non-first blob's first doc
@@ -962,14 +962,24 @@ def concat_encoded_many(cat: np.ndarray, off: np.ndarray, lens: np.ndarray,
     block directories — is copied and offset-rebased in global vectorized
     passes.
 
+    Works for BOTH codecs.  v1 (varint): the first delta is re-varinted,
+    shifting in-blob byte offsets by the length difference.  v2 (bit-packed
+    FOR): the rebased delta is strictly smaller than the stored absolute
+    first docID, which is itself <= its block's max — so it always fits the
+    block's existing bit width and is OVERWRITTEN IN PLACE (bits [0, w) of
+    the blob's docs section); no lengths change at all.
+
     ``cat``: all source blobs as one uint8 array; ``off``/``lens``: per-row
     byte ranges in term-major, doc-ascending order; ``term_rows``: int64
-    (T+1) row offsets per term.
+    (T+1) row offsets per term.  ``want_version``: when given, require the
+    sources to already be this codec (an explicit cross-codec rewrite must
+    take the decode path).
 
     Returns ``(blobs, df, max_tf, sum_hits)`` (one entry per term) or None
-    when ineligible: any version-2 blob, mixed flags/payload widths, or
-    non-ascending doc ranges (overlapping generations must take the decode
-    path).  Masked sources must be excluded by the CALLER.
+    when ineligible: mixed codec versions, wrong codec vs ``want_version``,
+    mixed flags/payload widths, or non-ascending doc ranges (overlapping
+    generations must take the decode path).  Masked sources must be
+    excluded by the CALLER.
     """
     R = off.size
     if R == 0:
@@ -977,7 +987,10 @@ def concat_encoded_many(cat: np.ndarray, off: np.ndarray, lens: np.ndarray,
                 np.empty(0, np.int64))
     off = off.astype(np.int64)
     ver = cat[off + 1]
-    if not (ver == 1).all():
+    out_ver = int(ver[0])
+    if not (ver == out_ver).all() or out_ver not in (1, 2):
+        return None
+    if want_version is not None and out_ver != want_version:
         return None
     flags = cat[off + 2]
     pws = cat[off + 3]
@@ -996,20 +1009,36 @@ def concat_encoded_many(cat: np.ndarray, off: np.ndarray, lens: np.ndarray,
     yl = u32f(24)
     nh = u32f(28)
     dir0 = off + _HEADER
-    sec0 = dir0 + 28 * nb            # docs section start (v1 directory)
+    # docs section start: v1 directory is 28*nb bytes; v2 appends the
+    # 3*nb width bytes (bw_docs | bw_freqs | bw_pos)
+    sec0 = dir0 + (28 if out_ver == 1 else 31) * nb
 
-    # ---- first doc delta per row (absolute): vectorized varint read ----
-    val = (cat[sec0] & 0x7F).astype(np.uint64)
-    ln1 = np.ones(R, dtype=np.int64)
-    cont = cat[sec0] >= 128
-    k = 1
-    while cont.any() and k < 10:
-        m = np.flatnonzero(cont)
-        b = cat[sec0[m] + k]
-        val[m] |= (b.astype(np.uint64) & np.uint64(0x7F)) << np.uint64(7 * k)
-        ln1[m] += 1
-        cont[m] = b >= 128
-        k += 1
+    if out_ver == 1:
+        # ---- first doc delta per row (absolute): vectorized varint read ----
+        val = (cat[sec0] & 0x7F).astype(np.uint64)
+        ln1 = np.ones(R, dtype=np.int64)
+        cont = cat[sec0] >= 128
+        k = 1
+        while cont.any() and k < 10:
+            m = np.flatnonzero(cont)
+            b = cat[sec0[m] + k]
+            val[m] |= (b.astype(np.uint64) & np.uint64(0x7F)) << np.uint64(7 * k)
+            ln1[m] += 1
+            cont[m] = b >= 128
+            k += 1
+    else:
+        # ---- first doc delta per row: lowest bw_docs[0] bits of the docs
+        # section (block-0 values start at bit 0) ----
+        w0 = cat[dir0 + 28 * nb].astype(np.int64)   # first bw_docs byte
+        idx8 = np.minimum(sec0[:, None] + np.arange(8),
+                          cat.size - 1).reshape(-1)
+        raw8 = cat[idx8].reshape(R, 8).copy().view("<u8").ravel()
+        w0mask = np.full(R, np.uint64(0xFFFFFFFFFFFFFFFF))
+        sub = np.flatnonzero(w0 < 64)
+        w0mask[sub] = (np.uint64(1) << w0[sub].astype(np.uint64)) \
+            - np.uint64(1)
+        val = raw8 & w0mask
+        ln1 = np.zeros(R, dtype=np.int64)            # nothing varint-sized
 
     # previous row's last docID (u64 at the end of its last_docid array)
     is_first = np.zeros(R, dtype=bool)
@@ -1024,15 +1053,17 @@ def concat_encoded_many(cat: np.ndarray, off: np.ndarray, lens: np.ndarray,
     if nonfirst.size and not (first_doc_nf > prev_last).all():
         return None  # overlapping ranges: decode path required
     new_delta = first_doc_nf - prev_last
-    ndc = _compact(new_delta)
-    nb_new = _byte_lengths(ndc) if new_delta.size else np.empty(0, np.int64)
-    vb = np.frombuffer(varint_encode(ndc, nb_new), dtype=np.uint8) \
-        if new_delta.size else np.empty(0, np.uint8)
-    vb_off = np.concatenate(([0], np.cumsum(nb_new, dtype=np.int64)))[:-1] \
-        if new_delta.size else np.empty(0, np.int64)
-
-    head_len = ln1.copy()
-    head_len[nonfirst] = nb_new
+    if out_ver == 1:
+        ndc = _compact(new_delta)
+        nb_new = _byte_lengths(ndc) if new_delta.size else np.empty(0, np.int64)
+        vb = np.frombuffer(varint_encode(ndc, nb_new), dtype=np.uint8) \
+            if new_delta.size else np.empty(0, np.uint8)
+        vb_off = np.concatenate(([0], np.cumsum(nb_new, dtype=np.int64)))[:-1] \
+            if new_delta.size else np.empty(0, np.int64)
+        head_len = ln1.copy()
+        head_len[nonfirst] = nb_new
+    else:
+        head_len = ln1                # in-place overwrite: no length change
     out_dl = dl - ln1 + head_len
     shift = head_len - ln1           # applies to in-blob offsets > block 0
 
@@ -1056,15 +1087,32 @@ def concat_encoded_many(cat: np.ndarray, off: np.ndarray, lens: np.ndarray,
 
     # ---- global output streams (row order == term-major output order) ----
     out_row_off = np.concatenate(([0], np.cumsum(out_dl)))[:-1]
-    docs_stream = np.empty(int((out_dl).sum()), dtype=np.uint8)
-    fi = np.flatnonzero(is_first)
-    docs_stream[_range_idx(out_row_off[fi], ln1[fi])] = \
-        cat[_range_idx(sec0[fi], ln1[fi])]
-    if nonfirst.size:
-        docs_stream[_range_idx(out_row_off[nonfirst], nb_new)] = \
-            vb[_range_idx(vb_off, nb_new)]
-    docs_stream[_range_idx(out_row_off + head_len, dl - ln1)] = \
-        cat[_range_idx(sec0 + ln1, dl - ln1)]
+    if out_ver == 1:
+        docs_stream = np.empty(int((out_dl).sum()), dtype=np.uint8)
+        fi = np.flatnonzero(is_first)
+        docs_stream[_range_idx(out_row_off[fi], ln1[fi])] = \
+            cat[_range_idx(sec0[fi], ln1[fi])]
+        if nonfirst.size:
+            docs_stream[_range_idx(out_row_off[nonfirst], nb_new)] = \
+                vb[_range_idx(vb_off, nb_new)]
+        docs_stream[_range_idx(out_row_off + head_len, dl - ln1)] = \
+            cat[_range_idx(sec0 + ln1, dl - ln1)]
+    else:
+        # one straight copy, then overwrite bits [0, w0) of each non-first
+        # blob's docs section with the rebased delta (fits by construction:
+        # new_delta <= stored first delta <= block-0 max)
+        docs_stream = cat[_range_idx(sec0, dl)].copy()
+        if nonfirst.size:
+            old = raw8[nonfirst]
+            neww = (old & ~w0mask[nonfirst]) | new_delta
+            kb = (w0[nonfirst] + 7) // 8      # bytes to write back (<= 8)
+            for j in range(8):
+                sel = np.flatnonzero(kb > j)
+                if not sel.size:
+                    break
+                docs_stream[out_row_off[nonfirst[sel]] + j] = (
+                    (neww[sel] >> np.uint64(8 * j))
+                    & np.uint64(0xFF)).astype(np.uint8)
     freqs_stream = cat[_range_idx(sec0 + dl, fl)]
     pos_stream = cat[_range_idx(sec0 + dl + fl, pl)]
     pay_stream = cat[_range_idx(sec0 + dl + fl + pl, yl)]
@@ -1101,7 +1149,7 @@ def concat_encoded_many(cat: np.ndarray, off: np.ndarray, lens: np.ndarray,
     t_mtf = np.maximum.reduceat(mtf_all, t_first_block)
     headers = np.zeros((T, _HEADER), dtype=np.uint8)
     headers[:, 0] = _MAGIC
-    headers[:, 1] = 1
+    headers[:, 1] = out_ver
     headers[:, 2] = flags[0]
     headers[:, 3] = pws[0]
     headers[:, 4:8] = t_dc.astype("<u4")[:, None].view(np.uint8)
@@ -1123,6 +1171,13 @@ def concat_encoded_many(cat: np.ndarray, off: np.ndarray, lens: np.ndarray,
     hb_u8 = hb_b.astype("<u4").tobytes()
     counts_u8 = counts_stream.tobytes()
     maxtf_u8 = maxtf_stream.tobytes()
+    if out_ver == 2:
+        # per-block width bytes, one stream per section (the merged blob's
+        # widths directory is section-major: all bw_docs, then bw_freqs,
+        # then bw_pos)
+        wd_u8 = cat[_range_idx(dir0 + 28 * nb, nb)].tobytes()
+        wf_u8 = cat[_range_idx(dir0 + 29 * nb, nb)].tobytes()
+        wp_u8 = cat[_range_idx(dir0 + 30 * nb, nb)].tobytes()
     docs_u8 = docs_stream.tobytes()
     freqs_u8 = freqs_stream.tobytes()
     pos_u8 = pos_stream.tobytes()
@@ -1130,6 +1185,8 @@ def concat_encoded_many(cat: np.ndarray, off: np.ndarray, lens: np.ndarray,
     blobs = []
     for t in range(T):
         b0, b1 = int(c_blk[t]), int(c_blk[t + 1])
+        widths_dir = (wd_u8[b0:b1] + wf_u8[b0:b1] + wp_u8[b0:b1]
+                      if out_ver == 2 else b"")
         blobs.append(
             headers[t].tobytes()
             + last_u8[8 * b0:8 * b1]
@@ -1139,6 +1196,7 @@ def concat_encoded_many(cat: np.ndarray, off: np.ndarray, lens: np.ndarray,
             + hb_u8[4 * b0:4 * b1]
             + counts_u8[2 * b0:2 * b1]
             + maxtf_u8[2 * b0:2 * b1]
+            + widths_dir
             + docs_u8[c_dl[t]:c_dl[t + 1]]
             + freqs_u8[c_fl[t]:c_fl[t + 1]]
             + pos_u8[c_pl[t]:c_pl[t + 1]]

@@ -171,15 +171,18 @@ class _MergeBlockWriter:
 
         Two paths, chosen per term:
         - **byte concat** (the overwhelmingly common case — no delete mask
-          touches the term's sources, all varint blobs): the reference's
-          append_index_chunk fast path (merge.cpp:166-180) via
+          touches the term's sources, source codec == output codec): the
+          reference's append_index_chunk fast path (merge.cpp:166-180) via
           codec.concat_encoded_many — sections and directories are copied
-          and rebased in global vectorized passes, only each non-first
-          source's first doc delta is re-encoded.  No posting decodes.
-        - **decode+re-encode** (masked sources / packed blobs / overlapping
-          generations): vectorized decode_blobs + encode_many.
+          and rebased in global vectorized passes; the only rewrite is each
+          non-first source's first doc delta (re-varinted for v1,
+          overwritten in place within its block's existing bit width for
+          v2).  No posting decodes.
+        - **decode+re-encode** (masked sources / explicit cross-codec
+          rewrite / overlapping generations): vectorized decode_blobs +
+          encode_many.
         """
-        from trinity_ray.codec import concat_encoded_many
+        from trinity_ray.codec import _codec_version, concat_encoded_many
 
         row_tstart = np.empty(codes.size, dtype=bool)
         row_tstart[0] = True
@@ -208,7 +211,8 @@ class _MergeBlockWriter:
             sub_counts = np.diff(term_rows)[fast_terms]
             sub_term_rows = np.concatenate(
                 ([0], np.cumsum(sub_counts))).astype(np.int64)
-            res = concat_encoded_many(cat, off, lens, sub_term_rows)
+            res = concat_encoded_many(cat, off, lens, sub_term_rows,
+                                      want_version=_codec_version(self.codec))
             if res is None:
                 slow_terms = np.arange(term_rows.size - 1)  # rare: decode all
             else:
