@@ -79,6 +79,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- event-time windows ----------------------------------------------
         "events_hourly": dsp.q_events_hourly,
         "events_sessions": dsp.q_events_sessions,
+        # -- corpus curation: sampling / decontamination / vocabulary -------
+        "sample_md5": dsp.q_sample_md5,
+        "sample_stratified": dsp.q_sample_stratified,
+        "decontam_flags": dsp.q_decontam_flags,
+        "vocab_top100": dsp.q_vocab_top100,
         # -- multimodal plumbing --------------------------------------------
         "clean_corpus": dsp.q_clean_corpus,
         "multimodal_meta": dsp.q_multimodal_meta,
@@ -157,6 +162,8 @@ FROM scores ORDER BY score DESC, doc_id LIMIT {k}
 
 
 def oracle_sql() -> dict[str, str]:
+    from trinity_ray.ops.sample import md5_threshold_hex as _th
+
     # matched-set fragments (reference boolean semantics over the toks CTE)
     m_term = lambda t: f"SELECT DISTINCT doc_id FROM tf WHERE tok = '{t}'"
     m_and = ("SELECT doc_id FROM tf WHERE tok IN ('KEY', 'ORDER') "
@@ -657,6 +664,48 @@ est AS (SELECT c.id_a, c.id_b,
              JOIN se y ON y.doc_id = c.id_b AND y.i = x.i
         GROUP BY c.id_a, c.id_b)
 SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
+""",
+        # -- corpus curation ------------------------------------------------
+        # md5-gated sampling: the engine's 128-bit threshold is a 32-char
+        # lowercase hex string, so SQL string comparison == integer
+        # comparison — bit-exact selection parity
+        "sample_md5": f"""
+SELECT doc_id, lang FROM documents
+WHERE md5(CAST(doc_id AS VARCHAR) || 'gs') < '{_th((1, 4))}'
+""",
+        "sample_stratified": f"""
+SELECT doc_id, lang FROM documents
+WHERE md5(CAST(doc_id AS VARCHAR) || 'gz') <
+      CASE lang WHEN 'en' THEN '{_th((1, 2))}'
+                WHEN 'de' THEN '{_th((1, 10))}'
+                WHEN 'fr' THEN '{_th((1, 10))}'
+                ELSE '{_th((0, 1))}' END
+""",
+        # benchmark decontamination: distinct word 3-gram shingles shared
+        # with the doc_id % 17 == 0 'benchmark' subset
+        "decontam_flags": """
+WITH pos AS (SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts,1) AS pos
+             FROM (SELECT doc_id, regexp_extract_all(upper(text), '[A-Z0-9]+') AS ts
+                   FROM documents)),
+sh AS (SELECT DISTINCT doc_id,
+              tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w AS shingle
+       FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+       QUALIFY lead(tok,2) OVER w IS NOT NULL),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 17 = 0),
+cnt AS (SELECT s.doc_id, count(DISTINCT s.shingle) AS n
+        FROM sh s JOIN bench b ON s.shingle = b.shingle GROUP BY 1)
+SELECT d.doc_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_contaminated,
+       coalesce(c.n, 0) >= 5 AS contaminated
+FROM documents d LEFT JOIN cnt c USING (doc_id)
+""",
+        # exact heavy hitters, ties term-ascending (same order as the
+        # engine's sort key)
+        "vocab_top100": """
+SELECT tok AS term, count(*) AS cnt FROM (
+  SELECT unnest(regexp_extract_all(upper(text), '[A-Z0-9]+')) AS tok
+  FROM documents)
+WHERE length(tok) <= 64
+GROUP BY tok ORDER BY cnt DESC, term ASC LIMIT 100
 """,
         # no oracle (non-SQL-expressible, driver records rows-only):
         # search_trinity_top10 (trinity parser not expressible in SQL),

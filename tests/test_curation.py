@@ -1,0 +1,132 @@
+"""Corpus-curation ops: deterministic sampling, benchmark decontamination,
+exact heavy-hitters vocabulary."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+
+def _docs(n=400, seed=5):
+    rng = np.random.RandomState(seed)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+             "theta", "kappa", "sigma"]
+    texts = [" ".join(rng.choice(words, size=rng.randint(5, 40)))
+             for _ in range(n)]
+    langs = rng.choice(["en", "de", "fr", "zh"], size=n)
+    return pa.table({"doc_id": pa.array(np.arange(n), pa.int64()),
+                     "text": pa.array(texts),
+                     "lang": pa.array(langs)})
+
+
+def test_sample_md5_deterministic_and_partition_independent(ray_session):
+    from trinity_ray.ops.sample import md5_threshold_hex, sample_by_hash
+
+    t = _docs()
+    ds = rd.from_arrow(t)
+    a = sorted(sample_by_hash(ds, (1, 3), salt="x").to_pandas()["doc_id"])
+    # different partitioning, same rows selected
+    b = sorted(sample_by_hash(rd.from_arrow(t).repartition(13), (1, 3),
+                              salt="x").to_pandas()["doc_id"])
+    assert a == b
+    # brute-force reference
+    th = md5_threshold_hex((1, 3))
+    want = sorted(int(d) for d in t.column("doc_id").to_pylist()
+                  if hashlib.md5(f"{d}x".encode()).hexdigest() < th)
+    assert a == want
+    # rate edges
+    assert sample_by_hash(rd.from_arrow(t), (0, 1)).count() == 0
+    assert sample_by_hash(rd.from_arrow(t), (1, 1)).count() == t.num_rows
+
+
+def test_sample_splitmix_rate_and_salt_decorrelation(ray_session):
+    from trinity_ray.ops.sample import sample_by_hash
+
+    t = _docs(n=4000)
+    kept = sample_by_hash(rd.from_arrow(t), (1, 4),
+                          method="splitmix").to_pandas()["doc_id"]
+    assert 0.19 < len(kept) / 4000 < 0.31
+    kept2 = sample_by_hash(rd.from_arrow(t), (1, 4), salt="other",
+                           method="splitmix").to_pandas()["doc_id"]
+    inter = len(set(kept) & set(kept2))
+    # independent salts -> overlap ~ rate^2, far below either sample
+    assert inter < 0.6 * min(len(kept), len(kept2))
+
+
+def test_stratified_rates_and_default_drop(ray_session):
+    from trinity_ray.ops.sample import md5_threshold_hex, stratified_sample
+
+    t = _docs()
+    out = stratified_sample(rd.from_arrow(t), {"en": (1, 1), "de": (1, 2)},
+                            salt="q").to_pandas()
+    langs = dict(zip(t.column("doc_id").to_pylist(),
+                     t.column("lang").to_pylist()))
+    # strata not in rates are dropped entirely (default_rate 0)
+    assert set(out["lang"]) <= {"en", "de"}
+    # en rate 1 keeps every en doc
+    n_en = sum(1 for v in langs.values() if v == "en")
+    assert (out["lang"] == "en").sum() == n_en
+    th = md5_threshold_hex((1, 2))
+    want_de = {d for d, v in langs.items() if v == "de"
+               and hashlib.md5(f"{d}q".encode()).hexdigest() < th}
+    assert set(out[out["lang"] == "de"]["doc_id"]) == want_de
+
+
+def test_decontaminate_flags_and_drop(ray_session):
+    from trinity_ray.ops.decontam import decontaminate, text_shingles
+
+    # plant one exact benchmark passage inside two docs
+    passage = "the quick brown fox jumps over the lazy dog"
+    texts = ["completely unrelated words here one two three four five",
+             f"prefix words {passage} suffix words",
+             "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+             passage]
+    t = pa.table({"doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                  "text": pa.array(texts)})
+    flagged = decontaminate(rd.from_arrow(t), [passage], n=3,
+                            min_overlap=3).to_pandas().sort_values("doc_id")
+    assert flagged["contaminated"].tolist() == [False, True, False, True]
+    # the planted docs share every passage shingle
+    n_sh = len(text_shingles(passage, 3))
+    assert flagged["n_contaminated"].tolist()[3] == n_sh
+    assert flagged["n_contaminated"].tolist()[1] == n_sh
+    dropped = decontaminate(rd.from_arrow(t), [passage], n=3, min_overlap=3,
+                            mode="drop").to_pandas()
+    assert sorted(dropped["doc_id"]) == [0, 2]
+    assert "n_contaminated" not in dropped.columns
+
+
+def test_decontaminate_short_and_empty_texts(ray_session):
+    from trinity_ray.ops.decontam import decontaminate
+
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": pa.array(["one two", "", None])})
+    out = decontaminate(rd.from_arrow(t), ["one two three"],
+                        n=3).to_pandas()
+    assert out["n_contaminated"].tolist() == [0, 0, 0]
+
+
+def test_top_terms_exact_and_tiebreak(ray_session):
+    from collections import Counter
+
+    from trinity_ray.ops.text import top_terms
+    from trinity_ray.tokenizer import simple_tokenize
+
+    t = _docs(n=300, seed=9)
+    got = top_terms(rd.from_arrow(t), k=5).to_pandas()
+    c = Counter()
+    for x in t.column("text").to_pylist():
+        c.update(simple_tokenize(x))
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert list(zip(got["term"], got["cnt"])) == [
+        (k, v) for k, v in want]
+    # ties break term-ascending: equal-count synthetic corpus
+    t2 = pa.table({"text": pa.array(["b a", "a b", "c c"])})
+    got2 = top_terms(rd.from_arrow(t2), k=3).to_pandas()
+    assert got2["term"].tolist() == ["A", "B", "C"]
+    assert got2["cnt"].tolist() == [2, 2, 2]

@@ -221,3 +221,50 @@ def _act(kwargs: dict) -> dict:
     out.setdefault("concurrency", 2)
     out["runtime_env"] = package_runtime_env()
     return out
+
+
+class _PartialTermCounts:
+    """Per-batch combiner: tokenize, count WITHIN the batch, emit one
+    (term, cnt) row per DISTINCT term — the partial/combiner side of the
+    vocabulary aggregate.  Only distinct-term partials reach the shuffle,
+    so the groupby moves ~vocabulary-sized data, not ~corpus-sized."""
+
+    def __init__(self, text_column: str, tokenizer: str):
+        self.col = text_column
+        self.tokenize = get_tokenizer(tokenizer)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in batch.column(self.col).to_pylist():
+            c.update(self.tokenize(t or ""))
+        if not c:
+            return pa.table({"term": pa.array([], pa.large_string()),
+                             "cnt": pa.array([], pa.int64())})
+        terms, cnts = zip(*c.items())
+        return pa.table({"term": pa.array(terms, pa.large_string()),
+                         "cnt": pa.array(cnts, pa.int64())})
+
+
+def top_terms(ds, k: int = 100, text_column: str = "text",
+              tokenizer: str = "simple", batch_size: int = 4096,
+              concurrency: int | None = None):
+    """Exact corpus-wide heavy hitters: the ``k`` most frequent terms
+    (ties broken by term ascending — deterministic and SQL-matchable).
+
+    Shape: batch-local Counter combiner -> groupby(term).sum over
+    distinct-term partials (the only shuffle, vocabulary-sized) -> sort
+    (cnt desc, term asc) -> limit(k).  The final sort is over the distinct
+    vocabulary, orders of magnitude smaller than the corpus; for vocab
+    building (BPE training, stopword lists) this is the standard first
+    pass."""
+    from ray.data.aggregate import Sum
+
+    kwargs = {} if concurrency is None else {"concurrency": actor_pool(concurrency)}
+    partials = ds.map_batches(_PartialTermCounts, fn_constructor_kwargs=dict(
+        text_column=text_column, tokenizer=tokenizer),
+        batch_format="pyarrow", batch_size=batch_size, **_act(kwargs))
+    totals = partials.groupby("term").aggregate(Sum("cnt", alias_name="cnt"))
+    return totals.sort(key=["cnt", "term"],
+                       descending=[True, False]).limit(int(k))

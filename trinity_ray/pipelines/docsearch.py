@@ -912,3 +912,70 @@ def flagship(sf_dir: str) -> pa.Table:
         "doc_id": pa.array(ids, pa.int64()),
         "score_r": pa.array(scores, pa.float64()),
     })
+
+
+# --------------------------------------------------------------------------
+# corpus curation: deterministic sampling / decontamination / vocabulary
+# --------------------------------------------------------------------------
+
+def q_sample_md5(sf_dir: str):
+    """Deterministic hash sampling, rate 1/4: keep doc iff
+    md5(doc_id || 'gs') < the exact 128-bit threshold.  Stateless
+    map_batches filter — no shuffle, order/partitioning-independent,
+    re-runs pick identical rows (the resumability story for sampled
+    exports).  Column-pruned read: the filter only needs doc_id+lang."""
+    import ray.data as rd
+
+    from trinity_ray.ops.sample import sample_by_hash
+
+    ds = rd.read_parquet(documents_parquet(sf_dir),
+                         columns=["doc_id", "lang"])
+    return sample_by_hash(ds, (1, 4), salt="gs").select_columns(
+        ["doc_id", "lang"])
+
+
+def q_sample_stratified(sf_dir: str):
+    """Per-language quota sampling (en 1/2, de+fr 1/10, others dropped) —
+    the standard corpus-rebalancing step, still one stateless pass."""
+    import ray.data as rd
+
+    from trinity_ray.ops.sample import stratified_sample
+
+    ds = rd.read_parquet(documents_parquet(sf_dir),
+                         columns=["doc_id", "lang"])
+    return stratified_sample(
+        ds, {"en": (1, 2), "de": (1, 10), "fr": (1, 10)},
+        strata_column="lang", salt="gz").select_columns(["doc_id", "lang"])
+
+
+def q_decontam_flags(sf_dir: str):
+    """Benchmark decontamination: docs with >= 5 distinct word 3-gram
+    shingles shared with the 'benchmark' subset (doc_id % 17 == 0 stands
+    in for an eval set).  Benchmark shingles broadcast once via ray.put;
+    corpus streams through an actor pool."""
+    import ray.data as rd
+
+    from trinity_ray.ops.decontam import decontaminate
+
+    def _bench_rows(b):
+        return b.filter(pa.array((b.column("doc_id").to_numpy() % 17) == 0))
+
+    bench = [r["text"] for r in rd.read_parquet(
+        documents_parquet(sf_dir), columns=["doc_id", "text"]
+    ).map_batches(_bench_rows, batch_format="pyarrow").take_all()]
+    ds = rd.read_parquet(documents_parquet(sf_dir),
+                         columns=["doc_id", "text"])
+    return decontaminate(ds, bench, n=3, min_overlap=5).select_columns(
+        ["doc_id", "n_contaminated", "contaminated"])
+
+
+def q_vocab_top100(sf_dir: str):
+    """Exact corpus heavy hitters (vocab-building first pass): top-100
+    terms by frequency, ties term-ascending.  Batch-local Counter
+    combiner -> vocabulary-sized groupby.sum -> sort+limit."""
+    from trinity_ray.ops.text import top_terms
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(documents_parquet(sf_dir), columns=["text"])
+    return top_terms(ds, k=100, text_column="text")
