@@ -174,6 +174,8 @@ def bench_ops(sf_dir: str) -> dict[str, float]:
     timed("clean_corpus", dsp.q_clean_corpus)
     timed("dedup_minhash", dsp.q_dedup_minhash_pairs)
     timed("text_tokens", dsp.q_text_token_counts)
+    timed("decontam", dsp.q_decontam_flags)
+    timed("vocab_top100", dsp.q_vocab_top100)
     timed("ann_bruteforce", dsp.q_ann_bruteforce_top10)
     # IVF recall@10 vs the exact brute-force answer (nprobe=3 of 8 lists)
     try:
