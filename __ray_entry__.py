@@ -84,6 +84,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_stratified": dsp.q_sample_stratified,
         "decontam_flags": dsp.q_decontam_flags,
         "vocab_top100": dsp.q_vocab_top100,
+        "text_repetition": dsp.q_text_repetition,
+        "curated_export": dsp.q_curated_export,
         # -- multimodal plumbing --------------------------------------------
         "clean_corpus": dsp.q_clean_corpus,
         "multimodal_meta": dsp.q_multimodal_meta,
@@ -697,6 +699,47 @@ cnt AS (SELECT s.doc_id, count(DISTINCT s.shingle) AS n
 SELECT d.doc_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_contaminated,
        coalesce(c.n, 0) >= 5 AS contaminated
 FROM documents d LEFT JOIN cnt c USING (doc_id)
+""",
+        # Gopher-style repetition signals
+        "text_repetition": """
+WITH pos AS (SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts,1) AS pos
+             FROM (SELECT doc_id, regexp_extract_all(upper(text), '[A-Z0-9]+') AS ts
+                   FROM documents)),
+tot AS (SELECT doc_id, count(*) AS n FROM pos GROUP BY 1),
+tc AS (SELECT doc_id, max(c) AS m FROM
+       (SELECT doc_id, tok, count(*) AS c FROM pos GROUP BY 1, 2) GROUP BY 1),
+bi AS (SELECT a.doc_id, a.tok || ' ' || b.tok AS bg
+       FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+bc AS (SELECT doc_id, max(c) AS m, sum(c) AS n FROM
+       (SELECT doc_id, bg, count(*) AS c FROM bi GROUP BY 1, 2) GROUP BY 1)
+SELECT d.doc_id,
+       round(coalesce(tc.m::DOUBLE / tot.n, 0), 4) AS top_token_frac,
+       round(coalesce(bc.m::DOUBLE / bc.n, 0), 4) AS top_bigram_frac
+FROM documents d
+LEFT JOIN tot USING (doc_id) LEFT JOIN tc USING (doc_id)
+LEFT JOIN bc USING (doc_id)
+""",
+        # end-to-end curation: dedup winners ∧ not contaminated ∧ quota
+        # sample — the whole composed pipeline as ONE query
+        "curated_export": f"""
+WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+pos AS (SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts,1) AS pos
+        FROM (SELECT doc_id, regexp_extract_all(upper(text), '[A-Z0-9]+') AS ts
+              FROM documents)),
+sh AS (SELECT DISTINCT doc_id,
+              tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w AS shingle
+       FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+       QUALIFY lead(tok,2) OVER w IS NOT NULL),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 17 = 0),
+cont AS (SELECT s.doc_id FROM sh s JOIN bench b ON s.shingle = b.shingle
+         GROUP BY s.doc_id HAVING count(DISTINCT s.shingle) >= 5)
+SELECT d.doc_id, d.lang FROM documents d
+JOIN keep USING (doc_id)
+WHERE d.doc_id NOT IN (SELECT doc_id FROM cont)
+  AND md5(CAST(d.doc_id AS VARCHAR) || 'ce') <
+      CASE d.lang WHEN 'en' THEN '{_th((1, 2))}'
+                  WHEN 'de' THEN '{_th((1, 4))}'
+                  ELSE '{_th((0, 1))}' END
 """,
         # exact heavy hitters, ties term-ascending (same order as the
         # engine's sort key)

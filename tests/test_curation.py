@@ -130,3 +130,51 @@ def test_top_terms_exact_and_tiebreak(ray_session):
     got2 = top_terms(rd.from_arrow(t2), k=3).to_pandas()
     assert got2["term"].tolist() == ["A", "B", "C"]
     assert got2["cnt"].tolist() == [2, 2, 2]
+
+
+def test_repetition_stats_known_values(ray_session):
+    from trinity_ray.ops.text import repetition_stats
+
+    t = pa.table({"doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                  "text": pa.array([
+                      "spam spam spam spam",          # 1.0 token, 1.0 bigram
+                      "a b c d",                      # 0.25 token, 1/3 bigram
+                      "a b a b a",                    # 3/5 token, 2/4 bigram
+                      "",                             # empty -> 0, 0
+                  ])})
+    out = repetition_stats(rd.from_arrow(t)).to_pandas().sort_values("doc_id")
+    assert out["top_token_frac"].tolist() == [1.0, 0.25, 0.6, 0.0]
+    assert out["top_bigram_frac"].tolist() == [1.0, 0.3333, 0.5, 0.0]
+
+
+def test_curated_export_composition(ray_session):
+    """Dedup, decontamination and quota sampling compose: every stage's
+    individual predicate holds on the composed output."""
+    import hashlib as _h
+
+    from trinity_ray.ops.decontam import text_shingles
+    from trinity_ray.ops.sample import md5_threshold_hex
+    from trinity_ray.pipelines.docsearch import q_curated_export
+
+    sf = "/root/testdata/sf0.001"
+    out = q_curated_export(sf).to_pandas()
+    import duckdb
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text, lang FROM '{sf}/documents.parquet'").df()
+    winners = set(duckdb.sql(
+        f"SELECT min(doc_id) FROM '{sf}/documents.parquet' GROUP BY text"
+    ).df().iloc[:, 0])
+    bench = set()
+    texts = dict(zip(docs["doc_id"], docs["text"]))
+    langs = dict(zip(docs["doc_id"], docs["lang"]))
+    for d, t in texts.items():
+        if d % 17 == 0:
+            bench |= text_shingles(t, 3)
+    ths = {"en": md5_threshold_hex((1, 2)), "de": md5_threshold_hex((1, 4))}
+    for d in out["doc_id"]:
+        assert d in winners
+        assert len(text_shingles(texts[d], 3) & bench) < 5
+        lg = langs[d]
+        assert lg in ths
+        assert _h.md5(f"{d}ce".encode()).hexdigest() < ths[lg]

@@ -268,3 +268,44 @@ def top_terms(ds, k: int = 100, text_column: str = "text",
     totals = partials.groupby("term").aggregate(Sum("cnt", alias_name="cnt"))
     return totals.sort(key=["cnt", "term"],
                        descending=[True, False]).limit(int(k))
+
+
+class _RepetitionStats:
+    """Gopher-style repetition signals: the fraction of tokens covered by
+    the single most frequent token, and the fraction of bigrams covered by
+    the most frequent bigram.  Boilerplate / template spam scores high on
+    both; used as a drop rule in large-corpus curation."""
+
+    def __init__(self, text_column: str):
+        self.col = text_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        texts = batch.column(self.col).to_pylist()
+        n = len(texts)
+        top_tok = np.zeros(n, np.float64)
+        top_bi = np.zeros(n, np.float64)
+        for i, t in enumerate(texts):
+            toks = _WORD_RE.findall((t or "").upper())
+            if toks:
+                c = Counter(toks)
+                top_tok[i] = max(c.values()) / len(toks)
+            if len(toks) >= 2:
+                b = Counter(zip(toks, toks[1:]))
+                top_bi[i] = max(b.values()) / (len(toks) - 1)
+        # half-away-from-zero at 4 dp (values >= 0) — DuckDB round() parity;
+        # np.round's banker's rounding differs on exact .00005 ties
+        r4 = lambda x: np.floor(x * 1e4 + 0.5) / 1e4
+        return batch.append_column(
+            "top_token_frac", pa.array(r4(top_tok), pa.float64())
+        ).append_column(
+            "top_bigram_frac", pa.array(r4(top_bi), pa.float64()))
+
+
+def repetition_stats(ds, text_column: str = "text", batch_size: int = 2048,
+                     concurrency: int | None = None):
+    kwargs = {} if concurrency is None else {"concurrency": actor_pool(concurrency)}
+    return ds.map_batches(_RepetitionStats, fn_constructor_kwargs=dict(
+        text_column=text_column),
+        batch_format="pyarrow", batch_size=batch_size, **_act(kwargs))

@@ -979,3 +979,44 @@ def q_vocab_top100(sf_dir: str):
 
     ds = rd.read_parquet(documents_parquet(sf_dir), columns=["text"])
     return top_terms(ds, k=100, text_column="text")
+
+
+def q_text_repetition(sf_dir: str):
+    """Gopher-style repetition signals (top-token / top-bigram coverage
+    fractions) — template-spam drop rule inputs."""
+    import ray.data as rd
+
+    from trinity_ray.ops.text import repetition_stats
+
+    ds = rd.read_parquet(documents_parquet(sf_dir),
+                         columns=["doc_id", "text"])
+    return repetition_stats(ds).select_columns(
+        ["doc_id", "top_token_frac", "top_bigram_frac"])
+
+
+def q_curated_export(sf_dir: str):
+    """End-to-end curation: exact dedup (content hash, keep lowest id) ->
+    benchmark decontamination (drop >= 5 shared 3-gram shingles vs the
+    doc_id %% 17 benchmark docs) -> per-language md5 quota sample (en 1/2,
+    de 1/4, others dropped).  One streaming composition: the only wide op
+    is the dedup groupby; decontamination is a broadcast-set actor stage;
+    sampling is a stateless hash filter.  Exact single-query oracle."""
+    import ray.data as rd
+
+    from trinity_ray.ops.decontam import decontaminate
+    from trinity_ray.ops.dedup import exact_dedup
+    from trinity_ray.ops.sample import stratified_sample
+
+    def _bench_rows(b):
+        return b.filter(pa.array((b.column("doc_id").to_numpy() % 17) == 0))
+
+    bench = [r["text"] for r in rd.read_parquet(
+        documents_parquet(sf_dir), columns=["doc_id", "text"]
+    ).map_batches(_bench_rows, batch_format="pyarrow").take_all()]
+    ds = rd.read_parquet(documents_parquet(sf_dir),
+                         columns=["doc_id", "text", "lang"])
+    d1 = exact_dedup(ds, id_column="doc_id", text_column="text")
+    d2 = decontaminate(d1, bench, n=3, min_overlap=5, mode="drop")
+    d3 = stratified_sample(d2, {"en": (1, 2), "de": (1, 4)},
+                           strata_column="lang", salt="ce")
+    return d3.select_columns(["doc_id", "lang"])
