@@ -346,3 +346,116 @@ def test_merged_segment_prefers_sparse_union(dirs, monkeypatch):
     out2 = rm._union_count(hot, 1)
     assert calls["n"] >= 1
     assert out2.size == span
+
+
+# ---------------------------------------------------------------------------
+# in-place tiered compaction (plan_compaction / compact_segments)
+# ---------------------------------------------------------------------------
+
+def _query_fingerprint(idx: str) -> list:
+    s = LocalSearcher(idx)
+    out = []
+    for _name, _kind, q in REFERENCE_QUERIES[:8]:
+        r = s.search(q, k=10)
+        out.append((list(map(int, r.doc_ids)), [round(float(x), 10)
+                                                for x in r.scores]))
+    m = s.search("", k=0)
+    out.append(sorted(int(d) for d in m.doc_ids))
+    return out
+
+
+def test_compact_subset_equals_uncompacted(ray_session, corpus_dir,
+                                           tmp_path_factory):
+    """Compacting a subset in place changes NOTHING about query results,
+    stats totals, or the live-doc universe."""
+    from trinity_ray.index.merge import compact_segments, plan_compaction
+    from trinity_ray.index.segment import read_manifest
+
+    base = tmp_path_factory.mktemp("compact")
+    idx = str(base / "idx")
+    build_index(corpus_dir, idx, id_columns=("repo", "path"),
+                target_rows_per_partition=100)
+    before = _query_fingerprint(idx)
+    man0 = read_manifest(idx)
+    tot0 = man0.total_stats()
+    plans = plan_compaction(idx, min_run=2, max_run=4)
+    assert plans and all(2 <= len(p) <= 4 for p in plans)
+    n_before = len(man0.segments)
+    man1 = compact_segments(idx, plans[0])
+    assert len(man1.segments) == n_before - len(plans[0]) + 1
+    assert _query_fingerprint(idx) == before
+    tot1 = read_manifest(idx).total_stats()
+    assert tot1.docs_cnt == tot0.docs_cnt
+    assert tot1.sum_term_hits == tot0.sum_term_hits
+    # retired dirs are gone; the compacted dir exists
+    for n in plans[0]:
+        assert not os.path.isdir(os.path.join(idx, "segments", n))
+    # compact EVERY plan -> still identical
+    for p in plan_compaction(idx, min_run=2, max_run=4):
+        compact_segments(idx, p)
+    assert _query_fingerprint(idx) == before
+
+
+def test_compact_with_deletes_and_retention(ray_session, corpus_dir,
+                                            tmp_path_factory):
+    """Deletes from a newer generation apply during compaction; a compacted
+    delete-carrying segment's list is retained as a deletes-only tombstone
+    while older segments remain, so masking keeps working."""
+    from trinity_ray.index.merge import compact_segments
+    from trinity_ray.index.segment import read_manifest
+
+    base = tmp_path_factory.mktemp("compact_del")
+    idx = str(base / "idx")
+    build_index(corpus_dir, idx, id_columns=("repo", "path"),
+                target_rows_per_partition=100)
+    delete_docs(idx, DELETED, generation=1)
+    man = read_manifest(idx)
+    posting = [s.name for s in man.segments if not s.has_deletes]
+    # compact the FIRST two posting segments: the delete segment (gen 1)
+    # stays, keeps masking both the compacted segment (gen 0) and the rest.
+    # Match SETS and the live universe are invariant; scored top-k may
+    # reorder near the cutoff because the compacted segment's stats are
+    # recomputed over live docs (physically-applied deletes, same as the
+    # reference's merge path — uncompacted segments still count masked
+    # docs until their turn).
+    s0 = LocalSearcher(idx)
+    match_before = [sorted(map(int, s0.search(q, k=0).doc_ids))
+                    for _n, _k, q in REFERENCE_QUERIES[:8]]
+    man1 = compact_segments(idx, posting[:2])
+    s1 = LocalSearcher(idx)
+    match_after = [sorted(map(int, s1.search(q, k=0).doc_ids))
+                   for _n, _k, q in REFERENCE_QUERIES[:8]]
+    assert match_after == match_before
+    s = LocalSearcher(idx)
+    live = set(int(d) for d in s.search("", k=0).doc_ids)
+    assert live.isdisjoint(DELETED)
+    assert len(live) == N_DOCS - len(DELETED)
+    # compacting ALL posting segments folds the deletes physically into one
+    # segment with fully-recomputed stats — scores now equal merge_index's
+    # whole-index rewrite of the same sources
+    merged_ref = str(base / "merged_ref")
+    merge_index(idx, merged_ref)
+    posting1 = [x.name for x in man1.segments if not x.has_deletes]
+    compact_segments(idx, posting1)
+    assert _query_fingerprint(idx) == _query_fingerprint(merged_ref)
+
+
+def test_compact_rejects_bad_input(ray_session, corpus_dir,
+                                   tmp_path_factory):
+    from trinity_ray.index.merge import compact_segments
+    from trinity_ray.index.segment import read_manifest
+
+    base = tmp_path_factory.mktemp("compact_bad")
+    idx = str(base / "idx")
+    build_index(corpus_dir, idx, id_columns=("repo", "path"),
+                target_rows_per_partition=200)
+    delete_docs(idx, [1], generation=1)
+    man = read_manifest(idx)
+    posting = [s.name for s in man.segments if not s.has_deletes]
+    deleter = [s.name for s in man.segments if s.has_deletes][0]
+    with pytest.raises(ValueError, match="unknown segments"):
+        compact_segments(idx, ["nope", posting[0]])
+    with pytest.raises(ValueError, match="at least 2"):
+        compact_segments(idx, [posting[0]])
+    with pytest.raises(ValueError, match="deletes-only"):
+        compact_segments(idx, [deleter, posting[0]])

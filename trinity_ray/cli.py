@@ -56,6 +56,23 @@ def cmd_merge(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_compact(args: argparse.Namespace) -> int:
+    from trinity_ray.index.merge import compact_segments, plan_compaction
+
+    _ensure_ray()
+    plans = plan_compaction(args.index, max_bytes=args.max_bytes,
+                            min_run=args.min_run, max_run=args.max_run)
+    if args.dry_run:
+        print(json.dumps({"plans": plans}))
+        return 0
+    done = []
+    for p_ in plans:
+        manifest = compact_segments(args.index, p_)
+        done.append({"sources": p_, "segments_now": len(manifest.segments)})
+    print(json.dumps({"compacted": done}))
+    return 0
+
+
 def cmd_search(args: argparse.Namespace) -> int:
     _ensure_ray()
     if args.actors > 0:
@@ -137,6 +154,17 @@ def main(argv: list[str] | None = None) -> int:
                    help="output codec (default: keep the source codec); "
                         "also the cross-codec rewrite path")
     m.set_defaults(fn=cmd_merge)
+
+    c = sub.add_parser("compact", help="in-place size-tiered compaction of "
+                                       "small contiguous segments")
+    c.add_argument("--index", required=True)
+    c.add_argument("--max-bytes", type=int, default=64 << 20,
+                   help="only segments smaller than this are candidates")
+    c.add_argument("--min-run", type=int, default=4)
+    c.add_argument("--max-run", type=int, default=64)
+    c.add_argument("--dry-run", action="store_true",
+                   help="print the candidate plan without merging")
+    c.set_defaults(fn=cmd_compact)
 
     s = sub.add_parser("search", help="boolean/phrase query with top-k scoring")
     s.add_argument("--index", required=True)

@@ -309,76 +309,27 @@ class _MergeBlockWriter:
                 for t, d, m, h, b in zip(term_names, dfs, mtf, sh, new_blobs)]
 
 
-def merge_index(
-    index_dir: str,
-    out_dir: str,
-    *,
-    concurrency: int | None = None,
-    codec: str | None = None,
-) -> IndexManifest:
-    """Compact all segments of ``index_dir`` into one logical segment in
-    ``out_dir`` (term-sharded postings files), applying all deletes.
-    ``codec`` picks the OUTPUT posting codec (None = keep the source's);
-    sources may mix codecs — blobs are self-describing, so this is also the
-    cross-codec rewrite path (merge.cpp:288-394).
-    Ray must already be initialised by the caller."""
+def _merge_segments_into(index_dir: str, segs: list, masks: dict,
+                         positions: bool, out_seg: str, out_codec: str
+                         ) -> tuple[FieldStatistics, int]:
+    """Core compaction: merge ``segs``' postings + live doc metadata into
+    ``out_seg`` (sharded merged layout: postings/*.terms.parquet+*.bin,
+    docs/*.parquet), applying ``masks``.  Returns (stats, docs_cnt).
+    Shared by the full-index merge and subset compaction."""
     import ray
     import ray.data as rd
 
-    manifest = read_manifest(index_dir)
-    masks = compute_masks(manifest, index_dir)
-    positions = manifest.positions
-    if codec is None:
-        # inherit the first posting segment's codec (stats sidecar); blobs
-        # self-describe so a wrong guess would still decode — this only
-        # picks the OUTPUT encoding
-        codec = "varint"
-        from trinity_ray.index.segment import read_segment_stats
-
-        for s_ in manifest.segments:
-            if not s_.has_deletes:
-                try:
-                    codec = read_segment_stats(index_dir, s_.name).get(
-                        "codec", "varint") or "varint"
-                except OSError:
-                    pass
-                break
-    out_codec = codec
-
-    gen = max((s.generation for s in manifest.segments), default=0)
-    name = f"g{gen:06d}-merged"
-    out_seg = segment_dir(out_dir, name)
-    # idempotent completion / crash-safe restart: a finished merge of the
-    # SAME source state (fingerprint covers manifest version, segment names
-    # and delete-file sizes — deletes at or below `gen` added after a merge
-    # change the fingerprint even though the name stays g{gen}-merged) is
-    # returned as-is; anything else is redone and superseded dirs cleaned
-    src_fp = _source_fingerprint(index_dir, manifest)
-    if os.path.exists(os.path.join(out_dir, "manifest.json")):
-        existing = read_manifest(out_dir)
-        if any(s.name == name for s in existing.segments):
-            try:
-                with open(os.path.join(out_seg, STATS_FILE)) as f:
-                    done_fp = json.load(f).get("source_fp")
-            except (OSError, ValueError):
-                done_fp = None
-            if done_fp == src_fp:
-                return existing
     postings_dir = os.path.join(out_seg, "postings")
-    if os.path.isdir(out_seg):
-        import shutil
-
-        shutil.rmtree(out_seg)
     os.makedirs(postings_dir, exist_ok=True)
 
-    # --- postings: ONE tagged read over all segments → sort(term) ---------
+    # --- postings: ONE tagged read over the source segments → sort(term) --
     # (a union of per-segment pipelines multiplies operator fixed costs and
     # explodes the pre-sort block count; one read + include_paths keeps the
     # shuffle input sane).  The read scans terms dictionaries; blobs are
     # fetched as exact ranges from the sibling postings.bin files.
     by_path: dict[str, tuple[str, int, str]] = {}
     total_bytes = 0
-    for s in manifest.segments:
+    for s in segs:
         for terms_path, bin_path in segment_postings_files(
                 segment_dir(index_dir, s.name)):
             by_path[os.path.abspath(terms_path)] = (s.name, s.doc_base, bin_path)
@@ -468,7 +419,7 @@ def merge_index(
     # replacing generation's own doc table — so rows are tagged with their
     # source segment via include_paths, exactly like the postings read.
     doc_specs: list[dict] = []
-    for s in manifest.segments:
+    for s in segs:
         seg = segment_dir(index_dir, s.name)
         f = os.path.join(seg, DOCS_FILE)
         d = os.path.join(seg, "docs")  # merged-segment sharded layout
@@ -527,12 +478,76 @@ def merge_index(
         total_terms += len(t)
         sum_terms_docs += int(pa.compute.sum(t.column("df")).as_py() or 0)
         sum_term_hits += int(pa.compute.sum(t.column("sum_hits")).as_py() or 0)
-    stats = FieldStatistics(
+    return FieldStatistics(
         docs_cnt=docs_cnt,
         sum_term_hits=sum_term_hits,
         total_terms=total_terms,
         sum_terms_docs=sum_terms_docs,
-    )
+    ), docs_cnt
+
+
+def merge_index(
+    index_dir: str,
+    out_dir: str,
+    *,
+    concurrency: int | None = None,
+    codec: str | None = None,
+) -> IndexManifest:
+    """Compact all segments of ``index_dir`` into one logical segment in
+    ``out_dir`` (term-sharded postings files), applying all deletes.
+    ``codec`` picks the OUTPUT posting codec (None = keep the source's);
+    sources may mix codecs — blobs are self-describing, so this is also the
+    cross-codec rewrite path (merge.cpp:288-394).
+    Ray must already be initialised by the caller."""
+    import ray
+    import ray.data as rd
+
+    manifest = read_manifest(index_dir)
+    masks = compute_masks(manifest, index_dir)
+    positions = manifest.positions
+    if codec is None:
+        # inherit the first posting segment's codec (stats sidecar); blobs
+        # self-describe so a wrong guess would still decode — this only
+        # picks the OUTPUT encoding
+        codec = "varint"
+        from trinity_ray.index.segment import read_segment_stats
+
+        for s_ in manifest.segments:
+            if not s_.has_deletes:
+                try:
+                    codec = read_segment_stats(index_dir, s_.name).get(
+                        "codec", "varint") or "varint"
+                except OSError:
+                    pass
+                break
+    out_codec = codec
+
+    gen = max((s.generation for s in manifest.segments), default=0)
+    name = f"g{gen:06d}-merged"
+    out_seg = segment_dir(out_dir, name)
+    # idempotent completion / crash-safe restart: a finished merge of the
+    # SAME source state (fingerprint covers manifest version, segment names
+    # and delete-file sizes — deletes at or below `gen` added after a merge
+    # change the fingerprint even though the name stays g{gen}-merged) is
+    # returned as-is; anything else is redone and superseded dirs cleaned
+    src_fp = _source_fingerprint(index_dir, manifest)
+    if os.path.exists(os.path.join(out_dir, "manifest.json")):
+        existing = read_manifest(out_dir)
+        if any(s.name == name for s in existing.segments):
+            try:
+                with open(os.path.join(out_seg, STATS_FILE)) as f:
+                    done_fp = json.load(f).get("source_fp")
+            except (OSError, ValueError):
+                done_fp = None
+            if done_fp == src_fp:
+                return existing
+    if os.path.isdir(out_seg):
+        import shutil
+
+        shutil.rmtree(out_seg)
+    stats, docs_cnt = _merge_segments_into(
+        index_dir, manifest.segments, masks, positions, out_seg, out_codec)
+
     with open(os.path.join(out_seg, STATS_FILE), "w") as f:
         json.dump({"format": SEGMENT_FORMAT, "codec": out_codec,
                    **stats.__dict__,
@@ -638,3 +653,145 @@ def retire_superseded(index_dir: str, merged_dir: str) -> list[str]:
     manifest.version += 1
     write_manifest(index_dir, manifest)
     return removed
+
+
+# ---------------------------------------------------------------------------
+# in-place tiered compaction (app-driven MergeCandidatesCollection lifecycle)
+# ---------------------------------------------------------------------------
+
+def plan_compaction(index_dir: str, *, max_bytes: int = 64 << 20,
+                    min_run: int = 4, max_run: int = 64) -> list[list[str]]:
+    """Size-tiered merge-candidate selection.
+
+    The reference leaves candidate choice to the application
+    (MergeCandidatesCollection is FED candidates, merge.cpp:6-35); this is
+    the standard size-tiered policy on top: pick CONTIGUOUS-by-docID runs
+    of small posting segments (postings bytes < ``max_bytes``), at least
+    ``min_run`` long (shorter runs aren't worth a shuffle), at most
+    ``max_run`` (bounds task fan-in and lets compaction proceed
+    incrementally).  Contiguity in docID space keeps every candidate
+    group's ranges non-interleaved, so compaction — and any LATER merge
+    over the compacted segment — stays on the byte-concat fast path.
+    """
+    manifest = read_manifest(index_dir)
+    posting_segs = []
+    for s in sorted(manifest.segments, key=lambda s: s.doc_base):
+        seg = segment_dir(index_dir, s.name)
+        files = segment_postings_files(seg)
+        if not files:
+            continue                      # deletes-only segment
+        size = sum(os.path.getsize(b) for _, b in files)
+        posting_segs.append((s, size))
+    plans: list[list[str]] = []
+    run: list[str] = []
+    for s, size in posting_segs:
+        if size < max_bytes:
+            run.append(s.name)
+            if len(run) == max_run:
+                plans.append(run)
+                run = []
+        else:
+            if len(run) >= min_run:
+                plans.append(run)
+            run = []
+    if len(run) >= min_run:
+        plans.append(run)
+    return plans
+
+
+def compact_segments(index_dir: str, names: list[str], *,
+                     codec: str | None = None) -> IndexManifest:
+    """Merge a SUBSET of segments into one new segment of the SAME index,
+    retiring the sources — the incremental compaction lifecycle
+    (MergeCandidatesCollection::merge + consider_tracked_sources,
+    merge.cpp:40-447), vs merge_index's whole-index rewrite.
+
+    Delete retention (RetainDocumentIDsUpdates analogue): a retired
+    source's delete list still masks OLDER segments that remain in the
+    index, so it survives as a deletes-only segment at its original
+    generation; delete lists whose possible targets were all compacted
+    away are dropped.  The compacted segment's generation is the subset
+    max, so newer outsiders' deletes keep masking it, and retained
+    same-generation delete lists (strictly-newer mask semantics) do not
+    re-mask the docs that were already filtered during compaction.
+
+    Ray must already be initialised by the caller.
+    """
+    import hashlib
+    import shutil
+
+    manifest = read_manifest(index_dir)
+    by_name = {s.name: s for s in manifest.segments}
+    missing = [n for n in names if n not in by_name]
+    if missing:
+        raise ValueError(f"unknown segments {missing}")
+    if len(set(names)) < 2:
+        raise ValueError("compaction needs at least 2 distinct segments")
+    subset = [by_name[n] for n in names]
+    for s in subset:
+        if not segment_postings_files(segment_dir(index_dir, s.name)):
+            raise ValueError(
+                f"{s.name} has no postings (deletes-only segments are "
+                "retention-managed, not compacted)")
+    if codec is None:
+        from trinity_ray.index.segment import read_segment_stats
+
+        codec = "varint"
+        for s_ in subset:
+            try:
+                codec = read_segment_stats(index_dir, s_.name).get(
+                    "codec", "varint") or "varint"
+            except OSError:
+                pass
+            break
+    masks_all = compute_masks(manifest, index_dir)
+    masks = {s.name: masks_all[s.name] for s in subset if s.name in masks_all}
+    gen = max(s.generation for s in subset)
+    ident = "|".join(sorted(names)) + f"@{manifest.version}"
+    name = f"g{gen:06d}-c{hashlib.sha1(ident.encode()).hexdigest()[:8]}"
+    out_seg = segment_dir(index_dir, name)
+    if os.path.isdir(out_seg):   # crashed pre-commit attempt: redo cleanly
+        shutil.rmtree(out_seg)
+    stats, docs_cnt = _merge_segments_into(
+        index_dir, subset, masks, manifest.positions, out_seg, codec)
+    doc_base = min(s.doc_base for s in subset)
+    doc_end = max(s.doc_end for s in subset)
+    with open(os.path.join(out_seg, STATS_FILE), "w") as f:
+        json.dump({"format": SEGMENT_FORMAT, "codec": codec,
+                   **stats.__dict__, "generation": gen,
+                   "doc_base": doc_base, "doc_count": doc_end - doc_base,
+                   "compacted_from": sorted(names)}, f)
+
+    retired = set(names)
+    survivors = [s for s in manifest.segments if s.name not in retired]
+    new_segs = list(survivors)
+    new_segs.append(SegmentMeta(
+        name=name, generation=gen, part_id=0,
+        doc_base=doc_base, doc_count=doc_end - doc_base, stats=stats))
+    # delete retention: a subset member's delete list survives iff an older
+    # segment remains for it to mask
+    kept_delete_dirs: list[str] = []
+    for s in subset:
+        dele = os.path.join(segment_dir(index_dir, s.name), DELETES_FILE)
+        if not os.path.exists(dele):
+            continue
+        if any(o.generation < s.generation for o in survivors):
+            tomb_name = f"{s.name}-deletes"
+            tomb = segment_dir(index_dir, tomb_name)
+            os.makedirs(tomb, exist_ok=True)
+            shutil.copy2(dele, os.path.join(tomb, DELETES_FILE))
+            with open(os.path.join(tomb, STATS_FILE), "w") as f:
+                json.dump({**FieldStatistics().__dict__,
+                           "generation": s.generation,
+                           "doc_base": 0, "doc_count": 0}, f)
+            new_segs.append(SegmentMeta(
+                name=tomb_name, generation=s.generation, part_id=-1,
+                doc_base=0, doc_count=0, stats=FieldStatistics(),
+                has_deletes=True))
+            kept_delete_dirs.append(tomb_name)
+    manifest.segments = sorted(new_segs, key=lambda s: (s.doc_base, s.name))
+    manifest.version += 1
+    write_manifest(index_dir, manifest)    # the commit point
+    for n in retired:
+        shutil.rmtree(segment_dir(index_dir, n), ignore_errors=True)
+    return manifest
