@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- deletes + merge shuffle (SURVEY.md §2.8-2.9) ------------------
         "search_deleted_top10": dsp.q_search_deleted_top10,
         "search_merged_top10": dsp.q_search_merged_top10,
+        "search_compacted_top10": dsp.q_search_compacted_top10,
         # -- dedup ops -----------------------------------------------------
         "dedup_exact_groups": dsp.q_dedup_exact_groups,
         "dedup_exact_keep": dsp.q_dedup_exact_keep,
@@ -411,6 +412,10 @@ WHERE a.tok = 'TABLE' AND b.tok = 'SCAN' AND c.tok = 'MERGE'
         # merged (post-compaction): stats recomputed over live docs only
         "search_merged_top10": _bm25_sql(
             ["WINDOW"], m_term("WINDOW"), live_filter="doc_id % 7 != 3"),
+        # incremental lifecycle (LiveIndex flush x8 -> delete -> in-place
+        # tiered compaction): same live-corpus BM25 semantics as merged
+        "search_compacted_top10": _bm25_sql(
+            ["LINE"], m_term("LINE"), live_filter="doc_id % 7 != 3"),
         # LSH candidates + exact verify == brute-force n-gram Jaccard
         # (recall check built into the oracle: a missed LSH pair hash-fails)
         "dedup_jaccard_pairs": """

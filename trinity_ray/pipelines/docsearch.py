@@ -1020,3 +1020,53 @@ def q_curated_export(sf_dir: str):
     d3 = stratified_sample(d2, {"en": (1, 2), "de": (1, 4)},
                            strata_column="lang", salt="ce")
     return d3.select_columns(["doc_id", "lang"])
+
+
+def compacted_index(sf_dir: str) -> str:
+    """The NRT->durable->compaction lifecycle over the documents table:
+    ingest in 8 chunks through LiveIndex (each flush = one durable
+    generation/segment), delete doc_id % 7 == 3 as a newer generation,
+    then size-tiered in-place compaction of all posting segments
+    (plan_compaction/compact_segments).  Deletes become physical in the
+    compacted segment, so stats count live docs only (same semantics as
+    merged_index, reached through the incremental path)."""
+    n = _check_docid_identity(sf_dir)
+    index_dir = os.path.join(INDEX_ROOT, _tag(sf_dir), "compacted")
+    key = ("compacted", index_dir)
+    if key not in _memo:
+        marker = os.path.join(index_dir, "COMPACTED")
+        if not os.path.exists(marker):
+            import shutil
+
+            from trinity_ray.index.live import LiveIndex
+            from trinity_ray.index.merge import (compact_segments,
+                                                 delete_docs,
+                                                 plan_compaction)
+
+            shutil.rmtree(index_dir, ignore_errors=True)
+            texts = pq.read_table(documents_parquet(sf_dir),
+                                  columns=["text"]).column("text").to_pylist()
+            chunk = max(1, (len(texts) + 7) // 8)
+            li = LiveIndex(None, tokenizer="simple", positions=True)
+            li.add_documents(texts[:chunk])
+            li.flush(index_dir)
+            for i in range(chunk, len(texts), chunk):
+                li = LiveIndex(index_dir, tokenizer="simple", positions=True)
+                li.add_documents(texts[i:i + chunk])
+                li.flush()
+            delete_docs(index_dir, np.flatnonzero(np.arange(n) % 7 == 3),
+                        generation=99)
+            for p in plan_compaction(index_dir, max_bytes=1 << 40,
+                                     min_run=2, max_run=64):
+                compact_segments(index_dir, p)
+            with open(marker, "w") as f:
+                f.write("ok")
+        _memo[key] = True
+    return index_dir
+
+
+def q_search_compacted_top10(sf_dir: str) -> pa.Table:
+    """Search after the incremental ingest -> flush x8 -> delete ->
+    in-place tiered compaction lifecycle: equals BM25 over the live
+    corpus (deletes physical, stats recomputed)."""
+    return topk_table(compacted_index(sf_dir), "line")
