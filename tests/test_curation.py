@@ -178,3 +178,40 @@ def test_curated_export_composition(ray_session):
         lg = langs[d]
         assert lg in ths
         assert _h.md5(f"{d}ce".encode()).hexdigest() < ths[lg]
+
+
+def test_export_curated_partitioned_and_resumable(ray_session, tmp_path):
+    import glob
+    import os
+
+    import duckdb
+
+    from trinity_ray.pipelines.export import export_curated
+
+    t = _docs(n=300, seed=13)
+    out = str(tmp_path / "export")
+    m1 = export_curated(rd.from_arrow(t), out, partition_cols=("lang",))
+    assert m1["rows"] == 300
+    # hive layout: one directory per lang, >= 1 parquet file each
+    for lang, cnt in m1["partitions"].items():
+        files = glob.glob(os.path.join(out, f"lang={lang}", "*.parquet"))
+        assert files, lang
+        got = duckdb.sql(
+            f"SELECT count(*) FROM read_parquet('{out}/lang={lang}/*.parquet')"
+        ).fetchone()[0]
+        assert got == cnt
+    # read-back equality (partition col round-trips through hive paths)
+    total = duckdb.sql(
+        f"SELECT count(*), count(DISTINCT doc_id) FROM "
+        f"read_parquet('{out}/*/*.parquet', hive_partitioning=1)").fetchone()
+    assert total == (300, 300)
+    # finished export: rerun is a no-op returning the committed manifest
+    mtimes = {f: os.path.getmtime(f)
+              for f in glob.glob(os.path.join(out, "*", "*.parquet"))}
+    m2 = export_curated(rd.from_arrow(t.slice(0, 10)), out)
+    assert m2 == m1
+    assert all(os.path.getmtime(f) == mt for f, mt in mtimes.items())
+    # UNFINISHED export (no DONE marker): rerun starts over cleanly
+    os.remove(os.path.join(out, "DONE.json"))
+    m3 = export_curated(rd.from_arrow(t), out)
+    assert m3 == m1

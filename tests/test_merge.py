@@ -459,3 +459,37 @@ def test_compact_rejects_bad_input(ray_session, corpus_dir,
         compact_segments(idx, [posting[0]])
     with pytest.raises(ValueError, match="deletes-only"):
         compact_segments(idx, [deleter, posting[0]])
+
+
+def test_compact_redoes_after_precommit_crash(ray_session, corpus_dir,
+                                              tmp_path_factory):
+    """A compaction that crashed after writing (part of) its output dir
+    but BEFORE the manifest commit is redone cleanly on retry: same name
+    (manifest unchanged), stale dir replaced, results exact."""
+    import hashlib as _h
+
+    from trinity_ray.index.merge import compact_segments, plan_compaction
+    from trinity_ray.index.segment import read_manifest, segment_dir
+
+    base = tmp_path_factory.mktemp("compact_crash")
+    idx = str(base / "idx")
+    build_index(corpus_dir, idx, id_columns=("repo", "path"),
+                target_rows_per_partition=150)
+    before = _query_fingerprint(idx)
+    man = read_manifest(idx)
+    plan = plan_compaction(idx, min_run=2, max_run=3)[0]
+    # reproduce the deterministic output name and plant a half-written dir
+    ident = "|".join(sorted(plan)) + f"@{man.version}"
+    name = f"g{man.segments[0].generation:06d}-c" + \
+        _h.sha1(ident.encode()).hexdigest()[:8]
+    orphan = segment_dir(idx, name)
+    os.makedirs(os.path.join(orphan, "postings"))
+    with open(os.path.join(orphan, "stats.json"), "w") as f:
+        f.write("{corrupt")
+    compact_segments(idx, plan)
+    assert _query_fingerprint(idx) == before
+    # the planted garbage is gone; the committed segment parses
+    import json as _json
+
+    with open(os.path.join(orphan, "stats.json")) as f:
+        assert _json.load(f)["docs_cnt"] > 0
