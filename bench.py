@@ -253,6 +253,16 @@ def run_once() -> dict:
             rsp.search("key AND order", k=10)
             times.append(time.time() - t0)
         queries["q_packed_and_warm"] = statistics.median(times)
+        # incremental in-place compaction of the raw 376-segment build
+        # (size-tiered contiguous runs; the NRT-lifecycle alternative to
+        # the whole-index merge measured above).  Mutates index_dir, so it
+        # runs after every other use of it.
+        from trinity_ray.index.merge import compact_segments, plan_compaction
+
+        t0 = time.time()
+        for plan in plan_compaction(index_dir, min_run=2, max_run=64):
+            compact_segments(index_dir, plan)
+        queries["compact_sec"] = time.time() - t0
         queries.update(bench_ops(SF_DIR))
         total = time.time() - t_all
         return {
