@@ -103,3 +103,27 @@ def test_cli_codec_and_rich_mode(tmp_path, ray_session, capsys):
                "--mode", "subtrees"])
     assert rc == 0
     assert capsys.readouterr().out.strip()
+
+
+def test_cli_compact(tmp_path, capsys, ray_session):
+    from trinity_ray.fixtures import write_corpus
+
+    corpus_dir = str(tmp_path / "corpus")
+    write_corpus(corpus_dir, 600, n_files=2, seed=11, row_group_size=128)
+    idx = str(tmp_path / "idx")
+    main(["build", "--input", corpus_dir, "--index", idx,
+          "--target-rows", "150"])
+    capsys.readouterr()
+    rc = main(["compact", "--index", idx, "--min-run", "2", "--max-run", "3",
+               "--dry-run"])
+    assert rc == 0
+    plans = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["plans"]
+    assert plans and all(2 <= len(p) <= 3 for p in plans)
+    rc = main(["compact", "--index", idx, "--min-run", "2", "--max-run", "3"])
+    assert rc == 0
+    done = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(done["compacted"]) == len(plans)
+    rc = main(["search", "--index", idx, "--query", "while", "-k", "2"])
+    assert rc == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert rows and rows[0]["score"] > 0
