@@ -40,6 +40,44 @@ BENCH_ROOT = "/tmp/trinity_bench"
 QUERY_REPS = 5
 
 
+def _host_probe_task(_):
+    import time as _t
+
+    import numpy as _np
+
+    a = _np.random.RandomState(0).randint(0, 1 << 30, 4_000_000
+                                          ).astype(_np.uint64)
+    t0 = _t.perf_counter()
+    for _i in range(2):
+        b = _np.sort(a)
+        _np.cumsum(b)
+    return _t.perf_counter() - t0
+
+
+def host_probe(n: int) -> dict:
+    """Same-instant host-condition calibration, recorded INSIDE the bench
+    artifact: the identical memory-heavy numpy task timed 1-way and n-way
+    (plain multiprocessing, no Ray).  This sandbox's effective parallelism
+    swings 2-4x between sessions (shared memory controller / noisy
+    neighbors), so absolute per-round numbers are only comparable through
+    this probe — parallel_eff near 1.0 = healthy host, near 0.3 = every
+    n-way phase in this run is inflated accordingly."""
+    from multiprocessing import Pool
+
+    t1 = _host_probe_task(0)
+    with Pool(n) as p:
+        t0 = time.perf_counter()
+        per = p.map(_host_probe_task, range(n))
+        wall = time.perf_counter() - t0
+    return {
+        "host_probe_1way_s": round(t1, 3),
+        # n tasks on n workers: wall == t1 would be perfect -> eff 1.0
+        "host_probe_parallel_eff": round(t1 / wall, 3) if wall else 0.0,
+        "host_probe_per_task_slowdown": round(
+            statistics.median(per) / t1, 2) if t1 else 0.0,
+    }
+
+
 def sf_of(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -190,6 +228,7 @@ def bench_ops(sf_dir: str) -> dict[str, float]:
 def run_once() -> dict:
     import ray
 
+    probe = host_probe(NUM_CPUS)   # before Ray holds the CPUs
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
     try:
@@ -273,6 +312,7 @@ def run_once() -> dict:
             "sf": sf,
             "num_cpus": NUM_CPUS,
             "index_build_docs_per_sec": round(n_docs / build_sec, 1),
+            **probe,
         }
     finally:
         ray.shutdown()
