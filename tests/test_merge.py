@@ -493,3 +493,28 @@ def test_compact_redoes_after_precommit_crash(ray_session, corpus_dir,
 
     with open(os.path.join(orphan, "stats.json")) as f:
         assert _json.load(f)["docs_cnt"] > 0
+
+
+def test_merge_metrics_lineage(dirs):
+    """merge_metrics.json (the merge-side analogue of build_metrics.json):
+    per-shard fast/decode path counts aggregate to the dictionary size."""
+    import json
+
+    _, merged = dirs
+    s = LocalSearcher(merged)
+    seg = s.manifest.segments[0]
+    with open(os.path.join(merged, "segments", seg.name,
+                           "merge_metrics.json")) as f:
+        m = json.load(f)
+    t = m["total"]
+    # path counters are INPUT-side term groups; terms is the OUTPUT
+    # dictionary — the difference is terms whose postings were entirely
+    # masked away (possible only on the decode path)
+    eliminated = t["fast_path_terms"] + t["decode_path_terms"] - t["terms"]
+    assert 0 <= eliminated <= t["decode_path_terms"]
+    assert t["terms"] == seg.stats.total_terms
+    # this fixture merges masked sources -> some decode-path work, and
+    # clean sources -> some fast-path work
+    assert t["decode_path_terms"] > 0 and t["fast_path_terms"] > 0
+    assert len(m["sources"]) >= 2
+    assert all(sh["terms"] >= 0 for sh in m["shards"].values())

@@ -117,6 +117,12 @@ class _MergeBlockWriter:
         self.positions = positions
         self.out_dir = out_dir
         self.codec = codec
+        # per-call path counters, persisted next to each shard as
+        # <stem>.meta.json (merge lineage: how much of the work rode the
+        # byte-concat fast path vs decode+re-encode)
+        self._fast_terms = 0
+        self._slow_terms = 0
+        self._rows_in = 0
 
     def __call__(self, block: pa.Table) -> pa.Table:
         n = block.num_rows
@@ -152,6 +158,8 @@ class _MergeBlockWriter:
 
     def _merge_rows_vectorized(self, blobs: list[bytes], terms: np.ndarray,
                                segs: np.ndarray, codes: np.ndarray) -> None:
+        self._fast_terms = self._slow_terms = 0
+        self._rows_in = len(blobs)
         out = self.merge_term_groups(blobs, terms, segs, codes)
         if not out:
             return
@@ -160,8 +168,16 @@ class _MergeBlockWriter:
         # term range: a RETRIED task rewrites the SAME shard atomically
         # instead of adding a duplicate that would double-count stats
         key = f"{out[0][0]}|{out[-1][0]}|{len(out)}".encode()
-        _write_shard(self.out_dir,
-                     f"inner-{hashlib.sha1(key).hexdigest()[:16]}", out)
+        stem = f"inner-{hashlib.sha1(key).hexdigest()[:16]}"
+        _write_shard(self.out_dir, stem, out)
+        meta = {"terms": len(out), "rows_in": self._rows_in,
+                "fast_path_terms": self._fast_terms,
+                "decode_path_terms": self._slow_terms,
+                "bytes_out": sum(len(r[4]) for r in out)}
+        tmp = os.path.join(self.out_dir, f".{stem}.meta.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(self.out_dir, f"{stem}.meta.json"))
 
     def merge_term_groups(self, blobs: list[bytes], terms: np.ndarray,
                           segs: np.ndarray, codes: np.ndarray
@@ -217,10 +233,12 @@ class _MergeBlockWriter:
                 slow_terms = np.arange(term_rows.size - 1)  # rare: decode all
             else:
                 nblobs, dfs, mtfs, shs = res
+                self._fast_terms += len(fast_terms)
                 for j, ti in enumerate(fast_terms):
                     out.append((str(term_names[ti]), int(dfs[j]),
                                 int(mtfs[j]), int(shs[j]), nblobs[j]))
         if slow_terms.size:
+            self._slow_terms += int(slow_terms.size)
             rsel = np.flatnonzero(np.isin(term_of_row, slow_terms))
             out.extend(self._decode_merge_subset(
                 [blobs[i] for i in rsel], terms[rsel], segs[rsel],
@@ -411,6 +429,29 @@ def _merge_segments_into(index_dir: str, segs: list, masks: dict,
         if brows:
             brows.sort(key=lambda r: r[0])
             _write_shard(postings_dir, "boundary", brows)
+            with open(os.path.join(postings_dir, "boundary.meta.json"),
+                      "w") as f:
+                json.dump({"terms": len(brows), "rows_in": len(b_blobs),
+                           "fast_path_terms": bw._fast_terms,
+                           "decode_path_terms": bw._slow_terms,
+                           "bytes_out": sum(len(r[4]) for r in brows)}, f)
+
+    # merge lineage: aggregate the per-shard path metrics (how much work
+    # rode the byte-concat fast path vs decode+re-encode, per shard and in
+    # total) — the merge-side analogue of build_metrics.json
+    shard_metas = {}
+    agg = {"terms": 0, "rows_in": 0, "fast_path_terms": 0,
+           "decode_path_terms": 0, "bytes_out": 0}
+    for fn in sorted(os.listdir(postings_dir)):
+        if fn.endswith(".meta.json"):
+            with open(os.path.join(postings_dir, fn)) as f:
+                m = json.load(f)
+            shard_metas[fn[:-len(".meta.json")]] = m
+            for k in agg:
+                agg[k] += int(m.get(k, 0))
+    with open(os.path.join(out_seg, "merge_metrics.json"), "w") as f:
+        json.dump({"total": agg, "shards": shard_metas,
+                   "sources": [s.name for s in segs]}, f, indent=1)
 
     # --- docs: stream live doc metadata (never materialized on the driver:
     # at 10^12 docs this is the big table; masks broadcast once).  Masks are
