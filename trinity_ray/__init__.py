@@ -41,8 +41,17 @@ _EXPORTS = {
     "decode_bmp": ("trinity_ray.ops.imagecodec", "decode_bmp"),
     "ivf_write_partitioned": ("trinity_ray.ops.ann", "ivf_write_partitioned"),
     "ivf_topk_partitioned": ("trinity_ray.ops.ann", "ivf_topk_partitioned"),
-    # round 3: storage-aware doc predicates
+    # round 3: storage-aware doc predicates, in-place compaction,
+    # corpus curation (sampling / decontamination / vocab / export)
     "DocPredicate": ("trinity_ray.query.exec", "DocPredicate"),
+    "plan_compaction": ("trinity_ray.index.merge", "plan_compaction"),
+    "compact_segments": ("trinity_ray.index.merge", "compact_segments"),
+    "sample_by_hash": ("trinity_ray.ops.sample", "sample_by_hash"),
+    "stratified_sample": ("trinity_ray.ops.sample", "stratified_sample"),
+    "decontaminate": ("trinity_ray.ops.decontam", "decontaminate"),
+    "top_terms": ("trinity_ray.ops.text", "top_terms"),
+    "repetition_stats": ("trinity_ray.ops.text", "repetition_stats"),
+    "export_curated": ("trinity_ray.pipelines.export", "export_curated"),
 }
 
 __all__ = sorted(_EXPORTS) + ["__version__"]
