@@ -40,6 +40,10 @@ BENCH_ROOT = "/tmp/trinity_bench"
 QUERY_REPS = 5
 
 
+def _noop(_):
+    return None
+
+
 def _host_probe_task(_):
     import time as _t
 
@@ -48,7 +52,7 @@ def _host_probe_task(_):
     a = _np.random.RandomState(0).randint(0, 1 << 30, 4_000_000
                                           ).astype(_np.uint64)
     t0 = _t.perf_counter()
-    for _i in range(2):
+    for _i in range(4):
         b = _np.sort(a)
         _np.cumsum(b)
     return _t.perf_counter() - t0
@@ -64,17 +68,18 @@ def host_probe(n: int) -> dict:
     n-way phase in this run is inflated accordingly."""
     from multiprocessing import Pool
 
-    t1 = _host_probe_task(0)
+    t1 = statistics.median(_host_probe_task(0) for _ in range(3))
     with Pool(n) as p:
+        p.map(_noop, range(n))   # fork + import cost out of the timing
         t0 = time.perf_counter()
         per = p.map(_host_probe_task, range(n))
         wall = time.perf_counter() - t0
     return {
         "host_probe_1way_s": round(t1, 3),
+        "host_probe_nway_task_s": round(statistics.median(per), 3),
+        "host_probe_nway_wall_s": round(wall, 3),
         # n tasks on n workers: wall == t1 would be perfect -> eff 1.0
         "host_probe_parallel_eff": round(t1 / wall, 3) if wall else 0.0,
-        "host_probe_per_task_slowdown": round(
-            statistics.median(per) / t1, 2) if t1 else 0.0,
     }
 
 
@@ -313,6 +318,10 @@ def run_once() -> dict:
             "num_cpus": NUM_CPUS,
             "index_build_docs_per_sec": round(n_docs / build_sec, 1),
             **probe,
+            # conditions drift across a multi-minute run: probe again at
+            # the end so the artifact brackets the window it measured in
+            "host_probe_end_parallel_eff": host_probe(NUM_CPUS)[
+                "host_probe_parallel_eff"],
         }
     finally:
         ray.shutdown()
