@@ -455,10 +455,20 @@ def test_compact_rejects_bad_input(ray_session, corpus_dir,
     deleter = [s.name for s in man.segments if s.has_deletes][0]
     with pytest.raises(ValueError, match="unknown segments"):
         compact_segments(idx, ["nope", posting[0]])
+    # single segment WITHOUT applicable deletes: nothing to do -> rejected
+    # (doc 1 is deleted, so posting[0] holds a mask; posting[1] does not)
     with pytest.raises(ValueError, match="at least 2"):
-        compact_segments(idx, [posting[0]])
+        compact_segments(idx, [posting[1]])
     with pytest.raises(ValueError, match="deletes-only"):
         compact_segments(idx, [deleter, posting[0]])
+    # single segment WITH deletes: the single-source masked rewrite is
+    # allowed and folds them
+    n_live_before = LocalSearcher(idx).search("", k=0).doc_ids.size
+    man1 = compact_segments(idx, [posting[0]])
+    comp = [s for s in man1.segments
+            if s.doc_count > 0 and s.name not in posting][0]
+    assert comp.masked_to >= 1
+    assert LocalSearcher(idx).search("", k=0).doc_ids.size == n_live_before
 
 
 def test_compact_redoes_after_precommit_crash(ray_session, corpus_dir,
@@ -518,3 +528,34 @@ def test_merge_metrics_lineage(dirs):
     assert t["decode_path_terms"] > 0 and t["fast_path_terms"] > 0
     assert len(m["sources"]) >= 2
     assert all(sh["terms"] >= 0 for sh in m["shards"].values())
+
+
+def test_compact_gc_drops_fully_applied_delete_segments(ray_session,
+                                                        corpus_dir,
+                                                        tmp_path_factory):
+    """consider_tracked_sources Delete decision: once every doc-carrying
+    segment carries a delete list's effect (masked_to watermark), the
+    deletes-only segment is dropped — repeated delete+compact cycles must
+    not accumulate delete files."""
+    from trinity_ray.index.merge import compact_segments
+    from trinity_ray.index.segment import read_manifest
+
+    base = tmp_path_factory.mktemp("compact_gc")
+    idx = str(base / "idx")
+    build_index(corpus_dir, idx, id_columns=("repo", "path"),
+                target_rows_per_partition=150)
+    for cycle, gen in enumerate((1, 2)):
+        delete_docs(idx, [10 + cycle, 20 + cycle], generation=gen)
+        man = read_manifest(idx)
+        posting = [s.name for s in man.segments if s.doc_count > 0]
+        compact_segments(idx, posting)
+        man = read_manifest(idx)
+        # all deletes physically applied -> no delete segments remain
+        assert not any(s.has_deletes for s in man.segments), cycle
+        assert sum(1 for s in man.segments if s.doc_count > 0) == 1
+        comp = [s for s in man.segments if s.doc_count > 0][0]
+        assert comp.masked_to >= gen
+    s = LocalSearcher(idx)
+    live = set(int(d) for d in s.search("", k=0).doc_ids)
+    assert live.isdisjoint({10, 11, 20, 21})
+    assert len(live) == N_DOCS - 4

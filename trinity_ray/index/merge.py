@@ -329,7 +329,7 @@ class _MergeBlockWriter:
 
 def _merge_segments_into(index_dir: str, segs: list, masks: dict,
                          positions: bool, out_seg: str, out_codec: str
-                         ) -> tuple[FieldStatistics, int]:
+                         ) -> FieldStatistics:
     """Core compaction: merge ``segs``' postings + live doc metadata into
     ``out_seg`` (sharded merged layout: postings/*.terms.parquet+*.bin,
     docs/*.parquet), applying ``masks``.  Returns (stats, docs_cnt).
@@ -524,7 +524,7 @@ def _merge_segments_into(index_dir: str, segs: list, masks: dict,
         sum_term_hits=sum_term_hits,
         total_terms=total_terms,
         sum_terms_docs=sum_terms_docs,
-    ), docs_cnt
+    )
 
 
 def merge_index(
@@ -586,14 +586,14 @@ def merge_index(
         import shutil
 
         shutil.rmtree(out_seg)
-    stats, docs_cnt = _merge_segments_into(
+    stats = _merge_segments_into(
         index_dir, manifest.segments, masks, positions, out_seg, out_codec)
 
     with open(os.path.join(out_seg, STATS_FILE), "w") as f:
         json.dump({"format": SEGMENT_FORMAT, "codec": out_codec,
                    **stats.__dict__,
                    "generation": gen, "doc_base": 0,
-                   "doc_count": docs_cnt, "source_fp": src_fp}, f)
+                   "doc_count": stats.docs_cnt, "source_fp": src_fp}, f)
 
     doc_end = max((s.doc_end for s in manifest.segments), default=0)
     out_manifest = IndexManifest(
@@ -714,6 +714,10 @@ def plan_compaction(index_dir: str, *, max_bytes: int = 64 << 20,
     group's ranges non-interleaved, so compaction — and any LATER merge
     over the compacted segment — stays on the byte-concat fast path.
     """
+    # a 1-run is never worth a shuffle (and compact_segments rejects it);
+    # clamp rather than crash mid-run on --min-run 1 / --max-run 1
+    min_run = max(2, int(min_run))
+    max_run = max(min_run, int(max_run))
     manifest = read_manifest(index_dir)
     posting_segs = []
     for s in sorted(manifest.segments, key=lambda s: s.doc_base):
@@ -766,25 +770,33 @@ def compact_segments(index_dir: str, names: list[str], *,
     missing = [n for n in names if n not in by_name]
     if missing:
         raise ValueError(f"unknown segments {missing}")
-    if len(set(names)) < 2:
-        raise ValueError("compaction needs at least 2 distinct segments")
     subset = [by_name[n] for n in names]
+    if not subset:
+        raise ValueError("compaction needs at least 1 segment")
+    if len(set(names)) < 2:
+        # a single segment is only worth rewriting to FOLD DELETES into it
+        # (the reference's single-source masked merge, merge.cpp:288-394)
+        only = subset[0]
+        masks_probe = compute_masks(manifest, index_dir)
+        if only.name not in masks_probe or not masks_probe[only.name].size:
+            raise ValueError(
+                "compaction needs at least 2 distinct segments (a single "
+                "segment is only compacted when deletes apply to it)")
     for s in subset:
         if not segment_postings_files(segment_dir(index_dir, s.name)):
             raise ValueError(
                 f"{s.name} has no postings (deletes-only segments are "
                 "retention-managed, not compacted)")
     if codec is None:
+        # inherit the first subset member's codec; blobs self-describe, so
+        # this only picks the OUTPUT encoding (and the fast-path gate)
         from trinity_ray.index.segment import read_segment_stats
 
-        codec = "varint"
-        for s_ in subset:
-            try:
-                codec = read_segment_stats(index_dir, s_.name).get(
-                    "codec", "varint") or "varint"
-            except OSError:
-                pass
-            break
+        try:
+            codec = read_segment_stats(index_dir, subset[0].name).get(
+                "codec", "varint") or "varint"
+        except OSError:
+            codec = "varint"
     masks_all = compute_masks(manifest, index_dir)
     masks = {s.name: masks_all[s.name] for s in subset if s.name in masks_all}
     gen = max(s.generation for s in subset)
@@ -793,7 +805,7 @@ def compact_segments(index_dir: str, names: list[str], *,
     out_seg = segment_dir(index_dir, name)
     if os.path.isdir(out_seg):   # crashed pre-commit attempt: redo cleanly
         shutil.rmtree(out_seg)
-    stats, docs_cnt = _merge_segments_into(
+    stats = _merge_segments_into(
         index_dir, subset, masks, manifest.positions, out_seg, codec)
     doc_base = min(s.doc_base for s in subset)
     doc_end = max(s.doc_end for s in subset)
@@ -805,18 +817,27 @@ def compact_segments(index_dir: str, names: list[str], *,
 
     retired = set(names)
     survivors = [s for s in manifest.segments if s.name not in retired]
+    # every delete list visible at compaction time was applied (or is by
+    # definition inapplicable, generation <= source gen) to the output
+    masked_to = max((s.generation for s in manifest.segments
+                     if s.has_deletes), default=-1)
     new_segs = list(survivors)
     new_segs.append(SegmentMeta(
         name=name, generation=gen, part_id=0,
-        doc_base=doc_base, doc_count=doc_end - doc_base, stats=stats))
+        doc_base=doc_base, doc_count=doc_end - doc_base, stats=stats,
+        masked_to=masked_to))
     # delete retention: a subset member's delete list survives iff an older
     # segment remains for it to mask
-    kept_delete_dirs: list[str] = []
     for s in subset:
         dele = os.path.join(segment_dir(index_dir, s.name), DELETES_FILE)
         if not os.path.exists(dele):
             continue
-        if any(o.generation < s.generation for o in survivors):
+        # a delete list can only mask DOC-CARRYING segments of strictly
+        # lower generation that do not already carry its effect
+        # (masked_to); zero-doc survivors (other tombstones) are not
+        # targets
+        if any(o.doc_count > 0 and o.generation < s.generation
+               and o.masked_to < s.generation for o in survivors):
             tomb_name = f"{s.name}-deletes"
             tomb = segment_dir(index_dir, tomb_name)
             os.makedirs(tomb, exist_ok=True)
@@ -829,10 +850,25 @@ def compact_segments(index_dir: str, names: list[str], *,
                 name=tomb_name, generation=s.generation, part_id=-1,
                 doc_base=0, doc_count=0, stats=FieldStatistics(),
                 has_deletes=True))
-            kept_delete_dirs.append(tomb_name)
-    manifest.segments = sorted(new_segs, key=lambda s: (s.doc_base, s.name))
+    # tombstone GC (consider_tracked_sources Delete decision): any
+    # deletes-only segment — retained above, created by delete_docs, or
+    # left over from earlier compactions — can be dropped once every
+    # doc-carrying segment either post-dates it (never a target) or
+    # already carries its effect (masked_to watermark), so NRT
+    # delete+compact cycles do not accumulate delete files forever
+    doc_segs = [s for s in new_segs if s.doc_count > 0]
+    dropped_tombs = []
+    kept_segs = []
+    for s in new_segs:
+        if s.doc_count == 0 and s.has_deletes and all(
+                d.generation >= s.generation or d.masked_to >= s.generation
+                for d in doc_segs):
+            dropped_tombs.append(s.name)
+        else:
+            kept_segs.append(s)
+    manifest.segments = sorted(kept_segs, key=lambda s: (s.doc_base, s.name))
     manifest.version += 1
     write_manifest(index_dir, manifest)    # the commit point
-    for n in retired:
+    for n in list(retired) + dropped_tombs:
         shutil.rmtree(segment_dir(index_dir, n), ignore_errors=True)
     return manifest

@@ -88,6 +88,11 @@ class SegmentMeta:
     doc_count: int
     stats: FieldStatistics = field(default_factory=FieldStatistics)
     has_deletes: bool = False
+    # delete lists with generation <= masked_to are PHYSICALLY applied to
+    # this segment's contents (merge/compaction filtered them) — the
+    # consider_tracked_sources evidence that lets tombstone GC drop a
+    # delete segment once every potential target carries its effect
+    masked_to: int = -1
 
     @property
     def doc_end(self) -> int:
@@ -191,6 +196,7 @@ def read_manifest(index_dir: str) -> IndexManifest:
             doc_count=s["doc_count"],
             stats=FieldStatistics(**s["stats"]),
             has_deletes=s.get("has_deletes", False),
+            masked_to=s.get("masked_to", -1),
         )
         for s in raw["segments"]
     ]

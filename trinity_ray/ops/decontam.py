@@ -16,16 +16,14 @@ whole operator is exactly expressible in DuckDB for the correctness gate.
 
 from __future__ import annotations
 
-import re
 
 import numpy as np
 import pyarrow as pa
 
 from trinity_ray.rayutil import actor_pool, package_runtime_env
+from trinity_ray.tokenizer import WORD_RE as _TOKEN_RE
 
 __all__ = ["benchmark_shingles", "decontaminate"]
-
-_TOKEN_RE = re.compile(r"[A-Z0-9]+")
 
 
 def text_shingles(text: str, n: int) -> set:

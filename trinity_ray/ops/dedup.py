@@ -31,7 +31,7 @@ import pyarrow.compute as pc
 from trinity_ray.rayutil import actor_pool, package_runtime_env
 from trinity_ray.tokenizer import get_tokenizer
 
-_WORD_RE = re.compile(r"[A-Za-z0-9]+")
+from trinity_ray.tokenizer import WORD_RE as _WORD_RE  # one shared oracle-parity pattern
 
 
 # ---------------------------------------------------------------------------

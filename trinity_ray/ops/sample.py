@@ -43,15 +43,18 @@ def _as_fraction(rate) -> Fraction:
 
 
 def md5_threshold_hex(rate) -> str:
-    """32-char lowercase hex threshold: keep iff md5hex < this.
+    """Threshold string: keep iff md5hex < this.
 
-    ``floor(rate * 2**128)`` — identical to the SQL comparison
-    ``md5(...) < '<hex>'`` because both strings are 32 lowercase hex
-    chars (lexicographic == numeric order).
-    """
+    ``floor(rate * 2**128)`` as 32 lowercase hex chars — identical to the
+    SQL comparison ``md5(...) < '<hex>'`` (lexicographic == numeric
+    order).  Rate 1 returns ``"g"``: lexicographically above every hex
+    string, so the comparison keeps ALL rows in both Python and SQL (a
+    strict ``<`` against the max hash value would drop a
+    probability-2^-128 row)."""
     f = _as_fraction(rate)
-    return format(int(f.numerator * _MD5_SPACE // f.denominator)
-                  if f != 1 else _MD5_SPACE - 1, "032x")
+    if f == 1:
+        return "g"
+    return format(int(f.numerator * _MD5_SPACE // f.denominator), "032x")
 
 
 def splitmix64(x: np.ndarray) -> np.ndarray:
@@ -83,8 +86,9 @@ def sample_by_hash(ds, rate, key_column: str = "doc_id", salt: str = "",
 
     elif method == "splitmix":
         f = _as_fraction(rate)
-        th64 = np.uint64(f.numerator * (1 << 64) // f.denominator - 1) \
-            if f == 1 else np.uint64(f.numerator * (1 << 64) // f.denominator)
+        if f == 1:                        # keep-all: no hash can satisfy a
+            return ds                     # strict < against the max value
+        th64 = np.uint64(f.numerator * (1 << 64) // f.denominator)
         salt_int = np.uint64(
             int.from_bytes(hashlib.md5(salt.encode()).digest()[:8], "little"))
 

@@ -14,7 +14,7 @@ import pyarrow.compute as pc
 from trinity_ray.rayutil import actor_pool
 from trinity_ray.tokenizer import get_tokenizer
 
-_WORD_RE = re.compile(r"[A-Za-z0-9]+")
+from trinity_ray.tokenizer import WORD_RE as _WORD_RE  # one shared oracle-parity pattern
 
 # tiny per-language stopword profiles for the n-gram/stopword heuristic
 _LANG_PROFILES: dict[str, set[str]] = {

@@ -38,6 +38,10 @@ def export_curated(ds, out_dir: str, *, partition_cols=("lang",),
         shutil.rmtree(out_dir)
     cols = list(partition_cols)
     ds = ds.materialize()                 # consumed twice (write + counts)
+    # Ray's write_parquet skips creating out_dir for empty output (same
+    # behavior merge.py works around for docs dirs) — the DONE marker must
+    # still commit an empty manifest there
+    os.makedirs(out_dir, exist_ok=True)
     ds.write_parquet(out_dir, partition_cols=cols, compression=compression)
     counts = {}
     for row in ds.groupby(cols[0]).count().take_all():

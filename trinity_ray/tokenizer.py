@@ -68,6 +68,10 @@ TOKEN_RE = re.compile(
 
 _WORD_APOS_RE = re.compile(rf"[{_APOS}]([Ss])(?![A-Za-z0-9])")
 _SIMPLE_RE = re.compile(r"[A-Za-z0-9]+")
+# public alias: the one word pattern shared by every oracle-parity op
+# (ops.text, ops.dedup, ops.decontam) — change tokenization HERE, not in
+# per-module copies
+WORD_RE = _SIMPLE_RE
 
 # capture-free twin of TOKEN_RE: findall returns full-match STRINGS (no
 # Match objects) — the hot-path tokenizer classifies each token by cheap
