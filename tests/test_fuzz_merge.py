@@ -151,3 +151,108 @@ def test_fuzz_incremental_compaction(tmp_path, ray_session, seed):
         assert rm.doc_ids.size == rr.doc_ids.size, (seed, q)
         np.testing.assert_allclose(np.sort(rm.scores), np.sort(rr.scores),
                                    rtol=1e-12, err_msg=f"{seed} {q}")
+
+
+@pytest.mark.parametrize("seed", [5, 6])
+def test_fuzz_nrt_lifecycle_append_delete_compact(tmp_path, ray_session,
+                                                  seed):
+    """Interleaved incremental appends, deletes (random generations above
+    current max), and subset compactions — the NRT steady state.  After
+    every cycle the index must equal a brute-force model of the live
+    corpus (match sets per query, live universe); at the end, stats parity
+    with a from-scratch rebuild."""
+    from trinity_ray.index.merge import compact_segments, plan_compaction
+    from trinity_ray.index.segment import read_manifest
+
+    rng = np.random.default_rng(seed)
+    base = tmp_path / f"nrt{seed}"
+    os.makedirs(base)
+    idx = str(base / "idx")
+
+    all_docs: list[str] = []       # docID -> text (ids are dense, global)
+    deleted: set[int] = set()
+    gen = 0
+
+    def append(n, codec):
+        nonlocal gen
+        docs = _mk_docs(rng, n)
+        p = str(base / f"a{gen}.parquet")
+        pq.write_table(pa.table({"text": pa.array(docs)}), p)
+        gen += 1
+        build_index(p, idx, content_column="text", tokenizer="simple",
+                    target_rows_per_partition=24, generation=gen,
+                    codec=codec)
+        all_docs.extend(docs)
+
+    QUERIES = ["alpha", "beta OR gamma", "alpha AND delta", '"eps zeta"',
+               "kappa NOT alpha"]
+
+    def check(tag):
+        s = LocalSearcher(idx)
+        live = sorted(int(d) for d in s.search("", k=0).doc_ids)
+        want_live = [i for i in range(len(all_docs)) if i not in deleted]
+        assert live == want_live, tag
+        # brute-force match sets over the live corpus
+        from trinity_ray.tokenizer import simple_tokenize
+        toks = {i: simple_tokenize(all_docs[i]) for i in want_live}
+        for q, want in (
+            ("alpha", {i for i, t in toks.items() if "ALPHA" in t}),
+            ("beta OR gamma", {i for i, t in toks.items()
+                               if "BETA" in t or "GAMMA" in t}),
+            ("alpha AND delta", {i for i, t in toks.items()
+                                 if "ALPHA" in t and "DELTA" in t}),
+            ("kappa NOT alpha", {i for i, t in toks.items()
+                                 if "KAPPA" in t and "ALPHA" not in t}),
+        ):
+            got = set(int(d) for d in s.search(q, k=0).doc_ids)
+            assert got == want, (tag, q)
+
+    append(int(rng.integers(40, 90)), "varint")
+    for cycle in range(4):
+        op = rng.integers(0, 3)
+        if op == 0:
+            append(int(rng.integers(20, 60)),
+                   ["varint", "packed"][int(rng.integers(0, 2))])
+        elif op == 1:
+            live_now = [i for i in range(len(all_docs)) if i not in deleted]
+            if live_now:
+                kill = rng.choice(live_now,
+                                  size=int(rng.integers(1, max(2,
+                                          len(live_now) // 5))),
+                                  replace=False)
+                gen += 1
+                delete_docs(idx, sorted(int(x) for x in kill),
+                            generation=gen)
+                deleted.update(int(x) for x in kill)
+        else:
+            plans = plan_compaction(idx, max_bytes=1 << 40, min_run=2,
+                                    max_run=5)
+            for p_ in plans[:2]:
+                compact_segments(idx, p_)
+        check(cycle)
+
+    # final: full fold and stats parity with a rebuild over live docs
+    man = read_manifest(idx)
+    posting = [s.name for s in
+               sorted((s for s in man.segments if s.doc_count > 0),
+                      key=lambda s: s.doc_base)]
+    if len(posting) >= 2:
+        compact_segments(idx, posting)
+    else:
+        from trinity_ray.index.merge import compute_masks
+
+        if compute_masks(man, idx).get(posting[0], np.empty(0)).size:
+            compact_segments(idx, posting)   # lone-segment delete fold
+    check("final")
+    live_texts = [all_docs[i] for i in range(len(all_docs))
+                  if i not in deleted]
+    pr = str(base / "live.parquet")
+    pq.write_table(pa.table({"text": pa.array(live_texts)}), pr)
+    ref = str(base / "ref")
+    build_index(pr, ref, content_column="text", tokenizer="simple")
+    sm, sr = LocalSearcher(idx), LocalSearcher(ref)
+    for q in QUERIES:
+        rm, rr = sm.search(q, k=0), sr.search(q, k=0)
+        assert rm.doc_ids.size == rr.doc_ids.size, (seed, q)
+        np.testing.assert_allclose(np.sort(rm.scores), np.sort(rr.scores),
+                                   rtol=1e-12, err_msg=f"{seed} {q}")
