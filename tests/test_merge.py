@@ -467,7 +467,7 @@ def test_compact_rejects_bad_input(ray_session, corpus_dir,
     man1 = compact_segments(idx, [posting[0]])
     comp = [s for s in man1.segments
             if s.doc_count > 0 and s.name not in posting][0]
-    assert comp.masked_to >= 1
+    assert comp.masks_version >= 0
     assert LocalSearcher(idx).search("", k=0).doc_ids.size == n_live_before
 
 
@@ -534,7 +534,7 @@ def test_compact_gc_drops_fully_applied_delete_segments(ray_session,
                                                         corpus_dir,
                                                         tmp_path_factory):
     """consider_tracked_sources Delete decision: once every doc-carrying
-    segment carries a delete list's effect (masked_to watermark), the
+    segment carries a delete list's effect (masks_version watermark), the
     deletes-only segment is dropped — repeated delete+compact cycles must
     not accumulate delete files."""
     from trinity_ray.index.merge import compact_segments
@@ -554,8 +554,79 @@ def test_compact_gc_drops_fully_applied_delete_segments(ray_session,
         assert not any(s.has_deletes for s in man.segments), cycle
         assert sum(1 for s in man.segments if s.doc_count > 0) == 1
         comp = [s for s in man.segments if s.doc_count > 0][0]
-        assert comp.masked_to >= gen
+        assert comp.masks_version >= 0
     s = LocalSearcher(idx)
     live = set(int(d) for d in s.search("", k=0).doc_ids)
     assert live.isdisjoint({10, 11, 20, 21})
     assert len(live) == N_DOCS - 4
+
+
+def test_compact_gc_no_resurrection_on_generation_reuse(ray_session,
+                                                        corpus_dir,
+                                                        tmp_path_factory):
+    """Review regression: a delete list created AFTER a compaction must
+    never be GC'd as 'already applied', even when its generation falls
+    below a previously-seen (and GC'd) delete generation — the watermark
+    is the manifest version, not the generation."""
+    from trinity_ray.index.merge import compact_segments
+    from trinity_ray.index.segment import read_manifest
+
+    base = tmp_path_factory.mktemp("compact_resurrect")
+    idx = str(base / "idx")
+    build_index(corpus_dir, idx, id_columns=("repo", "path"),
+                target_rows_per_partition=150)
+    # high-generation delete, then full compaction folds + GCs it
+    delete_docs(idx, [5], generation=99)
+    man = read_manifest(idx)
+    compact_segments(idx, [s.name for s in man.segments if s.doc_count > 0])
+    assert not any(s.has_deletes for s in read_manifest(idx).segments)
+    # append a NEW build generation, then a LATER delete that re-uses a
+    # LOWER generation than the GC'd one (as a fresh LiveIndex over this
+    # manifest would derive: max doc generation is small) and targets a
+    # doc inside the ALREADY-compacted segment O
+    build_index(corpus_dir, idx, id_columns=("repo", "path"),
+                target_rows_per_partition=200, generation=1)
+    delete_docs(idx, [7], generation=10)
+    live = set(int(d) for d in LocalSearcher(idx).search("", k=0).doc_ids)
+    assert 7 not in live and 5 not in live
+    # compact ONLY the new gen-1 segments — O is untouched, so the gen-10
+    # list must SURVIVE (O has not applied it); a generation watermark
+    # (old bug) would see O."applied up to 99" >= 10 and GC it unapplied
+    man = read_manifest(idx)
+    new_segs = [s2.name for s2 in man.segments
+                if s2.doc_count > 0 and s2.generation == 1]
+    assert len(new_segs) >= 2
+    compact_segments(idx, new_segs)
+    man = read_manifest(idx)
+    assert any(s2.has_deletes for s2 in man.segments), \
+        "gen-10 delete list GC'd while its target segment never applied it"
+    live = set(int(d) for d in LocalSearcher(idx).search("", k=0).doc_ids)
+    assert 7 not in live and 5 not in live, "deleted doc resurrected"
+    # folding O itself finally retires the list
+    man = read_manifest(idx)
+    compact_segments(idx, [s2.name for s2 in man.segments
+                           if s2.doc_count > 0])
+    man = read_manifest(idx)
+    assert not any(s2.has_deletes for s2 in man.segments)
+    live = set(int(d) for d in LocalSearcher(idx).search("", k=0).doc_ids)
+    assert 7 not in live and 5 not in live, "deleted doc resurrected"
+    assert len(live) == 2 * N_DOCS - 2
+
+
+def test_compact_duplicate_names_rejected_or_deduped(ray_session,
+                                                     corpus_dir,
+                                                     tmp_path_factory):
+    """[a, a] must not build a corrupt doubled-docs segment: duplicates
+    dedupe to a single-segment request, which (without applicable
+    deletes) is rejected."""
+    from trinity_ray.index.merge import compact_segments
+    from trinity_ray.index.segment import read_manifest
+
+    base = tmp_path_factory.mktemp("compact_dup")
+    idx = str(base / "idx")
+    build_index(corpus_dir, idx, id_columns=("repo", "path"),
+                target_rows_per_partition=200)
+    man = read_manifest(idx)
+    a = [s.name for s in man.segments if s.doc_count > 0][0]
+    with pytest.raises(ValueError, match="at least 2"):
+        compact_segments(idx, [a, a])

@@ -800,6 +800,13 @@ def build_index(
                     if s.generation != generation] + segments
         segments.sort(key=lambda s: (s.generation, s.part_id))
         version = prev.version + 1
+    if replace_docs:
+        # replace builds embed a delete list in each new segment; stamp the
+        # manifest version it appears at so compaction tombstone GC can
+        # tell already-applied lists from later ones (see SegmentMeta)
+        for s in segments:
+            if s.has_deletes and s.generation == generation:
+                s.created_version = version
     manifest = IndexManifest(
         version=version,
         tokenizer=tokenizer,

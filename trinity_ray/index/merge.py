@@ -332,8 +332,9 @@ def _merge_segments_into(index_dir: str, segs: list, masks: dict,
                          ) -> FieldStatistics:
     """Core compaction: merge ``segs``' postings + live doc metadata into
     ``out_seg`` (sharded merged layout: postings/*.terms.parquet+*.bin,
-    docs/*.parquet), applying ``masks``.  Returns (stats, docs_cnt).
-    Shared by the full-index merge and subset compaction."""
+    docs/*.parquet), applying ``masks``.  Returns the recomputed
+    FieldStatistics (live docs only).  Shared by the full-index merge and
+    subset compaction."""
     import ray
     import ray.data as rd
 
@@ -604,6 +605,7 @@ def merge_index(
             name=name, generation=gen, part_id=0,
             doc_base=0, doc_count=doc_end,  # id-space span; universe comes
             stats=stats,                     # from docs dir (holes OK)
+            masks_version=manifest.version,  # all source deletes applied
         )],
         content_column=manifest.content_column,
         id_columns=manifest.id_columns,
@@ -658,12 +660,18 @@ def delete_docs(index_dir: str, doc_ids: Iterable[int], generation: int) -> None
     with open(os.path.join(seg, STATS_FILE), "w") as f:
         json.dump({**stats.__dict__, "generation": generation,
                    "doc_base": 0, "doc_count": 0}, f)
-    if not any(s.name == name for s in manifest.segments):
+    manifest.version += 1
+    existing = next((s for s in manifest.segments if s.name == name), None)
+    if existing is None:
         manifest.segments.append(SegmentMeta(
             name=name, generation=generation, part_id=-1,
             doc_base=0, doc_count=0, stats=stats, has_deletes=True,
+            created_version=manifest.version,
         ))
-    manifest.version += 1
+    else:
+        # a same-generation union ADDS ids: segments compacted before this
+        # version have not applied them, so the list counts as re-created
+        existing.created_version = manifest.version
     write_manifest(index_dir, manifest)
 
 
@@ -767,18 +775,19 @@ def compact_segments(index_dir: str, names: list[str], *,
 
     manifest = read_manifest(index_dir)
     by_name = {s.name: s for s in manifest.segments}
-    missing = [n for n in names if n not in by_name]
+    names = list(dict.fromkeys(names))   # dedupe, order-preserving: [a, a]
+    missing = [n for n in names if n not in by_name]   # is a 1-seg request
     if missing:
         raise ValueError(f"unknown segments {missing}")
     subset = [by_name[n] for n in names]
     if not subset:
         raise ValueError("compaction needs at least 1 segment")
-    if len(set(names)) < 2:
+    masks_all = compute_masks(manifest, index_dir)
+    if len(names) < 2:
         # a single segment is only worth rewriting to FOLD DELETES into it
         # (the reference's single-source masked merge, merge.cpp:288-394)
         only = subset[0]
-        masks_probe = compute_masks(manifest, index_dir)
-        if only.name not in masks_probe or not masks_probe[only.name].size:
+        if only.name not in masks_all or not masks_all[only.name].size:
             raise ValueError(
                 "compaction needs at least 2 distinct segments (a single "
                 "segment is only compacted when deletes apply to it)")
@@ -797,7 +806,6 @@ def compact_segments(index_dir: str, names: list[str], *,
                 "codec", "varint") or "varint"
         except OSError:
             codec = "varint"
-    masks_all = compute_masks(manifest, index_dir)
     masks = {s.name: masks_all[s.name] for s in subset if s.name in masks_all}
     gen = max(s.generation for s in subset)
     ident = "|".join(sorted(names)) + f"@{manifest.version}"
@@ -817,27 +825,25 @@ def compact_segments(index_dir: str, names: list[str], *,
 
     retired = set(names)
     survivors = [s for s in manifest.segments if s.name not in retired]
-    # every delete list visible at compaction time was applied (or is by
-    # definition inapplicable, generation <= source gen) to the output
-    masked_to = max((s.generation for s in manifest.segments
-                     if s.has_deletes), default=-1)
+    # every delete list PRESENT IN THIS MANIFEST VERSION was applied (or
+    # is by definition inapplicable, generation <= source gen) to the
+    # output.  The watermark is the manifest version, NOT a generation:
+    # generations are caller-chosen and can recur after a delete segment
+    # is GC'd, so a generation watermark could mark a later, never-applied
+    # delete list as already carried and resurrect its docs.
     new_segs = list(survivors)
     new_segs.append(SegmentMeta(
         name=name, generation=gen, part_id=0,
         doc_base=doc_base, doc_count=doc_end - doc_base, stats=stats,
-        masked_to=masked_to))
-    # delete retention: a subset member's delete list survives iff an older
-    # segment remains for it to mask
+        masks_version=manifest.version))
+    # delete retention: a subset member's delete list survives iff a
+    # doc-carrying older segment remains that has not applied it yet
     for s in subset:
         dele = os.path.join(segment_dir(index_dir, s.name), DELETES_FILE)
         if not os.path.exists(dele):
             continue
-        # a delete list can only mask DOC-CARRYING segments of strictly
-        # lower generation that do not already carry its effect
-        # (masked_to); zero-doc survivors (other tombstones) are not
-        # targets
         if any(o.doc_count > 0 and o.generation < s.generation
-               and o.masked_to < s.generation for o in survivors):
+               and o.masks_version < s.created_version for o in survivors):
             tomb_name = f"{s.name}-deletes"
             tomb = segment_dir(index_dir, tomb_name)
             os.makedirs(tomb, exist_ok=True)
@@ -849,19 +855,21 @@ def compact_segments(index_dir: str, names: list[str], *,
             new_segs.append(SegmentMeta(
                 name=tomb_name, generation=s.generation, part_id=-1,
                 doc_base=0, doc_count=0, stats=FieldStatistics(),
-                has_deletes=True))
-    # tombstone GC (consider_tracked_sources Delete decision): any
-    # deletes-only segment — retained above, created by delete_docs, or
-    # left over from earlier compactions — can be dropped once every
-    # doc-carrying segment either post-dates it (never a target) or
-    # already carries its effect (masked_to watermark), so NRT
-    # delete+compact cycles do not accumulate delete files forever
+                has_deletes=True, created_version=s.created_version))
+    # tombstone GC (consider_tracked_sources Delete decision): a
+    # deletes-only segment can be dropped once every doc-carrying segment
+    # either post-dates it in generation (never a target) or was compacted
+    # against a manifest that already contained it (masks_version >=
+    # created_version) — NRT delete+compact cycles do not accumulate
+    # delete files forever, and a list created AFTER a compaction is never
+    # mistaken for applied
     doc_segs = [s for s in new_segs if s.doc_count > 0]
     dropped_tombs = []
     kept_segs = []
     for s in new_segs:
         if s.doc_count == 0 and s.has_deletes and all(
-                d.generation >= s.generation or d.masked_to >= s.generation
+                d.generation >= s.generation
+                or d.masks_version >= s.created_version
                 for d in doc_segs):
             dropped_tombs.append(s.name)
         else:

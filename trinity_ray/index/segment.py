@@ -88,11 +88,17 @@ class SegmentMeta:
     doc_count: int
     stats: FieldStatistics = field(default_factory=FieldStatistics)
     has_deletes: bool = False
-    # delete lists with generation <= masked_to are PHYSICALLY applied to
-    # this segment's contents (merge/compaction filtered them) — the
-    # consider_tracked_sources evidence that lets tombstone GC drop a
-    # delete segment once every potential target carries its effect
-    masked_to: int = -1
+    # consider_tracked_sources evidence, keyed by MANIFEST VERSION (not
+    # generation — generations are caller-chosen and may be re-used after
+    # a delete segment is GC'd, so a generation watermark could mark a
+    # LATER delete list as already-applied and resurrect its docs):
+    #   created_version — manifest version at which this segment's delete
+    #     list was (last) written (delete segments; bumped on same-
+    #     generation unions, which add new ids)
+    #   masks_version — compaction applied every delete list present in
+    #     the manifest at this version to this segment's contents
+    created_version: int = 0
+    masks_version: int = -1
 
     @property
     def doc_end(self) -> int:
@@ -196,7 +202,8 @@ def read_manifest(index_dir: str) -> IndexManifest:
             doc_count=s["doc_count"],
             stats=FieldStatistics(**s["stats"]),
             has_deletes=s.get("has_deletes", False),
-            masked_to=s.get("masked_to", -1),
+            created_version=s.get("created_version", 0),
+            masks_version=s.get("masks_version", -1),
         )
         for s in raw["segments"]
     ]

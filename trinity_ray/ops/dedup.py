@@ -21,7 +21,6 @@ Scale shapes (the part that matters at 100 TB):
 from __future__ import annotations
 
 import hashlib
-import re
 
 import numpy as np
 import pandas as pd
