@@ -193,3 +193,25 @@ def test_trinity_tokenizer_payload_round_trip(ray_session, tmp_path):
         expect = [o for t, o in zip(toks, offs) if t == r["term"]]
         assert list(r["payloads"]) == expect, (r["term"], r["doc_id"])
         assert len(r["payloads"]) == r["tf"] == len(r["positions"])
+
+
+def test_compaction_preserves_payloads(ray_session, corpus, tmp_path):
+    """In-place compaction of payload-carrying packed segments keeps the
+    per-hit payload channel intact (byte-concat path for v2 + payloads)."""
+    from trinity_ray.index.merge import compact_segments, plan_compaction
+    from trinity_ray.index.segment import read_manifest
+
+    idx = str(tmp_path / "payc")
+    build_index(os.path.join(corpus, "c.parquet"), idx, content_column="text",
+                tokenizer="simple", payloads="char_offset", codec="packed",
+                target_rows_per_partition=64)
+    s0 = LocalSearcher(idx)
+    _res0, tbl0 = s0.search_rich("the", k=20)
+    man = read_manifest(idx)
+    if len(man.segments) >= 2:
+        compact_segments(idx, [s.name for s in man.segments])
+    s1 = LocalSearcher(idx)
+    _res1, tbl1 = s1.search_rich("the", k=20)
+    key = [("doc_id", "ascending"), ("term", "ascending")]
+    assert tbl0.sort_by(key).equals(tbl1.sort_by(key))
+    assert "payloads" in tbl1.column_names or "positions" in tbl1.column_names
