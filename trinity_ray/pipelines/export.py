@@ -37,15 +37,26 @@ def export_curated(ds, out_dir: str, *, partition_cols=("lang",),
     if os.path.isdir(out_dir):            # unfinished earlier attempt
         shutil.rmtree(out_dir)
     cols = list(partition_cols)
-    ds = ds.materialize()                 # consumed twice (write + counts)
     # Ray's write_parquet skips creating out_dir for empty output (same
     # behavior merge.py works around for docs dirs) — the DONE marker must
     # still commit an empty manifest there
     os.makedirs(out_dir, exist_ok=True)
     ds.write_parquet(out_dir, partition_cols=cols, compression=compression)
-    counts = {}
-    for row in ds.groupby(cols[0]).count().take_all():
-        counts[str(row[cols[0]])] = int(row["count()"])
+    # per-partition row counts from the written Parquet FOOTERS (metadata
+    # only, no second pass over the data and no materialize of ds)
+    import pyarrow.parquet as pq
+
+    counts: dict[str, int] = {}
+    prefix = cols[0] + "="
+    for entry in sorted(os.listdir(out_dir)):
+        pdir = os.path.join(out_dir, entry)
+        if not (entry.startswith(prefix) and os.path.isdir(pdir)):
+            continue
+        value = entry[len(prefix):]
+        counts[value] = sum(
+            pq.read_metadata(os.path.join(r, f)).num_rows
+            for r, _dirs, files in os.walk(pdir)
+            for f in files if f.endswith(".parquet"))
     manifest = {"rows": sum(counts.values()), "partitions": counts,
                 "partition_cols": cols}
     tmp = marker + f".tmp-{os.getpid()}"
