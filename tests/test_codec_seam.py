@@ -201,17 +201,25 @@ def test_compaction_preserves_payloads(ray_session, corpus, tmp_path):
     from trinity_ray.index.merge import compact_segments, plan_compaction
     from trinity_ray.index.segment import read_manifest
 
+    import pyarrow as pa
+
+    src = str(tmp_path / "payc.parquet")   # small row groups -> multiple
+    texts = pq.read_table(os.path.join(corpus, "c.parquet")   # partitions
+                          ).column("text").to_pylist()
+    pq.write_table(pa.table({"text": pa.array(texts)}), src, row_group_size=32)
     idx = str(tmp_path / "payc")
-    build_index(os.path.join(corpus, "c.parquet"), idx, content_column="text",
+    build_index(src, idx, content_column="text",
                 tokenizer="simple", payloads="char_offset", codec="packed",
                 target_rows_per_partition=64)
     s0 = LocalSearcher(idx)
-    _res0, tbl0 = s0.search_rich("the", k=20)
+    _res0, tbl0 = s0.search_rich("alpha OR beta", k=20)
+    assert tbl0.num_rows > 0
+    pay_col = next(c for c in tbl0.column_names if "payload" in c)
+    assert any(len(p) for p in tbl0.column(pay_col).to_pylist())
     man = read_manifest(idx)
-    if len(man.segments) >= 2:
-        compact_segments(idx, [s.name for s in man.segments])
+    assert len(man.segments) >= 2, "fixture must produce multiple segments"
+    compact_segments(idx, [s.name for s in man.segments])
     s1 = LocalSearcher(idx)
-    _res1, tbl1 = s1.search_rich("the", k=20)
+    _res1, tbl1 = s1.search_rich("alpha OR beta", k=20)
     key = [("doc_id", "ascending"), ("term", "ascending")]
     assert tbl0.sort_by(key).equals(tbl1.sort_by(key))
-    assert "payloads" in tbl1.column_names or "positions" in tbl1.column_names

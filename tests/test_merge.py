@@ -630,3 +630,44 @@ def test_compact_duplicate_names_rejected_or_deduped(ray_session,
     a = [s.name for s in man.segments if s.doc_count > 0][0]
     with pytest.raises(ValueError, match="at least 2"):
         compact_segments(idx, [a, a])
+
+
+def test_delete_docs_union_commit_order(ray_session, corpus_dir,
+                                        tmp_path_factory, monkeypatch):
+    """Crash-safety of the same-generation delete union: the manifest
+    (created_version bump) commits BEFORE the widened delete file, so a
+    crash in between loses the unacknowledged ids but can never leave
+    new ids visible under a stale created_version (which tombstone GC
+    could then drop unapplied — the resurrection class)."""
+    import trinity_ray.index.merge as mg
+    from trinity_ray.index.segment import read_manifest
+
+    base = tmp_path_factory.mktemp("del_order")
+    idx = str(base / "idx")
+    build_index(corpus_dir, idx, id_columns=("repo", "path"),
+                target_rows_per_partition=200)
+    delete_docs(idx, [1], generation=5)
+    v1 = read_manifest(idx).version
+    cv1 = next(s.created_version for s in read_manifest(idx).segments
+               if s.has_deletes)
+
+    real_write_table = mg.pq.write_table
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before the union file write")
+
+    monkeypatch.setattr(mg.pq, "write_table", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        delete_docs(idx, [2], generation=5)
+    monkeypatch.setattr(mg.pq, "write_table", real_write_table)
+    man = read_manifest(idx)
+    dele = next(s for s in man.segments if s.has_deletes)
+    # manifest committed first: version and created_version advanced...
+    assert man.version == v1 + 1 and dele.created_version > cv1
+    # ...but the unacknowledged id 2 is NOT visible (file unchanged)
+    live = set(int(d) for d in LocalSearcher(idx).search("", k=0).doc_ids)
+    assert 1 not in live and 2 in live
+    # a retried delete_docs completes the union
+    delete_docs(idx, [2], generation=5)
+    live = set(int(d) for d in LocalSearcher(idx).search("", k=0).doc_ids)
+    assert 1 not in live and 2 not in live

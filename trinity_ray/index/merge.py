@@ -647,21 +647,16 @@ def delete_docs(index_dir: str, doc_ids: Iterable[int], generation: int) -> None
     seg = segment_dir(index_dir, name)
     os.makedirs(seg, exist_ok=True)
     dele_path = os.path.join(seg, DELETES_FILE)
-    if os.path.exists(dele_path):
+    stats = FieldStatistics()
+    existing = next((s for s in manifest.segments if s.name == name), None)
+    union = os.path.exists(dele_path)
+    if union:
         # repeated delete_docs at the SAME generation: union with the
         # existing list (overwriting would silently resurrect earlier
         # deletes — last-writer-wins is across generations, not within)
         old = pq.read_table(dele_path).column("doc_id").to_numpy()
         ids = np.union1d(ids, old.astype(np.uint64))
-    tmp = dele_path + f".tmp-{os.getpid()}"
-    pq.write_table(pa.table({"doc_id": pa.array(ids, pa.uint64())}), tmp)
-    os.replace(tmp, dele_path)
-    stats = FieldStatistics()
-    with open(os.path.join(seg, STATS_FILE), "w") as f:
-        json.dump({**stats.__dict__, "generation": generation,
-                   "doc_base": 0, "doc_count": 0}, f)
     manifest.version += 1
-    existing = next((s for s in manifest.segments if s.name == name), None)
     if existing is None:
         manifest.segments.append(SegmentMeta(
             name=name, generation=generation, part_id=-1,
@@ -672,7 +667,30 @@ def delete_docs(index_dir: str, doc_ids: Iterable[int], generation: int) -> None
         # a same-generation union ADDS ids: segments compacted before this
         # version have not applied them, so the list counts as re-created
         existing.created_version = manifest.version
-    write_manifest(index_dir, manifest)
+    # Commit ORDER is crash-safety-critical, and differs by path:
+    # - NEW delete segment: file first, manifest second — a crash in
+    #   between leaves an orphan dir nothing references.
+    # - UNION into an existing list: manifest (created_version bump)
+    #   FIRST, file second — a crash in between loses the new
+    #   (unacknowledged) ids but leaves created_version conservatively
+    #   high.  File-first would make the new ids VISIBLE to search with a
+    #   stale created_version, and tombstone GC could later drop the list
+    #   as "already applied" without the compaction ever seeing those ids
+    #   — the generation-reuse resurrection class again.
+    def _write_list() -> None:
+        tmp = dele_path + f".tmp-{os.getpid()}"
+        pq.write_table(pa.table({"doc_id": pa.array(ids, pa.uint64())}), tmp)
+        os.replace(tmp, dele_path)
+        with open(os.path.join(seg, STATS_FILE), "w") as f:
+            json.dump({**stats.__dict__, "generation": generation,
+                       "doc_base": 0, "doc_count": 0}, f)
+
+    if union:
+        write_manifest(index_dir, manifest)
+        _write_list()
+    else:
+        _write_list()
+        write_manifest(index_dir, manifest)
 
 
 def retire_superseded(index_dir: str, merged_dir: str) -> list[str]:

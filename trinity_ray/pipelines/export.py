@@ -46,13 +46,20 @@ def export_curated(ds, out_dir: str, *, partition_cols=("lang",),
     # only, no second pass over the data and no materialize of ds)
     import pyarrow.parquet as pq
 
+    from urllib.parse import unquote
+
     counts: dict[str, int] = {}
     prefix = cols[0] + "="
     for entry in sorted(os.listdir(out_dir)):
         pdir = os.path.join(out_dir, entry)
         if not (entry.startswith(prefix) and os.path.isdir(pdir)):
             continue
-        value = entry[len(prefix):]
+        # hive directory names URL-escape special characters and spell
+        # nulls __HIVE_DEFAULT_PARTITION__; manifest keys are the COLUMN
+        # VALUES (null -> "None", matching str() of the value)
+        value = unquote(entry[len(prefix):])
+        if value == "__HIVE_DEFAULT_PARTITION__":
+            value = "None"
         counts[value] = sum(
             pq.read_metadata(os.path.join(r, f)).num_rows
             for r, _dirs, files in os.walk(pdir)
