@@ -171,6 +171,7 @@ def test_fuzz_nrt_lifecycle_append_delete_compact(tmp_path, ray_session,
 
     all_docs: list[str] = []       # docID -> text (ids are dense, global)
     deleted: set[int] = set()
+    last_delete_gen = -1
     gen = 0
 
     def append(n, codec):
@@ -220,9 +221,16 @@ def test_fuzz_nrt_lifecycle_append_delete_compact(tmp_path, ray_session,
                                   size=int(rng.integers(1, max(2,
                                           len(live_now) // 5))),
                                   replace=False)
-                gen += 1
+                # sometimes RE-USE the last delete generation (a same-
+                # generation UNION — the created_version re-stamp path
+                # must stay correct under later compaction/GC); only
+                # valid when gen currently IS a delete generation, else
+                # same-gen appends would escape the mask
+                if not (gen == last_delete_gen and rng.random() < 0.3):
+                    gen += 1
                 delete_docs(idx, sorted(int(x) for x in kill),
                             generation=gen)
+                last_delete_gen = gen
                 deleted.update(int(x) for x in kill)
         else:
             plans = plan_compaction(idx, max_bytes=1 << 40, min_run=2,
