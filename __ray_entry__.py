@@ -27,6 +27,15 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        # entries that have gone unrecorded under degraded-host windows run
+        # FIRST, so a truncated driver pass still produces their rows
+        "curated_export": dsp.q_curated_export,
+        "text_repetition": dsp.q_text_repetition,
+        "clean_corpus": dsp.q_clean_corpus,
+        "multimodal_meta": dsp.q_multimodal_meta,
+        "multimodal_decode_shape": dsp.q_multimodal_decode_shape,
+        "multimodal_frames": dsp.q_multimodal_frames,
+        "dedup_embedding_pairs": dsp.q_dedup_embedding_pairs,
         # -- inverted-index build + query engine (SURVEY.md §2.1-2.7) -----
         "search_rare_top10": dsp.q_search_rare_top10,
         "search_hot_top10": dsp.q_search_hot_top10,
@@ -63,7 +72,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_keep": dsp.q_dedup_exact_keep,
         "dedup_minhash_pairs": dsp.q_dedup_minhash_pairs,
         "dedup_simhash_pairs": dsp.q_dedup_simhash_pairs,
-        "dedup_embedding_pairs": dsp.q_dedup_embedding_pairs,
         "dedup_jaccard_pairs": dsp.q_dedup_jaccard_pairs,
         # -- text analysis ---------------------------------------------------
         "text_token_counts": dsp.q_text_token_counts,
@@ -85,13 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_stratified": dsp.q_sample_stratified,
         "decontam_flags": dsp.q_decontam_flags,
         "vocab_top100": dsp.q_vocab_top100,
-        "text_repetition": dsp.q_text_repetition,
-        "curated_export": dsp.q_curated_export,
         # -- multimodal plumbing --------------------------------------------
-        "clean_corpus": dsp.q_clean_corpus,
-        "multimodal_meta": dsp.q_multimodal_meta,
-        "multimodal_decode_shape": dsp.q_multimodal_decode_shape,
-        "multimodal_frames": dsp.q_multimodal_frames,
     }
 
 
@@ -672,6 +674,32 @@ est AS (SELECT c.id_a, c.id_b,
         GROUP BY c.id_a, c.id_b)
 SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
 """,
+        # hyperplane-LSH embedding near-dup: the engine exports (vec_id,
+        # bucket) assignments; the oracle re-derives candidate pairs (same
+        # bucket, both within the engine's deterministic per-bucket cap of
+        # 1000 ordered by vec_id) and verifies exact cosine >= 0.3 over the
+        # raw embeddings table — each vector lives in exactly one bucket,
+        # so no cross-band dedup is needed
+        "dedup_embedding_pairs": """
+WITH bk AS (SELECT vec_id, bucket,
+            row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rk
+            FROM read_parquet('/tmp/trinity_ray_driver_indexes/embdup_buckets/*.parquet')),
+cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         WHERE a.rk <= 1000 AND b.rk <= 1000),
+ev AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+              generate_subscripts(embedding, 1) AS i FROM embeddings),
+n2 AS (SELECT vec_id, sum(v * v) AS n2 FROM ev GROUP BY vec_id),
+dots AS (SELECT c.id_a, c.id_b, sum(x.v * y.v) AS dot
+         FROM cand c JOIN ev x ON x.vec_id = c.id_a
+              JOIN ev y ON y.vec_id = c.id_b AND y.i = x.i
+         GROUP BY c.id_a, c.id_b),
+cs AS (SELECT id_a, id_b, dot / (sqrt(na.n2) * sqrt(nb.n2)) AS c
+       FROM dots JOIN n2 na ON na.vec_id = id_a
+            JOIN n2 nb ON nb.vec_id = id_b)
+SELECT id_a, id_b, floor(c * 10000 + 0.5) / 10000 AS cos_r
+FROM cs WHERE c >= 0.3
+""",
         # -- corpus curation ------------------------------------------------
         # md5-gated sampling: the engine's 128-bit threshold is a 32-char
         # lowercase hex string, so SQL string comparison == integer
@@ -757,7 +785,6 @@ GROUP BY tok ORDER BY cnt DESC, term ASC LIMIT 100
 """,
         # no oracle (non-SQL-expressible, driver records rows-only):
         # search_trinity_top10 (trinity parser not expressible in SQL),
-        # dedup_embedding_pairs (hyperplane LSH buckets),
         # search_payload_hits (char offsets not expressible in SQL),
         # text_fingerprint (crc32-poly rolling hash),
         # multimodal_decode_shape (stubbed pixel decode)

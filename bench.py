@@ -230,10 +230,34 @@ def bench_ops(sf_dir: str) -> dict[str, float]:
     return out
 
 
+def gated_host_probe(n: int) -> tuple[dict, int]:
+    """Host probe with a bounded retry/backoff loop: a degraded window
+    (parallel_eff << healthy ~0.8) inflates every parallel phase several
+    fold and makes the artifact useless for cross-round comparison
+    (BENCH_r03 was recorded at eff 0.035).  Wait for the host to recover
+    before measuring; if it never does, the caller stamps the artifact
+    ``comparable: false`` instead of publishing noise as a regression."""
+    min_eff = float(os.environ.get("GRAFT_PROBE_MIN_EFF", "0.5"))
+    attempts = int(os.environ.get("GRAFT_PROBE_ATTEMPTS", "6"))
+    probe = host_probe(n)
+    tries = 1
+    while probe["host_probe_parallel_eff"] < min_eff and tries < attempts:
+        wait = min(60 * tries, 240)
+        print(f"# host probe parallel_eff "
+              f"{probe['host_probe_parallel_eff']} < {min_eff}; "
+              f"backing off {wait}s (attempt {tries}/{attempts})",
+              file=sys.stderr)
+        time.sleep(wait)
+        probe = host_probe(n)
+        tries += 1
+    return probe, tries
+
+
 def run_once() -> dict:
     import ray
 
-    probe = host_probe(NUM_CPUS)   # before Ray holds the CPUs
+    probe, probe_tries = gated_host_probe(NUM_CPUS)  # before Ray holds CPUs
+    min_eff = float(os.environ.get("GRAFT_PROBE_MIN_EFF", "0.5"))
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
     try:
@@ -309,6 +333,9 @@ def run_once() -> dict:
         queries["compact_sec"] = time.time() - t0
         queries.update(bench_ops(SF_DIR))
         total = time.time() - t_all
+        # conditions drift across a multi-minute run: probe again at the
+        # end so the artifact brackets the window it measured in
+        end_eff = host_probe(NUM_CPUS)["host_probe_parallel_eff"]
         return {
             "metric": "e2e_sec",
             "value": round(total, 3),
@@ -318,10 +345,12 @@ def run_once() -> dict:
             "num_cpus": NUM_CPUS,
             "index_build_docs_per_sec": round(n_docs / build_sec, 1),
             **probe,
-            # conditions drift across a multi-minute run: probe again at
-            # the end so the artifact brackets the window it measured in
-            "host_probe_end_parallel_eff": host_probe(NUM_CPUS)[
-                "host_probe_parallel_eff"],
+            "host_probe_end_parallel_eff": end_eff,
+            "host_probe_attempts": probe_tries,
+            # cross-round comparability stamp: BOTH bracketing probes must
+            # show a healthy window, else absolute numbers are noise
+            "comparable": (probe["host_probe_parallel_eff"] >= min_eff
+                           and end_eff >= min_eff),
         }
     finally:
         ray.shutdown()
@@ -432,6 +461,8 @@ def hardware_ceiling(corpus_dir: str) -> dict:
 def run_scaling() -> dict:
     """Same job, fresh processes, num_cpus=8 then 32 (N vs 4N evidence),
     plus a no-Ray hardware-ceiling control on the same input."""
+    probe, probe_tries = gated_host_probe(NUM_CPUS)
+    min_eff = float(os.environ.get("GRAFT_PROBE_MIN_EFF", "0.5"))
     results = {}
     # interleave and keep the best leg per level: the sandbox host has
     # noisy-neighbor CPU variance, and best-of-N interleaved is the least
@@ -469,6 +500,9 @@ def run_scaling() -> dict:
         },
         "sf": sf_of(SF_DIR),
         "num_cpus": 32,
+        **probe,
+        "host_probe_attempts": probe_tries,
+        "comparable": probe["host_probe_parallel_eff"] >= min_eff,
     }
 
 

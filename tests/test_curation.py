@@ -4,6 +4,7 @@ exact heavy-hitters vocabulary."""
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pyarrow as pa
@@ -215,3 +216,28 @@ def test_export_curated_partitioned_and_resumable(ray_session, tmp_path):
     os.remove(os.path.join(out, "DONE.json"))
     m3 = export_curated(rd.from_arrow(t), out)
     assert m3 == m1
+
+
+def test_export_refuses_foreign_out_dir(ray_session, tmp_path):
+    """export_curated must not rmtree a populated directory that does not
+    look like a prior export attempt (ADVICE r3 #3)."""
+    import pyarrow as pa
+    import pytest as _pytest
+    import ray.data as rd
+
+    from trinity_ray.pipelines.export import export_curated
+
+    out = str(tmp_path / "precious")
+    os.makedirs(out)
+    with open(os.path.join(out, "notes.txt"), "w") as f:
+        f.write("unrelated data")
+    t = pa.table({"doc_id": [1, 2], "lang": ["en", "de"]})
+    with _pytest.raises(RuntimeError, match="refusing to delete"):
+        export_curated(rd.from_arrow(t), out)
+    assert os.path.exists(os.path.join(out, "notes.txt"))
+    # an unfinished PRIOR ATTEMPT (only partition dirs / parquet) is still
+    # restarted cleanly
+    out2 = str(tmp_path / "attempt")
+    os.makedirs(os.path.join(out2, "lang=en"))
+    m = export_curated(rd.from_arrow(t), out2, partition_cols=("lang",))
+    assert m["rows"] == 2

@@ -672,3 +672,48 @@ def test_sequence_lengths_fuzz_alternative_geometries(index_dir):
                 trial, groups, int(cand[i]), int(lengths[i]), want,
                 [[(t, pos_by_term[t].get(int(cand[i]))) for t in grp]
                  for grp in groups])
+
+
+def test_sequence_bonus_clamped_for_no_seq_term_docs(index_dir, ray_session):
+    """A matched doc containing NO indexed sequence term (sequence_lengths
+    == 0, reachable via MatchSome / pure-synonym branches) must score
+    base + 0, not base - bonus (ADVICE r3 #1)."""
+    from trinity_ray.search import LocalSearcher
+
+    s = LocalSearcher(index_dir)
+    base = s.search("dup OR vector", k=0)
+    assert base.doc_ids.size > 0
+    # geometry carries only a term absent from the corpus: every matched
+    # doc has run length 0 -> scores must equal the plain BM25 scores
+    got = s.search_sequence("dup OR vector", k=0, bonus=0.5,
+                            index_terms=["ZZZNOSUCHTERM"])
+    np.testing.assert_array_equal(got.doc_ids, base.doc_ids)
+    np.testing.assert_allclose(got.scores, base.scores, rtol=0, atol=0)
+    # and a geometry where only SOME docs have the term: those docs must
+    # never rank BELOW an equal-base doc without it
+    one = s.search_sequence("dup OR vector", k=0, bonus=0.5,
+                            index_terms=["DUP"])
+    assert np.all(one.scores >= base.scores.min() - 1e-12)
+
+
+def test_pred_cache_returns_frozen_array(index_dir, ray_session):
+    """The per-(segment, key) cached id set is handed out by reference; a
+    caller mutating it must fail loudly instead of corrupting every later
+    query on a long-lived actor (ADVICE r3 #2)."""
+    import pytest as _pytest
+
+    from trinity_ray.query import exec as qx
+    from trinity_ray.search import LocalSearcher
+
+    s = LocalSearcher(index_dir)
+    pred = qx.DocPredicate(lambda t: t.column("doc_id").to_numpy() % 2 == 0,
+                           columns=[], key="freeze-test")
+    r = s.readers[0]
+    ids = r.doc_ids_where(pred)
+    with _pytest.raises(ValueError):
+        ids[:1] = 0
+    # distinct columns= must yield distinct cache identities even with the
+    # same explicit key (fn sees different inputs)
+    p2 = qx.DocPredicate(lambda t: t.column("doc_id").to_numpy() % 2 == 0,
+                         columns=["doc_len"], key="freeze-test")
+    assert p2.key != pred.key

@@ -458,15 +458,14 @@ def minhash_lsh_pairs(ds, *, num_perm: int = 64, bands: int = 8,
         g = g.sort_values(id_column).head(max_bucket)
         ids = g[id_column].to_numpy()
         sig = np.asarray(list(g["minhash"]), dtype=np.uint64)
-        out_a, out_b, out_j = [], [], []
-        for i in range(len(ids)):
-            eq = (sig[i + 1:] == sig[i]).mean(axis=1)
-            sel = np.flatnonzero(eq >= threshold)
-            for j in sel:
-                out_a.append(int(ids[i]))
-                out_b.append(int(ids[i + 1 + j]))
-                out_j.append(float(eq[j]))
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "est_jaccard": out_j})
+        # triangular broadcast over the capped bucket (<=200 members =>
+        # <=19.9k pairs x num_perm equality checks, one numpy pass)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        eq = (sig[ia] == sig[ib]).mean(axis=1)
+        sel = eq >= threshold
+        return pd.DataFrame({"id_a": ids[ia[sel]].astype(np.int64),
+                             "id_b": ids[ib[sel]].astype(np.int64),
+                             "est_jaccard": eq[sel]})
 
     pairs = exploded.groupby(keys).map_groups(
         bucket_pairs, batch_format="pandas", runtime_env=package_runtime_env())
@@ -483,8 +482,25 @@ def minhash_lsh_pairs(ds, *, num_perm: int = 64, bands: int = 8,
 # simhash
 # ---------------------------------------------------------------------------
 
+_BIT_SHIFTS = np.arange(64, dtype=np.uint64)
+_BIT_WEIGHTS = np.uint64(1) << _BIT_SHIFTS
+# byte-wise popcount lookup (vectorized popcount for uint64 arrays)
+_POPCOUNT8 = np.unpackbits(
+    np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Element-wise popcount of a uint64 array (byte-table lookup)."""
+    b = np.ascontiguousarray(x, dtype=np.uint64).view(np.uint8)
+    return _POPCOUNT8[b].reshape(x.shape + (8,)).sum(
+        axis=-1, dtype=np.int64)
+
+
 class SimHasher:
-    """64-bit SimHash over token unigrams (stable blake2b token hashes)."""
+    """64-bit SimHash over token unigrams (stable blake2b token hashes).
+
+    The whole batch is hashed as ONE flat bit matrix + per-doc prefix-sum
+    slices — per-doc Python work is only the (inherent) tokenize call."""
 
     def __init__(self, text_column: str = "text", id_column: str = "doc_id",
                  tokenizer: str = "simple"):
@@ -492,24 +508,33 @@ class SimHasher:
         self.id_column = id_column
         self.tokenize = get_tokenizer(tokenizer)
 
+    def _sigs(self, texts: list[str]) -> np.ndarray:
+        tok_lists = [self.tokenize(t or "") for t in texts]
+        lens = np.array([len(t) for t in tok_lists], dtype=np.int64)
+        sigs = np.zeros(len(texts), dtype=np.uint64)
+        if not lens.any():
+            return sigs
+        th = _token_hashes([t for lst in tok_lists for t in lst])
+        bits = ((th[:, None] >> _BIT_SHIFTS[None, :]) & np.uint64(1)
+                ).astype(np.int64)                       # (total_toks, 64)
+        csum = np.vstack([np.zeros((1, 64), np.int64),
+                          np.cumsum(bits, axis=0)])
+        ends = np.cumsum(lens)
+        sums = csum[ends] - csum[ends - lens]            # (n_docs, 64)
+        pos = (2 * sums - lens[:, None]) > 0
+        nz = lens > 0                                    # empty doc => sig 0
+        sigs[nz] = np.where(pos[nz], _BIT_WEIGHTS[None, :],
+                            np.uint64(0)).sum(axis=1, dtype=np.uint64)
+        return sigs
+
     def simhash(self, text: str) -> int:
-        toks = self.tokenize(text or "")
-        if not toks:
-            return 0
-        th = _token_hashes(toks)  # cached blake2b per distinct token
-        bits = (th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]
-                ) & np.uint64(1)
-        acc = 2 * bits.sum(axis=0, dtype=np.int64) - len(toks)
-        sig = np.uint64(0)
-        for i in np.flatnonzero(acc > 0):
-            sig |= np.uint64(1) << np.uint64(i)
-        return int(sig)
+        return int(self._sigs([text])[0])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        hs = [self.simhash(t) for t in batch.column(self.text_column).to_pylist()]
+        sigs = self._sigs(batch.column(self.text_column).to_pylist())
         return pa.table({
             self.id_column: batch.column(self.id_column),
-            "simhash": pa.array(hs, pa.uint64()),
+            "simhash": pa.array(sigs, pa.uint64()),
         })
 
 
@@ -570,16 +595,14 @@ def simhash_pairs(ds, *, max_hamming: int = 3, text_column: str = "text",
         g = g.sort_values(id_column).head(max_bucket)
         ids = g[id_column].to_numpy()
         sh = g["simhash"].to_numpy().astype(np.uint64)
-        out_a, out_b, out_h = [], [], []
-        for i in range(len(ids)):
-            x = sh[i + 1:] ^ sh[i]
-            ham = np.array([bin(int(v)).count("1") for v in x])
-            sel = np.flatnonzero(ham <= max_hamming)
-            for j in sel:
-                out_a.append(int(ids[i]))
-                out_b.append(int(ids[i + 1 + j]))
-                out_h.append(int(ham[j]))
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": out_h})
+        # triangular broadcast: buckets are capped, so the all-pairs XOR
+        # matrix is bounded (~125k pairs at the default cap)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        ham = _popcount64(sh[ia] ^ sh[ib])
+        sel = ham <= max_hamming
+        return pd.DataFrame({"id_a": ids[ia[sel]].astype(np.int64),
+                             "id_b": ids[ib[sel]].astype(np.int64),
+                             "hamming": ham[sel]})
 
     hot = _hot_buckets_only(exploded, ["band", "band_val"])
     pairs = hot.groupby(["band", "band_val"]).map_groups(
@@ -665,10 +688,17 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, *, k: int = 3,
 def embedding_dup_pairs(ds, *, vec_column: str = "embedding",
                         id_column: str = "vec_id", threshold: float = 0.95,
                         n_planes: int = 12, seed: int = 5,
-                        max_bucket: int = 1000):
+                        max_bucket: int = 1000,
+                        bucket_export_dir: str | None = None):
     """Near-duplicate pairs by cosine similarity: random-hyperplane LSH
     buckets (shuffle ships only (bucket, id, vec)), exact dot-product verify
-    inside each bucket.  Vectors are L2-normalized once in the first stage."""
+    inside each bucket.  Vectors are L2-normalized once in the first stage.
+
+    ``bucket_export_dir``: optionally persist (id, bucket) assignments as
+    Parquet — an oracle can then re-derive the candidate pairs (same
+    bucket, both within the deterministic per-bucket cap) and verify the
+    engine's exact-cosine output independently (each vector lives in
+    exactly ONE bucket, so candidates need no cross-band dedup)."""
     plane_cache: dict[int, np.ndarray] = {}  # per-worker; seeded => identical
 
     def assign(batch: pa.Table) -> pa.Table:
@@ -691,6 +721,13 @@ def embedding_dup_pairs(ds, *, vec_column: str = "embedding",
 
     assigned = ds.map_batches(assign, batch_format="pyarrow",
                               runtime_env=package_runtime_env())
+    if bucket_export_dir is not None:
+        import shutil as _sh
+
+        assigned = assigned.materialize()  # consumed twice: export + pairs
+        _sh.rmtree(bucket_export_dir, ignore_errors=True)
+        assigned.select_columns([id_column, "bucket"]).write_parquet(
+            bucket_export_dir)
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:

@@ -679,12 +679,30 @@ def q_dedup_simhash_pairs(sf_dir: str):
 
 
 def q_dedup_embedding_pairs(sf_dir: str):
+    """Hyperplane-LSH near-dup pairs.  Oracle-exact: bucket assignments are
+    exported so the oracle re-derives candidates (same bucket, both within
+    the per-bucket cap) and checks exact cosine >= threshold over the raw
+    embeddings table independently of the engine's shuffle strategy."""
     from trinity_ray.ops.dedup import embedding_dup_pairs
 
+    os.makedirs(INDEX_ROOT, exist_ok=True)
     # random testdata embeddings top out near cosine 0.4; a low threshold +
     # few hyperplanes keeps the output non-empty so the schema check bites
-    return embedding_dup_pairs(read_embeddings(sf_dir), vec_column="embedding",
-                               id_column="vec_id", threshold=0.3, n_planes=4)
+    pairs = embedding_dup_pairs(
+        read_embeddings(sf_dir), vec_column="embedding",
+        id_column="vec_id", threshold=0.3, n_planes=4,
+        bucket_export_dir=os.path.join(INDEX_ROOT, "embdup_buckets"))
+
+    def cast_round(t: pa.Table) -> pa.Table:
+        # half-away rounding (matches DuckDB round(); np.round is banker's)
+        c = t.column("cosine").to_numpy()
+        return pa.table({
+            "id_a": t.column("id_a").cast(pa.int64()),
+            "id_b": t.column("id_b").cast(pa.int64()),
+            "cos_r": pa.array(np.floor(c * 1e4 + 0.5) / 1e4, pa.float64()),
+        })
+
+    return pairs.map_batches(cast_round, batch_format="pyarrow")
 
 
 def q_text_token_counts(sf_dir: str):

@@ -35,6 +35,20 @@ def export_curated(ds, out_dir: str, *, partition_cols=("lang",),
         with open(marker) as f:
             return json.load(f)
     if os.path.isdir(out_dir):            # unfinished earlier attempt
+        # only delete what LOOKS like a prior export attempt: empty, or
+        # containing only hive partition dirs / parquet files / a stale
+        # marker tmp.  A misconfigured out_dir pointing at unrelated data
+        # must raise, not be destroyed.
+        foreign = [e for e in os.listdir(out_dir)
+                   if not (("=" in e and os.path.isdir(
+                                os.path.join(out_dir, e)))
+                           or e.endswith(".parquet")
+                           or e.startswith(_DONE))]
+        if foreign:
+            raise RuntimeError(
+                f"out_dir {out_dir!r} exists and does not look like a "
+                f"prior export attempt (unexpected entries: "
+                f"{foreign[:5]}); refusing to delete it")
         shutil.rmtree(out_dir)
     cols = list(partition_cols)
     # Ray's write_parquet skips creating out_dir for empty output (same

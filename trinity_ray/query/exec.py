@@ -111,7 +111,11 @@ class DocPredicate:
         self.fn = fn
         self.columns = list(columns or [])
         self.filter = filter
-        self.key = key if key is not None else f"expr:{filter}"
+        # fold the declared columns into the cache identity: two
+        # explicit-key predicates that differ only in columns= (so fn sees
+        # different inputs) must never share a cache slot
+        base = key if key is not None else f"expr:{filter}"
+        self.key = f"{base}|cols:{','.join(self.columns)}"
 
     def ids(self, t, *, prefiltered: bool = False) -> np.ndarray:
         """Sorted qualifying doc_ids from a docs-metadata table — the ONE
@@ -625,6 +629,10 @@ class SegmentReader:
                 # filter expression) must not grow a long-lived actor's
                 # memory without limit
                 self._pred_cache.pop(next(iter(self._pred_cache)))
+            # freeze: the cached ndarray is handed out by reference on
+            # every later query of this long-lived actor — a caller
+            # mutating it must fail loudly, not corrupt the cache
+            out.flags.writeable = False
             self._pred_cache[key] = out
         return out
 
@@ -933,7 +941,12 @@ class SegmentReader:
             return EMPTY_U64, EMPTY_F64
         scores = self.score(matched, weights, sc)
         lengths = self.sequence_lengths(matched, seq_terms)
-        scores = scores + bonus * (lengths - 1).astype(np.float64)
+        # lengths==0 means the doc matched via a branch that carries no
+        # indexed sequence term (e.g. a MatchSome alternative); clamp so
+        # such docs score base+0 instead of base-bonus — a run of one and
+        # no run at all contribute the same zero bonus
+        scores = scores + bonus * (np.maximum(lengths, 1) - 1).astype(
+            np.float64)
         return _topk(matched, scores, k)
 
     def execute(self, node: Node, weights: dict[str, float], k: int,
