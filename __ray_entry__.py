@@ -36,6 +36,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode_shape": dsp.q_multimodal_decode_shape,
         "multimodal_frames": dsp.q_multimodal_frames,
         "dedup_embedding_pairs": dsp.q_dedup_embedding_pairs,
+        # new round-4 operators run early too (never driver-checked before)
+        "search_near_top10": dsp.q_search_near_top10,
+        "facet_lang": dsp.q_facet_lang,
         # -- inverted-index build + query engine (SURVEY.md §2.1-2.7) -----
         "search_rare_top10": dsp.q_search_rare_top10,
         "search_hot_top10": dsp.q_search_hot_top10,
@@ -187,6 +190,23 @@ def oracle_sql() -> dict[str, str]:
         "search_phrase_top10": _bm25_sql(["KEY", "ORDER"], m_phrase2),
         # optional term scores but doesn't gate matching
         "search_optional_top10": _bm25_sql(["WINDOW", "DUP"], m_term("DUP")),
+        # unordered proximity: KEY and ORDER within a 3-position span
+        # (for two terms, span <= w == abs position difference <= w)
+        "search_near_top10": _bm25_sql(
+            ["KEY", "ORDER"],
+            "SELECT DISTINCT a.doc_id FROM pos a JOIN pos b "
+            "ON a.doc_id = b.doc_id "
+            "WHERE a.tok = 'KEY' AND b.tok = 'ORDER' "
+            "AND abs(a.pos - b.pos) <= 3"),
+        # per-lang counts over the 'key' match set (matched-document
+        # app-field aggregation)
+        "facet_lang": f"""
+WITH toks AS ({_TOKS}),
+matched AS (SELECT DISTINCT doc_id FROM toks WHERE tok = 'KEY')
+SELECT d.lang, count(*) AS n_docs
+FROM documents d JOIN matched USING (doc_id)
+GROUP BY d.lang
+""",
         # pluggable scorers (similarity.h:56-163): tfidf / trivial weights
         "search_tfidf_top10": _scored_sql(
             ["DUP", "VECTOR"], m_or,

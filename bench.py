@@ -408,24 +408,21 @@ def _ceiling_worker(args):
     with NO Ray involved (plain multiprocessing)."""
     import time as _t
 
-    import pyarrow as _pa
     import pyarrow.parquet as _pq
 
-    from trinity_ray.tokenizer import batch_raw_tokens, normalize_raw_terms
+    from trinity_ray.tokenizer import batch_token_stream
 
     path, rgs = args
     t0 = _t.perf_counter()
     n = 0
     for rb in _pq.ParquetFile(path).iter_batches(
             batch_size=4096, row_groups=rgs, columns=["content"]):
-        # mirror the builder's hot loop exactly (raw stream -> Arrow
+        # mirror the builder's hot loop exactly (byte-token stream -> Arrow
         # dictionary encode -> per-distinct normalization): the control
         # must measure the same per-core work the build actually does
         texts = rb.column("content").to_pylist()
-        flat, _counts = batch_raw_tokens(texts, "trinity")
-        de = _pa.array(flat, _pa.large_string()).dictionary_encode()
-        normalize_raw_terms(de.dictionary.to_pylist(), "trinity")
-        n += len(flat)
+        idx, _norm, _counts = batch_token_stream(texts, "trinity")
+        n += idx.size
     return _t.perf_counter() - t0
 
 

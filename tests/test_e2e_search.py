@@ -5,6 +5,7 @@ import hashlib
 import os
 
 import numpy as np
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
@@ -717,3 +718,98 @@ def test_pred_cache_returns_frozen_array(index_dir, ray_session):
     p2 = qx.DocPredicate(lambda t: t.column("doc_id").to_numpy() % 2 == 0,
                          columns=["doc_len"], key="freeze-test")
     assert p2.key != pred.key
+
+
+def test_near_proximity_matches_brute_force(index_dir, ray_session):
+    """[near w ...] == exists one occurrence per term with position span
+    <= w, brute-forced from rich positions; Phrase implies Near; parser
+    round-trips the syntax."""
+    from trinity_ray.query.ast import Near, Phrase, parse_query
+    from trinity_ray.search import LocalSearcher
+
+    s = LocalSearcher(index_dir)
+    node = parse_query("[near 3 key order]", s.manifest.tokenizer)
+    assert node == Near(("KEY", "ORDER"), window=3)
+
+    # brute force from per-doc positions over the AND candidates
+    # (ROSETTA/STONE are planted adjacent phrases, so near sets are
+    # non-trivial at small windows)
+    _res, tbl = s.search_rich("rosetta AND stone", k=0)
+    pos_by_doc: dict[int, dict[str, list[int]]] = {}
+    for d, t, p in zip(tbl.column("doc_id").to_pylist(),
+                       tbl.column("term").to_pylist(),
+                       tbl.column("positions").to_pylist()):
+        pos_by_doc.setdefault(int(d), {})[t] = list(p)
+    nonempty = False
+    for w in (0, 1, 2, 3, 7):
+        got = sorted(int(d) for d in s.search(Near(("ROSETTA", "STONE"), window=w),
+                                              k=0).doc_ids)
+        want = sorted(
+            d for d, tp in pos_by_doc.items()
+            if "ROSETTA" in tp and "STONE" in tp
+            and any(abs(a - b) <= w
+                    for a in tp["ROSETTA"] for b in tp["STONE"]))
+        assert got == want, w
+        nonempty = nonempty or bool(got)
+    assert nonempty
+    # 3-term: span = max-min over one choice per term
+    got3 = sorted(int(d) for d in
+                  s.search(Near(("ROSETTA", "STONE", "CIPHER"), window=6),
+                           k=0).doc_ids)
+    _r3, t3 = s.search_rich("rosetta AND stone AND cipher", k=0)
+    p3: dict[int, dict[str, list[int]]] = {}
+    for d, t, p in zip(t3.column("doc_id").to_pylist(),
+                       t3.column("term").to_pylist(),
+                       t3.column("positions").to_pylist()):
+        p3.setdefault(int(d), {})[t] = list(p)
+    want3 = sorted(
+        d for d, tp in p3.items()
+        if all(t in tp for t in ("ROSETTA", "STONE", "CIPHER"))
+        and any(max(a, b, c) - min(a, b, c) <= 6
+                for a in tp["ROSETTA"] for b in tp["STONE"]
+                for c in tp["CIPHER"]))
+    assert got3 == want3 and got3
+    # Phrase("ROSETTA","STONE") implies Near(..., 1)
+    ph = set(int(d) for d in s.search(Phrase(("ROSETTA", "STONE")),
+                                      k=0).doc_ids)
+    near1 = set(int(d) for d in s.search(Near(("ROSETTA", "STONE"), window=1),
+                                         k=0).doc_ids)
+    assert ph and ph <= near1
+
+
+def test_facet_counts_matches_metadata(tmp_path, ray_session):
+    """facet_counts == groupby over the matched docs' metadata column;
+    delete masks apply."""
+    import pyarrow.parquet as pq2
+
+    from trinity_ray.index.merge import delete_docs
+    from trinity_ray.search import LocalSearcher
+
+    langs = ["en", "de", "fr"]
+    texts = [("alpha beta" if i % 2 == 0 else "beta gamma")
+             for i in range(90)]
+    t = pa.table({"text": pa.array(texts),
+                  "lang": pa.array([langs[i % 3] for i in range(90)])})
+    src = str(tmp_path / "d.parquet")
+    pq2.write_table(t, src)
+    idx = str(tmp_path / "idx")
+    build_index(src, idx, content_column="text", id_columns=("lang",),
+                tokenizer="simple", positions=True)
+    s = LocalSearcher(idx)
+    got = dict(s.facet_counts("alpha", "lang"))
+    want: dict[str, int] = {}
+    for i in range(90):
+        if i % 2 == 0:
+            want[langs[i % 3]] = want.get(langs[i % 3], 0) + 1
+    assert got == want
+    # deletes mask facet rows too
+    delete_docs(idx, [0, 6], generation=1)
+    s2 = LocalSearcher(idx)
+    got2 = dict(s2.facet_counts("alpha", "lang"))
+    want2 = dict(want)
+    want2["en"] -= 2          # docs 0 and 6 are lang=en, match 'alpha'
+    assert got2 == want2
+    # unknown column raises
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        s.facet_counts("alpha", "nope")

@@ -671,3 +671,86 @@ def test_delete_docs_union_commit_order(ray_session, corpus_dir,
     delete_docs(idx, [2], generation=5)
     live = set(int(d) for d in LocalSearcher(idx).search("", k=0).doc_ids)
     assert 1 not in live and 2 not in live
+
+
+def test_compaction_soak_over_nrt_ingest_stream(ray_session,
+                                                tmp_path_factory):
+    """The production lifecycle (merge.cpp:418-447) end-to-end at volume:
+    a LiveIndex ingest stream with interleaved deletes, compacted every
+    cycle, driven to steady state — match sets stay invariant across every
+    compaction, the live universe always equals the model, segment tiers
+    stay bounded instead of growing one-per-flush, and a final full
+    compaction folds all tombstones away."""
+    import random
+
+    from trinity_ray.index.live import LiveIndex
+    from trinity_ray.index.merge import compact_segments, plan_compaction
+    from trinity_ray.index.segment import read_manifest
+
+    idx = str(tmp_path_factory.mktemp("soak") / "idx")
+    vocab = ["alpha", "beta", "gamma", "delta", "rare"]
+    rng = random.Random(7)
+    live = LiveIndex(None, tokenizer="simple", positions=True)
+    model: dict[int, str] = {}          # doc_id -> text (live docs only)
+    queries = ["alpha", "alpha AND beta", '"alpha beta"', "rare",
+               "gamma NOT delta"]
+
+    def expected(term_query: str) -> list[int]:
+        s = LocalSearcher(idx)
+        return sorted(int(d) for d in s.search(term_query, k=0).doc_ids)
+
+    def model_match(q: str) -> list[int]:
+        out = []
+        for d, text in model.items():
+            toks = text.upper().split()
+            if q == "alpha":
+                hit = "ALPHA" in toks
+            elif q == "alpha AND beta":
+                hit = "ALPHA" in toks and "BETA" in toks
+            elif q == '"alpha beta"':
+                hit = any(a == "ALPHA" and b == "BETA"
+                          for a, b in zip(toks, toks[1:]))
+            elif q == "rare":
+                hit = "RARE" in toks
+            else:  # gamma NOT delta
+                hit = "GAMMA" in toks and "DELTA" not in toks
+            if hit:
+                out.append(d)
+        return sorted(out)
+
+    seg_counts = []
+    for cycle in range(10):
+        texts = [" ".join(rng.choices(vocab[:4], k=rng.randint(3, 9)))
+                 + (" rare" if rng.random() < 0.1 else "")
+                 for _ in range(40)]
+        ids = live.add_documents(texts)
+        model.update(zip((int(i) for i in ids), texts))
+        if cycle >= 2:                   # delete some already-durable docs
+            victims = rng.sample(sorted(model), 6)
+            live.delete_documents(victims)
+            for v in victims:
+                model.pop(v)
+        live.flush(idx)
+        before = [expected(q) for q in queries]
+        assert before == [model_match(q) for q in queries], cycle
+        for plan in plan_compaction(idx, min_run=2, max_run=8):
+            compact_segments(idx, plan)
+        after = [expected(q) for q in queries]
+        assert after == before, cycle    # compaction never changes matches
+        seg_counts.append(len(read_manifest(idx).segments))
+    # steady state: tiers bounded — 10 flushes + deletes must NOT mean
+    # 10+ segments sitting in the manifest
+    assert seg_counts[-1] < 8, seg_counts
+    # final full compaction: one posting segment, all tombstones GC'd
+    man = read_manifest(idx)
+    posting = [s.name for s in man.segments if not s.has_deletes]
+    if len(posting) >= 2:
+        man = compact_segments(idx, posting)
+    assert len([s for s in man.segments if not s.has_deletes]) == 1
+    assert not [s for s in man.segments if s.has_deletes]
+    assert [expected(q) for q in queries] == \
+        [model_match(q) for q in queries]
+    # the whole stream survived: live universe == model
+    s = LocalSearcher(idx)
+    assert sorted(int(d) for d in s.search("", k=0).doc_ids) == \
+        sorted(model)

@@ -269,3 +269,36 @@ def test_rewrite_geometry_sequence_scoring(tmp_path, ray_session):
     for d in base:
         if d % 4 == 0:
             assert round(flatb[d] - base[d], 9) == 0.0, d
+
+
+def test_rewrite_budget_prunes_lowest_weight_alternatives():
+    """A wide synonym fan-out is pruned to the budget, highest weight
+    first (queries_rewrite.h:522-948 budget seam); small fan-outs are
+    unchanged by the budget machinery."""
+    wide = [(f"SYN{i}", 0.001 * (i + 1)) for i in range(1000)]
+
+    def cb(gram):
+        return wide if gram == ("QUICK",) else None
+
+    node = parse_query("quick search", "simple")
+    rw = rewrite_query(node, 2, cb, budget=8)
+    ors = [c for c in rw.children if isinstance(c, Or)]
+    assert len(ors) == 1
+    # original + exactly budget alternatives
+    assert len(ors[0].children) == 1 + 8
+    assert Token("QUICK") in ors[0].children
+    # the 8 HIGHEST weights survive (SYN992..SYN999)
+    kept = {c.term for c in ors[0].children if c.term.startswith("SYN")}
+    assert kept == {f"SYN{i}" for i in range(992, 1000)}
+    # small fan-outs: budgeted == unbudgeted result
+    assert rewrite_query(node, 2, _cb, budget=8) == \
+        rewrite_query(node, 2, _cb, budget=1_000_000)
+    # the budget is global across grams: a second expansion sees the rest
+    node2 = parse_query("quick quick2", "simple")
+
+    def cb2(gram):
+        return [("A", 1.0), ("B", 0.9)] if gram[0].startswith("QUICK") else None
+
+    rw2 = rewrite_query(node2, 1, cb2, budget=3)
+    ors2 = [c for c in rw2.children if isinstance(c, Or)]
+    assert [len(o.children) for o in ors2] == [3, 2]  # 2 alts, then 1 left

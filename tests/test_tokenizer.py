@@ -154,3 +154,30 @@ def test_batch_raw_tokens_parity():
             raw = flat[starts[i]:starts[i + 1]]
             got = [norm[t] for t in raw if norm[t] is not None]
             assert got == exact(text or ""), (name, text)
+
+
+def test_batch_token_stream_parity():
+    """The fused byte-scan + dictionary-encode seam (the actual build hot
+    path) must reproduce the per-doc tokenizer exactly — MAX_TERM_LEN
+    drops, non-ASCII fallback, empty docs, every special-case token."""
+    import numpy as np
+
+    from trinity_ray.tokenizer import TOKENIZERS, batch_token_stream
+
+    texts = [t for t, _ in GOLDEN]
+    texts += [
+        "x" * (MAX_TERM_LEN + 1) + " kept " + "y" * MAX_TERM_LEN,
+        "straße GROSS muß",                 # non-ASCII fallback path
+        "ße" * 40,                          # non-ASCII, long
+        "",
+        "I.B.M meets John's 9.000 d&d site:.gr L'Oreal C++ x-men",
+    ]
+    for name in ("trinity", "simple"):
+        exact = TOKENIZERS[name]
+        idx, norm, counts = batch_token_stream(texts, name)
+        assert int(counts.sum()) == idx.size
+        starts = np.concatenate(([0], np.cumsum(counts)))
+        for i, text in enumerate(texts):
+            ids = idx[starts[i]:starts[i + 1]]
+            got = [norm[j] for j in ids if norm[j] is not None]
+            assert got == exact(text or ""), (name, text)

@@ -48,7 +48,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from trinity_ray.codec import PostingsBlob, encode_many, encode_postings
+from trinity_ray.codec import PostingsBlob, encode_many_arrow, encode_postings
 from trinity_ray.rayutil import package_runtime_env
 from trinity_ray.index.segment import (
     BIN_FILE,
@@ -65,8 +65,8 @@ from trinity_ray.index.segment import (
     segment_is_complete,
     write_manifest,
 )
-from trinity_ray.tokenizer import (MAX_POSITION, batch_raw_tokens,
-                                   get_tokenizer, normalize_raw_terms)
+from trinity_ray.tokenizer import (MAX_POSITION, batch_token_stream,
+                                   get_tokenizer)
 
 
 @dataclass
@@ -349,19 +349,13 @@ class SegmentBuilder:
             n = len(texts)
             batch_docs = np.arange(next_doc, next_doc + n, dtype=np.uint64)
             if self.payload_kind is None:
-                # hot path: flat RAW token stream (regex scan only), then
-                # one Arrow dictionary_encode over the batch and Python
+                # hot path: flat RAW byte-token stream (regex scan only),
+                # one Arrow dictionary_encode over the batch, and Python
                 # normalization + vocab probes per DISTINCT token only
                 # (~1000x fewer Python ops than per-token classification
                 # — the tokenize->encode memory-traffic hot spot)
-                flat_toks, counts_raw = batch_raw_tokens(
+                idx, norm, counts_raw = batch_token_stream(
                     texts, self.tokenizer_name)
-                # large_string: a batch of max-length docs can flatten past
-                # the 2 GiB 32-bit-offset cap of plain string
-                de = pa.array(flat_toks, pa.large_string()).dictionary_encode()
-                del flat_toks
-                norm = normalize_raw_terms(de.dictionary.to_pylist(),
-                                           self.tokenizer_name)
                 v = vocab
                 # dropped terms (MAX_TERM_LEN) map to -1; zero-hit vocab
                 # entries are tolerated by _encode_segment (same as terms
@@ -370,7 +364,6 @@ class SegmentBuilder:
                     (v.setdefault(t, len(v)) if t is not None else -1
                      for t in norm),
                     dtype=np.int64, count=len(norm))
-                idx = de.indices.to_numpy(zero_copy_only=False)
                 tids_all = (mapping[idx] if idx.size
                             else np.empty(0, np.int64))
                 keep = tids_all >= 0
@@ -656,12 +649,12 @@ class SegmentBuilder:
             (np.flatnonzero(term_start_mask), [p_idx.size])
         ).astype(np.int64)
 
-        blobs = encode_many(term_offsets, p_doc, p_tf,
-                            hit_pos if (self.positions and hit_pos is not None)
-                            else None,
-                            payloads=hit_pay,
-                            payload_width=4 if hit_pay is not None else 0,
-                            codec=self.codec)
+        blobs = encode_many_arrow(
+            term_offsets, p_doc, p_tf,
+            hit_pos if (self.positions and hit_pos is not None) else None,
+            payloads=hit_pay,
+            payload_width=4 if hit_pay is not None else 0,
+            codec=self.codec)
 
         dfs = np.diff(term_offsets).astype(np.uint64)
         max_tf = np.maximum.reduceat(p_tf, term_offsets[:-1]).astype(np.uint64)
@@ -682,7 +675,7 @@ class SegmentBuilder:
             "df": pa.array(dfs, pa.uint32()),
             "max_tf": pa.array(np.minimum(max_tf, 0xFFFFFFFF), pa.uint32()),
             "sum_hits": pa.array(sum_hits, pa.uint64()),
-            "blob": pa.array(blobs, pa.binary()),
+            "blob": blobs,  # zero-copy Arrow binary over ONE buffer
         })
         return stats, (table,)
 

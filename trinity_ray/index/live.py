@@ -91,6 +91,18 @@ class MemorySegmentReader(SegmentReader):
         ids = t.column("doc_id").to_numpy().astype(np.uint64)
         return np.sort(ids[mask])
 
+    def doc_values(self, ids, column: str):
+        from trinity_ray.query.exec import _member
+
+        if self._docs_tbl is None:
+            return pa.chunked_array([[]], type=pa.null())
+        t = self._docs_tbl
+        if column not in t.column_names:
+            raise KeyError(f"docs metadata has no column {column!r} "
+                           f"(has {t.column_names})")
+        d = t.column("doc_id").to_numpy().astype(np.uint64)
+        return t.column(column).filter(pa.array(_member(d, ids)))
+
     def close(self) -> None:
         return
 

@@ -458,14 +458,24 @@ def minhash_lsh_pairs(ds, *, num_perm: int = 64, bands: int = 8,
         g = g.sort_values(id_column).head(max_bucket)
         ids = g[id_column].to_numpy()
         sig = np.asarray(list(g["minhash"]), dtype=np.uint64)
-        # triangular broadcast over the capped bucket (<=200 members =>
-        # <=19.9k pairs x num_perm equality checks, one numpy pass)
-        ia, ib = np.triu_indices(len(ids), k=1)
-        eq = (sig[ia] == sig[ib]).mean(axis=1)
-        sel = eq >= threshold
-        return pd.DataFrame({"id_a": ids[ia[sel]].astype(np.int64),
-                             "id_b": ids[ib[sel]].astype(np.int64),
-                             "est_jaccard": eq[sel]})
+        # row-broadcast sweep: sig[i+1:] == sig[i] compares zero-copy VIEWS
+        # of the (cap, num_perm) matrix, which stays cache-resident; a
+        # triangular gather (sig[triu_pairs]) materializes ~20 MB per
+        # bucket and measured 5x SLOWER (BASELINE.md round-4 micro-A/B) —
+        # the outer loop is <=cap iterations of pure numpy, not per-pair
+        out_a, out_b, out_j = [], [], []
+        for i in range(len(ids)):
+            eq = (sig[i + 1:] == sig[i]).mean(axis=1)
+            sel = np.flatnonzero(eq >= threshold)
+            if sel.size:
+                out_a.append(np.full(sel.size, ids[i], dtype=np.int64))
+                out_b.append(ids[i + 1 + sel].astype(np.int64))
+                out_j.append(eq[sel])
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b),
+                             "est_jaccard": np.concatenate(out_j)})
 
     pairs = exploded.groupby(keys).map_groups(
         bucket_pairs, batch_format="pandas", runtime_env=package_runtime_env())

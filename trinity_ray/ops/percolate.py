@@ -23,6 +23,7 @@ from trinity_ray.query.ast import (
     ConstFalse,
     MatchAll,
     MatchSome,
+    Near,
     Node,
     Not,
     Optional_,
@@ -44,6 +45,14 @@ def match_doc(node: Node, term_pos: dict[str, list[int]]) -> bool:
         return True
     if isinstance(node, Token):
         return node.term in term_pos
+    if isinstance(node, Near):   # before Phrase: Near subclasses it
+        poss = [term_pos.get(t) for t in dict.fromkeys(node.terms)]
+        if any(p is None for p in poss):
+            return False
+        # anchor sweep: some term occurrence is the window's left edge
+        return any(all(any(a <= q <= a + node.window for q in p)
+                       for p in poss)
+                   for anchor in poss for a in anchor)
     if isinstance(node, Phrase):
         first = term_pos.get(node.terms[0])
         if first is None:

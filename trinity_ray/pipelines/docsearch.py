@@ -144,6 +144,40 @@ def payload_index(sf_dir: str) -> str:
     return index_dir
 
 
+def faceted_index(sf_dir: str) -> str:
+    """Index whose docs metadata carries the ``lang`` app field (the
+    IndexDocumentsFilter / matched_document app-field seam) for facet
+    aggregation."""
+    _check_docid_identity(sf_dir)
+    index_dir = os.path.join(INDEX_ROOT, _tag(sf_dir), "faceted")
+    key = ("faceted", index_dir)
+    if key not in _memo:
+        build_index(documents_parquet(sf_dir), index_dir,
+                    content_column="text", id_columns=("lang",),
+                    tokenizer="simple", positions=True)
+        _memo[key] = True
+    return index_dir
+
+
+def q_search_near_top10(sf_dir: str) -> pa.Table:
+    """Unordered proximity ([near 3 key order]): KEY and ORDER within a
+    3-position span, BM25-scored over both terms — the window-span drive
+    loop (docset_spans.h) as a batch positional verifier."""
+    return topk_table(base_index(sf_dir), "[near 3 key order]")
+
+
+def q_facet_lang(sf_dir: str) -> pa.Table:
+    """Per-lang document counts over the 'key' match set — segment-side
+    matched-document aggregation (only (value, count) partials cross
+    segments)."""
+    s = LocalSearcher(faceted_index(sf_dir))
+    items = s.facet_counts("key", "lang")
+    return pa.table({
+        "lang": pa.array([str(v) for v, _ in items], pa.string()),
+        "n_docs": pa.array([c for _, c in items], pa.int64()),
+    })
+
+
 def deleted_index(sf_dir: str) -> str:
     """Independent index + a newer-generation delete segment masking
     doc_id % 7 == 3 (last-writer-wins delete semantics, SURVEY.md §2.9)."""

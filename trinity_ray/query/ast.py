@@ -31,7 +31,7 @@ satisfiable component normalizes to ConstFalse.
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Callable, Iterator
 
 from trinity_ray.tokenizer import TOKEN_RE, get_tokenizer
@@ -58,6 +58,23 @@ class Token(Node):
 class Phrase(Node):
     terms: tuple[str, ...]
     weight: float = 1.0
+
+
+@dataclass(frozen=True)
+class Near(Phrase):
+    """Unordered proximity: all ``terms`` occur with position span <=
+    ``window`` (max chosen position - min chosen position).  ``window=0``
+    degenerates to same-position (never true for distinct tokens);
+    Phrase is the ORDERED adjacent special case.  The reference evaluates
+    proximity through its span framework (docset_spans.h window drive
+    loops); here it is a leaf with its own positional verifier.
+
+    Subclasses Phrase deliberately: every term-collection / trim /
+    geometry visitor treats Near exactly like a phrase (same terms, same
+    weight semantics); only the executor dispatches on the subtype.
+    ``window`` is keyword-only: positionally it would land on the
+    inherited ``weight`` field."""
+    window: int = field(default=1, kw_only=True)
 
 
 @dataclass(frozen=True)
@@ -217,9 +234,14 @@ class _Parser:
                     return Token(terms[0])
                 return Phrase(tuple(terms))
             if val == "[":
-                # [k expr expr ...] — first bare numeric term is min_match
+                # [k expr expr ...] — first bare numeric term is min_match;
+                # [near w t1 t2 ...] — unordered proximity within w positions
+                # (the leading literal NEAR selects the mode; a MatchSome
+                # over the literal term "near" needs an explicit count:
+                # [1 near far])
                 parts: list[Node] = []
                 min_match = 1
+                near_window: int | None = None
                 first = True
                 while True:
                     k, v = self.peek()
@@ -229,13 +251,29 @@ class _Parser:
                         self.next()
                         break
                     sub = self.parse_unary()
-                    if first and isinstance(sub, Token) and str(sub.term).isdigit():
-                        min_match = max(1, int(sub.term))
+                    if first and isinstance(sub, Token) and sub.term == "NEAR":
+                        near_window = 1
+                    elif isinstance(sub, Token) and str(sub.term).isdigit() \
+                            and (first or (near_window is not None
+                                           and not parts)):
+                        if near_window is not None:
+                            near_window = max(1, int(sub.term))
+                        else:
+                            min_match = max(1, int(sub.term))
                     else:
                         parts.append(sub)
                     first = False
                 if not parts:
                     return MATCH_ALL
+                if near_window is not None:
+                    terms = tuple(t.term for t in parts
+                                  if isinstance(t, Token))
+                    if len(terms) != len(parts) or not terms:
+                        raise ValueError(
+                            "[near w ...] takes plain terms only")
+                    if len(terms) == 1:
+                        return Token(terms[0])
+                    return Near(terms, window=near_window)
                 return MatchSome(min_match, tuple(parts))
             # stray syntax char: skip
             return MATCH_ALL

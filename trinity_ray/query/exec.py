@@ -53,6 +53,7 @@ from trinity_ray.query.ast import (
     ConstFalse,
     MatchAll,
     MatchSome,
+    Near,
     Node,
     Not,
     Optional_,
@@ -636,6 +637,31 @@ class SegmentReader:
             self._pred_cache[key] = out
         return out
 
+    def doc_values(self, ids: np.ndarray, column: str):
+        """Docs-metadata ``column`` values for the given sorted doc_ids —
+        the matched-document consumer seam (the reference's rich match
+        hands the app a matched_document it can read app fields from,
+        exec.h:11-43).  Pruned read: only doc_id + the one column leave
+        storage; order of the returned values is docs-table order, which
+        is all aggregation consumers (facets) need."""
+        docs_path = os.path.join(self.seg_path, "docs.parquet")
+        docs_dir = os.path.join(self.seg_path, "docs")
+        if not (os.path.exists(docs_path) or os.path.isdir(docs_dir)):
+            import pyarrow as _pa
+
+            return _pa.chunked_array([[]], type=_pa.null())
+        src = docs_path if os.path.exists(docs_path) else docs_dir
+        dset = pads.dataset(src, format="parquet")
+        if column not in dset.schema.names:
+            raise KeyError(f"docs metadata has no column {column!r} "
+                           f"(has {dset.schema.names})")
+        t = dset.to_table(columns=["doc_id", column])
+        d = t.column("doc_id").to_numpy().astype(np.uint64)
+        sel = _member(d, ids)
+        import pyarrow as _pa
+
+        return t.column(column).filter(_pa.array(sel))
+
     # -- boolean evaluation --------------------------------------------------
     def match(self, node: Node) -> np.ndarray:
         """Sorted unique doc_ids matching ``node`` (before delete-masking)."""
@@ -646,6 +672,8 @@ class SegmentReader:
         if isinstance(node, Token):
             tp = self.postings(node.term)
             return tp.doc_ids if tp is not None else EMPTY_U64
+        if isinstance(node, Near):   # before Phrase: Near subclasses it
+            return self._match_near(node.terms, node.window)
         if isinstance(node, Phrase):
             return self._match_phrase(node.terms)
         if isinstance(node, Not):
@@ -771,6 +799,54 @@ class SegmentReader:
             if survivors.size == 0:
                 return EMPTY_U64
         ranks = np.unique(survivors >> np.uint64(_POS_SHIFT))
+        return cand[ranks.astype(np.int64)]
+
+    def _match_near(self, terms: tuple[str, ...], window: int) -> np.ndarray:
+        """Unordered proximity: docs where ALL terms occur with position
+        span (max - min over one chosen occurrence each) <= ``window``.
+
+        A qualifying minimal window's left edge is itself some term's
+        occurrence, so it suffices to test every occurrence key ``a`` (of
+        any term) as anchor: the doc matches iff for EVERY term j there is
+        an occurrence in [a, a + window].  Keys pack (cand_rank <<
+        _POS_SHIFT) | pos — pos < 2^14 and window <= 2^14 keep a + window
+        inside the rank's key block, so the searchsorted interval probes
+        never bleed across docs.  Vectorized: k sorted-membership passes
+        over the flat anchor array, no per-doc loop (the batch equivalent
+        of a docset_spans.h window drive loop)."""
+        from trinity_ray.tokenizer import MAX_POSITION
+
+        if window < 0 or window >= MAX_POSITION:
+            raise ValueError(f"near window must be in [0, {MAX_POSITION})")
+        tps = []
+        for t in dict.fromkeys(terms):
+            tp = self.postings(t)
+            if tp is None:
+                return EMPTY_U64
+            tps.append(tp)
+        order = np.argsort([tp.df for tp in tps], kind="stable")
+        cand = tps[order[0]].doc_ids
+        for i in order[1:]:
+            if cand.size == 0:
+                return EMPTY_U64
+            cand = cand[tps[i].member(cand)]
+        if cand.size == 0:
+            return EMPTY_U64
+        keysets = []
+        for tp in tps:
+            pos_flat, lens = tp.gather_positions(cand)
+            keysets.append(
+                (np.repeat(np.arange(cand.size, dtype=np.uint64), lens)
+                 << np.uint64(_POS_SHIFT)) + pos_flat)
+        anchors = np.unique(np.concatenate(keysets))
+        ok = np.ones(anchors.size, dtype=bool)
+        w = np.uint64(window)
+        for ks in keysets:
+            # exists key in [a, a+window] for this term
+            lo = np.searchsorted(ks, anchors, side="left")
+            hi = np.searchsorted(ks, anchors + w, side="right")
+            ok &= hi > lo
+        ranks = np.unique(anchors[ok] >> np.uint64(_POS_SHIFT))
         return cand[ranks.astype(np.int64)]
 
     # -- scoring -------------------------------------------------------------

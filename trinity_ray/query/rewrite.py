@@ -18,7 +18,12 @@ documented capability gap, SURVEY.md §7.4 non-goals).
 
 Longest-gram-first, non-overlapping, left-to-right — mirroring the
 reference's preference for longer captures (queries_rewrite.h:217-260).
-``budget`` caps the number of expansions (trinity_limits.h-style guard).
+``budget`` caps the TOTAL number of spliced alternatives across the query
+(the budget seam of the reference's optimal-OR-tree construction,
+queries_rewrite.h:522-948 / trinity_limits.h): a callback fanning out
+wider than the remaining budget has its lowest-weight alternatives pruned
+before splice, so results degrade gracefully instead of the tree blowing
+up.
 """
 
 from __future__ import annotations
@@ -68,7 +73,14 @@ def _gram_node(gram: tuple[str, ...]) -> Node:
 
 def _rewrite_run(tokens: list[str], k: int, callback: RewriteCallback,
                  budget: list[int], alt_weight: float = 1.0) -> list[Node]:
-    """Expand one AND-run of tokens; returns replacement child nodes."""
+    """Expand one AND-run of tokens; returns replacement child nodes.
+
+    ``budget`` counts spliced ALTERNATIVES (the reference's budget-driven
+    OR-tree construction, queries_rewrite.h:522-948, reduced to a pruning
+    seam): when a callback fans out wider than the remaining budget, the
+    lowest-weight alternatives are pruned before splice — highest weight
+    wins, callback order breaks ties — so a 1000-synonym callback can
+    never blow up the execution tree."""
     out: list[Node] = []
     i = 0
     n = len(tokens)
@@ -79,10 +91,16 @@ def _rewrite_run(tokens: list[str], k: int, callback: RewriteCallback,
                 gram = tuple(tokens[i:i + glen])
                 alts = callback(gram)
                 if alts:
-                    branches = [_gram_node(gram)] + [
-                        _alt_node(a, alt_weight) for a in alts]
-                    out.append(Or(tuple(branches)))
-                    budget[0] -= 1
+                    nodes = [_alt_node(a, alt_weight) for a in alts]
+                    if len(nodes) > budget[0]:
+                        # stable highest-weight-first prune to budget
+                        order = sorted(range(len(nodes)),
+                                       key=lambda j: -nodes[j].weight)
+                        keep = set(order[:budget[0]])
+                        nodes = [nd for j, nd in enumerate(nodes)
+                                 if j in keep]
+                    out.append(Or(tuple([_gram_node(gram)] + nodes)))
+                    budget[0] -= len(nodes)
                     i += glen
                     replaced = True
                     break

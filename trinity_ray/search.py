@@ -262,6 +262,34 @@ class LocalSearcher:
                 acc[t] = acc.get(t, 0) + df
         return sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
 
+    def facet_counts(self, query: str | Node, column: str
+                     ) -> list[tuple[object, int]]:
+        """Per-value document counts of docs-metadata ``column`` over the
+        query's match set — the aggregation a matched_document consumer
+        runs app-side in the reference (exec.h:11-43 rich-match consumer,
+        here fused segment-side so only (value, count) partials cross
+        segments, never matched ids or metadata).  Delete masks apply;
+        collection stats are untouched (no scoring happens at all).
+        Returns (value, count) sorted by count desc, value asc."""
+        import pyarrow.compute as pc
+
+        from trinity_ray.query.exec import _setdiff
+
+        node = parse_query(query, self.manifest.tokenizer) \
+            if isinstance(query, str) else query
+        acc: dict[object, int] = {}
+        for r in self.readers:
+            m = r.match(node)
+            if r.mask is not None and m.size:
+                m = _setdiff(m, r.mask)
+            if m.size == 0:
+                continue
+            vc = pc.value_counts(r.doc_values(m, column))
+            for rec in vc:
+                v = rec["values"].as_py()
+                acc[v] = acc.get(v, 0) + rec["counts"].as_py()
+        return sorted(acc.items(), key=lambda kv: (-kv[1], str(kv[0])))
+
     def search_subtrees(self, query: str | Node, k: int = 10,
                         scorer: str = "bm25") -> SearchResult:
         """Accumulated-score OR-of-subtrees

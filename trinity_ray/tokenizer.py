@@ -226,6 +226,56 @@ def normalize_raw_terms(terms: list[str], name: str) -> list[str | None]:
     return [t if len(t) <= MAX_TERM_LEN else None for t in terms]
 
 
+# bytes twins of the scan regexes: byte-pattern findall over ASCII input is
+# ~10% faster than str and allocates ~25% smaller objects (bytes header <
+# str header) — less heap churn per token matters at 32-way parallelism
+# where the build is memory-bandwidth-bound.  The unicode apostrophe
+# alternative can never fire on ASCII input, so it is dropped from the
+# byte pattern (multi-byte chars don't belong in a bytes character class).
+_TOKEN_RE_NC_B = re.compile(
+    _TOKEN_RE_NC.pattern.replace("’", "").encode("ascii"))
+_SIMPLE_RE_B = re.compile(_SIMPLE_RE.pattern.encode("ascii"))
+
+
+def batch_token_stream(texts: list[str], name: str
+                       ) -> tuple["object", list[str | None], "object"]:
+    """Fused tokenize -> Arrow-dictionary-encode for the index-build hot
+    path: returns ``(token_idx, distinct_norm, raw_counts)`` where
+    ``token_idx`` (np.int64, one per raw hit) indexes ``distinct_norm``
+    (normalized DISTINCT terms, ``None`` = dropped by MAX_TERM_LEN) and
+    ``raw_counts`` is the per-doc raw token count.
+
+    ASCII docs scan as BYTES (cheaper objects, same tokens — upper-casing
+    and the master regex are ASCII-only); the flat byte-token stream goes
+    through one Arrow ``dictionary_encode`` (C hashing) and only the
+    ~1000x smaller distinct set is decoded to str and normalized in
+    Python.  Non-ASCII docs fall back to the exact per-doc tokenizer
+    (already-normalized output is safe: normalization is idempotent)."""
+    import numpy as _np
+    import pyarrow as _pa
+
+    regex = _TOKEN_RE_NC_B if name == "trinity" else _SIMPLE_RE_B
+    exact = TOKENIZERS[name]
+    flat: list[bytes] = []
+    counts = _np.empty(len(texts), _np.int64)
+    for i, t in enumerate(texts):
+        t = t or ""
+        if t.isascii():
+            toks = regex.findall(t.upper().encode("ascii"))
+        else:
+            toks = [x.encode("utf-8") for x in exact(t)]
+        flat.extend(toks)
+        counts[i] = len(toks)
+    # large_binary: a batch of max-length docs can flatten past the 2 GiB
+    # 32-bit-offset cap of plain binary
+    de = _pa.array(flat, _pa.large_binary()).dictionary_encode()
+    del flat
+    distinct = de.dictionary.cast(_pa.large_string()).to_pylist()
+    norm = normalize_raw_terms(distinct, name)
+    idx = de.indices.to_numpy(zero_copy_only=False)
+    return idx, norm, counts
+
+
 TOKENIZERS: dict[str, Callable[[str], list[str]]] = {
     "trinity": trinity_tokenize,
     "simple": simple_tokenize,
