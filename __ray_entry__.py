@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new round-4 operators run early too (never driver-checked before)
         "search_near_top10": dsp.q_search_near_top10,
         "facet_lang": dsp.q_facet_lang,
+        "search_snippets": dsp.q_search_snippets,
         # -- inverted-index build + query engine (SURVEY.md §2.1-2.7) -----
         "search_rare_top10": dsp.q_search_rare_top10,
         "search_hot_top10": dsp.q_search_hot_top10,
@@ -805,7 +806,8 @@ GROUP BY tok ORDER BY cnt DESC, term ASC LIMIT 100
 """,
         # no oracle (non-SQL-expressible, driver records rows-only):
         # search_trinity_top10 (trinity parser not expressible in SQL),
-        # search_payload_hits (char offsets not expressible in SQL),
+        # search_payload_hits / search_snippets (char offsets not
+        # expressible in SQL; snippets pytest-verified vs re.finditer),
         # text_fingerprint (crc32-poly rolling hash),
         # multimodal_decode_shape (stubbed pixel decode)
     }

@@ -813,3 +813,50 @@ def test_facet_counts_matches_metadata(tmp_path, ray_session):
     import pytest as _pytest
     with _pytest.raises(KeyError):
         s.facet_counts("alpha", "nope")
+
+
+def test_ray_facet_counts_matches_local(tmp_path, ray_session):
+    """RaySearcher.facet_counts (actor-side partials) == LocalSearcher."""
+    import pyarrow.parquet as pq2
+
+    from trinity_ray.search import LocalSearcher, RaySearcher
+
+    langs = ["en", "de", "fr", "es"]
+    t = pa.table({
+        "text": pa.array([("alpha beta" if i % 2 == 0 else "beta gamma")
+                          for i in range(200)]),
+        "lang": pa.array([langs[i % 4] for i in range(200)]),
+    })
+    src = str(tmp_path / "d.parquet")
+    pq2.write_table(t, src, row_group_size=50)
+    idx = str(tmp_path / "idx")
+    build_index(src, idx, content_column="text", id_columns=("lang",),
+                tokenizer="simple", positions=True,
+                target_rows_per_partition=60)
+    local = LocalSearcher(idx).facet_counts("alpha OR gamma", "lang")
+    dist = RaySearcher(idx, num_actors=2).facet_counts(
+        "alpha OR gamma", "lang")
+    assert dist == local and local
+
+
+def test_snippets_match_refinditer(sf_dir, ray_session):
+    """q_search_snippets: each snippet is the +-30-char window around the
+    doc's first matched-token offset, recomputed via re.finditer."""
+    import re
+
+    from trinity_ray.pipelines import docsearch as dsp
+
+    got = dsp.q_search_snippets(sf_dir)
+    docs = pq.read_table(dsp.documents_parquet(sf_dir),
+                         columns=["doc_id", "text"])
+    texts = dict(zip(docs.column("doc_id").to_pylist(),
+                     docs.column("text").to_pylist()))
+    pat = re.compile(r"[A-Za-z0-9]+")
+    for d, snip in zip(got.column("doc_id").to_pylist(),
+                       got.column("snippet").to_pylist()):
+        text = texts[d] or ""
+        offs = [m.start() for m in pat.finditer(text)
+                if m.group().upper() in ("DUP", "VECTOR")]
+        assert offs, d
+        off = min(offs)
+        assert snip == text[max(0, off - 30):off + 30], d

@@ -298,6 +298,42 @@ def q_search_payload_hits(sf_dir: str) -> pa.Table:
     })
 
 
+def q_search_snippets(sf_dir: str) -> pa.Table:
+    """Top-10 with a highlight snippet around each doc's FIRST hit: the
+    per-hit char-offset payload channel locates the hit without
+    re-tokenizing, then ONE pruned + id-filtered Parquet read gathers just
+    the 10 winners' texts (row-group stats skip everything else).  Char
+    offsets are not SQL-expressible, so this entry is rows-only; pytest
+    verifies snippets against a re.finditer recomputation."""
+    import pyarrow.dataset as pads
+
+    res, tbl = _searcher(payload_index(sf_dir)).search_rich(
+        DRIVER_QUERIES["or2"], k=TOPK)
+    # first (lowest) hit offset per ranked doc across its matched terms
+    first: dict[int, int] = {}
+    for d, pays in zip(tbl.column("doc_id").to_pylist(),
+                       tbl.column("payloads").to_pylist()):
+        if pays:
+            first[int(d)] = min(first.get(int(d), 1 << 60), min(pays))
+    ids = res.doc_ids.astype(np.int64)
+    texts_t = pads.dataset(documents_parquet(sf_dir)).to_table(
+        columns=["doc_id", "text"],
+        filter=pads.field("doc_id").isin([int(d) for d in ids]))
+    texts = dict(zip(texts_t.column("doc_id").to_pylist(),
+                     texts_t.column("text").to_pylist()))
+    radius = 30
+    snips = []
+    for d in ids:
+        off = first.get(int(d), 0)
+        t = texts.get(int(d), "") or ""
+        snips.append(t[max(0, off - radius):off + radius])
+    return pa.table({
+        "rank": pa.array(np.arange(1, ids.size + 1), pa.int64()),
+        "doc_id": pa.array(ids, pa.int64()),
+        "snippet": pa.array(snips, pa.string()),
+    })
+
+
 def q_search_filtered_top10(sf_dir: str) -> pa.Table:
     """App metadata pre-filter (IndexDocumentsFilter, matches.h:188-201):
     BM25 top-k for the hot term restricted to docs whose metadata satisfies

@@ -406,6 +406,25 @@ class SegmentSearchActor:
         merged = merge_topk(parts, k)
         return merged.doc_ids, merged.scores
 
+    def facet_partials(self, node: Node, column: str) -> dict:
+        """Per-value doc counts over this shard's match set — only the
+        (value, count) dict crosses the wire, never ids or metadata."""
+        import pyarrow.compute as pc
+
+        from trinity_ray.query.exec import _setdiff
+
+        acc: dict = {}
+        for r in self.readers:
+            m = r.match(node)
+            if r.mask is not None and m.size:
+                m = _setdiff(m, r.mask)
+            if m.size == 0:
+                continue
+            for rec in pc.value_counts(r.doc_values(m, column)):
+                v = rec["values"].as_py()
+                acc[v] = acc.get(v, 0) + rec["counts"].as_py()
+        return acc
+
 
 class RaySearcher:
     """Scatter-gather over an actor pool (exec_query_par analogue,
@@ -507,6 +526,21 @@ class RaySearcher:
         hfuts = [a.rich_hits.remote(sorted_docs, terms) for a in self.actors]
         parts = [p for chunk in self._ray.get(hfuts) for p in chunk]
         return res, rich_hits_table(res, parts)
+
+    def facet_counts(self, query: str | Node, column: str
+                     ) -> list[tuple[object, int]]:
+        """Distributed facet aggregation: each actor counts its shard's
+        matched docs' ``column`` values segment-side; the driver merges
+        value->count dicts (tiny: bounded by facet cardinality, never by
+        corpus size).  Same result contract as LocalSearcher.facet_counts."""
+        node = parse_query(query, self.manifest.tokenizer) \
+            if isinstance(query, str) else query
+        futs = [a.facet_partials.remote(node, column) for a in self.actors]
+        acc: dict = {}
+        for part in self._ray.get(futs):
+            for v, c in part.items():
+                acc[v] = acc.get(v, 0) + c
+        return sorted(acc.items(), key=lambda kv: (-kv[1], str(kv[0])))
 
     def search_many(self, queries: list[str | Node], k: int = 10,
                     scorer: str = "bm25") -> list[SearchResult]:
