@@ -483,6 +483,9 @@ def run_scaling() -> dict:
     eff = (thr32 / thr8) / (32 / 8)
     ceiling = hardware_ceiling(scaling_corpus())
     normalized = eff / ceiling["ceiling_efficiency"] if ceiling["ceiling_efficiency"] else 0.0
+    # bracket: conditions drift across the multi-leg run — the artifact is
+    # only cross-round comparable if BOTH bracketing probes are healthy
+    end_eff = host_probe(NUM_CPUS)["host_probe_parallel_eff"]
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
@@ -498,8 +501,10 @@ def run_scaling() -> dict:
         "sf": sf_of(SF_DIR),
         "num_cpus": 32,
         **probe,
+        "host_probe_end_parallel_eff": end_eff,
         "host_probe_attempts": probe_tries,
-        "comparable": probe["host_probe_parallel_eff"] >= min_eff,
+        "comparable": (probe["host_probe_parallel_eff"] >= min_eff
+                       and end_eff >= min_eff),
     }
 
 

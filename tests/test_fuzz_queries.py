@@ -17,6 +17,7 @@ from trinity_ray.query.ast import (
     Node,
     Not,
     Optional_,
+    Near,
     Or,
     Phrase,
     Token,
@@ -29,7 +30,7 @@ VOCAB = ["ALPHA", "BETA", "GAMMA", "DELTA", "EPS", "ZETA", "ETA", "THETA",
 
 
 def rand_node(rng: np.random.Generator, depth: int) -> Node:
-    kinds = ["token", "token", "phrase"]
+    kinds = ["token", "token", "phrase", "near"]
     if depth > 0:
         kinds += ["and", "or", "not", "some", "opt"]
     k = rng.choice(kinds)
@@ -38,6 +39,10 @@ def rand_node(rng: np.random.Generator, depth: int) -> Node:
     if k == "phrase":
         n = int(rng.integers(2, 4))
         return Phrase(tuple(str(t) for t in rng.choice(VOCAB, n)))
+    if k == "near":
+        n = int(rng.integers(2, 4))
+        return Near(tuple(str(t) for t in rng.choice(VOCAB, n)),
+                    window=int(rng.integers(1, 6)))
     if k == "not":
         # NOT is meaningful inside And (anti-join); pair it with a positive
         return And((rand_node(rng, depth - 1), Not(rand_node(rng, depth - 1))))

@@ -302,3 +302,24 @@ def test_rewrite_budget_prunes_lowest_weight_alternatives():
     rw2 = rewrite_query(node2, 1, cb2, budget=3)
     ors2 = [c for c in rw2.children if isinstance(c, Or)]
     assert [len(o.children) for o in ors2] == [3, 2]  # 2 alts, then 1 left
+
+
+def test_near_parser_numeric_terms():
+    """Only the FIRST numeric after 'near' is the window; later numerics
+    are search terms (code-review r4 finding)."""
+    from trinity_ray.query.ast import Near
+
+    assert parse_query("[near 2 1984 war]", "simple") == \
+        Near(("1984", "WAR"), window=2)
+    # grammar: the FIRST numeric after 'near' is always the window — a
+    # numeric first TERM needs an explicit window ([near 1984 war] reads
+    # window=1984 over the single term WAR, which folds to Token)
+    from trinity_ray.query.ast import Token as _Tok
+    assert parse_query("[near 1984 war]", "simple") == _Tok("WAR")
+    assert parse_query("[near 3 alpha 42 beta]", "simple") == \
+        Near(("ALPHA", "42", "BETA"), window=3)
+    # MatchSome first-numeric behavior unchanged
+    from trinity_ray.query.ast import MatchSome, Token
+    ms = parse_query("[2 alpha beta gamma]", "simple")
+    assert ms == MatchSome(2, (Token("ALPHA"), Token("BETA"),
+                               Token("GAMMA")))

@@ -518,23 +518,39 @@ class SimHasher:
         self.id_column = id_column
         self.tokenize = get_tokenizer(tokenizer)
 
+    # bound the per-chunk bit-matrix transient (~64 MB of uint8 at the
+    # cap) regardless of document lengths in the batch
+    _CHUNK_TOKENS = 1 << 20
+
     def _sigs(self, texts: list[str]) -> np.ndarray:
         tok_lists = [self.tokenize(t or "") for t in texts]
         lens = np.array([len(t) for t in tok_lists], dtype=np.int64)
         sigs = np.zeros(len(texts), dtype=np.uint64)
-        if not lens.any():
-            return sigs
-        th = _token_hashes([t for lst in tok_lists for t in lst])
-        bits = ((th[:, None] >> _BIT_SHIFTS[None, :]) & np.uint64(1)
-                ).astype(np.int64)                       # (total_toks, 64)
-        csum = np.vstack([np.zeros((1, 64), np.int64),
-                          np.cumsum(bits, axis=0)])
-        ends = np.cumsum(lens)
-        sums = csum[ends] - csum[ends - lens]            # (n_docs, 64)
-        pos = (2 * sums - lens[:, None]) > 0
-        nz = lens > 0                                    # empty doc => sig 0
-        sigs[nz] = np.where(pos[nz], _BIT_WEIGHTS[None, :],
-                            np.uint64(0)).sum(axis=1, dtype=np.uint64)
+        n = len(texts)
+        i = 0
+        while i < n:
+            j, tot = i, 0                    # docs [i, j) fit the cap
+            while j < n and (tot == 0 or tot + lens[j] <= self._CHUNK_TOKENS):
+                tot += int(lens[j])
+                j += 1
+            sl = lens[i:j]
+            nz = np.flatnonzero(sl)
+            if nz.size:
+                th = _token_hashes(
+                    [t for lst in tok_lists[i:j] for t in lst])
+                bits = ((th[:, None] >> _BIT_SHIFTS[None, :])
+                        & np.uint64(1)).astype(np.uint8)  # (chunk_toks, 64)
+                starts = np.concatenate(([0], np.cumsum(sl)))[:-1]
+                # one segmented sum per non-empty doc (empty docs own a
+                # zero-length span, which reduceat cannot express — they
+                # keep sig 0 and their boundaries fold into neighbors')
+                sums = np.add.reduceat(bits, starts[nz], axis=0,
+                                       dtype=np.int64)
+                pos = (2 * sums - sl[nz][:, None]) > 0
+                sigs[i + nz] = np.where(
+                    pos, _BIT_WEIGHTS[None, :], np.uint64(0)
+                ).sum(axis=1, dtype=np.uint64)
+            i = j
         return sigs
 
     def simhash(self, text: str) -> int:

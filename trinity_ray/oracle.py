@@ -18,6 +18,7 @@ from trinity_ray.query.ast import (
     ConstFalse,
     MatchAll,
     MatchSome,
+    Near,
     Node,
     Not,
     Optional_,
@@ -63,6 +64,8 @@ class OracleIndex:
             return set(self.docs)
         if isinstance(node, Token):
             return self.term_docs(node.term)
+        if isinstance(node, Near):   # before Phrase: Near subclasses it
+            return self._match_near(node.terms, node.window)
         if isinstance(node, Phrase):
             return self._match_phrase(node.terms)
         if isinstance(node, Not):
@@ -95,6 +98,22 @@ class OracleIndex:
                 cnt.update(self.match(c))
             return {d for d, n in cnt.items() if n >= node.min_match}
         raise TypeError(node)
+
+    def _match_near(self, terms: tuple[str, ...], window: int) -> set[int]:
+        """Unordered proximity: one occurrence per distinct term with
+        position span (max - min) <= window — brute-force anchor sweep."""
+        uniq = list(dict.fromkeys(terms))
+        docs = None
+        for t in uniq:
+            s = self.term_docs(t)
+            docs = s if docs is None else (docs & s)
+        out: set[int] = set()
+        for d in docs or ():
+            poss = [self.postings[t][d] for t in uniq]
+            if any(all(any(a <= q <= a + window for q in p) for p in poss)
+                   for anchor in poss for a in anchor):
+                out.add(d)
+        return out
 
     def _match_phrase(self, terms: tuple[str, ...]) -> set[int]:
         docs = None

@@ -242,6 +242,7 @@ class _Parser:
                 parts: list[Node] = []
                 min_match = 1
                 near_window: int | None = None
+                window_taken = False
                 first = True
                 while True:
                     k, v = self.peek()
@@ -255,9 +256,13 @@ class _Parser:
                         near_window = 1
                     elif isinstance(sub, Token) and str(sub.term).isdigit() \
                             and (first or (near_window is not None
+                                           and not window_taken
                                            and not parts)):
+                        # exactly ONE leading numeric is the window /
+                        # min_match spec; later numerics are search terms
                         if near_window is not None:
                             near_window = max(1, int(sub.term))
+                            window_taken = True
                         else:
                             min_match = max(1, int(sub.term))
                     else:

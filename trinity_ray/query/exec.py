@@ -67,6 +67,7 @@ _POS_SHIFT = 15  # > log2(MAX_POSITION)+1 headroom for pos+phrase-offset keys
 _EAGER_DICT_MAX = 262_144  # terms; above this, probe via row-group pruning
 _PRUNE_EPS = 1e-9  # float-associativity slack for max-score bounds
 _PRED_CACHE_MAX = 64  # DocPredicate id-set cache entries per SegmentReader
+_DOCVAL_CACHE_MAX = 4  # facet-column (doc_id, values) tables per reader
 
 EMPTY_U64 = np.empty(0, dtype=np.uint64)
 EMPTY_F64 = np.empty(0, dtype=np.float64)
@@ -358,6 +359,7 @@ class SegmentReader:
         self._cache: dict[str, TermPostings | None] = {}
         self._sorted_terms: list[str] | None = None
         self._pred_cache: dict[str, np.ndarray] = {}  # DocPredicate.key -> ids
+        self._docval_cache: dict = {}  # column -> (doc_ids, values)
 
     # -- dictionary probe ----------------------------------------------------
     def _ensure_dict(self) -> None:
@@ -600,12 +602,10 @@ class SegmentReader:
             cached = self._pred_cache.get(key)
             if cached is not None:
                 return cached
-        docs_path = os.path.join(self.seg_path, "docs.parquet")
-        docs_dir = os.path.join(self.seg_path, "docs")
-        if not (os.path.exists(docs_path) or os.path.isdir(docs_dir)):
+        src = self._docs_source()
+        if src is None:
             # deletes-only segment: no docs of its own
             return EMPTY_U64
-        src = docs_path if os.path.exists(docs_path) else docs_dir
         if isinstance(predicate, DocPredicate):
             cols = ["doc_id"] + [c for c in predicate.columns
                                  if c != "doc_id"]
@@ -637,30 +637,45 @@ class SegmentReader:
             self._pred_cache[key] = out
         return out
 
+    def _docs_source(self) -> str | None:
+        """Path of this segment's docs metadata (file or dir), or None for
+        a deletes-only segment that carries no docs of its own."""
+        docs_path = os.path.join(self.seg_path, "docs.parquet")
+        if os.path.exists(docs_path):
+            return docs_path
+        docs_dir = os.path.join(self.seg_path, "docs")
+        return docs_dir if os.path.isdir(docs_dir) else None
+
     def doc_values(self, ids: np.ndarray, column: str):
         """Docs-metadata ``column`` values for the given sorted doc_ids —
         the matched-document consumer seam (the reference's rich match
         hands the app a matched_document it can read app fields from,
         exec.h:11-43).  Pruned read: only doc_id + the one column leave
-        storage; order of the returned values is docs-table order, which
-        is all aggregation consumers (facets) need."""
-        docs_path = os.path.join(self.seg_path, "docs.parquet")
-        docs_dir = os.path.join(self.seg_path, "docs")
-        if not (os.path.exists(docs_path) or os.path.isdir(docs_dir)):
-            import pyarrow as _pa
-
-            return _pa.chunked_array([[]], type=_pa.null())
-        src = docs_path if os.path.exists(docs_path) else docs_dir
-        dset = pads.dataset(src, format="parquet")
-        if column not in dset.schema.names:
-            raise KeyError(f"docs metadata has no column {column!r} "
-                           f"(has {dset.schema.names})")
-        t = dset.to_table(columns=["doc_id", column])
-        d = t.column("doc_id").to_numpy().astype(np.uint64)
-        sel = _member(d, ids)
+        storage, cached per column on this long-lived reader (repeated
+        facet queries pay zero further metadata IO); order of the
+        returned values is docs-table order, which is all aggregation
+        consumers (facets) need.  A deletes-only segment (no docs of its
+        own) returns empty for ANY column — an unknown column only raises
+        on segments that actually carry docs metadata."""
         import pyarrow as _pa
 
-        return t.column(column).filter(_pa.array(sel))
+        src = self._docs_source()
+        if src is None:
+            return _pa.chunked_array([[]], type=_pa.null())
+        cached = self._docval_cache.get(column)
+        if cached is None:
+            dset = pads.dataset(src, format="parquet")
+            if column not in dset.schema.names:
+                raise KeyError(f"docs metadata has no column {column!r} "
+                               f"(has {dset.schema.names})")
+            t = dset.to_table(columns=["doc_id", column])
+            if len(self._docval_cache) >= _DOCVAL_CACHE_MAX:
+                self._docval_cache.pop(next(iter(self._docval_cache)))
+            cached = (t.column("doc_id").to_numpy().astype(np.uint64),
+                      t.column(column))
+            self._docval_cache[column] = cached
+        d, vals = cached
+        return vals.filter(_pa.array(_member(d, ids)))
 
     # -- boolean evaluation --------------------------------------------------
     def match(self, node: Node) -> np.ndarray:
