@@ -40,6 +40,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_near_top10": dsp.q_search_near_top10,
         "facet_lang": dsp.q_facet_lang,
         "search_snippets": dsp.q_search_snippets,
+        "dedup_clusters": dsp.q_dedup_clusters,
         # -- inverted-index build + query engine (SURVEY.md §2.1-2.7) -----
         "search_rare_top10": dsp.q_search_rare_top10,
         "search_hot_top10": dsp.q_search_hot_top10,
@@ -720,6 +721,41 @@ cs AS (SELECT id_a, id_b, dot / (sqrt(na.n2) * sqrt(nb.n2)) AS c
             JOIN n2 nb ON nb.vec_id = id_b)
 SELECT id_a, id_b, floor(c * 10000 + 0.5) / 10000 AS cos_r
 FROM cs WHERE c >= 0.3
+""",
+        # near-dup clustering: re-derive the MinHash-LSH edges exactly as
+        # dedup_minhash_pairs does (from the engine's signature/band
+        # export), then transitive closure by recursive CTE and
+        # min-propagation — cluster = min doc_id of the connected
+        # component, docs outside every edge cluster to themselves
+        "dedup_clusters": """
+WITH RECURSIVE
+bh AS (SELECT band, band_hash, doc_id,
+       row_number() OVER (PARTITION BY band, band_hash
+                          ORDER BY doc_id) AS rk FROM
+       read_parquet('/tmp/trinity_ray_driver_indexes/minhash_export_cl/bands/*.parquet')),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bh a JOIN bh b
+           ON a.band = b.band AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id
+         WHERE a.rk <= 200 AND b.rk <= 200),
+se AS (SELECT doc_id, unnest(minhash) AS v,
+              generate_subscripts(minhash, 1) AS i
+       FROM read_parquet('/tmp/trinity_ray_driver_indexes/minhash_export_cl/sigs/*.parquet')),
+est AS (SELECT c.id_a, c.id_b,
+               sum(CASE WHEN x.v = y.v THEN 1 ELSE 0 END) / 64.0 AS ej
+        FROM cand c JOIN se x ON x.doc_id = c.id_a
+             JOIN se y ON y.doc_id = c.id_b AND y.i = x.i
+        GROUP BY c.id_a, c.id_b),
+edges AS (SELECT id_a AS a, id_b AS b FROM est WHERE ej >= 0.5
+          UNION SELECT id_b, id_a FROM est WHERE ej >= 0.5),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+mins AS (SELECT a AS doc_id, least(a, min(b)) AS cluster
+         FROM reach GROUP BY a)
+SELECT d.doc_id, coalesce(m.cluster, d.doc_id) AS cluster
+FROM documents d LEFT JOIN mins m USING (doc_id)
 """,
         # -- corpus curation ------------------------------------------------
         # md5-gated sampling: the engine's 128-bit threshold is a 32-char

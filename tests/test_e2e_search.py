@@ -860,3 +860,11 @@ def test_snippets_match_refinditer(sf_dir, ray_session):
         assert offs, d
         off = min(offs)
         assert snip == text[max(0, off - 30):off + 30], d
+
+
+def test_ray_suggest_terms_matches_local(index_dir, ray_session):
+    from trinity_ray.search import LocalSearcher, RaySearcher
+
+    local = LocalSearcher(index_dir).suggest_terms("re", k=8)
+    dist = RaySearcher(index_dir, num_actors=2).suggest_terms("re", k=8)
+    assert dist == local and local

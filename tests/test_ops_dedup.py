@@ -248,3 +248,28 @@ ORDER BY id_a, id_b
     assert sgot["id_b"].tolist() == swant["id_b"].tolist()
     assert sgot["hamming"].tolist() == swant["hamming"].tolist()
     assert len(sgot) < 12 * 11 // 2
+
+
+def test_cluster_near_dups_transitive(ray_session):
+    """Connected components: a-b and b-c edges put all three in one
+    cluster keyed by the min id; untouched docs cluster to themselves."""
+    import ray.data as rd
+
+    from trinity_ray.ops.dedup import cluster_near_dups
+
+    pairs = rd.from_items([
+        {"id_a": 5, "id_b": 9}, {"id_a": 9, "id_b": 2},   # {2,5,9} -> 2
+        {"id_a": 7, "id_b": 8},                            # {7,8} -> 7
+    ])
+    docs = rd.from_items([{"doc_id": i} for i in range(10)])
+    got = dict(zip(*[cluster_near_dups(pairs, docs).to_pandas()
+                     .sort_values("doc_id")[c].tolist()
+                     for c in ("doc_id", "cluster")]))
+    want = {i: i for i in range(10)}
+    want.update({5: 2, 9: 2, 2: 2, 8: 7, 7: 7})
+    assert got == want
+    # no edges at all: everyone is their own cluster
+    empty = rd.from_items([]) if False else rd.from_arrow(
+        __import__("pyarrow").table({"id_a": [], "id_b": []}))
+    got2 = cluster_near_dups(empty, docs).to_pandas()
+    assert (got2["doc_id"] == got2["cluster"]).all()

@@ -773,3 +773,65 @@ def embedding_dup_pairs(ds, *, vec_column: str = "embedding",
     hot = _hot_buckets_only(assigned, ["bucket"])
     return hot.groupby("bucket").map_groups(
         bucket_pairs, batch_format="pandas", runtime_env=package_runtime_env())
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering (connected components over candidate pairs)
+# ---------------------------------------------------------------------------
+
+def cluster_near_dups(pairs_ds, docs_ds, *, id_column: str = "doc_id"):
+    """Assign every document a near-dup CLUSTER id: the minimum doc id of
+    its connected component over the (id_a, id_b) pair edges — the
+    keep-one-per-cluster stage every dedup pipeline ends with (keepers are
+    exactly the rows where cluster == id).
+
+    Scale shape: the pair list is bounded by construction (banded LSH with
+    per-bucket caps), so union-find runs driver-side over only the edge
+    ENDPOINTS; the corpus itself is swept once with a broadcast
+    (node -> cluster) array via sorted membership — no shuffle, no
+    whole-dataset driver materialization."""
+    import ray
+
+    pairs = pairs_ds.select_columns(["id_a", "id_b"]).to_pandas()
+    if len(pairs) == 0 or "id_a" not in pairs.columns:
+        # no edges (Ray may drop columns entirely on an empty dataset):
+        # every doc is its own cluster
+        pairs = pd.DataFrame({"id_a": [], "id_b": []})
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:          # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pairs["id_a"].to_numpy(), pairs["id_b"].to_numpy()):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)  # union by MIN id => rep
+    nodes = np.array(sorted(set(pairs["id_a"].astype(np.int64))
+                            | set(pairs["id_b"].astype(np.int64))),
+                     dtype=np.int64)
+    reps = np.array([find(int(n)) for n in nodes], dtype=np.int64)
+    keys_ref = ray.put(nodes)
+    reps_ref = ray.put(reps)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_column).to_numpy().astype(np.int64)
+        keys = ray.get(keys_ref)
+        rv = ray.get(reps_ref)
+        cluster = ids.copy()                  # default: own component
+        if keys.size:
+            idx = np.searchsorted(keys, ids)
+            idx_c = np.minimum(idx, keys.size - 1)
+            hit = keys[idx_c] == ids
+            cluster[hit] = rv[idx_c[hit]]
+        return pa.table({
+            id_column: pa.array(ids, pa.int64()),
+            "cluster": pa.array(cluster, pa.int64()),
+        })
+
+    return docs_ds.select_columns([id_column]).map_batches(
+        assign, batch_format="pyarrow", runtime_env=package_runtime_env())

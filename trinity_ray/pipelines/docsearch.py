@@ -725,6 +725,24 @@ def q_dedup_minhash_pairs(sf_dir: str):
     return pairs.map_batches(cast_types, batch_format="pyarrow")
 
 
+def q_dedup_clusters(sf_dir: str):
+    """Near-dup CLUSTERING: connected components over the MinHash-LSH pair
+    edges; every doc gets cluster = min doc_id of its component (keepers:
+    cluster == doc_id).  Oracle-exact: the same signature/band export as
+    dedup_minhash_pairs lets SQL re-derive the edges, take their
+    transitive closure with a recursive CTE, and min-propagate —
+    verifying banding, thresholding AND the component math end to end."""
+    from trinity_ray.ops.dedup import cluster_near_dups, minhash_lsh_pairs
+
+    os.makedirs(INDEX_ROOT, exist_ok=True)
+    pairs = minhash_lsh_pairs(
+        read_documents(sf_dir), id_column="doc_id", text_column="text",
+        threshold=0.5,
+        export_dir=os.path.join(INDEX_ROOT, "minhash_export_cl"))
+    return cluster_near_dups(pairs, read_documents(sf_dir),
+                             id_column="doc_id")
+
+
 def q_dedup_simhash_pairs(sf_dir: str):
     """SimHash near-dup pairs.  Oracle-exact: signatures are exported so
     the oracle brute-forces bit_count(xor(sig_a, sig_b)) <= 3 over them —

@@ -406,6 +406,14 @@ class SegmentSearchActor:
         merged = merge_topk(parts, k)
         return merged.doc_ids, merged.scores
 
+    def prefix_partials(self, prefix: str) -> dict[str, int]:
+        """term -> df over this shard (dictionary probe, zero postings IO)."""
+        acc: dict[str, int] = {}
+        for r in self.readers:
+            for t, df in r.prefix_terms(prefix).items():
+                acc[t] = acc.get(t, 0) + df
+        return acc
+
     def facet_partials(self, node: Node, column: str) -> dict:
         """Per-value doc counts over this shard's match set — only the
         (value, count) dict crosses the wire, never ids or metadata."""
@@ -526,6 +534,22 @@ class RaySearcher:
         hfuts = [a.rich_hits.remote(sorted_docs, terms) for a in self.actors]
         parts = [p for chunk in self._ray.get(hfuts) for p in chunk]
         return res, rich_hits_table(res, parts)
+
+    def suggest_terms(self, prefix: str, k: int = 10) -> list[tuple[str, int]]:
+        """Distributed dictionary prefix suggestions: per-shard term->df
+        partials (zero postings IO) merged driver-side — same contract as
+        LocalSearcher.suggest_terms."""
+        from trinity_ray.tokenizer import get_tokenizer
+
+        toks = get_tokenizer(self.manifest.tokenizer)(prefix)
+        if len(toks) == 1:
+            prefix = toks[0]
+        futs = [a.prefix_partials.remote(prefix) for a in self.actors]
+        acc: dict[str, int] = {}
+        for part in self._ray.get(futs):
+            for t, df in part.items():
+                acc[t] = acc.get(t, 0) + df
+        return sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
 
     def facet_counts(self, query: str | Node, column: str
                      ) -> list[tuple[object, int]]:
