@@ -41,6 +41,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_lang": dsp.q_facet_lang,
         "search_snippets": dsp.q_search_snippets,
         "dedup_clusters": dsp.q_dedup_clusters,
+        "pii_scrub": dsp.q_pii_scrub,
+        "chunk_tokens": dsp.q_chunk_tokens,
         # -- inverted-index build + query engine (SURVEY.md §2.1-2.7) -----
         "search_rare_top10": dsp.q_search_rare_top10,
         "search_hot_top10": dsp.q_search_hot_top10,
@@ -757,6 +759,27 @@ mins AS (SELECT a AS doc_id, least(a, min(b)) AS cluster
 SELECT d.doc_id, coalesce(m.cluster, d.doc_id) AS cluster
 FROM documents d LEFT JOIN mins m USING (doc_id)
 """,
+        # PII scrubbing: the SAME RE2 patterns replayed in the SAME order
+        # (counts taken before each pattern's own replacement, after the
+        # previous ones') — Arrow and DuckDB both run RE2
+        "pii_scrub": r"""
+WITH s1 AS (SELECT doc_id, text AS t0,
+  len(regexp_extract_all(text, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')) AS n_pii_email,
+  regexp_replace(text, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+  FROM documents),
+s2 AS (SELECT doc_id, n_pii_email,
+  len(regexp_extract_all(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_pii_ipv4,
+  regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t2
+  FROM s1),
+s3 AS (SELECT doc_id, n_pii_email, n_pii_ipv4,
+  len(regexp_extract_all(t2, '\+?\d[\d\-() ]{7,}\d')) AS n_pii_phone,
+  regexp_replace(t2, '\+?\d[\d\-() ]{7,}\d', '<PHONE>', 'g') AS text_scrubbed
+  FROM s2)
+SELECT doc_id, text_scrubbed, CAST(n_pii_email AS BIGINT) AS n_pii_email,
+       CAST(n_pii_ipv4 AS BIGINT) AS n_pii_ipv4,
+       CAST(n_pii_phone AS BIGINT) AS n_pii_phone
+FROM s3
+""",
         # -- corpus curation ------------------------------------------------
         # md5-gated sampling: the engine's 128-bit threshold is a 32-char
         # lowercase hex string, so SQL string comparison == integer
@@ -830,6 +853,28 @@ WHERE d.doc_id NOT IN (SELECT doc_id FROM cont)
       CASE d.lang WHEN 'en' THEN '{_th((1, 2))}'
                   WHEN 'de' THEN '{_th((1, 4))}'
                   ELSE '{_th((0, 1))}' END
+""",
+        # training-data chunking: top-1000 vocab (rank = id, ties term asc,
+        # OOV = 0), 32-token windows over the length-filtered token
+        # stream; checksum = sum((1-based pos within chunk) * token_id)
+        "chunk_tokens": """
+WITH toks AS (SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts, 1) AS pos
+              FROM (SELECT doc_id, regexp_extract_all(upper(text), '[A-Z0-9]+') AS ts
+                    FROM documents)),
+cnts AS (SELECT tok, count(*) AS cnt FROM toks
+         WHERE length(tok) <= 64 GROUP BY tok),
+vocab AS (SELECT tok, vid FROM (
+            SELECT tok, row_number() OVER (ORDER BY cnt DESC, tok ASC) AS vid
+            FROM cnts) WHERE vid <= 1000),
+fpos AS (SELECT doc_id, tok,
+                row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS p
+         FROM toks WHERE length(tok) <= 64),
+ids AS (SELECT f.doc_id, f.p, coalesce(v.vid, 0) AS vid
+        FROM fpos f LEFT JOIN vocab v ON v.tok = f.tok)
+SELECT doc_id, CAST((p - 1) // 32 AS BIGINT) AS chunk_idx,
+       count(*) AS n_tokens,
+       CAST(sum(((p - 1) % 32 + 1) * vid) AS BIGINT) AS checksum
+FROM ids GROUP BY doc_id, (p - 1) // 32
 """,
         # exact heavy hitters, ties term-ascending (same order as the
         # engine's sort key)

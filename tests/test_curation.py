@@ -241,3 +241,50 @@ def test_export_refuses_foreign_out_dir(ray_session, tmp_path):
     os.makedirs(os.path.join(out2, "lang=en"))
     m = export_curated(rd.from_arrow(t), out2, partition_cols=("lang",))
     assert m["rows"] == 2
+
+
+def test_scrub_pii_masks_and_counts(ray_session):
+    from trinity_ray.ops.text import scrub_pii
+
+    t = pa.table({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "mail bob.smith+x@corp.example.com or ping 10.0.0.1",
+            "call +1 (415) 555-0199 today",
+            "no pii here at all",
+            "two mails: a@b.io c@d.org and 192.168.1.1",
+        ],
+    })
+    got = scrub_pii(rd.from_arrow(t), text_column="text",
+                    out_column="scrubbed").to_pandas().sort_values("doc_id")
+    assert got["scrubbed"].tolist() == [
+        "mail <EMAIL> or ping <IP>",
+        "call <PHONE> today",
+        "no pii here at all",
+        "two mails: <EMAIL> <EMAIL> and <IP>",
+    ]
+    assert got["n_pii_email"].tolist() == [1, 0, 0, 2]
+    assert got["n_pii_ipv4"].tolist() == [1, 0, 0, 1]
+    assert got["n_pii_phone"].tolist() == [0, 1, 0, 0]
+    # ordering guard: the email's digits are gone before the phone pass
+    assert "<PHONE>" not in got["scrubbed"][0]
+
+
+def test_chunk_documents_windows(ray_session):
+    from trinity_ray.ops.pack import chunk_documents
+
+    vocab = ["AA", "BB", "CC"]            # ids 1, 2, 3; OOV -> 0
+    t = pa.table({
+        "doc_id": [7, 8, 9],
+        "text": ["aa bb cc aa bb", "zz aa", ""],
+    })
+    got = chunk_documents(rd.from_arrow(t), vocab, seq_len=2,
+                          text_column="text").to_pandas().sort_values(
+        ["doc_id", "chunk_idx"]).reset_index(drop=True)
+    # doc 7: ids [1,2,3,1,2] -> chunks [1,2] [3,1] [2]
+    #   checksums: 1*1+2*2=5, 1*3+2*1=5, 1*2=2
+    # doc 8: ids [0,1] -> chunk [0,1] checksum 0*1+1*2=2; doc 9: no rows
+    assert got["doc_id"].tolist() == [7, 7, 7, 8]
+    assert got["chunk_idx"].tolist() == [0, 1, 2, 0]
+    assert got["n_tokens"].tolist() == [2, 2, 1, 2]
+    assert got["checksum"].tolist() == [5, 5, 2, 2]

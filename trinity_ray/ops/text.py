@@ -309,3 +309,50 @@ def repetition_stats(ds, text_column: str = "text", batch_size: int = 2048,
     return ds.map_batches(_RepetitionStats, fn_constructor_kwargs=dict(
         text_column=text_column),
         batch_format="pyarrow", batch_size=batch_size, **_act(kwargs))
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+# RE2-syntax patterns (pyarrow.compute and DuckDB both run RE2, so an
+# oracle can replay the exact same replacements).  Order matters: emails
+# before phones (an email's digits must not be half-eaten as a phone).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d\-() ]{7,}\d", "<PHONE>"),
+)
+
+
+def scrub_pii(ds, *, text_column: str = "text",
+              patterns: tuple[tuple[str, str, str], ...] = PII_PATTERNS,
+              out_column: str | None = None):
+    """Mask PII spans (emails, IPv4s, phone-ish digit runs) with typed
+    placeholder tokens — the redaction stage of a training-data pipeline.
+
+    Fully vectorized: each pattern is ONE Arrow C++ RE2 pass over the
+    batch (pc.count_substring_regex + pc.replace_substring_regex); no
+    Python per row.  Appends ``n_pii_<kind>`` count columns (counted
+    BEFORE that pattern's replacement, after the previous patterns') and
+    replaces/creates the text column.  Patterns apply in order, so
+    e.g. an email is masked before the phone pattern could eat its
+    digits."""
+    out_col = out_column or text_column
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        txt = pc.cast(batch.column(text_column), pa.large_string())
+        counts = []
+        for kind, pat, repl in patterns:
+            counts.append((kind, pc.count_substring_regex(txt, pat)))
+            txt = pc.replace_substring_regex(txt, pat, repl)
+        if out_col in batch.column_names:
+            batch = batch.drop_columns([out_col])
+        batch = batch.append_column(out_col, pc.cast(txt, pa.string()))
+        for kind, c in counts:
+            batch = batch.append_column(f"n_pii_{kind}",
+                                        pc.cast(c, pa.int64()))
+        return batch
+
+    return ds.map_batches(scrub, batch_format="pyarrow")

@@ -793,6 +793,34 @@ def q_dedup_embedding_pairs(sf_dir: str):
     return pairs.map_batches(cast_round, batch_format="pyarrow")
 
 
+def q_pii_scrub(sf_dir: str):
+    """PII redaction: emails -> <EMAIL>, IPv4 -> <IP>, phone-ish digit
+    runs -> <PHONE>, applied in order as single Arrow RE2 passes; both
+    Arrow and DuckDB run RE2, so the oracle replays the identical
+    replacements."""
+    from trinity_ray.ops.text import scrub_pii
+
+    out = scrub_pii(read_documents(sf_dir), text_column="text",
+                    out_column="text_scrubbed")
+    return out.select_columns(["doc_id", "text_scrubbed", "n_pii_email",
+                               "n_pii_ipv4", "n_pii_phone"])
+
+
+def q_chunk_tokens(sf_dir: str):
+    """Training-data chunking: top-1000 vocabulary (rank = id, OOV = 0),
+    each doc's token stream cut into 32-token windows; per-chunk count +
+    order-sensitive checksum verify the full tokenize -> vocab-id ->
+    window math in SQL."""
+    from trinity_ray.ops.pack import chunk_documents
+    from trinity_ray.ops.text import top_terms
+
+    vocab_tbl = top_terms(read_documents(sf_dir), k=1000,
+                          text_column="text").to_pandas()
+    vocab = vocab_tbl["term"].tolist()       # rank order; id = index + 1
+    return chunk_documents(read_documents(sf_dir), vocab, seq_len=32,
+                           text_column="text", id_column="doc_id")
+
+
 def q_text_token_counts(sf_dir: str):
     from trinity_ray.ops.text import token_count
 
