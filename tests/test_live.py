@@ -202,3 +202,41 @@ def test_live_multi_shard_ingest_and_fanout(ray_session, tmp_path):
         want = ref.searcher().search(query, k=10)
         np.testing.assert_array_equal(got.doc_ids, want.doc_ids), query
         np.testing.assert_allclose(got.scores, want.scores, rtol=0, atol=0)
+
+
+def test_live_metadata_facets_and_predicates(ray_session, tmp_path):
+    """App-field metadata on live docs: facet_counts and DocPredicate see
+    RAM docs exactly like durable ones, and the fields survive flush."""
+    from trinity_ray.index.live import LiveIndex
+    from trinity_ray.query.exec import DocPredicate
+
+    live = LiveIndex(None, tokenizer="simple", positions=True)
+    live.add_documents(["alpha beta", "alpha gamma"],
+                       metadata={"lang": ["en", "de"]})
+    live.add_documents(["alpha delta"], metadata={"lang": ["en"]})
+    s = live.searcher()
+    assert s.facet_counts("alpha", "lang") == [("en", 2), ("de", 1)]
+    # metadata predicate on RAM docs
+    pred = DocPredicate(
+        lambda t: np.asarray([v == "en" for v in
+                              t.column("lang").to_pylist()]),
+        columns=["lang"], key="lang-en")
+    r = s.search("alpha", k=0, doc_predicate=pred)
+    assert sorted(int(d) for d in r.doc_ids) == [0, 2]
+    # column-set consistency is enforced
+    with pytest.raises(ValueError, match="metadata columns"):
+        live.add_documents(["x"], metadata={"other": ["y"]})
+    with pytest.raises(ValueError, match="has 2 values"):
+        LiveIndex(None, tokenizer="simple").add_documents(
+            ["a"], metadata={"lang": ["en", "de"]})
+    # flush: fields land in docs metadata; facet still answers
+    idx = str(tmp_path / "idx")
+    live.flush(idx)
+    from trinity_ray.search import LocalSearcher
+    s2 = LocalSearcher(idx)
+    assert s2.facet_counts("alpha", "lang") == [("en", 2), ("de", 1)]
+    # and the NRT buffer keeps working on top with the same columns
+    live.add_documents(["alpha zeta"], metadata={"lang": ["fr"]})
+    s3 = live.searcher()
+    assert s3.facet_counts("alpha", "lang") == \
+        [("en", 2), ("de", 1), ("fr", 1)]

@@ -142,15 +142,37 @@ class LiveIndex:
             self._base_gen = -1
         self._live_base = self._next
         self._texts: list[str] = []          # live docs, id = _live_base + i
+        self._meta: dict[str, list] = {}     # app fields, aligned to _texts
         self._deleted: set[int] = set()      # live-time deletes (any id)
         self._frozen = None                  # cached (reader, version)
         self._version = 0
 
     # -- mutations -----------------------------------------------------------
-    def add_documents(self, texts: Iterable[str]) -> np.ndarray:
+    def add_documents(self, texts: Iterable[str],
+                      metadata: dict[str, Iterable] | None = None
+                      ) -> np.ndarray:
+        """Buffer documents; optional ``metadata`` maps app-field column ->
+        per-doc values (the IndexDocumentsFilter / facet app fields,
+        matches.h:188-201).  The first metadata-carrying call fixes the
+        column set for the buffer's lifetime; every later call must supply
+        exactly those columns (mixed schemas would make doc_ids_where /
+        facet answers depend on which call a doc arrived in)."""
         texts = list(texts)
+        meta = {k: list(v) for k, v in (metadata or {}).items()}
+        for k, v in meta.items():
+            if len(v) != len(texts):
+                raise ValueError(
+                    f"metadata column {k!r} has {len(v)} values for "
+                    f"{len(texts)} docs")
+        if self._texts or self._meta:
+            if set(meta) != set(self._meta):
+                raise ValueError(
+                    f"metadata columns {sorted(meta)} != buffer's "
+                    f"{sorted(self._meta)}")
         start = self._next
         self._texts.extend(t or "" for t in texts)
+        for k, v in meta.items():
+            self._meta.setdefault(k, []).extend(v)
         self._next += len(texts)
         self._version += 1
         return np.arange(start, self._next, dtype=np.uint64)
@@ -193,6 +215,7 @@ class LiveIndex:
             "doc_id": pa.array(
                 np.arange(self._live_base, self._next, dtype=np.uint64),
                 pa.uint64()),
+            **{k: pa.array(v) for k, v in self._meta.items()},
         })
         reader = MemorySegmentReader(
             table, self._live_base, len(self._texts), docs_table=docs_tbl)
@@ -271,9 +294,13 @@ class LiveIndex:
         if self._texts:
             with tempfile.TemporaryDirectory() as td:
                 p = os.path.join(td, "live.parquet")
-                pq.write_table(pa.table({"text": pa.array(self._texts)}), p)
+                pq.write_table(pa.table({
+                    "text": pa.array(self._texts),
+                    **{k: pa.array(v) for k, v in self._meta.items()},
+                }), p)
                 manifest = build_index(
                     p, target, content_column="text",
+                    id_columns=tuple(sorted(self._meta)),
                     tokenizer=self.tokenizer, positions=self.positions,
                     generation=self._base_gen + 1, codec=self.codec)
         if self._deleted:
