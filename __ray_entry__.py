@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_part_revenue": dsp.q_join_part_revenue,
         # -- event-time windows ----------------------------------------------
         "events_hourly": dsp.q_events_hourly,
+        "events_hopping": dsp.q_events_hopping,
         "events_sessions": dsp.q_events_sessions,
         # -- corpus curation: sampling / decontamination / vocabulary -------
         "sample_md5": dsp.q_sample_md5,
@@ -534,6 +535,15 @@ SELECT epoch_us(ts) // 3600000000 AS window, event_type,
        count(*) AS n_events,
        CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM events GROUP BY 1, 2
+""",
+        # hopping 1h windows every 30 min: event at t covers window ids
+        # floor(t/hop) and floor(t/hop)-1 (window start = id * hop)
+        "events_hopping": """
+SELECT epoch_us(ts) // 1800000000 - t.j AS window, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events CROSS JOIN (VALUES (0), (1)) AS t(j)
+GROUP BY 1, 2
 """,
         "events_sessions": """
 WITH o AS (

@@ -156,3 +156,36 @@ def test_sessionize_whale_at_volume(ray_session):
     for u in range(20):
         m = out[out["user_id"] == f"minnow{u}"]
         assert len(m) == 1 and int(m["n_events"].iloc[0]) == 5
+
+
+def test_hopping_window_covers_each_event_fan_times(ray_session):
+    """Every event lands in exactly size/hop windows; a tumbling window is
+    the size == hop special case."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from trinity_ray.ops.window import hopping_window, tumbling_window
+
+    ts = pa.array([0, 1_700_000_000, 1_900_000_000, 3_600_000_000,
+                   5_400_000_000], pa.timestamp("us"))
+    t = pa.table({"ts": ts,
+                  "event_type": ["a", "a", "b", "a", "b"],
+                  "value": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    hop = hopping_window(rd.from_arrow(t), size_s=3600, hop_s=1800
+                         ).to_pandas()
+    # fan = 2: total (window,key) memberships == 2 * n_events
+    assert int(hop["n_events"].sum()) == 2 * t.num_rows
+    # event at t=5400s (window ids 3 and 2) — spot-check membership
+    w3 = hop[(hop["window"] == 3) & (hop["event_type"] == "b")]
+    assert w3["n_events"].tolist() == [1] and w3["sum_cents"].tolist() == [500]
+    # degenerate hop == size equals the tumbling aggregate
+    h2 = hopping_window(rd.from_arrow(t), size_s=3600, hop_s=3600
+                        ).to_pandas().sort_values(["window", "event_type"]
+                                                  ).reset_index(drop=True)
+    tw = tumbling_window(rd.from_arrow(t), every_s=3600
+                         ).to_pandas().sort_values(["window", "event_type"]
+                                                   ).reset_index(drop=True)
+    assert h2.equals(tw)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="multiple"):
+        hopping_window(rd.from_arrow(t), size_s=3600, hop_s=1000)

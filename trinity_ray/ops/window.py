@@ -59,6 +59,48 @@ def tumbling_window(ds, *, ts_column: str = "ts", every_s: int = 3600,
                  Sum("cents", alias_name="sum_cents"))
 
 
+def hopping_window(ds, *, ts_column: str = "ts", size_s: int = 3600,
+                   hop_s: int = 1800, value_column: str = "value",
+                   keys: tuple[str, ...] = ("event_type",)):
+    """Overlapping (hopping/sliding) windows: every event lands in the
+    ``size_s / hop_s`` windows covering it; ``window`` = the window's
+    start hop index (start time = window * hop_s).
+
+    Same scale shape as ``tumbling_window`` — the per-event replication
+    happens INSIDE map_batches (np.repeat, factor size/hop, no Python
+    loop), then one native hash aggregate over (window, *keys) shuffles
+    only map-side partials.  ``size_s`` must be a multiple of ``hop_s``
+    (the standard hopping constraint; a tumbling window is size == hop)."""
+    from ray.data.aggregate import Count, Sum
+
+    if size_s % hop_s != 0:
+        raise ValueError("size_s must be a multiple of hop_s")
+    fan = size_s // hop_s
+    hop_us = hop_s * US
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        ts = (batch.column(ts_column).cast(pa.timestamp("us"))
+              .cast(pa.int64()).to_numpy())
+        last = ts // hop_us                 # newest window containing t
+        rep = np.repeat(np.arange(len(ts)), fan)
+        w = (np.repeat(last, fan)
+             - np.tile(np.arange(fan, dtype=np.int64), len(ts)))
+        cents = pc.cast(pc.round(
+            pc.multiply(batch.column(value_column), 100.0),
+            round_mode="half_towards_infinity"), pa.int64())
+        cols = {"window": pa.array(w, pa.int64())}
+        for k in keys:
+            cols[k] = pc.take(batch.column(k), pa.array(rep))
+        cols["cents"] = pc.take(cents, pa.array(rep))
+        return pa.table(cols)
+
+    return ds.map_batches(bucket, batch_format="pyarrow",
+                          runtime_env=package_runtime_env()) \
+             .groupby(["window", *keys]).aggregate(
+                 Count(alias_name="n_events"),
+                 Sum("cents", alias_name="sum_cents"))
+
+
 def session_partials(ds, *, ts_column: str = "ts",
                      user_column: str = "user_id", gap_s: int = 1800):
     """The mini-session (partial/combiner) stage of :func:`sessionize`,

@@ -986,6 +986,15 @@ def q_events_hourly(sf_dir: str):
     return tumbling_window(read_events(sf_dir), every_s=3600)
 
 
+def q_events_hopping(sf_dir: str):
+    """Hopping 1h/30min event-time windows: each event lands in the 2
+    windows covering it (np.repeat fan-out inside map_batches, then one
+    native partial/combiner hash aggregate)."""
+    from trinity_ray.ops.window import hopping_window
+
+    return hopping_window(read_events(sf_dir), size_s=3600, hop_s=1800)
+
+
 def q_events_sessions(sf_dir: str):
     """Gap-based sessionization (30 min) per user."""
     from trinity_ray.ops.window import sessionize
