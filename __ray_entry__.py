@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- event-time windows ----------------------------------------------
         "events_hourly": dsp.q_events_hourly,
         "events_hopping": dsp.q_events_hopping,
+        "events_distinct_users": dsp.q_events_distinct_users,
         "events_sessions": dsp.q_events_sessions,
         # -- corpus curation: sampling / decontamination / vocabulary -------
         "sample_md5": dsp.q_sample_md5,
@@ -535,6 +536,10 @@ SELECT epoch_us(ts) // 3600000000 AS window, event_type,
        count(*) AS n_events,
        CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM events GROUP BY 1, 2
+""",
+        "events_distinct_users": """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+FROM events GROUP BY event_type
 """,
         # hopping 1h windows every 30 min: event at t covers window ids
         # floor(t/hop) and floor(t/hop)-1 (window start = id * hop)

@@ -189,3 +189,46 @@ def test_hopping_window_covers_each_event_fan_times(ray_session):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="multiple"):
         hopping_window(rd.from_arrow(t), size_s=3600, hop_s=1000)
+
+
+def test_hll_distinct_error_bound_and_merge(ray_session):
+    """HyperLogLog: estimate within the ~1.04/sqrt(m) band of the exact
+    count, merge(a, b) == sketch of the union, and the Dataset path agrees
+    with the exact sibling per group."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from trinity_ray.ops.sketch import (HyperLogLog, distinct_count_exact,
+                                        hll_distinct)
+
+    rng = np.random.default_rng(3)
+    n, dup = 20_000, 3
+    users = rng.integers(0, 1 << 40, n)
+    vals = np.repeat(users, dup)          # duplicates must not inflate
+    t = pa.table({
+        "user_id": pa.array(vals, pa.int64()),
+        "event_type": pa.array((["a"] * (n * dup // 2))
+                               + (["b"] * (n * dup - n * dup // 2))),
+    })
+    ds = rd.from_arrow(t)
+    est = hll_distinct(ds, "user_id", group_key="event_type", p=12)
+    exact = {r["event_type"]: r["n_distinct"]
+             for r in distinct_count_exact(ds, "user_id",
+                                           group_key="event_type"
+                                           ).iter_rows()}
+    tol = 3 * 1.04 / np.sqrt(1 << 12)     # 3 sigma ~= 4.9%
+    for g, e in exact.items():
+        assert abs(est[g] - e) / e < tol, (g, est[g], e)
+    # merge == union
+    a, b = HyperLogLog(12), HyperLogLog(12)
+    u = HyperLogLog(12)
+    from trinity_ray.ops.sketch import _hash64
+    h1 = _hash64(pa.array(users[:12000], pa.int64()))
+    h2 = _hash64(pa.array(users[8000:], pa.int64()))
+    a.add_hashes(h1), b.add_hashes(h2)
+    u.add_hashes(np.concatenate([h1, h2]))
+    assert a.merge(b).estimate() == u.estimate()
+    # small-range linear counting is near-exact
+    s = HyperLogLog(12)
+    s.add_hashes(_hash64(pa.array(np.arange(100), pa.int64())))
+    assert abs(s.estimate() - 100) <= 5

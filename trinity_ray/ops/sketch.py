@@ -1,0 +1,167 @@
+"""Mergeable cardinality sketches: HyperLogLog count-distinct.
+
+Exact COUNT(DISTINCT) over 100 TB needs a shuffle of every distinct
+(group, value) pair; a HyperLogLog register array is a fixed-size
+(2^p bytes) MERGEABLE summary, so the distributed shape collapses to the
+partial/combiner pattern: each block folds its values into per-group
+register arrays (vectorized numpy), partials are (group, 2^p bytes) rows,
+and merges are element-wise max — associative, commutative, idempotent
+(safe under task retries).  Flajolet et al. 2007's bias-corrected
+estimator with linear-counting small-range correction.
+
+``distinct_count_exact`` is the oracle-checkable sibling: two-level
+groupby (distinct pairs, then count) — exact, but the shuffle carries one
+row per distinct pair; use it when the pair cardinality is manageable,
+the sketch when it is not.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from trinity_ray.rayutil import package_runtime_env
+
+__all__ = ["HyperLogLog", "hll_distinct", "distinct_count_exact"]
+
+_MIX_A = np.uint64(0xBF58476D1CE4E5B9)
+_MIX_B = np.uint64(0x94D049BB133111EB)
+
+
+def _hash64(values: pa.Array) -> np.ndarray:
+    """Stable 64-bit hashes of an Arrow array (splitmix64 over either the
+    integer values or blake2b of the string bytes)."""
+    import hashlib
+
+    if pa.types.is_integer(values.type):
+        x = values.cast(pa.int64()).to_numpy(zero_copy_only=False
+                                             ).astype(np.uint64)
+        x = x + np.uint64(0x9E3779B97F4A7C15)
+        x ^= x >> np.uint64(30)
+        x *= _MIX_A
+        x ^= x >> np.uint64(27)
+        x *= _MIX_B
+        x ^= x >> np.uint64(31)
+        return x
+    out = np.empty(len(values), dtype=np.uint64)
+    for i, v in enumerate(values.to_pylist()):
+        out[i] = int.from_bytes(
+            hashlib.blake2b(str(v).encode(), digest_size=8).digest(),
+            "little")
+    return out
+
+
+class HyperLogLog:
+    """2^p uint8 registers; add is vectorized, merge is element-wise max."""
+
+    __slots__ = ("p", "m", "registers")
+
+    def __init__(self, p: int = 12, registers: np.ndarray | None = None):
+        if not 4 <= p <= 18:
+            raise ValueError("p must be in [4, 18]")
+        self.p = p
+        self.m = 1 << p
+        self.registers = (np.zeros(self.m, dtype=np.uint8)
+                          if registers is None
+                          else np.asarray(registers, dtype=np.uint8))
+
+    def add_hashes(self, h: np.ndarray) -> None:
+        if h.size == 0:
+            return
+        reg = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        w = h & np.uint64((1 << (64 - self.p)) - 1)
+        bits = 64 - self.p          # <= 60 < 53? no — but w < 2^52 for p=12
+        # rho = index of the first 1 bit from the MSB side of the (64-p)-bit
+        # suffix, 1-based; all-zero suffix -> bits+1.  float64 log2 is exact
+        # here only when bits <= 52, so clamp via the integer bit_length
+        # path for larger suffixes.
+        rho = np.full(w.size, bits + 1, dtype=np.uint8)
+        nzm = w > 0
+        if nzm.any():
+            wl = w[nzm]
+            if bits <= 52:           # float64 holds the value exactly
+                toplog = np.floor(np.log2(wl.astype(np.float64)))
+            else:                    # exact integer bit length per element
+                toplog = np.array([int(v).bit_length() - 1 for v in wl],
+                                  dtype=np.float64)
+            rho[nzm] = (bits - toplog).astype(np.uint8)
+        np.maximum.at(self.registers, reg, rho)
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        if other.p != self.p:
+            raise ValueError("cannot merge sketches of different precision")
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        inv = np.ldexp(1.0, -self.registers.astype(np.int64)).sum()
+        e = alpha * m * m / inv
+        if e <= 2.5 * m:             # small-range: linear counting
+            zeros = int((self.registers == 0).sum())
+            if zeros:
+                return m * np.log(m / zeros)
+        return float(e)
+
+
+def hll_distinct(ds, column: str, *, group_key: str | None = None,
+                 p: int = 12) -> dict:
+    """Approximate distinct count of ``column`` (optionally per
+    ``group_key``): per-batch register partials, merged by max.  Partials
+    are (group, 2^p bytes) rows — bounded by group cardinality x block
+    count, never by data volume.  Returns {group: estimate} (key ``None``
+    when ungrouped)."""
+
+    def partials(batch: pa.Table) -> pa.Table:
+        sketches: dict = {}
+        if group_key is None:
+            h = _hash64(batch.column(column).combine_chunks())
+            s = HyperLogLog(p)
+            s.add_hashes(h)
+            sketches[None] = s
+        else:
+            import pyarrow.compute as pc
+
+            gv = batch.column(group_key)
+            h = _hash64(batch.column(column).combine_chunks())
+            for g in pc.unique(gv).to_pylist():
+                mask = pc.equal(gv, g).combine_chunks().to_numpy(
+                    zero_copy_only=False)
+                s = HyperLogLog(p)
+                s.add_hashes(h[mask])
+                sketches[g] = s
+        return pa.table({
+            "group": pa.array([str(k) for k in sketches], pa.string()),
+            "registers": pa.array([s.registers.tobytes()
+                                   for s in sketches.values()], pa.binary()),
+        })
+
+    acc: dict[str, HyperLogLog] = {}
+    for b in ds.map_batches(partials, batch_format="pyarrow",
+                            runtime_env=package_runtime_env()
+                            ).iter_batches(batch_format="pyarrow",
+                                           batch_size=4096):
+        for g, r in zip(b.column("group").to_pylist(),
+                        b.column("registers").to_pylist()):
+            s = HyperLogLog(p, np.frombuffer(r, dtype=np.uint8))
+            if g in acc:
+                acc[g].merge(s)
+            else:
+                acc[g] = s
+    key = (lambda g: None if group_key is None else g)
+    return {key(g): s.estimate() for g, s in acc.items()}
+
+
+def distinct_count_exact(ds, column: str, *, group_key: str):
+    """Exact per-group COUNT(DISTINCT column): distinct (group, value)
+    pairs via one hash aggregate, then a count per group — the exact
+    sibling of :func:`hll_distinct` (shuffles one row per DISTINCT pair,
+    which is the honest cost of exactness)."""
+    from ray.data.aggregate import Count
+
+    pairs = ds.select_columns([group_key, column]) \
+              .groupby([group_key, column]).aggregate(
+                  Count(alias_name="_n")).drop_columns(["_n"])
+    return pairs.groupby(group_key).aggregate(
+        Count(alias_name="n_distinct"))

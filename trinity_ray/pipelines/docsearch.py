@@ -995,6 +995,16 @@ def q_events_hopping(sf_dir: str):
     return hopping_window(read_events(sf_dir), size_s=3600, hop_s=1800)
 
 
+def q_events_distinct_users(sf_dir: str):
+    """Exact per-event-type COUNT(DISTINCT user_id) — the oracle-checkable
+    sibling of the HyperLogLog sketch path (ops/sketch.py; the sketch's
+    error bound is pinned in tests/test_window.py)."""
+    from trinity_ray.ops.sketch import distinct_count_exact
+
+    return distinct_count_exact(read_events(sf_dir), "user_id",
+                                group_key="event_type")
+
+
 def q_events_sessions(sf_dir: str):
     """Gap-based sessionization (30 min) per user."""
     from trinity_ray.ops.window import sessionize
