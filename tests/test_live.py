@@ -240,3 +240,24 @@ def test_live_metadata_facets_and_predicates(ray_session, tmp_path):
     s3 = live.searcher()
     assert s3.facet_counts("alpha", "lang") == \
         [("en", 2), ("de", 1), ("fr", 1)]
+
+
+def test_live_metadata_schema_locked_to_base(ray_session, tmp_path):
+    """A durable base fixes the app-field schema: a buffer over a base
+    built with ('lang',) must supply lang; reserved names are rejected."""
+    from trinity_ray.index.live import LiveIndex
+
+    idx = str(tmp_path / "idx")
+    live = LiveIndex(None, tokenizer="simple")
+    live.add_documents(["alpha beta"], metadata={"lang": ["en"]})
+    live.flush(idx)
+    live2 = LiveIndex(idx, tokenizer="simple")
+    with pytest.raises(ValueError, match="base index app fields"):
+        live2.add_documents(["no metadata"])
+    live2.add_documents(["gamma delta"], metadata={"lang": ["fr"]})
+    s = live2.searcher()
+    assert dict(s.facet_counts("alpha OR gamma", "lang")) == \
+        {"en": 1, "fr": 1}
+    with pytest.raises(ValueError, match="collide with core"):
+        LiveIndex(None, tokenizer="simple").add_documents(
+            ["x"], metadata={"text": ["junk"]})

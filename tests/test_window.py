@@ -210,7 +210,9 @@ def test_hll_distinct_error_bound_and_merge(ray_session):
         "event_type": pa.array((["a"] * (n * dup // 2))
                                + (["b"] * (n * dup - n * dup // 2))),
     })
-    ds = rd.from_arrow(t)
+    # repartition: the merge path must run (read-only frombuffer
+    # partials were a crash here)
+    ds = rd.from_arrow(t).repartition(4)
     est = hll_distinct(ds, "user_id", group_key="event_type", p=12)
     exact = {r["event_type"]: r["n_distinct"]
              for r in distinct_count_exact(ds, "user_id",
@@ -232,3 +234,42 @@ def test_hll_distinct_error_bound_and_merge(ray_session):
     s = HyperLogLog(12)
     s.add_hashes(_hash64(pa.array(np.arange(100), pa.int64())))
     assert abs(s.estimate() - 100) <= 5
+
+
+def test_hll_distinct_native_keys_and_nulls(ray_session):
+    """Group keys keep their native type (int stays int); a null group is
+    its own group keyed None; ungrouped returns {None: est}."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from trinity_ray.ops.sketch import hll_distinct
+
+    t = pa.table({
+        "v": pa.array(list(range(300)), pa.int64()),
+        "g": pa.array([1, 2, None] * 100, pa.int64()),
+    })
+    est = hll_distinct(rd.from_arrow(t).repartition(3), "v", group_key="g")
+    assert set(est) == {1, 2, None}
+    for k in est:
+        assert abs(est[k] - 100) < 10, (k, est[k])
+    ung = hll_distinct(rd.from_arrow(t), "v")
+    assert set(ung) == {None} and abs(ung[None] - 300) < 20
+
+
+def test_hopping_truncates_like_tumbling_pre_epoch(ray_session):
+    """Division semantics parity: pre-epoch timestamps bucket by
+    truncation toward zero in hopping == tumbling (and DuckDB //)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from trinity_ray.ops.window import hopping_window, tumbling_window
+
+    ts = pa.array([-1_000_000, 1_000_000], pa.timestamp("us"))
+    t = pa.table({"ts": ts, "event_type": ["a", "a"],
+                  "value": [1.0, 1.0]})
+    h = hopping_window(rd.from_arrow(t), size_s=3600, hop_s=3600
+                       ).to_pandas().sort_values("window")
+    tw = tumbling_window(rd.from_arrow(t), every_s=3600
+                         ).to_pandas().sort_values("window")
+    assert h["window"].tolist() == tw["window"].tolist() == [0]
+    assert h["n_events"].tolist() == [2]

@@ -140,6 +140,20 @@ class LiveIndex:
         else:
             self._next = 0
             self._base_gen = -1
+        # the durable base's app-field schema (docs columns minus the core
+        # document columns) — new generations must keep it
+        self._base_fields: frozenset[str] | None = None
+        if self._base is not None:
+            import pyarrow.dataset as pads
+
+            for r in self._base.readers:
+                src = r._docs_source()
+                if src is None:
+                    continue
+                names = set(pads.dataset(src, format="parquet").schema.names)
+                self._base_fields = frozenset(
+                    names - {"doc_id", "content_sha256", "doc_len"})
+                break
         self._live_base = self._next
         self._texts: list[str] = []          # live docs, id = _live_base + i
         self._meta: dict[str, list] = {}     # app fields, aligned to _texts
@@ -159,6 +173,12 @@ class LiveIndex:
         facet answers depend on which call a doc arrived in)."""
         texts = list(texts)
         meta = {k: list(v) for k, v in (metadata or {}).items()}
+        reserved = {"text", "doc_id", "content_sha256", "doc_len"}
+        bad = reserved & set(meta)
+        if bad:
+            raise ValueError(
+                f"metadata column(s) {sorted(bad)} collide with core "
+                f"document columns")
         for k, v in meta.items():
             if len(v) != len(texts):
                 raise ValueError(
@@ -169,6 +189,14 @@ class LiveIndex:
                 raise ValueError(
                     f"metadata columns {sorted(meta)} != buffer's "
                     f"{sorted(self._meta)}")
+        elif self._base_fields is not None and \
+                set(meta) != self._base_fields:
+            # a durable base fixes the app-field schema: a generation
+            # flushed with different columns would make facet/predicate
+            # answers depend on which generation a doc landed in
+            raise ValueError(
+                f"metadata columns {sorted(meta)} != base index app "
+                f"fields {sorted(self._base_fields)}")
         start = self._next
         self._texts.extend(t or "" for t in texts)
         for k, v in meta.items():

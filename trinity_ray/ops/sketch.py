@@ -61,9 +61,13 @@ class HyperLogLog:
             raise ValueError("p must be in [4, 18]")
         self.p = p
         self.m = 1 << p
-        self.registers = (np.zeros(self.m, dtype=np.uint8)
-                          if registers is None
-                          else np.asarray(registers, dtype=np.uint8))
+        if registers is None:
+            self.registers = np.zeros(self.m, dtype=np.uint8)
+        else:
+            r = np.asarray(registers, dtype=np.uint8)
+            # np.frombuffer views (deserialized partials) are read-only;
+            # merge() writes in place, so own a writeable copy
+            self.registers = r if r.flags.writeable else r.copy()
 
     def add_hashes(self, h: np.ndarray) -> None:
         if h.size == 0:
@@ -79,12 +83,16 @@ class HyperLogLog:
         nzm = w > 0
         if nzm.any():
             wl = w[nzm]
-            if bits <= 52:           # float64 holds the value exactly
-                toplog = np.floor(np.log2(wl.astype(np.float64)))
-            else:                    # exact integer bit length per element
-                toplog = np.array([int(v).bit_length() - 1 for v in wl],
-                                  dtype=np.float64)
-            rho[nzm] = (bits - toplog).astype(np.uint8)
+            # float64 log2 can over-round for w just under a power of two
+            # (floor(log2(2^52-1)) reads 52); correct with an EXACT
+            # integer comparison — 2^toplog must not exceed w
+            toplog = np.floor(np.log2(wl.astype(np.float64))
+                              ).astype(np.uint64)
+            over = (np.uint64(1) << toplog) > wl
+            toplog[over] -= np.uint64(1)
+            under = (np.uint64(2) << toplog) <= wl
+            toplog[under] += np.uint64(1)
+            rho[nzm] = (np.uint64(bits) - toplog).astype(np.uint8)
         np.maximum.at(self.registers, reg, rho)
 
     def merge(self, other: "HyperLogLog") -> "HyperLogLog":
@@ -114,30 +122,40 @@ def hll_distinct(ds, column: str, *, group_key: str | None = None,
     when ungrouped)."""
 
     def partials(batch: pa.Table) -> pa.Table:
-        sketches: dict = {}
+        h = _hash64(batch.column(column).combine_chunks())
         if group_key is None:
-            h = _hash64(batch.column(column).combine_chunks())
             s = HyperLogLog(p)
             s.add_hashes(h)
-            sketches[None] = s
+            groups: list = [None]
+            regs = [s.registers.tobytes()]
+            gtype = pa.null()
         else:
-            import pyarrow.compute as pc
-
-            gv = batch.column(group_key)
-            h = _hash64(batch.column(column).combine_chunks())
-            for g in pc.unique(gv).to_pylist():
-                mask = pc.equal(gv, g).combine_chunks().to_numpy(
-                    zero_copy_only=False)
+            # ONE dictionary-encode + ONE stable argsort segments the
+            # batch into per-group slices (null group = its own slice) —
+            # no per-group column rescans
+            gv = batch.column(group_key).combine_chunks()
+            de = gv.dictionary_encode()
+            idx = de.indices.fill_null(-1).to_numpy(zero_copy_only=False
+                                                    ).astype(np.int64)
+            order = np.argsort(idx, kind="stable")
+            si = idx[order]
+            hs = h[order]
+            dictionary = de.dictionary.to_pylist()
+            groups, regs = [], []
+            for code in np.unique(si):
+                lo = np.searchsorted(si, code, "left")
+                hi = np.searchsorted(si, code, "right")
                 s = HyperLogLog(p)
-                s.add_hashes(h[mask])
-                sketches[g] = s
+                s.add_hashes(hs[lo:hi])
+                groups.append(None if code < 0 else dictionary[code])
+                regs.append(s.registers.tobytes())
+            gtype = de.dictionary.type
         return pa.table({
-            "group": pa.array([str(k) for k in sketches], pa.string()),
-            "registers": pa.array([s.registers.tobytes()
-                                   for s in sketches.values()], pa.binary()),
+            "group": pa.array(groups, gtype),
+            "registers": pa.array(regs, pa.binary()),
         })
 
-    acc: dict[str, HyperLogLog] = {}
+    acc: dict = {}
     for b in ds.map_batches(partials, batch_format="pyarrow",
                             runtime_env=package_runtime_env()
                             ).iter_batches(batch_format="pyarrow",
@@ -149,8 +167,7 @@ def hll_distinct(ds, column: str, *, group_key: str | None = None,
                 acc[g].merge(s)
             else:
                 acc[g] = s
-    key = (lambda g: None if group_key is None else g)
-    return {key(g): s.estimate() for g, s in acc.items()}
+    return {g: s.estimate() for g, s in acc.items()}
 
 
 def distinct_count_exact(ds, column: str, *, group_key: str):

@@ -81,7 +81,10 @@ def hopping_window(ds, *, ts_column: str = "ts", size_s: int = 3600,
     def bucket(batch: pa.Table) -> pa.Table:
         ts = (batch.column(ts_column).cast(pa.timestamp("us"))
               .cast(pa.int64()).to_numpy())
-        last = ts // hop_us                 # newest window containing t
+        # newest window containing t; TRUNCATING division (toward zero)
+        # like tumbling_window's pc.divide and DuckDB's // — numpy //
+        # floors, which diverges for pre-epoch timestamps
+        last = np.sign(ts) * (np.abs(ts) // hop_us)
         rep = np.repeat(np.arange(len(ts)), fan)
         w = (np.repeat(last, fan)
              - np.tile(np.arange(fan, dtype=np.int64), len(ts)))
