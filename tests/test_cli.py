@@ -127,3 +127,26 @@ def test_cli_compact(tmp_path, capsys, ray_session):
     assert rc == 0
     rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
     assert rows and rows[0]["score"] > 0
+
+
+def test_cli_facet_and_suggest(tmp_path, capsys, ray_session):
+    path = str(tmp_path / "d.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "content": pa.array(["alpha beta", "alpha", "beta", "alpha",
+                             "beta gamma", "alpha beta"], pa.string()),
+        "lang": pa.array(["en", "de", "en", "en", "de", "de"]),
+    }), path)
+    idx = str(tmp_path / "idx")
+    assert main(["build", "--input", path, "--index", idx,
+                 "--tokenizer", "simple", "--id-columns", "lang"]) == 0
+    capsys.readouterr()
+    assert main(["facet", "--index", idx, "--query", "alpha",
+                 "--column", "lang"]) == 0
+    rows = [json.loads(l) for l in
+            capsys.readouterr().out.strip().splitlines()]
+    assert {r["value"]: r["n_docs"] for r in rows} == {"en": 2, "de": 2}
+    assert main(["suggest", "--index", idx, "--prefix", "b", "-k", "3"]) == 0
+    rows = [json.loads(l) for l in
+            capsys.readouterr().out.strip().splitlines()]
+    assert rows[0] == {"term": "BETA", "df": 4}

@@ -33,6 +33,7 @@ def cmd_build(args: argparse.Namespace) -> int:
     manifest = build_index(
         args.input, args.index,
         content_column=args.content_column,
+        id_columns=tuple(args.id_columns or ()),
         tokenizer=args.tokenizer,
         positions=not args.no_positions,
         target_rows_per_partition=args.target_rows,
@@ -102,6 +103,31 @@ def cmd_search(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_facet(args: argparse.Namespace) -> int:
+    _ensure_ray()
+    if args.actors > 0:
+        from trinity_ray.search import RaySearcher
+
+        searcher = RaySearcher(args.index, num_actors=args.actors)
+    else:
+        from trinity_ray.search import LocalSearcher
+
+        searcher = LocalSearcher(args.index)
+    for value, count in searcher.facet_counts(args.query, args.column):
+        print(json.dumps({"value": value, "n_docs": count}))
+    return 0
+
+
+def cmd_suggest(args: argparse.Namespace) -> int:
+    _ensure_ray()
+    from trinity_ray.search import LocalSearcher
+
+    for term, df in LocalSearcher(args.index).suggest_terms(args.prefix,
+                                                            k=args.k):
+        print(json.dumps({"term": term, "df": df}))
+    return 0
+
+
 def cmd_percolate(args: argparse.Namespace) -> int:
     import ray.data as rd
 
@@ -136,6 +162,9 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--input", required=True)
     b.add_argument("--index", required=True)
     b.add_argument("--content-column", default="content")
+    b.add_argument("--id-columns", nargs="*", default=None,
+                   help="app-field columns carried into docs metadata "
+                        "(DocPredicate filters / facet aggregation)")
     b.add_argument("--tokenizer", default="trinity", choices=["trinity", "simple"])
     b.add_argument("--no-positions", action="store_true")
     b.add_argument("--target-rows", type=int, default=250_000)
@@ -181,6 +210,23 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--actors", type=int, default=0,
                    help="RaySearcher actor count (0 = driver-local)")
     s.set_defaults(fn=cmd_search)
+
+    f = sub.add_parser("facet", help="per-value doc counts of a docs-"
+                                     "metadata column over a query's "
+                                     "match set")
+    f.add_argument("--index", required=True)
+    f.add_argument("--query", required=True)
+    f.add_argument("--column", required=True)
+    f.add_argument("--actors", type=int, default=0,
+                   help="RaySearcher actor count (0 = driver-local)")
+    f.set_defaults(fn=cmd_facet)
+
+    g = sub.add_parser("suggest", help="dictionary prefix suggestions "
+                                       "by global df")
+    g.add_argument("--index", required=True)
+    g.add_argument("--prefix", required=True)
+    g.add_argument("-k", type=int, default=10)
+    g.set_defaults(fn=cmd_suggest)
 
     pc = sub.add_parser("percolate", help="reverse search: stream docs "
                                           "through standing queries")
