@@ -483,8 +483,12 @@ def q_dedup_jaccard_pairs(sf_dir: str):
 
     from trinity_ray.ops.dedup import minhash_lsh_pairs, verify_pairs_jaccard
 
+    # bands=32 (r=2): near-exact candidate recall at the 0.6 verify
+    # threshold (miss ~6e-7 per pair) — this entry's oracle is brute-force
+    # TRUTH, so banding recall is part of what it checks; the default r=8
+    # missed genuine j=0.8 pairs at sf0.1
     cands = minhash_lsh_pairs(read_documents(sf_dir), id_column="doc_id",
-                              text_column="text", threshold=0.4)
+                              text_column="text", bands=32, threshold=0.3)
     df = verify_pairs_jaccard(cands, read_documents(sf_dir),
                               id_column="doc_id", text_column="text",
                               threshold=0.6)
