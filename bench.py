@@ -220,6 +220,14 @@ def bench_ops(sf_dir: str) -> dict[str, float]:
     timed("decontam", dsp.q_decontam_flags)
     timed("vocab_top100", dsp.q_vocab_top100)
     timed("ann_bruteforce", dsp.q_ann_bruteforce_top10)
+    # round-4 ops
+    timed("dedup_clusters", dsp.q_dedup_clusters)
+    timed("pii_scrub", dsp.q_pii_scrub)
+    timed("chunk_tokens", dsp.q_chunk_tokens)
+    timed("events_hopping", dsp.q_events_hopping)
+    timed("events_distinct", dsp.q_events_distinct_users)
+    timed("facet_lang", dsp.q_facet_lang)
+    timed("search_near", dsp.q_search_near_top10)
     # IVF recall@10 vs the exact brute-force answer (nprobe=3 of 8 lists)
     try:
         exact = set(dsp.q_ann_bruteforce_top10(sf_dir).column("vec_id").to_pylist())
