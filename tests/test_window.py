@@ -273,3 +273,32 @@ def test_hopping_truncates_like_tumbling_pre_epoch(ray_session):
                          ).to_pandas().sort_values("window")
     assert h["window"].tolist() == tw["window"].tolist() == [0]
     assert h["n_events"].tolist() == [2]
+
+
+def test_distinct_counts_exclude_nulls_and_big_ints(ray_session):
+    """NULL values never count toward a distinct total (SQL semantics),
+    and int64 values above 2^53 keep exact identity in both the exact
+    path and the sketch hashes."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from trinity_ray.ops.sketch import (_hash64, distinct_count_exact,
+                                        hll_distinct)
+
+    big = (1 << 60)
+    t = pa.table({
+        "v": pa.array([1, None, big, big + 1, 1, None], pa.int64()),
+        "g": pa.array(["a"] * 6),
+    })
+    exact = {r["g"]: r["n_distinct"]
+             for r in distinct_count_exact(rd.from_arrow(t), "v",
+                                           group_key="g").iter_rows()}
+    assert exact == {"a": 3}                  # 1, big, big+1; nulls dropped
+    est = hll_distinct(rd.from_arrow(t), "v", group_key="g")
+    assert abs(est["a"] - 3) < 1
+    # adjacent >2^53 ints hash distinctly
+    h = _hash64(pa.array([big, big + 1], pa.int64()))
+    assert h[0] != h[1]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="null-free"):
+        _hash64(pa.array([1, None], pa.int64()))

@@ -146,14 +146,21 @@ class LiveIndex:
         if self._base is not None:
             import pyarrow.dataset as pads
 
+            # UNION across all docs-bearing segments: a degenerate
+            # empty-partition segment writes a doc_id-only docs file and
+            # must not mask the app fields the real segments carry
+            fields: set[str] = set()
+            seen_docs = False
             for r in self._base.readers:
                 src = r._docs_source()
                 if src is None:
                     continue
-                names = set(pads.dataset(src, format="parquet").schema.names)
+                seen_docs = True
+                fields |= set(pads.dataset(src, format="parquet"
+                                           ).schema.names)
+            if seen_docs:
                 self._base_fields = frozenset(
-                    names - {"doc_id", "content_sha256", "doc_len"})
-                break
+                    fields - {"doc_id", "content_sha256", "doc_len"})
         self._live_base = self._next
         self._texts: list[str] = []          # live docs, id = _live_base + i
         self._meta: dict[str, list] = {}     # app fields, aligned to _texts

@@ -29,10 +29,14 @@ _MIX_B = np.uint64(0x94D049BB133111EB)
 
 
 def _hash64(values: pa.Array) -> np.ndarray:
-    """Stable 64-bit hashes of an Arrow array (splitmix64 over either the
-    integer values or blake2b of the string bytes)."""
+    """Stable 64-bit hashes of a NULL-FREE Arrow array (splitmix64 over
+    the integer values or blake2b of the string bytes).  Callers drop
+    nulls first — with nulls present pyarrow's to_numpy falls back to
+    float64, which would silently collide int64 values above 2^53."""
     import hashlib
 
+    if values.null_count:
+        raise ValueError("_hash64 requires a null-free array")
     if pa.types.is_integer(values.type):
         x = values.cast(pa.int64()).to_numpy(zero_copy_only=False
                                              ).astype(np.uint64)
@@ -122,6 +126,13 @@ def hll_distinct(ds, column: str, *, group_key: str | None = None,
     when ungrouped)."""
 
     def partials(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # NULL values never count toward a distinct total (SQL
+        # COUNT(DISTINCT) semantics, and _hash64 requires null-free input)
+        vc = batch.column(column).combine_chunks()
+        if vc.null_count:
+            batch = batch.filter(pc.is_valid(vc))
         h = _hash64(batch.column(column).combine_chunks())
         if group_key is None:
             s = HyperLogLog(p)
@@ -177,7 +188,14 @@ def distinct_count_exact(ds, column: str, *, group_key: str):
     which is the honest cost of exactness)."""
     from ray.data.aggregate import Count
 
+    def drop_null_values(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        vc = batch.column(column).combine_chunks()
+        return batch.filter(pc.is_valid(vc)) if vc.null_count else batch
+
     pairs = ds.select_columns([group_key, column]) \
+              .map_batches(drop_null_values, batch_format="pyarrow") \
               .groupby([group_key, column]).aggregate(
                   Count(alias_name="_n")).drop_columns(["_n"])
     return pairs.groupby(group_key).aggregate(

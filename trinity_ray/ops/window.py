@@ -91,10 +91,11 @@ def hopping_window(ds, *, ts_column: str = "ts", size_s: int = 3600,
         cents = pc.cast(pc.round(
             pc.multiply(batch.column(value_column), 100.0),
             round_mode="half_towards_infinity"), pa.int64())
+        rep_pa = pa.array(rep)          # one conversion, reused per column
         cols = {"window": pa.array(w, pa.int64())}
         for k in keys:
-            cols[k] = pc.take(batch.column(k), pa.array(rep))
-        cols["cents"] = pc.take(cents, pa.array(rep))
+            cols[k] = pc.take(batch.column(k), rep_pa)
+        cols["cents"] = pc.take(cents, rep_pa)
         return pa.table(cols)
 
     return ds.map_batches(bucket, batch_format="pyarrow",

@@ -47,7 +47,8 @@ def clean_corpus(ds, *, id_column: str = "doc_id",
     # r=8 banding missed real j=0.8 pairs at corpus scale (recall at
     # j=0.8 is only ~77% per pair with r=8)
     cands = minhash_lsh_pairs(d1, id_column=id_column, bands=32,
-                              text_column=text_column, threshold=0.3)
+                              text_column=text_column, threshold=0.3,
+                              max_bucket=2000)
     ver = verify_pairs_jaccard(cands, d1, id_column=id_column,
                                text_column=text_column,
                                threshold=jaccard_threshold)

@@ -488,7 +488,8 @@ def q_dedup_jaccard_pairs(sf_dir: str):
     # TRUTH, so banding recall is part of what it checks; the default r=8
     # missed genuine j=0.8 pairs at sf0.1
     cands = minhash_lsh_pairs(read_documents(sf_dir), id_column="doc_id",
-                              text_column="text", bands=32, threshold=0.3)
+                              text_column="text", bands=32, threshold=0.3,
+                              max_bucket=2000)
     df = verify_pairs_jaccard(cands, read_documents(sf_dir),
                               id_column="doc_id", text_column="text",
                               threshold=0.6)
