@@ -270,6 +270,21 @@ def test_scrub_pii_masks_and_counts(ray_session):
     assert "<PHONE>" not in got["scrubbed"][0]
 
 
+def test_scrub_pii_rescrub_no_duplicate_columns(ray_session):
+    """Re-scrubbing an already-scrubbed dataset must replace the
+    n_pii_* count columns, not append duplicates (ADVICE r4)."""
+    from trinity_ray.ops.text import scrub_pii
+
+    t = pa.table({"doc_id": [0, 1],
+                  "text": ["mail a@b.io", "ip 10.0.0.1 x@y.io"]})
+    once = scrub_pii(rd.from_arrow(t), text_column="text")
+    twice = scrub_pii(once, text_column="text").to_pandas()
+    assert sorted(twice.columns) == sorted(set(twice.columns))
+    # second pass finds nothing: placeholders aren't PII
+    assert twice["n_pii_email"].tolist() == [0, 0]
+    assert twice["n_pii_ipv4"].tolist() == [0, 0]
+
+
 def test_chunk_documents_windows(ray_session):
     from trinity_ray.ops.pack import chunk_documents
 

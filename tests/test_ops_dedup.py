@@ -273,3 +273,30 @@ def test_cluster_near_dups_transitive(ray_session):
         __import__("pyarrow").table({"id_a": [], "id_b": []}))
     got2 = cluster_near_dups(empty, docs).to_pandas()
     assert (got2["doc_id"] == got2["cluster"]).all()
+
+
+def test_clear_export_dir_refuses_foreign(tmp_path):
+    """The signature/bucket export seams must refuse to delete a dir
+    holding anything but a prior parquet export (ADVICE r4 — blind
+    rmtree of a misconfigured path silently destroyed data)."""
+    import os
+
+    import pytest
+
+    from trinity_ray.ops.dedup import _clear_export_dir
+
+    # absent / empty / parquet-only dirs are cleared silently
+    _clear_export_dir(str(tmp_path / "absent"))
+    prior = tmp_path / "prior"
+    prior.mkdir()
+    (prior / "0_000.parquet").write_bytes(b"x")
+    _clear_export_dir(str(prior))
+    assert not prior.exists()
+
+    # a dir holding unrelated files must raise, untouched
+    foreign = tmp_path / "home"
+    foreign.mkdir()
+    (foreign / "thesis.tex").write_text("important")
+    with pytest.raises(RuntimeError, match="refusing"):
+        _clear_export_dir(str(foreign))
+    assert (foreign / "thesis.tex").read_text() == "important"

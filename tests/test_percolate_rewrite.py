@@ -323,3 +323,13 @@ def test_near_parser_numeric_terms():
     ms = parse_query("[2 alpha beta gamma]", "simple")
     assert ms == MatchSome(2, (Token("ALPHA"), Token("BETA"),
                                Token("GAMMA")))
+
+
+def test_near_window_clamped_at_parse_time():
+    """A syntactically valid query with an absurd window must clamp at
+    parse time, never raise inside match execution (ADVICE r4)."""
+    from trinity_ray.query.ast import Near
+    from trinity_ray.tokenizer import MAX_POSITION
+
+    node = parse_query("[near 99999 alpha beta]", "simple")
+    assert node == Near(("ALPHA", "BETA"), window=MAX_POSITION - 1)

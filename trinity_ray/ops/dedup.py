@@ -33,6 +33,27 @@ from trinity_ray.tokenizer import get_tokenizer
 from trinity_ray.tokenizer import WORD_RE as _WORD_RE  # one shared oracle-parity pattern
 
 
+def _clear_export_dir(path: str) -> None:
+    """Delete ``path`` only if it looks like a prior signature/bucket export
+    (absent, empty, or containing only ``*.parquet`` files / ``*.crc``
+    sidecars).  A misconfigured export dir pointing at unrelated data must
+    raise, not be silently destroyed (mirrors export_curated's
+    foreign-entry refusal in pipelines/export.py:42-52)."""
+    import os
+    import shutil
+
+    if not os.path.isdir(path):
+        return
+    foreign = [e for e in os.listdir(path)
+               if not e.endswith((".parquet", ".crc"))]
+    if foreign:
+        raise RuntimeError(
+            f"export dir {path!r} exists and does not look like a prior "
+            f"export (unexpected entries: {foreign[:5]}); refusing to "
+            f"delete it")
+    shutil.rmtree(path)
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -355,10 +376,9 @@ def minhash_lsh_pairs(ds, *, num_perm: int = 64, bands: int = 8,
         runtime_env=package_runtime_env())
     if export_dir is not None:
         import os as _os
-        import shutil as _sh
 
         for sub in ("sigs", "bands"):
-            _sh.rmtree(_os.path.join(export_dir, sub), ignore_errors=True)
+            _clear_export_dir(_os.path.join(export_dir, sub))
 
         def sig_signed(batch: pa.Table) -> pa.Table:
             mh = batch.column("minhash").combine_chunks()
@@ -583,10 +603,8 @@ def simhash_pairs(ds, *, max_hamming: int = 3, text_column: str = "text",
         runtime_env=package_runtime_env(),
     )
     if sig_export_dir is not None:
-        import shutil as _sh
-
         sigs = sigs.materialize()  # consumed twice: export + banding
-        _sh.rmtree(sig_export_dir, ignore_errors=True)
+        _clear_export_dir(sig_export_dir)
 
         def to_signed(batch: pa.Table) -> pa.Table:
             sh = batch.column("simhash").to_numpy().astype(np.uint64)
@@ -748,10 +766,8 @@ def embedding_dup_pairs(ds, *, vec_column: str = "embedding",
     assigned = ds.map_batches(assign, batch_format="pyarrow",
                               runtime_env=package_runtime_env())
     if bucket_export_dir is not None:
-        import shutil as _sh
-
         assigned = assigned.materialize()  # consumed twice: export + pairs
-        _sh.rmtree(bucket_export_dir, ignore_errors=True)
+        _clear_export_dir(bucket_export_dir)
         assigned.select_columns([id_column, "bucket"]).write_parquet(
             bucket_export_dir)
 

@@ -347,8 +347,13 @@ def scrub_pii(ds, *, text_column: str = "text",
         for kind, pat, repl in patterns:
             counts.append((kind, pc.count_substring_regex(txt, pat)))
             txt = pc.replace_substring_regex(txt, pat, repl)
-        if out_col in batch.column_names:
-            batch = batch.drop_columns([out_col])
+        # drop any pre-existing output columns (re-scrubbing an already
+        # scrubbed dataset must replace, not duplicate, n_pii_* columns)
+        stale = [c for c in ([out_col]
+                             + [f"n_pii_{kind}" for kind, _, _ in patterns])
+                 if c in batch.column_names]
+        if stale:
+            batch = batch.drop_columns(stale)
         batch = batch.append_column(out_col, pc.cast(txt, pa.string()))
         for kind, c in counts:
             batch = batch.append_column(f"n_pii_{kind}",

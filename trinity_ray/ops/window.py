@@ -66,6 +66,14 @@ def hopping_window(ds, *, ts_column: str = "ts", size_s: int = 3600,
     ``size_s / hop_s`` windows covering it; ``window`` = the window's
     start hop index (start time = window * hop_s).
 
+    Bucketing divides by truncation (toward zero), matching
+    ``tumbling_window`` and the DuckDB/Arrow integer-divide oracles, so
+    the coverage invariant above holds for ``ts >= 0`` only: pre-epoch
+    timestamps (negative microseconds) truncate toward zero and land in
+    hop indices shifted one window up from floor-division semantics.
+    Event-time pipelines here treat timestamps as unsigned epoch offsets;
+    pass floor-divided ``ts`` upstream if pre-epoch data ever matters.
+
     Same scale shape as ``tumbling_window`` — the per-event replication
     happens INSIDE map_batches (np.repeat, factor size/hop, no Python
     loop), then one native hash aggregate over (window, *keys) shuffles

@@ -261,7 +261,14 @@ class _Parser:
                         # exactly ONE leading numeric is the window /
                         # min_match spec; later numerics are search terms
                         if near_window is not None:
-                            near_window = max(1, int(sub.term))
+                            # clamp at parse time: exec's _match_near
+                            # rejects window >= MAX_POSITION, and a
+                            # syntactically valid query string must not
+                            # surface as a match-time ValueError inside
+                            # remote search actors (ADVICE r4)
+                            from trinity_ray.tokenizer import MAX_POSITION
+                            near_window = min(max(1, int(sub.term)),
+                                              MAX_POSITION - 1)
                             window_taken = True
                         else:
                             min_match = max(1, int(sub.term))
