@@ -302,3 +302,34 @@ def test_distinct_counts_exclude_nulls_and_big_ints(ray_session):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="null-free"):
         _hash64(pa.array([1, None], pa.int64()))
+
+
+def test_hash64_string_path_vectorized_semantics():
+    """The vectorized string path (r5: word-wise splitmix over raw bytes,
+    replacing the per-row blake2b loop) must treat slices, binary vs
+    string, and embedded NULs correctly and stay collision-free on
+    distinct ids."""
+    import pyarrow as pa
+
+    from trinity_ray.ops.sketch import _hash64
+
+    ids = pa.array([f"user_{i:06d}" for i in range(50_000)])
+    assert len(np.unique(_hash64(ids))) == len(ids)
+    # sliced arrays (non-zero Array.offset) hash like their copies
+    sl = pa.array(["xx", "abc", "abd", "yy"]).slice(1, 2)
+    assert (_hash64(sl) == _hash64(pa.array(["abc", "abd"]))).all()
+    # binary == string of the same bytes; large_string == string
+    assert (_hash64(pa.array([b"abc"], pa.binary()))
+            == _hash64(pa.array(["abc"]))).all()
+    assert (_hash64(pa.array(["abc"], pa.large_string()))
+            == _hash64(pa.array(["abc"]))).all()
+    # zero-padding of the last word must not collide with a real NUL
+    assert _hash64(pa.array(["ab"]))[0] != _hash64(pa.array(["ab\x00"]))[0]
+    # empty array / empty strings
+    assert len(_hash64(pa.array([], pa.string()))) == 0
+    e = _hash64(pa.array(["", ""]))
+    assert e[0] == e[1]
+    # mixed skewed lengths bucket independently (no cross-talk)
+    mixed = pa.array(["a", "bb" * 400, "a", "ccc"])
+    h = _hash64(mixed)
+    assert h[0] == h[2] and len({h[0], h[1], h[3]}) == 3
