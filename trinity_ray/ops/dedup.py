@@ -472,12 +472,18 @@ def minhash_lsh_pairs(ds, *, num_perm: int = 64, bands: int = 8,
     exploded = sigs.map_batches(keep, batch_format="pyarrow",
                                 runtime_env=package_runtime_env())
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
-        g = g.sort_values(id_column).head(max_bucket)
-        ids = g[id_column].to_numpy()
-        sig = np.asarray(list(g["minhash"]), dtype=np.uint64)
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        # pyarrow in/out (r5): the pandas group format paid an
+        # Arrow->pandas->Arrow round-trip per bucket, object-dtype id
+        # columns included
+        if g.num_rows < 2:
+            return empty_pairs
+        ids_all = g.column(id_column).to_numpy(zero_copy_only=False)
+        order = np.argsort(ids_all, kind="stable")[:max_bucket]
+        ids = ids_all[order].astype(np.int64)
+        sig = g.column("minhash").combine_chunks().flatten() \
+               .to_numpy(zero_copy_only=False).astype(np.uint64) \
+               .reshape(g.num_rows, num_perm)[order]
         # row-broadcast sweep: sig[i+1:] == sig[i] compares zero-copy VIEWS
         # of the (cap, num_perm) matrix, which stays cache-resident; a
         # triangular gather (sig[triu_pairs]) materializes ~20 MB per
@@ -489,16 +495,16 @@ def minhash_lsh_pairs(ds, *, num_perm: int = 64, bands: int = 8,
             sel = np.flatnonzero(eq >= threshold)
             if sel.size:
                 out_a.append(np.full(sel.size, ids[i], dtype=np.int64))
-                out_b.append(ids[i + 1 + sel].astype(np.int64))
+                out_b.append(ids[i + 1 + sel])
                 out_j.append(eq[sel])
         if not out_a:
-            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
-        return pd.DataFrame({"id_a": np.concatenate(out_a),
-                             "id_b": np.concatenate(out_b),
-                             "est_jaccard": np.concatenate(out_j)})
+            return empty_pairs
+        return pa.table({"id_a": np.concatenate(out_a),
+                         "id_b": np.concatenate(out_b),
+                         "est_jaccard": np.concatenate(out_j)})
 
     pairs = exploded.groupby(keys).map_groups(
-        bucket_pairs, batch_format="pandas", runtime_env=package_runtime_env())
+        bucket_pairs, batch_format="pyarrow", runtime_env=package_runtime_env())
 
     # dedup pairs found in multiple bands (est_jaccard is computed from the
     # full signature, so it is identical in every band: Max == the value)
@@ -633,24 +639,30 @@ def simhash_pairs(ds, *, max_hamming: int = 3, text_column: str = "text",
     exploded = sigs.map_batches(explode, batch_format="pyarrow",
                                 runtime_env=package_runtime_env())
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-        g = g.sort_values(id_column).head(max_bucket)
-        ids = g[id_column].to_numpy()
-        sh = g["simhash"].to_numpy().astype(np.uint64)
+    empty_pairs = pa.table({"id_a": pa.array([], pa.int64()),
+                            "id_b": pa.array([], pa.int64()),
+                            "hamming": pa.array([], pa.int64())})
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        if g.num_rows < 2:
+            return empty_pairs
+        ids_all = g.column(id_column).to_numpy(zero_copy_only=False)
+        order = np.argsort(ids_all, kind="stable")[:max_bucket]
+        ids = ids_all[order].astype(np.int64)
+        sh = g.column("simhash").to_numpy(zero_copy_only=False
+                                          ).astype(np.uint64)[order]
         # triangular broadcast: buckets are capped, so the all-pairs XOR
         # matrix is bounded (~125k pairs at the default cap)
         ia, ib = np.triu_indices(len(ids), k=1)
         ham = _popcount64(sh[ia] ^ sh[ib])
         sel = ham <= max_hamming
-        return pd.DataFrame({"id_a": ids[ia[sel]].astype(np.int64),
-                             "id_b": ids[ib[sel]].astype(np.int64),
-                             "hamming": ham[sel]})
+        return pa.table({"id_a": ids[ia[sel]],
+                         "id_b": ids[ib[sel]],
+                         "hamming": ham[sel].astype(np.int64)})
 
     hot = _hot_buckets_only(exploded, ["band", "band_val"])
     pairs = hot.groupby(["band", "band_val"]).map_groups(
-        bucket_pairs, batch_format="pandas", runtime_env=package_runtime_env())
+        bucket_pairs, batch_format="pyarrow", runtime_env=package_runtime_env())
 
     # dedup pairs found via multiple bands (hamming identical everywhere)
     from ray.data.aggregate import Min
@@ -771,16 +783,23 @@ def embedding_dup_pairs(ds, *, vec_column: str = "embedding",
         assigned.select_columns([id_column, "bucket"]).write_parquet(
             bucket_export_dir)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-        g = g.sort_values(id_column).head(max_bucket)
-        ids = g[id_column].to_numpy()
-        v = np.asarray(list(g["nvec"]), dtype=np.float64)
+    empty_pairs = pa.table({"id_a": pa.array([], pa.int64()),
+                            "id_b": pa.array([], pa.int64()),
+                            "cosine": pa.array([], pa.float64())})
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        if g.num_rows < 2:
+            return empty_pairs
+        ids_all = g.column(id_column).to_numpy(zero_copy_only=False)
+        order = np.argsort(ids_all, kind="stable")[:max_bucket]
+        ids = ids_all[order].astype(np.int64)
+        v = g.column("nvec").combine_chunks().flatten() \
+             .to_numpy(zero_copy_only=False) \
+             .reshape(g.num_rows, -1)[order]
         sims = v @ v.T
         iu = np.triu_indices(len(ids), k=1)
         sel = sims[iu] >= threshold
-        return pd.DataFrame({
+        return pa.table({
             "id_a": ids[iu[0][sel]],
             "id_b": ids[iu[1][sel]],
             "cosine": sims[iu][sel],
@@ -788,7 +807,7 @@ def embedding_dup_pairs(ds, *, vec_column: str = "embedding",
 
     hot = _hot_buckets_only(assigned, ["bucket"])
     return hot.groupby("bucket").map_groups(
-        bucket_pairs, batch_format="pandas", runtime_env=package_runtime_env())
+        bucket_pairs, batch_format="pyarrow", runtime_env=package_runtime_env())
 
 
 # ---------------------------------------------------------------------------

@@ -21,7 +21,6 @@ aggregates; these are the batch (event-time) forms:
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -169,25 +168,34 @@ def sessionize(ds, *, ts_column: str = "ts", user_column: str = "user_id",
     between consecutive events exceeds ``gap_s``."""
     gap_us = gap_s * US
 
-    def merge_minis(g: pd.DataFrame) -> pd.DataFrame:
+    def merge_minis(g) -> "pa.Table":
         """Stitch one user's mini-sessions (already time-disjoint and tiny
         relative to events — whale users shrink from millions of events to
-        thousands of partials, so this group NEVER holds raw event volume)."""
-        g = g.sort_values(["start_ts", "end_ts"])
-        st = g["start_ts"].to_numpy()
-        en = g["end_ts"].to_numpy()
-        ne = g["n_events"].to_numpy()
-        new = np.ones(len(g), dtype=bool)
+        thousands of partials, so this group NEVER holds raw event volume).
+        pyarrow in/out (r5): the pandas group format paid an
+        Arrow->pandas->Arrow round-trip per user."""
+        import pyarrow as pa
+
+        st = g.column("start_ts").to_numpy(zero_copy_only=False)
+        en = g.column("end_ts").to_numpy(zero_copy_only=False)
+        ne = g.column("n_events").to_numpy(zero_copy_only=False)
+        order = np.lexsort((en, st))
+        st, en, ne = st[order], en[order], ne[order]
+        new = np.ones(g.num_rows, dtype=bool)
         new[1:] = (st[1:] - en[:-1]) > gap_us
         sid = np.cumsum(new) - 1
         k = int(sid[-1]) + 1
-        return pd.DataFrame({
-            user_column: g[user_column].iloc[0],
-            "session_idx": np.arange(k, dtype=np.int64),
-            "n_events": np.bincount(sid, weights=ne).astype(np.int64),
-            "duration_s": np.round(
+        # repeat the (typed) user value via take — no Python round-trip
+        user = g.column(user_column).take(
+            pa.array(np.zeros(k, dtype=np.int64)))
+        return pa.table({
+            user_column: user,
+            "session_idx": pa.array(np.arange(k, dtype=np.int64)),
+            "n_events": pa.array(
+                np.bincount(sid, weights=ne).astype(np.int64)),
+            "duration_s": pa.array(np.round(
                 (np.maximum.reduceat(en, np.flatnonzero(new))
-                 - st[np.flatnonzero(new)]) / US, 6),
+                 - st[np.flatnonzero(new)]) / US, 6)),
         })
 
     # ONE wide op (the sort, inside session_partials); only
@@ -196,5 +204,5 @@ def sessionize(ds, *, ts_column: str = "ts", user_column: str = "user_id",
     return session_partials(ds, ts_column=ts_column,
                             user_column=user_column, gap_s=gap_s) \
         .groupby(user_column).map_groups(
-            merge_minis, batch_format="pandas",
+            merge_minis, batch_format="pyarrow",
             runtime_env=package_runtime_env())
