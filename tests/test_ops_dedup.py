@@ -96,6 +96,13 @@ def test_verify_pairs_jaccard(docs_ds, ray_session):
     assert got[(3, 10)] == 1.0
     assert 0.5 <= got[(7, 30)] < 1.0
     assert (0, 1) not in got
+    # at-scale path: broadcast_max_pairs=0 forces the distributed
+    # semi-join text gather (no driver dict); results must be identical
+    joined = verify_pairs_jaccard(cand, ds, threshold=0.5,
+                                  broadcast_max_pairs=0)
+    got_j = {(int(r.id_a), int(r.id_b)): float(r.jaccard)
+             for r in joined.itertuples()}
+    assert got_j == got
 
 
 def test_shingle_hashes_stable_and_order_sensitive():
