@@ -868,3 +868,38 @@ def test_ray_suggest_terms_matches_local(index_dir, ray_session):
     local = LocalSearcher(index_dir).suggest_terms("re", k=8)
     dist = RaySearcher(index_dir, num_actors=2).suggest_terms("re", k=8)
     assert dist == local and local
+
+
+def test_hits_file_split_lazy_io(index_dir, corpus_dir):
+    """Format 5 routes positions+payloads to a sibling .hits file
+    (lucene_codec.cpp:107-137's separate hits.data): docs-only/BM25
+    queries must never open it; positional queries fetch exact ranges
+    lazily and still decode correctly."""
+    import glob
+
+    bins = glob.glob(os.path.join(index_dir, "segments", "*",
+                                  "postings.bin"))
+    assert bins, "expected built segments"
+    for b in bins:
+        h = b[:-len(".bin")] + ".hits"
+        assert os.path.exists(h), h
+        assert os.path.getsize(h) > 0   # positions=True corpus has hits
+
+    def hits_handles(s):
+        return sum(sum(1 for key in r._handles
+                       if isinstance(key, tuple) and key[0] == "hits")
+                   for r in s.readers)
+
+    s = LocalSearcher(index_dir)
+    # a phrase guaranteed to exist: the first two tokens of a real doc
+    from trinity_ray.tokenizer import get_tokenizer
+    f = sorted(x for x in os.listdir(corpus_dir) if x.endswith(".parquet"))[0]
+    text = pq.read_table(os.path.join(corpus_dir, f), columns=["content"]
+                         ).column("content")[0].as_py()
+    t1, t2 = get_tokenizer("trinity")(text)[:2]
+    res = s.search(f"{t1} {t2}", k=10)        # BM25 AND, docs-only
+    assert res.doc_ids.size > 0
+    assert hits_handles(s) == 0, "BM25 query touched the hits file"
+    phr = s.search(f'"{t1} {t2}"', k=10)      # phrase needs positions
+    assert hits_handles(s) >= 1
+    assert phr.doc_ids.size > 0

@@ -78,6 +78,22 @@ def _codec_version(codec: str) -> int:
         raise ValueError(f"unknown codec {codec!r}; have {sorted(CODECS)}")
 
 
+def index_part_len(blob: bytes | memoryview) -> int:
+    """Byte length of a blob's INDEX PART (header + directory + docs +
+    freqs sections): the storage split point between ``postings.bin`` and
+    the hits file holding positions + payloads (the reference routes
+    positions/payloads to a separate ``hits.data``, lucene_codec.cpp:
+    107-137, so docs-only/BM25 reads fetch zero position bytes).  Parses
+    only the fixed 32-byte header."""
+    b = np.frombuffer(blob, dtype=np.uint8)[:_HEADER]
+    if b.size < _HEADER or b[0] != _MAGIC or int(b[1]) not in (1, 2):
+        raise ValueError("bad postings blob header")
+    nb = int(b[8:12].view("<u4")[0])
+    docs_len, freqs_len = (int(x) for x in b[12:20].view("<u4"))
+    per_block = 28 + (3 if int(b[1]) == 2 else 0)
+    return _HEADER + per_block * nb + docs_len + freqs_len
+
+
 # ---------------------------------------------------------------------------
 # bit-packed FOR kernels (codec "packed")
 # ---------------------------------------------------------------------------
@@ -684,9 +700,16 @@ class PostingsBlob:
         "hit_base", "counts", "max_tf", "bw_docs", "bw_freqs", "bw_pos",
         "n_hits",
         "_docs_sec", "_freqs_sec", "_pos_sec", "_pay_sec",
+        "_pos_len", "_pay_len", "_hits_loader",
     )
 
-    def __init__(self, blob: bytes | memoryview):
+    def __init__(self, blob: bytes | memoryview, hits_loader=None):
+        """``blob`` is either a FULL blob (header + directory + all four
+        sections) or its INDEX PART only (everything up to the end of the
+        freqs section).  In the second case ``hits_loader`` must return the
+        positions+payloads byte range on first use — the storage split that
+        lets docs-only/BM25 reads fetch zero position bytes (the
+        reference's separate hits file, lucene_codec.cpp:107-137)."""
         buf = np.frombuffer(blob, dtype=np.uint8)
         if buf[0] != _MAGIC or buf[1] not in (1, 2):
             raise ValueError("bad postings blob header")
@@ -716,8 +739,37 @@ class PostingsBlob:
             self.bw_docs = self.bw_freqs = self.bw_pos = None
         self._docs_sec = buf[o:o + docs_len]; o += docs_len
         self._freqs_sec = buf[o:o + freqs_len]; o += freqs_len
-        self._pos_sec = buf[o:o + pos_len]; o += pos_len
-        self._pay_sec = buf[o:o + pay_len]
+        self._pos_len, self._pay_len = pos_len, pay_len
+        self._hits_loader = hits_loader
+        if buf.size >= o + pos_len + pay_len:       # full blob
+            self._pos_sec = buf[o:o + pos_len]; o += pos_len
+            self._pay_sec = buf[o:o + pay_len]
+        elif buf.size == o:                          # index part only
+            self._pos_sec = self._pay_sec = None
+        else:
+            raise ValueError("truncated postings blob")
+
+    def _hits(self) -> None:
+        """Fetch + slice the positions/payloads byte range on first use."""
+        if self._pos_sec is not None:
+            return
+        if self._hits_loader is None:
+            raise ValueError("index-only blob has no hits loader")
+        hb = np.frombuffer(self._hits_loader(), dtype=np.uint8)
+        if hb.size != self._pos_len + self._pay_len:
+            raise ValueError("hits range size mismatch")
+        self._pos_sec = hb[:self._pos_len]
+        self._pay_sec = hb[self._pos_len:]
+
+    @property
+    def pos_sec(self) -> np.ndarray:
+        self._hits()
+        return self._pos_sec
+
+    @property
+    def pay_sec(self) -> np.ndarray:
+        self._hits()
+        return self._pay_sec
 
     # -- full-stream decode (vectorized) ------------------------------------
     def _counts64(self) -> np.ndarray:
@@ -759,9 +811,9 @@ class PostingsBlob:
         if freqs is None:
             freqs = self._decode_freq_section()
         if self.version == 1:
-            deltas = varint_decode(self._pos_sec, int(freqs.sum()))
+            deltas = varint_decode(self.pos_sec, int(freqs.sum()))
         else:
-            deltas = _unpack_section(self._pos_sec,
+            deltas = _unpack_section(self.pos_sec,
                                      self.pos_off.astype(np.int64),
                                      self.bw_pos,
                                      self._hits_per_block(freqs))
@@ -784,10 +836,10 @@ class PostingsBlob:
         w = self.payload_width
         n_hits = int(freqs.sum())
         if w == 8:
-            vals = self._pay_sec.view("<u8").astype(np.uint64)
+            vals = self.pay_sec.view("<u8").astype(np.uint64)
         else:
             full = np.zeros((n_hits, 8), dtype=np.uint8)
-            full[:, :w] = np.asarray(self._pay_sec).reshape(n_hits, w)
+            full[:, :w] = np.asarray(self.pay_sec).reshape(n_hits, w)
             vals = full.reshape(-1).view("<u8").astype(np.uint64)
         offsets = np.zeros(self.doc_count + 1, dtype=np.int64)
         np.cumsum(freqs.astype(np.int64), out=offsets[1:])
@@ -833,12 +885,12 @@ class PostingsBlob:
         if not self.has_positions:
             raise ValueError("positionless blob")
         p0 = int(self.pos_off[i])
-        p1 = int(self.pos_off[i + 1]) if i + 1 < self.n_blocks else self._pos_sec.size
+        p1 = int(self.pos_off[i + 1]) if i + 1 < self.n_blocks else self.pos_sec.size
         n_hits = int(freqs.sum())
         if self.version == 1:
-            deltas = varint_decode(self._pos_sec[p0:p1], n_hits)
+            deltas = varint_decode(self.pos_sec[p0:p1], n_hits)
         else:
-            deltas = _unpack_bits(self._pos_sec[p0:p1],
+            deltas = _unpack_bits(self.pos_sec[p0:p1],
                                   int(self.bw_pos[i]), n_hits)
         offsets = np.zeros(freqs.size + 1, dtype=np.int64)
         np.cumsum(freqs.astype(np.int64), out=offsets[1:])
@@ -857,7 +909,7 @@ class PostingsBlob:
         w = self.payload_width
         n_hits = int(freqs.sum())
         y0 = int(self.hit_base[i]) * w
-        raw = self._pay_sec[y0:y0 + n_hits * w]
+        raw = self.pay_sec[y0:y0 + n_hits * w]
         if w == 8:
             vals = raw.view("<u8").astype(np.uint64)
         else:

@@ -136,28 +136,44 @@ def segment_name(generation: int, part_id: int) -> str:
 
 
 class TermsBinWriter:
-    """Write a (terms.parquet, postings.bin) pair: the term dictionary rows
-    (term, df, max_tf, sum_hits, off, len) and the concatenated blobs.
-    The dictionary answers probes with zero postings IO (term_index_ctx
-    analogue, codecs.h:17-55); blob reads are exact byte ranges."""
+    """Write a (terms.parquet, postings.bin, postings.hits) triple: the
+    term dictionary rows (term, df, max_tf, sum_hits, off, len, hoff,
+    hlen), the concatenated blob INDEX PARTS (header + directory + docs +
+    freqs), and the concatenated positions+payloads byte ranges.  The
+    dictionary answers probes with zero postings IO (term_index_ctx
+    analogue, codecs.h:17-55); blob reads are exact byte ranges, and
+    docs-only/BM25 queries never touch the hits file (the reference's
+    separate hits.data channel, lucene_codec.cpp:107-137)."""
 
     SCHEMA = pa.schema([
         ("term", pa.string()), ("df", pa.uint32()), ("max_tf", pa.uint32()),
         ("sum_hits", pa.uint64()), ("off", pa.uint64()), ("len", pa.uint32()),
+        ("hoff", pa.uint64()), ("hlen", pa.uint32()),
     ])
 
     def __init__(self, terms_path: str, bin_path: str):
+        from trinity_ray.index.segment import hits_path
+
         self._writer = pq.ParquetWriter(terms_path, self.SCHEMA,
                                         compression="zstd")
         self._bin = open(bin_path, "wb")
+        self._hits = open(hits_path(bin_path), "wb")
         self._off = 0
-        self._rows: list[tuple[str, int, int, int, int, int]] = []
+        self._hoff = 0
+        self._rows: list[tuple] = []
 
     def add(self, term: str, df: int, max_tf: int, sum_hits: int,
             blob: bytes) -> None:
-        self._bin.write(blob)
-        self._rows.append((term, df, max_tf, sum_hits, self._off, len(blob)))
-        self._off += len(blob)
+        from trinity_ray.codec import index_part_len
+
+        split = index_part_len(blob)
+        self._bin.write(blob[:split])
+        self._hits.write(blob[split:])
+        hlen = len(blob) - split
+        self._rows.append((term, df, max_tf, sum_hits,
+                           self._off, split, self._hoff, hlen))
+        self._off += split
+        self._hoff += hlen
         if len(self._rows) >= TERMS_ROW_GROUP:
             self._flush()
 
@@ -170,6 +186,8 @@ class TermsBinWriter:
                 "sum_hits": pa.array([r[3] for r in self._rows], pa.uint64()),
                 "off": pa.array([r[4] for r in self._rows], pa.uint64()),
                 "len": pa.array([r[5] for r in self._rows], pa.uint32()),
+                "hoff": pa.array([r[6] for r in self._rows], pa.uint64()),
+                "hlen": pa.array([r[7] for r in self._rows], pa.uint32()),
             }, schema=self.SCHEMA))
             self._rows = []
 
@@ -177,6 +195,7 @@ class TermsBinWriter:
         self._flush()
         self._writer.close()
         self._bin.close()
+        self._hits.close()
 
 
 class _RunStream:

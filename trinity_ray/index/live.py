@@ -53,13 +53,15 @@ class MemorySegmentReader(SegmentReader):
         self.mask = mask if mask is not None and len(mask) else None
         self._files = [("<memory>", "<memory>")]
         buf = bytearray()
-        d: dict[str, tuple[int, int, int, int, int]] = {}
+        # in-memory blobs stay FULL (hits inline, hoff/hlen = 0): the
+        # PostingsBlob full-blob path never calls the hits loader
+        d: dict[str, tuple[int, int, int, int, int, int, int]] = {}
         for term, df, mtf, blob in zip(
                 terms_table.column("term").to_pylist(),
                 terms_table.column("df").to_pylist(),
                 terms_table.column("max_tf").to_pylist(),
                 terms_table.column("blob").to_pylist()):
-            d[term] = (int(df), int(mtf), 0, len(buf), len(blob))
+            d[term] = (int(df), int(mtf), 0, len(buf), len(blob), 0, 0)
             buf += blob
         self._dict = d
         self._buf = bytes(buf)

@@ -65,6 +65,7 @@ from trinity_ray.index.segment import (
     SEGMENT_FORMAT,
     STATS_FILE,
     TERMS_ROW_GROUP,
+    hits_path,
     segment_postings_files,
     FieldStatistics,
     IndexManifest,
@@ -92,16 +93,18 @@ def compute_masks(manifest: IndexManifest, index_dir: str) -> dict[str, np.ndarr
 
 def _write_shard(out_dir: str, stem: str,
                  rows: list[tuple[str, int, int, int, bytes]]) -> None:
-    """One merged term-range shard = (<stem>.terms.parquet, <stem>.bin),
-    written atomically (tmp + rename pair)."""
+    """One merged term-range shard = (<stem>.terms.parquet, <stem>.bin,
+    <stem>.hits), written atomically (tmp + rename per file; the tmp bin
+    name keeps its .bin suffix so the writer derives the hits sibling)."""
     from trinity_ray.index.build import TermsBinWriter
 
     t_tmp = os.path.join(out_dir, f".{stem}.terms.parquet.tmp")
-    b_tmp = os.path.join(out_dir, f".{stem}.bin.tmp")
+    b_tmp = os.path.join(out_dir, f".{stem}.tmp.bin")
     w = TermsBinWriter(t_tmp, b_tmp)
     for term, df, mtf, sh, blob in rows:
         w.add(term, df, mtf, sh, blob)
     w.close()
+    os.replace(hits_path(b_tmp), os.path.join(out_dir, f"{stem}.hits"))
     os.replace(b_tmp, os.path.join(out_dir, f"{stem}.bin"))
     os.replace(t_tmp, os.path.join(out_dir, f"{stem}.terms.parquet"))
 
@@ -353,21 +356,30 @@ def _merge_segments_into(index_dir: str, segs: list, masks: dict,
                 segment_dir(index_dir, s.name)):
             by_path[os.path.abspath(terms_path)] = (s.name, s.doc_base, bin_path)
             total_bytes += os.path.getsize(bin_path)
+            hp = hits_path(bin_path)   # full blobs ride the sort shuffle
+            if os.path.exists(hp):
+                total_bytes += os.path.getsize(hp)
     if not by_path:
         raise ValueError(f"no postings in {index_dir}")
 
     def tag(t: pa.Table) -> pa.Table:
-        # ONE ranged read per (batch, bin file): rows referencing the same
-        # bin are contiguous byte ranges, so read [min(off), max(off+len))
-        # once and slice — no per-row seek+read syscalls, and no whole-file
-        # amplification when a large dictionary spans many batches
+        # ONE ranged read per (batch, file): rows referencing the same bin
+        # (and its sibling hits file) are contiguous byte ranges, so read
+        # [min(off), max(off+len)) once per file and slice — no per-row
+        # seek+read syscalls, and no whole-file amplification when a large
+        # dictionary spans many batches.  Merging touches every byte
+        # anyway, so the index and hits parts are re-joined into FULL
+        # blobs here (the byte-concat fast paths operate on full blobs).
         paths = t.column("path").to_pylist()
         offs = t.column("off").to_numpy()
         lns = t.column("len").to_numpy()
+        hoffs = t.column("hoff").to_numpy()
+        hlns = t.column("hlen").to_numpy()
         n = len(paths)
         names: list = [None] * n
         bases: list = [None] * n
-        blobs: list = [None] * n
+        index_parts: list = [None] * n
+        hits_parts: list = [None] * n
         rows_by_bin: dict[str, list[int]] = {}
         for i, p in enumerate(paths):
             sn, db, bin_path = by_path[os.path.abspath(p)]
@@ -382,7 +394,19 @@ def _merge_segments_into(index_dir: str, segs: list, masks: dict,
                 data = fh.read(hi - lo)
             for i in rows:
                 o = int(offs[i]) - lo
-                blobs[i] = data[o:o + int(lns[i])]
+                index_parts[i] = data[o:o + int(lns[i])]
+            hlo = min(int(hoffs[i]) for i in rows)
+            hhi = max(int(hoffs[i]) + int(hlns[i]) for i in rows)
+            if hhi > hlo:
+                with open(hits_path(bin_path), "rb") as fh:
+                    fh.seek(hlo)
+                    hdata = fh.read(hhi - hlo)
+            else:
+                hdata = b""
+            for i in rows:
+                o = int(hoffs[i]) - hlo
+                hits_parts[i] = hdata[o:o + int(hlns[i])]
+        blobs = [index_parts[i] + hits_parts[i] for i in range(n)]
         return pa.table({
             "term": t.column("term"),
             "blob": pa.array(blobs, pa.binary()),
@@ -390,7 +414,8 @@ def _merge_segments_into(index_dir: str, segs: list, masks: dict,
             "doc_base": pa.array(bases, pa.uint64()),
         })
 
-    ds = rd.read_parquet(sorted(by_path), columns=["term", "off", "len"],
+    ds = rd.read_parquet(sorted(by_path),
+                         columns=["term", "off", "len", "hoff", "hlen"],
                          include_paths=True
                          ).map_batches(tag, batch_format="pyarrow")
     # shuffle sizing: ~16 MB of postings per sort partition (decode+re-encode

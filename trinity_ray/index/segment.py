@@ -47,7 +47,18 @@ from dataclasses import asdict, dataclass, field
 POSTINGS_FILE = "postings.parquet"  # format-1 legacy name (readers reject)
 TERMS_FILE = "terms.parquet"
 BIN_FILE = "postings.bin"
-SEGMENT_FORMAT = 4  # 4: 32-byte blob header (codec id, payloads, n_hits)
+# 4: 32-byte blob header (codec id, payloads, n_hits)
+# 5: positions+payloads split into a sibling .hits file (docs-only/BM25
+#    reads fetch zero position bytes); terms.parquet gains hoff/hlen
+SEGMENT_FORMAT = 5
+
+
+def hits_path(bin_path: str) -> str:
+    """The sibling hits file of a postings bin: positions + payloads byte
+    ranges (hoff/hlen in the dictionary), the reference's separate
+    hits.data (lucene_codec.cpp:107-137)."""
+    assert bin_path.endswith(".bin"), bin_path
+    return bin_path[:-len(".bin")] + ".hits"
 DOCS_FILE = "docs.parquet"
 DELETES_FILE = "deletes.parquet"
 STATS_FILE = "stats.json"

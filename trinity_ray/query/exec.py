@@ -154,13 +154,14 @@ class TermPostings:
     directory without ever materializing the full list.
     """
 
-    __slots__ = ("_df", "_max_tf", "_loader", "_blob",
+    __slots__ = ("_df", "_max_tf", "_loader", "_hits_loader", "_blob",
                  "_docs", "_freqs", "_pos", "_pay", "_blocks", "_blocks_pos")
 
-    def __init__(self, df: int, max_tf: int, loader):
+    def __init__(self, df: int, max_tf: int, loader, hits_loader=None):
         self._df = int(df)
         self._max_tf = int(max_tf)
         self._loader = loader  # () -> bytes (exact range read) or raw bytes
+        self._hits_loader = hits_loader  # () -> positions+payloads range
         self._blob: PostingsBlob | None = None
         self._docs: np.ndarray | None = None
         self._freqs: np.ndarray | None = None
@@ -173,7 +174,7 @@ class TermPostings:
     def blob(self) -> PostingsBlob:
         if self._blob is None:
             raw = self._loader() if callable(self._loader) else self._loader
-            self._blob = PostingsBlob(raw)
+            self._blob = PostingsBlob(raw, hits_loader=self._hits_loader)
         return self._blob
 
     @property
@@ -376,16 +377,18 @@ class SegmentReader:
         metas = [pq.read_metadata(tp) for tp, _ in self._files]
         total = sum(m.num_rows for m in metas)
         if total <= _EAGER_DICT_MAX:
-            d: dict[str, tuple[int, int, int, int, int]] = {}
+            d: dict[str, tuple[int, int, int, int, int, int, int]] = {}
             for fi, (terms_path, _bin) in enumerate(self._files):
                 t = pq.read_table(terms_path)
-                for term, df, mtf, off, ln in zip(
+                for term, df, mtf, off, ln, hoff, hlen in zip(
                         t.column("term").to_pylist(),
                         t.column("df").to_pylist(),
                         t.column("max_tf").to_pylist(),
                         t.column("off").to_pylist(),
-                        t.column("len").to_pylist()):
-                    d[term] = (df, mtf, fi, off, ln)
+                        t.column("len").to_pylist(),
+                        t.column("hoff").to_pylist(),
+                        t.column("hlen").to_pylist()):
+                    d[term] = (df, mtf, fi, off, ln, hoff, hlen)
             self._dict = d
             return
         rg_index: list[tuple[str, str, int, int]] = []  # (min, max, fi, rg)
@@ -441,13 +444,15 @@ class SegmentReader:
 
             t = pq.ParquetFile(self._files[fi][0]).read_row_group(rg)
             d = {
-                tm: (df, mtf, fi, off, ln)
-                for tm, df, mtf, off, ln in zip(
+                tm: (df, mtf, fi, off, ln, hoff, hlen)
+                for tm, df, mtf, off, ln, hoff, hlen in zip(
                     t.column("term").to_pylist(),
                     t.column("df").to_pylist(),
                     t.column("max_tf").to_pylist(),
                     t.column("off").to_pylist(),
-                    t.column("len").to_pylist())
+                    t.column("len").to_pylist(),
+                    t.column("hoff").to_pylist(),
+                    t.column("hlen").to_pylist())
             }
             self._rg_cache[key] = d
         return d
@@ -459,6 +464,19 @@ class SegmentReader:
             self._handles[fi] = fh
         fh.seek(off)
         return fh.read(ln)
+
+    def _read_hits(self, fi: int, hoff: int, hlen: int) -> bytes:
+        """Exact positions+payloads byte range from the sibling hits file —
+        opened (and read) only when a positional/payload query needs it."""
+        from trinity_ray.index.segment import hits_path
+
+        key = ("hits", fi)
+        fh = self._handles.get(key)
+        if fh is None:
+            fh = open(hits_path(self._files[fi][1]), "rb")
+            self._handles[key] = fh
+        fh.seek(hoff)
+        return fh.read(hlen)
 
     def close(self) -> None:
         """Release postings.bin file handles (long-lived serving actors
@@ -483,10 +501,13 @@ class SegmentReader:
                 if ent is None:
                     self._cache[t] = None
                 else:
-                    df, mtf, fi, off, ln = ent
+                    df, mtf, fi, off, ln, hoff, hlen = ent
                     self._cache[t] = TermPostings(
                         df, mtf,
-                        (lambda fi=fi, off=off, ln=ln: self._read_blob(fi, off, ln)))
+                        (lambda fi=fi, off=off, ln=ln:
+                         self._read_blob(fi, off, ln)),
+                        (lambda fi=fi, hoff=hoff, hlen=hlen:
+                         self._read_hits(fi, hoff, hlen)))
             tp = self._cache[t]
             out[t] = 0 if tp is None else tp.df
         return out
