@@ -352,8 +352,23 @@ def _merge_segments_into(index_dir: str, segs: list, masks: dict,
     by_path: dict[str, tuple[str, int, str]] = {}
     total_bytes = 0
     for s in segs:
-        for terms_path, bin_path in segment_postings_files(
-                segment_dir(index_dir, s.name)):
+        files = segment_postings_files(segment_dir(index_dir, s.name))
+        if files:
+            # fail fast with the readers' clear message instead of an
+            # opaque missing-hoff-column / missing-.hits error deep inside
+            # a Ray task when a pre-format-5 segment reaches the merge
+            # (deletes-only segments carry no postings, so no format gate)
+            sp = os.path.join(segment_dir(index_dir, s.name), STATS_FILE)
+            try:
+                with open(sp) as f:
+                    fmt = json.load(f).get("format")
+            except (OSError, ValueError):
+                fmt = None
+            if fmt != SEGMENT_FORMAT:
+                raise ValueError(
+                    f"segment {s.name} has format {fmt}, merge expects "
+                    f"{SEGMENT_FORMAT}; rebuild the index")
+        for terms_path, bin_path in files:
             by_path[os.path.abspath(terms_path)] = (s.name, s.doc_base, bin_path)
             total_bytes += os.path.getsize(bin_path)
             hp = hits_path(bin_path)   # full blobs ride the sort shuffle
@@ -777,6 +792,11 @@ def plan_compaction(index_dir: str, *, max_bytes: int = 64 << 20,
         if not files:
             continue                      # deletes-only segment
         size = sum(os.path.getsize(b) for _, b in files)
+        # the format-5 hits siblings are part of the segment's postings
+        # volume (half the bytes on positional corpora) — tiering on bin
+        # bytes alone would under-measure segments ~2x
+        size += sum(os.path.getsize(hp) for _, b in files
+                    if os.path.exists(hp := hits_path(b)))
         posting_segs.append((s, size))
     plans: list[list[str]] = []
     run: list[str] = []

@@ -710,11 +710,16 @@ def _verify_pairs_jaccard_join(pairs_ds, docs_ds, *, k: int,
             "sh": pa.array(shs, pa.binary()),
         })
 
+    # materialize: doc_sh feeds BOTH joins — without pinning, the shingle
+    # map (the most expensive stage at this scale) would re-run per join
     doc_sh = docs_ds.select_columns([id_column, text_column]).map_batches(
-        shingle, batch_format="pyarrow", runtime_env=package_runtime_env())
+        shingle, batch_format="pyarrow",
+        runtime_env=package_runtime_env()).materialize()
     parts = int(max(2, min(64, n_pairs // 200_000 + 2)))
+    # left_outer keeps pairs whose id is missing from docs (null sh ->
+    # empty shingle set), matching the broadcast path's texts.get(id, "")
     j1 = pairs_ds.select_columns(["id_a", "id_b"]).join(
-        doc_sh, "inner", num_partitions=parts,
+        doc_sh, "left_outer", num_partitions=parts,
         on=("id_a",), right_on=(id_column,))
 
     def rename_a(batch: pa.Table) -> pa.Table:
@@ -726,7 +731,7 @@ def _verify_pairs_jaccard_join(pairs_ds, docs_ds, *, k: int,
             ["sh_a" if c == "sh" else c for c in batch.column_names])
 
     j2 = j1.map_batches(rename_a, batch_format="pyarrow").join(
-        doc_sh, "inner", num_partitions=parts,
+        doc_sh, "left_outer", num_partitions=parts,
         on=("id_b",), right_on=(id_column,))
 
     def jac(batch: pa.Table) -> pa.Table:
@@ -736,8 +741,10 @@ def _verify_pairs_jaccard_join(pairs_ds, docs_ds, *, k: int,
         for i, (sa, sb) in enumerate(zip(
                 batch.column("sh_a").to_pylist(),
                 batch.column("sh").to_pylist())):
-            a = np.frombuffer(sa, dtype=np.uint64)
-            b = np.frombuffer(sb, dtype=np.uint64)
+            # null sh = id absent from docs (left_outer): empty shingle
+            # set, same as the broadcast path's empty-text fallback
+            a = np.frombuffer(sa or b"", dtype=np.uint64)
+            b = np.frombuffer(sb or b"", dtype=np.uint64)
             if a.size == 0 and b.size == 0:
                 j = 1.0
             else:
@@ -769,6 +776,10 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, *, k: int = 3,
     dict (the at-scale path VERDICT r4 asked to make real)."""
     import ray
 
+    # pin the candidate pipeline ONCE: count() and the downstream gather
+    # (to_pandas / joins) are separate consumptions, and Ray Datasets
+    # re-execute per consumption — without this the LSH shuffle runs twice
+    pairs_ds = pairs_ds.materialize()
     n_pairs = pairs_ds.count()
     if n_pairs > broadcast_max_pairs:
         return _verify_pairs_jaccard_join(
