@@ -333,3 +333,67 @@ def test_near_window_clamped_at_parse_time():
 
     node = parse_query("[near 99999 alpha beta]", "simple")
     assert node == Near(("ALPHA", "BETA"), window=MAX_POSITION - 1)
+
+
+def test_rewrite_translation_coefficient():
+    """rewrite_ctx.translationCoefficient algebra (queries.h:400-417,
+    queries.cpp set_rewrite_translation_coeff): an alternative's weight is
+    callback_weight x min(span, cnt)/max(span, cnt) x source weight."""
+    from trinity_ray.query.ast import Or, Phrase, Token
+
+    # expansion 1 -> 3: tc = 1/3
+    rw = rewrite_query(parse_query("cod game", "simple"), 1,
+                       lambda g: ["CALL OF DUTY"] if g == ("COD",) else None)
+    ors = [c for c in rw.children if isinstance(c, Or)]
+    alt = next(c for c in ors[0].children if isinstance(c, Phrase))
+    assert abs(alt.weight - 1 / 3) < 1e-9
+    # the original keeps weight 1.0
+    orig = next(c for c in ors[0].children if isinstance(c, Token))
+    assert orig.weight == 1.0
+
+    # contraction 2 -> 1 with an explicit callback weight: 0.8 * 1/2
+    rw2 = rewrite_query(parse_query("mac book pro", "simple"), 2,
+                        lambda g: [("MACBOOK", 0.8)]
+                        if g == ("MAC", "BOOK") else None)
+    or2 = next(c for c in rw2.children if isinstance(c, Or))
+    alt2 = next(c for c in or2.children if isinstance(c, Token)
+                and c.term == "MACBOOK")
+    assert abs(alt2.weight - 0.4) < 1e-9
+    # equal-length rewrites stay at the callback weight (tc = 1)
+    rw3 = rewrite_query(parse_query("dup", "simple"), 1,
+                        lambda g: [("VECTOR", 0.5)] if g == ("DUP",) else None)
+    altv = next(c for c in rw3.children if isinstance(c, Token)
+                and c.term == "VECTOR")
+    assert altv.weight == 0.5
+
+
+def test_rewrite_coefficients_compose_across_passes():
+    """Chained rewrite passes multiply coefficients (the nested multi-gram
+    composition, queries_rewrite.h:391/440/484): [ps four] -> PS4 (1/2),
+    then PS4 -> 'PLAYSTATION 4' composes to 1/2 * 1/2 = 1/4."""
+    from trinity_ray.query.ast import Or, Phrase, Token
+
+    p1 = rewrite_query(parse_query("ps four game", "simple"), 2,
+                       lambda g: ["PS4"] if g == ("PS", "FOUR") else None)
+    tok = next(c for o in p1.children if isinstance(o, Or)
+               for c in o.children if isinstance(c, Token)
+               and c.term == "PS4")
+    assert abs(tok.weight - 0.5) < 1e-9
+    p2 = rewrite_query(p1, 1,
+                       lambda g: ["PLAYSTATION 4"] if g == ("PS4",) else None)
+    phr = [c for c in _iter_nodes(p2) if isinstance(c, Phrase)
+           and c.terms == ("PLAYSTATION", "4")]
+    assert phr and abs(phr[0].weight - 0.25) < 1e-9
+
+
+def _iter_nodes(node):
+    from trinity_ray.query.ast import (And, MatchSome, Not, Optional_, Or)
+
+    yield node
+    if isinstance(node, (And, Or, MatchSome)):
+        for c in node.children:
+            yield from _iter_nodes(c)
+    elif isinstance(node, Not):
+        yield from _iter_nodes(node.child)
+    elif isinstance(node, Optional_):
+        yield from _iter_nodes(node.child)

@@ -52,26 +52,45 @@ RewriteCallback = Callable[
     [tuple[str, ...]], Sequence["str | tuple[str, float]"] | None]
 
 
-def _alt_node(alt, default_weight: float = 1.0) -> Node:
+def _alt_node(alt, src_len: int, src_weight: float = 1.0,
+              default_weight: float = 1.0) -> Node:
     """An alternative surface string (optionally (text, weight)) -> Token
     or Phrase (terms are assumed already normalized the way the index
-    tokenizer would produce them)."""
+    tokenizer would produce them).
+
+    The node weight is ``callback_weight x translationCoefficient x
+    src_weight`` — the reference's rewrite_ctx algebra (queries.h:400-417,
+    queries.cpp set_rewrite_translation_coeff): expanding a ``span``-token
+    gram into a ``cnt``-token alternative stamps every alternative token
+    with ``min(span, cnt) / max(span, cnt)`` ([cod] -> [call of duty] =
+    1/3; [mac book] -> [macbook] = 1/2; equal-length rewrites = 1.0, so
+    plain synonym splices are unaffected).  ``src_weight`` carries the
+    source gram's own instance weight, so CHAINED rewrite passes compose
+    coefficients multiplicatively (the nested multi-gram case,
+    queries_rewrite.h:391/440/484 re-stamping through flow nesting)."""
     w = default_weight
     if isinstance(alt, tuple):
         alt, w = alt
     parts = tuple(p for p in alt.split() if p)
     if not parts:
         raise ValueError("empty rewrite alternative")
+    tc = min(src_len, len(parts)) / max(src_len, len(parts))
+    w = float(w) * tc * float(src_weight)
     if len(parts) == 1:
-        return Token(parts[0], weight=float(w))
-    return Phrase(parts, weight=float(w))
+        return Token(parts[0], weight=w)
+    return Phrase(parts, weight=w)
 
 
-def _gram_node(gram: tuple[str, ...]) -> Node:
-    return Token(gram[0]) if len(gram) == 1 else Phrase(gram)
+def _gram_node(gram: tuple[str, ...], weights: tuple[float, ...]) -> Node:
+    """The ORIGINAL gram keeps its source instance weights (max over the
+    run tokens for a phrase — collect_scorable_weights' max semantics)."""
+    if len(gram) == 1:
+        return Token(gram[0], weight=weights[0])
+    return Phrase(gram, weight=max(weights))
 
 
-def _rewrite_run(tokens: list[str], k: int, callback: RewriteCallback,
+def _rewrite_run(tokens: list[tuple[str, float]], k: int,
+                 callback: RewriteCallback,
                  budget: list[int], alt_weight: float = 1.0) -> list[Node]:
     """Expand one AND-run of tokens; returns replacement child nodes.
 
@@ -88,10 +107,13 @@ def _rewrite_run(tokens: list[str], k: int, callback: RewriteCallback,
         replaced = False
         if budget[0] > 0:
             for glen in range(min(k, n - i), 0, -1):  # longest gram first
-                gram = tuple(tokens[i:i + glen])
+                gram = tuple(t for t, _w in tokens[i:i + glen])
+                gram_w = tuple(w for _t, w in tokens[i:i + glen])
                 alts = callback(gram)
                 if alts:
-                    nodes = [_alt_node(a, alt_weight) for a in alts]
+                    src_w = max(gram_w)
+                    nodes = [_alt_node(a, len(gram), src_w, alt_weight)
+                             for a in alts]
                     if len(nodes) > budget[0]:
                         # stable highest-weight-first prune to budget
                         order = sorted(range(len(nodes)),
@@ -99,13 +121,14 @@ def _rewrite_run(tokens: list[str], k: int, callback: RewriteCallback,
                         keep = set(order[:budget[0]])
                         nodes = [nd for j, nd in enumerate(nodes)
                                  if j in keep]
-                    out.append(Or(tuple([_gram_node(gram)] + nodes)))
+                    out.append(Or(tuple([_gram_node(gram, gram_w)] + nodes)))
                     budget[0] -= len(nodes)
                     i += glen
                     replaced = True
                     break
         if not replaced:
-            out.append(Token(tokens[i]))
+            term, w = tokens[i]
+            out.append(Token(term, weight=w))
             i += 1
     return out
 
@@ -140,7 +163,7 @@ def _walk(node: Node, k: int, callback: RewriteCallback,
           budget: list[int], alt_weight: float = 1.0) -> Node:
     if isinstance(node, And):
         new_children: list[Node] = []
-        run: list[str] = []
+        run: list[tuple[str, float]] = []
 
         def flush() -> None:
             if run:
@@ -150,7 +173,9 @@ def _walk(node: Node, k: int, callback: RewriteCallback,
 
         for c in node.children:
             if isinstance(c, Token):
-                run.append(c.term)  # contiguous token run (process_runs)
+                # contiguous token run (process_runs); instance weight
+                # rides along so chained rewrites compose coefficients
+                run.append((c.term, c.weight))
             else:
                 flush()
                 new_children.append(_walk(c, k, callback, budget, alt_weight))
@@ -169,5 +194,6 @@ def _walk(node: Node, k: int, callback: RewriteCallback,
                                for c in node.children))
     if isinstance(node, Token):
         # a lone token is a run of one
-        return _rewrite_run([node.term], k, callback, budget, alt_weight)[0]
+        return _rewrite_run([(node.term, node.weight)], k, callback,
+                            budget, alt_weight)[0]
     return node
