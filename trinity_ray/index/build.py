@@ -177,6 +177,53 @@ class TermsBinWriter:
         if len(self._rows) >= TERMS_ROW_GROUP:
             self._flush()
 
+    def add_table(self, table: pa.Table) -> None:
+        """Vectorized bulk add of an encoder output table (term, df,
+        max_tf, sum_hits, blob): one numpy pass parses every blob's header
+        for its index/hits split point, two range-gathers emit the bin and
+        hits streams, and the dictionary rows are written as Arrow columns
+        — no per-term Python loop over postings bytes."""
+        from trinity_ray.codec import _range_idx
+
+        n = table.num_rows
+        if n == 0:
+            return
+        self._flush()                     # keep earlier add() rows ordered
+        blob = table.column("blob").combine_chunks()
+        bufs = blob.buffers()
+        data = (np.frombuffer(bufs[2], np.uint8)
+                if bufs[2] is not None else np.empty(0, np.uint8))
+        boffs = np.frombuffer(bufs[1], np.int32)[
+            blob.offset:blob.offset + n + 1].astype(np.int64)
+        starts, ends = boffs[:-1], boffs[1:]
+
+        def u32(at: int) -> np.ndarray:    # unaligned LE u32 header field
+            return (data[starts + at].astype(np.int64)
+                    | (data[starts + at + 1].astype(np.int64) << 8)
+                    | (data[starts + at + 2].astype(np.int64) << 16)
+                    | (data[starts + at + 3].astype(np.int64) << 24))
+
+        per_block = 28 + 3 * (data[starts + 1] == 2)     # v2: +3 bw bytes
+        split = 32 + per_block * u32(8) + u32(12) + u32(16)
+        ilens = split
+        hlens = (ends - starts) - split
+        self._bin.write(data[_range_idx(starts, ilens)].tobytes())
+        self._hits.write(data[_range_idx(starts + split, hlens)].tobytes())
+        offs = self._off + np.concatenate(([0], np.cumsum(ilens)))
+        hoffs = self._hoff + np.concatenate(([0], np.cumsum(hlens)))
+        self._writer.write_table(pa.table({
+            "term": table.column("term").cast(pa.string()),
+            "df": table.column("df").cast(pa.uint32()),
+            "max_tf": table.column("max_tf").cast(pa.uint32()),
+            "sum_hits": table.column("sum_hits").cast(pa.uint64()),
+            "off": pa.array(offs[:-1].astype(np.uint64), pa.uint64()),
+            "len": pa.array(ilens.astype(np.uint32), pa.uint32()),
+            "hoff": pa.array(hoffs[:-1].astype(np.uint64), pa.uint64()),
+            "hlen": pa.array(hlens.astype(np.uint32), pa.uint32()),
+        }, schema=self.SCHEMA), row_group_size=TERMS_ROW_GROUP)
+        self._off = int(offs[-1])
+        self._hoff = int(hoffs[-1])
+
     def _flush(self) -> None:
         if self._rows:
             self._writer.write_table(pa.table({
@@ -475,9 +522,29 @@ class SegmentBuilder:
                     pa.uint64())}),
                 os.path.join(tmp_dir, "deletes.parquet"))
 
-        flush_run()
         t0 = time.perf_counter()
-        stats = self._finalize_runs(tmp_dir, run_files, run_stats)
+        if not run_files:
+            # single-run fast path (the common case: a partition whose
+            # hits fit one flush): encode in memory and bulk-write straight
+            # to (terms.parquet, postings.bin/.hits) — every postings byte
+            # otherwise pays a zstd compress + write + read + decompress
+            # round trip through the run parquet
+            term_ids = (np.concatenate(term_ids_parts) if term_ids_parts
+                        else np.empty(0, np.int64))
+            hit_docs = (np.concatenate(doc_ids_parts) if doc_ids_parts
+                        else np.empty(0, np.uint64))
+            hit_pos = np.concatenate(pos_parts) if pos_parts else None
+            hit_pay = np.concatenate(pay_parts) if pay_parts else None
+            stats, (table,) = self._encode_segment(vocab, term_ids,
+                                                   hit_docs, hit_pos,
+                                                   hit_pay)
+            out = TermsBinWriter(os.path.join(tmp_dir, TERMS_FILE),
+                                 os.path.join(tmp_dir, BIN_FILE))
+            out.add_table(table)
+            out.close()
+        else:
+            flush_run()
+            stats = self._finalize_runs(tmp_dir, run_files, run_stats)
         stats.docs_cnt = doc_count
         # N for BM25 = ALL documents in the partition, including token-less
         # ones (our definition, mirrored by the oracle): deterministic and
@@ -546,14 +613,8 @@ class SegmentBuilder:
                              os.path.join(tmp_dir, BIN_FILE))
         if len(run_files) == 1:
             pf = pq.ParquetFile(run_files[0])
-            for rb in pf.iter_batches(batch_size=1024):
-                for term, df, mtf, sh, blob in zip(
-                        rb.column("term").to_pylist(),
-                        rb.column("df").to_pylist(),
-                        rb.column("max_tf").to_pylist(),
-                        rb.column("sum_hits").to_pylist(),
-                        rb.column("blob").to_pylist()):
-                    out.add(term, df, mtf, sh, blob)
+            for rb in pf.iter_batches(batch_size=4096):
+                out.add_table(pa.Table.from_batches([rb]))
             out.close()
             os.unlink(run_files[0])
             return run_stats[0]
