@@ -237,14 +237,19 @@ def distinct_count_exact(ds, column: str, *, group_key: str):
     which is the honest cost of exactness)."""
     from ray.data.aggregate import Count
 
-    def drop_null_values(batch: pa.Table) -> pa.Table:
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        """Drop nulls AND collapse to the block's distinct (group, value)
+        pairs BEFORE the shuffle — the map-side combiner: duplicated pairs
+        (the common case for id-like columns) never leave the block."""
         import pyarrow.compute as pc
 
         vc = batch.column(column).combine_chunks()
-        return batch.filter(pc.is_valid(vc)) if vc.null_count else batch
+        if vc.null_count:
+            batch = batch.filter(pc.is_valid(vc))
+        return batch.group_by([group_key, column]).aggregate([])
 
     pairs = ds.select_columns([group_key, column]) \
-              .map_batches(drop_null_values, batch_format="pyarrow") \
+              .map_batches(local_distinct, batch_format="pyarrow") \
               .groupby([group_key, column]).aggregate(
                   Count(alias_name="_n")).drop_columns(["_n"])
     return pairs.groupby(group_key).aggregate(
