@@ -754,3 +754,42 @@ def test_compaction_soak_over_nrt_ingest_stream(ray_session,
     s = LocalSearcher(idx)
     assert sorted(int(d) for d in s.search("", k=0).doc_ids) == \
         sorted(model)
+
+
+def test_compact_plans_wave_equals_sequential(ray_session, corpus_dir,
+                                              tmp_path_factory):
+    """A compaction WAVE (compact_plans: parallel builds against one
+    manifest snapshot, sequential commits) produces the same query
+    results, stats totals, and segment count as running compact_segments
+    plan by plan — with deletes in play so the snapshot masks watermark
+    is exercised."""
+    from trinity_ray.index.merge import (compact_plans, compact_segments,
+                                         plan_compaction)
+    from trinity_ray.index.segment import read_manifest
+
+    base = tmp_path_factory.mktemp("compact_wave")
+    idxs = {}
+    for variant in ("wave", "seq"):
+        idx = str(base / variant)
+        build_index(corpus_dir, idx, id_columns=("repo", "path"),
+                    target_rows_per_partition=100)
+        delete_docs(idx, [3, 7, 205, 411], generation=9)
+        idxs[variant] = idx
+    plans = plan_compaction(idxs["wave"], min_run=2, max_run=3)
+    assert len(plans) >= 2, "need several disjoint plans for a wave"
+    assert plans == plan_compaction(idxs["seq"], min_run=2, max_run=3)
+
+    man_w = compact_plans(idxs["wave"], plans, max_parallel=3)
+    for p in plans:
+        man_s = compact_segments(idxs["seq"], p)
+    assert _query_fingerprint(idxs["wave"]) == _query_fingerprint(idxs["seq"])
+    assert len(man_w.segments) == len(man_s.segments)
+    assert (read_manifest(idxs["wave"]).total_stats().__dict__
+            == read_manifest(idxs["seq"]).total_stats().__dict__)
+    # overlapping plans are rejected up front
+    import pytest
+
+    segs = [s.name for s in man_w.segments]
+    a, b = segs[0], segs[1]
+    with pytest.raises(ValueError, match="disjoint"):
+        compact_plans(idxs["wave"], [[a, b], [b, a]])

@@ -815,28 +815,13 @@ def plan_compaction(index_dir: str, *, max_bytes: int = 64 << 20,
     return plans
 
 
-def compact_segments(index_dir: str, names: list[str], *,
-                     codec: str | None = None) -> IndexManifest:
-    """Merge a SUBSET of segments into one new segment of the SAME index,
-    retiring the sources — the incremental compaction lifecycle
-    (MergeCandidatesCollection::merge + consider_tracked_sources,
-    merge.cpp:40-447), vs merge_index's whole-index rewrite.
-
-    Delete retention (RetainDocumentIDsUpdates analogue): a retired
-    source's delete list still masks OLDER segments that remain in the
-    index, so it survives as a deletes-only segment at its original
-    generation; delete lists whose possible targets were all compacted
-    away are dropped.  The compacted segment's generation is the subset
-    max, so newer outsiders' deletes keep masking it, and retained
-    same-generation delete lists (strictly-newer mask semantics) do not
-    re-mask the docs that were already filtered during compaction.
-
-    Ray must already be initialised by the caller.
-    """
+def _compact_prepare(index_dir: str, manifest: IndexManifest,
+                     names: list[str], codec: str | None,
+                     masks_all: dict) -> dict:
+    """Resolve + validate ONE compaction plan against a manifest SNAPSHOT
+    (no mutation, no IO beyond stats reads) — everything a build needs."""
     import hashlib
-    import shutil
 
-    manifest = read_manifest(index_dir)
     by_name = {s.name: s for s in manifest.segments}
     names = list(dict.fromkeys(names))   # dedupe, order-preserving: [a, a]
     missing = [n for n in names if n not in by_name]   # is a 1-seg request
@@ -845,7 +830,6 @@ def compact_segments(index_dir: str, names: list[str], *,
     subset = [by_name[n] for n in names]
     if not subset:
         raise ValueError("compaction needs at least 1 segment")
-    masks_all = compute_masks(manifest, index_dir)
     if len(names) < 2:
         # a single segment is only worth rewriting to FOLD DELETES into it
         # (the reference's single-source masked merge, merge.cpp:288-394)
@@ -873,32 +857,157 @@ def compact_segments(index_dir: str, names: list[str], *,
     gen = max(s.generation for s in subset)
     ident = "|".join(sorted(names)) + f"@{manifest.version}"
     name = f"g{gen:06d}-c{hashlib.sha1(ident.encode()).hexdigest()[:8]}"
-    out_seg = segment_dir(index_dir, name)
+    return {"names": names, "subset": subset, "masks": masks, "gen": gen,
+            "name": name, "codec": codec,
+            "snapshot_version": manifest.version}
+
+
+def _compact_build(index_dir: str, positions: bool, prep: dict) -> dict:
+    """The heavy half of one plan: merge the subset into the new segment
+    directory + its stats sidecar.  Touches NO manifest state, so disjoint
+    plans build concurrently against the same snapshot."""
+    import shutil
+
+    subset = prep["subset"]
+    out_seg = segment_dir(index_dir, prep["name"])
     if os.path.isdir(out_seg):   # crashed pre-commit attempt: redo cleanly
         shutil.rmtree(out_seg)
     stats = _merge_segments_into(
-        index_dir, subset, masks, manifest.positions, out_seg, codec)
+        index_dir, subset, prep["masks"], positions, out_seg, prep["codec"])
     doc_base = min(s.doc_base for s in subset)
     doc_end = max(s.doc_end for s in subset)
     with open(os.path.join(out_seg, STATS_FILE), "w") as f:
-        json.dump({"format": SEGMENT_FORMAT, "codec": codec,
-                   **stats.__dict__, "generation": gen,
-                   "doc_base": doc_base, "doc_count": doc_end - doc_base,
-                   "compacted_from": sorted(names)}, f)
+        json.dump({"format": SEGMENT_FORMAT, "codec": prep["codec"],
+                   **stats.__dict__, "generation": prep["gen"],
+                   "doc_base": doc_base,
+                   "doc_count": doc_end - doc_base,
+                   "compacted_from": sorted(prep["names"])}, f)
+    prep["stats"] = stats
+    prep["doc_base"] = doc_base
+    prep["doc_count"] = doc_end - doc_base
+    return prep
 
+
+def compact_segments(index_dir: str, names: list[str], *,
+                     codec: str | None = None) -> IndexManifest:
+    """Merge a SUBSET of segments into one new segment of the SAME index,
+    retiring the sources — the incremental compaction lifecycle
+    (MergeCandidatesCollection::merge + consider_tracked_sources,
+    merge.cpp:40-447), vs merge_index's whole-index rewrite.
+
+    Delete retention (RetainDocumentIDsUpdates analogue): a retired
+    source's delete list still masks OLDER segments that remain in the
+    index, so it survives as a deletes-only segment at its original
+    generation; delete lists whose possible targets were all compacted
+    away are dropped.  The compacted segment's generation is the subset
+    max, so newer outsiders' deletes keep masking it, and retained
+    same-generation delete lists (strictly-newer mask semantics) do not
+    re-mask the docs that were already filtered during compaction.
+
+    Ray must already be initialised by the caller.
+    """
+    manifest = read_manifest(index_dir)
+    masks_all = compute_masks(manifest, index_dir)
+    prep = _compact_prepare(index_dir, manifest, names, codec, masks_all)
+    _compact_build(index_dir, manifest.positions, prep)
+    return _compact_commit(index_dir, manifest, prep)
+
+
+def compact_plans(index_dir: str, plans: list[list[str]], *,
+                  codec: str | None = None,
+                  max_parallel: int = 4) -> IndexManifest:
+    """Compaction WAVE: run several disjoint compaction plans (e.g. the
+    output of :func:`plan_compaction`) with their merge pipelines
+    overlapped, then commit sequentially in plan order — the shape a
+    cluster-wide compaction daemon runs (many independent tier merges in
+    flight, each too small to fill the cluster alone).  All builds read
+    the SAME manifest snapshot: plans must be segment-disjoint (checked),
+    masks come from the snapshot, and each output records the snapshot as
+    its masks watermark.
+
+    Single-node note (measured, r5 interleaved A/B over 24 plans at 32
+    CPUs): each plan's merge already saturates the box, so the wave is
+    NOT faster locally (84.9/96.9 s vs 79.5/78.6 s sequential) — use
+    sequential :func:`compact_segments` calls on one node and waves when
+    a single plan underfills the cluster."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    manifest = read_manifest(index_dir)
+    masks_all = compute_masks(manifest, index_dir)
+    seen: set[str] = set()
+    preps = []
+    for plan in plans:
+        pl = list(dict.fromkeys(plan))
+        overlap = seen & set(pl)
+        if overlap:
+            raise ValueError(f"plans are not disjoint: {sorted(overlap)}")
+        seen.update(pl)
+        preps.append(_compact_prepare(index_dir, manifest, pl, codec,
+                                      masks_all))
+    if not preps:
+        return manifest
+    # Ray's path resolution imports fsspec.implementations.http per
+    # dataset; in this environment that import FAILS (no aiohttp), and
+    # CPython's import machinery exposes a failing module to concurrent
+    # importers as a plain ImportError ("cannot import name
+    # 'HTTPFileSystem'") that Ray's `except ModuleNotFoundError` does not
+    # catch — a reproducible crash with >1 build thread.  Pre-seed a stub
+    # module whose HTTPFileSystem nothing ever instantiates, so every
+    # import resolves deterministically (semantics unchanged: there IS no
+    # http filesystem here, and this engine reads local paths).
+    try:
+        import fsspec.implementations.http  # noqa: F401
+    except ImportError:
+        import sys
+        import types
+
+        stub = types.ModuleType("fsspec.implementations.http")
+
+        class _NoHTTPFileSystem:
+            pass
+
+        stub.HTTPFileSystem = _NoHTTPFileSystem
+        sys.modules["fsspec.implementations.http"] = stub
+    with ThreadPoolExecutor(max_workers=max(1, max_parallel)) as ex:
+        list(ex.map(
+            lambda p: _compact_build(index_dir, manifest.positions, p),
+            preps))
+    for prep in preps:
+        manifest = _compact_commit(index_dir, manifest, prep)
+    return manifest
+
+
+def _compact_commit(index_dir: str, manifest: IndexManifest,
+                    prep: dict) -> IndexManifest:
+    """The manifest transaction of one built plan: retire sources, add the
+    compacted segment, apply delete retention + tombstone GC, write the
+    new manifest version, then delete retired directories."""
+    import shutil
+
+    names = prep["names"]
+    subset = prep["subset"]
+    name = prep["name"]
+    gen = prep["gen"]
+    stats = prep["stats"]
+    doc_base = prep["doc_base"]
+    doc_end = doc_base + prep["doc_count"]
     retired = set(names)
     survivors = [s for s in manifest.segments if s.name not in retired]
-    # every delete list PRESENT IN THIS MANIFEST VERSION was applied (or
-    # is by definition inapplicable, generation <= source gen) to the
-    # output.  The watermark is the manifest version, NOT a generation:
-    # generations are caller-chosen and can recur after a delete segment
-    # is GC'd, so a generation watermark could mark a later, never-applied
-    # delete list as already carried and resurrect its docs.
+    # every delete list PRESENT IN THE SNAPSHOT MANIFEST VERSION was
+    # applied (or is by definition inapplicable, generation <= source gen)
+    # to the output.  The watermark is that manifest version, NOT a
+    # generation: generations are caller-chosen and can recur after a
+    # delete segment is GC'd, so a generation watermark could mark a
+    # later, never-applied delete list as already carried and resurrect
+    # its docs.  In a compaction WAVE the snapshot can trail the commit
+    # manifest by a few versions — those intermediate commits only retire
+    # segments or carry tombstones whose lists were already IN the
+    # snapshot, so the snapshot watermark stays exact.
     new_segs = list(survivors)
     new_segs.append(SegmentMeta(
         name=name, generation=gen, part_id=0,
         doc_base=doc_base, doc_count=doc_end - doc_base, stats=stats,
-        masks_version=manifest.version))
+        masks_version=prep["snapshot_version"]))
     # delete retention: a subset member's delete list survives iff a
     # doc-carrying older segment remains that has not applied it yet
     for s in subset:
