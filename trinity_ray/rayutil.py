@@ -4,6 +4,36 @@ from __future__ import annotations
 
 import os
 
+def _preseed_fsspec_http() -> None:
+    """Make ``fsspec.implementations.http`` import deterministic.
+
+    Ray's parquet path resolution imports that module per dataset; in this
+    environment the import FAILS (no aiohttp), and CPython exposes a
+    module that is mid-failing-import to CONCURRENT importers as a plain
+    ImportError ("cannot import name 'HTTPFileSystem'") which Ray's
+    ``except ModuleNotFoundError`` does not catch — a reproducible crash
+    whenever two threads plan datasets at once (observed in the
+    compact_plans wave and a bench run).  Pre-seed a stub module nothing
+    ever instantiates so every later import resolves deterministically;
+    semantics unchanged — this engine reads local paths only.
+    """
+    try:
+        import fsspec.implementations.http  # noqa: F401
+    except ImportError:
+        import sys
+        import types
+
+        stub = types.ModuleType("fsspec.implementations.http")
+
+        class _NoHTTPFileSystem:
+            pass
+
+        stub.HTTPFileSystem = _NoHTTPFileSystem
+        sys.modules["fsspec.implementations.http"] = stub
+
+
+_preseed_fsspec_http()
+
 _PKG_PARENT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # cwd as of module import — workers inherit the driver's STARTUP cwd on
 # sys.path, so a later os.chdir() must not change this decision
