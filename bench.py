@@ -249,8 +249,12 @@ def gated_host_probe(n: int) -> tuple[dict, int]:
     attempts = int(os.environ.get("GRAFT_PROBE_ATTEMPTS", "6"))
     probe = host_probe(n)
     tries = 1
+    # GRAFT_PROBE_BACKOFF_S overrides the default 60/120/...240 s schedule
+    # with a flat interval — short intervals turn the gate into a spike
+    # hunter for hosts whose healthy windows last under two minutes.
+    flat = os.environ.get("GRAFT_PROBE_BACKOFF_S")
     while probe["host_probe_parallel_eff"] < min_eff and tries < attempts:
-        wait = min(60 * tries, 240)
+        wait = int(flat) if flat else min(60 * tries, 240)
         print(f"# host probe parallel_eff "
               f"{probe['host_probe_parallel_eff']} < {min_eff}; "
               f"backing off {wait}s (attempt {tries}/{attempts})",
