@@ -44,6 +44,8 @@ def _rotate(entries: dict[str, Callable[[str], Any]]
                 rows = json.load(fh)
         except (OSError, ValueError):
             continue
+        if not isinstance(rows, dict):   # malformed artifact: skip, don't brick
+            continue
         for key in rows:
             last[key] = max(last.get(key, 0), int(m.group(1)))
     written = {k: i for i, k in enumerate(entries)}

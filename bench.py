@@ -323,9 +323,13 @@ def run_once() -> dict:
         packed_sec, _, packed_dir = bench_index_build(corpus, NUM_CPUS,
                                                       codec="packed")
         queries["index_build_packed"] = packed_sec
+        # postings bytes = index part (.bin) + hits part (.hits): format 5
+        # split positions/payloads into the sibling file, and the codecs
+        # differ most in the position-delta sections
         bin_bytes = lambda d: sum(
             os.path.getsize(os.path.join(r, f))
-            for r, _, fs in os.walk(d) for f in fs if f.endswith(".bin"))
+            for r, _, fs in os.walk(d) for f in fs
+            if f.endswith((".bin", ".hits")))
         queries["codec_packed_size_ratio"] = round(
             bin_bytes(packed_dir) / max(1, bin_bytes(index_dir)), 4)
         from trinity_ray.search import LocalSearcher

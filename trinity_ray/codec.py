@@ -94,6 +94,38 @@ def index_part_len(blob: bytes | memoryview) -> int:
     return _HEADER + per_block * nb + docs_len + freqs_len
 
 
+def index_part_lens(data: np.ndarray, starts: np.ndarray,
+                    ends: np.ndarray) -> np.ndarray:
+    """Vectorized :func:`index_part_len` over ``n`` blobs packed in one
+    byte buffer (``data[starts[i]:ends[i]]`` is blob *i*): one numpy pass
+    parses every fixed 32-byte header, with the same magic/version
+    validation as the scalar path so a truncated or corrupt blob raises
+    ``bad postings blob header`` instead of splitting at a garbage offset.
+    This is THE index/hits split formula — keep in lockstep with
+    :func:`index_part_len` (single definition each; no other copies)."""
+    starts = starts.astype(np.int64, copy=False)
+    ends = ends.astype(np.int64, copy=False)
+    if starts.size == 0:
+        return np.zeros(0, np.int64)
+    if ((ends - starts) < _HEADER).any():
+        raise ValueError("bad postings blob header")
+    ver = data[starts + 1]
+    if (data[starts] != _MAGIC).any() or (~np.isin(ver, (1, 2))).any():
+        raise ValueError("bad postings blob header")
+
+    def u32(at: int) -> np.ndarray:        # unaligned LE u32 header field
+        return (data[starts + at].astype(np.int64)
+                | (data[starts + at + 1].astype(np.int64) << 8)
+                | (data[starts + at + 2].astype(np.int64) << 16)
+                | (data[starts + at + 3].astype(np.int64) << 24))
+
+    per_block = 28 + 3 * (ver == 2)                      # v2: +3 bw bytes
+    split = _HEADER + per_block * u32(8) + u32(12) + u32(16)
+    if (split > ends - starts).any():
+        raise ValueError("bad postings blob header")
+    return split
+
+
 # ---------------------------------------------------------------------------
 # bit-packed FOR kernels (codec "packed")
 # ---------------------------------------------------------------------------

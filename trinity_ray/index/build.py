@@ -183,7 +183,7 @@ class TermsBinWriter:
         for its index/hits split point, two range-gathers emit the bin and
         hits streams, and the dictionary rows are written as Arrow columns
         — no per-term Python loop over postings bytes."""
-        from trinity_ray.codec import _range_idx
+        from trinity_ray.codec import _range_idx, index_part_lens
 
         n = table.num_rows
         if n == 0:
@@ -196,15 +196,7 @@ class TermsBinWriter:
         boffs = np.frombuffer(bufs[1], np.int32)[
             blob.offset:blob.offset + n + 1].astype(np.int64)
         starts, ends = boffs[:-1], boffs[1:]
-
-        def u32(at: int) -> np.ndarray:    # unaligned LE u32 header field
-            return (data[starts + at].astype(np.int64)
-                    | (data[starts + at + 1].astype(np.int64) << 8)
-                    | (data[starts + at + 2].astype(np.int64) << 16)
-                    | (data[starts + at + 3].astype(np.int64) << 24))
-
-        per_block = 28 + 3 * (data[starts + 1] == 2)     # v2: +3 bw bytes
-        split = 32 + per_block * u32(8) + u32(12) + u32(16)
+        split = index_part_lens(data, starts, ends)
         ilens = split
         hlens = (ends - starts) - split
         self._bin.write(data[_range_idx(starts, ilens)].tobytes())

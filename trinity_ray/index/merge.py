@@ -66,6 +66,7 @@ from trinity_ray.index.segment import (
     STATS_FILE,
     TERMS_ROW_GROUP,
     hits_path,
+    require_segment_format,
     segment_postings_files,
     FieldStatistics,
     IndexManifest,
@@ -354,20 +355,11 @@ def _merge_segments_into(index_dir: str, segs: list, masks: dict,
     for s in segs:
         files = segment_postings_files(segment_dir(index_dir, s.name))
         if files:
-            # fail fast with the readers' clear message instead of an
-            # opaque missing-hoff-column / missing-.hits error deep inside
-            # a Ray task when a pre-format-5 segment reaches the merge
-            # (deletes-only segments carry no postings, so no format gate)
-            sp = os.path.join(segment_dir(index_dir, s.name), STATS_FILE)
-            try:
-                with open(sp) as f:
-                    fmt = json.load(f).get("format")
-            except (OSError, ValueError):
-                fmt = None
-            if fmt != SEGMENT_FORMAT:
-                raise ValueError(
-                    f"segment {s.name} has format {fmt}, merge expects "
-                    f"{SEGMENT_FORMAT}; rebuild the index")
+            # fail fast at plan time when a pre-format-5 segment reaches
+            # the merge (deletes-only segments carry no postings, so no
+            # format gate)
+            require_segment_format(segment_dir(index_dir, s.name),
+                                   who="merge")
         for terms_path, bin_path in files:
             by_path[os.path.abspath(terms_path)] = (s.name, s.doc_base, bin_path)
             total_bytes += os.path.getsize(bin_path)

@@ -166,6 +166,27 @@ def segment_is_complete(index_dir: str, name: str) -> bool:
         return False
 
 
+def require_segment_format(seg_dir: str, who: str = "reader") -> None:
+    """Refuse a postings-bearing segment whose ``stats.json`` format is not
+    the current ``SEGMENT_FORMAT``.
+
+    Stale on-disk formats mis-parse SILENTLY under the current layout
+    (format-2's 24-byte blob header, format-4's fused index+hits blob) —
+    fail at open/plan time with one clear message instead of a wrong
+    answer or an opaque missing-column error deep inside a Ray task.
+    Single definition; SegmentReader and merge both call this."""
+    p = os.path.join(seg_dir, STATS_FILE)
+    try:
+        with open(p) as f:
+            fmt = json.load(f).get("format")
+    except (OSError, ValueError):
+        fmt = None
+    if fmt != SEGMENT_FORMAT:
+        raise ValueError(
+            f"segment {seg_dir} has format {fmt}, {who} expects "
+            f"{SEGMENT_FORMAT}; rebuild the index")
+
+
 def write_segment_atomic(final_dir: str, writer_fn) -> None:
     """Write a segment dir atomically: build in tmp, rename into place."""
     tmp = f"{final_dir}.tmp-{os.getpid()}"

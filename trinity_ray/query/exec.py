@@ -336,23 +336,11 @@ class SegmentReader:
                 "(postings.parquet); rebuild the index with the current "
                 "version")
         if self._files:
-            # stale on-disk formats (e.g. format-2's 24-byte blob header)
-            # would mis-parse SILENTLY under the current layout — refuse at
-            # open, not at first wrong answer
-            import json
+            from trinity_ray.index.segment import require_segment_format
 
-            from trinity_ray.index.segment import SEGMENT_FORMAT
-
-            try:
-                with open(os.path.join(seg_path, "stats.json")) as f:
-                    fmt = json.load(f).get("format")
-            except (OSError, ValueError):
-                fmt = None
-            if fmt != SEGMENT_FORMAT:
-                raise ValueError(
-                    f"segment {seg_path} has format {fmt}, reader expects "
-                    f"{SEGMENT_FORMAT}; rebuild the index")
-        self._dict: dict[str, tuple[int, int, int, int, int]] | None = None
+            require_segment_format(seg_path, who="reader")
+        # term -> (df, max_tf, sum_hits, off, len, hoff, hlen)
+        self._dict: dict[str, tuple[int, int, int, int, int, int, int]] | None = None
         self._rg_index: list[tuple[str, str, int, int]] | None = None
         self._rg_cache: dict[tuple[int, int], dict] = {}
         self._handles: dict[int, object] = {}
