@@ -181,3 +181,56 @@ def test_batch_token_stream_parity():
             ids = idx[starts[i]:starts[i + 1]]
             got = [norm[j] for j in ids if norm[j] is not None]
             assert got == exact(text or ""), (name, text)
+
+
+def test_batch_token_stream_ascii_fast_path_parity():
+    """All-ASCII batches take the vectorized region-scan path (no regex on
+    pure-alnum regions) — it must match the per-doc tokenizer exactly,
+    including every joiner-bearing special form and MAX_TERM_LEN drops."""
+    import numpy as np
+
+    from trinity_ray.tokenizer import TOKENIZERS, batch_token_stream
+
+    texts = [t for t, _ in GOLDEN if t.isascii()]
+    texts += [
+        "x" * (MAX_TERM_LEN + 1) + " kept " + "y" * MAX_TERM_LEN,
+        "",
+        "I.B.M meets John's 9.000 d&d site:.gr L'Oreal C++ x-men",
+        "a.b.c... :x x: ..,, '' && ++ ## -- a-b-c d&d&d 1,2,3 a'sb",
+        "line\nbreaks\nin one doc",
+    ]
+    assert all(t.isascii() for t in texts)
+    for name in ("trinity", "simple"):
+        exact = TOKENIZERS[name]
+        idx, norm, counts = batch_token_stream(texts, name)
+        assert int(counts.sum()) == idx.size
+        starts = np.concatenate(([0], np.cumsum(counts)))
+        for i, text in enumerate(texts):
+            ids = idx[starts[i]:starts[i + 1]]
+            got = [norm[j] for j in ids if norm[j] is not None]
+            assert got == exact(text or ""), (name, text)
+
+
+def test_batch_token_stream_fast_path_fuzz():
+    """1000 random ASCII docs drawn joiner-heavy (the region-dispatch
+    adversary: every char class boundary the scan must agree with the
+    regex on).  Seeded — failures reproduce."""
+    import random
+
+    import numpy as np
+
+    from trinity_ray.tokenizer import TOKENIZERS, batch_token_stream
+
+    rng = random.Random(0xF457)
+    alphabet = "ab zZ09" + ".,:&'+#-" + "  .__()"
+    texts = ["".join(rng.choice(alphabet)
+                     for _ in range(rng.randrange(0, 120)))
+             for _ in range(1000)]
+    for name in ("trinity", "simple"):
+        exact = TOKENIZERS[name]
+        idx, norm, counts = batch_token_stream(texts, name)
+        starts = np.concatenate(([0], np.cumsum(counts)))
+        for i, text in enumerate(texts):
+            ids = idx[starts[i]:starts[i + 1]]
+            got = [norm[j] for j in ids if norm[j] is not None]
+            assert got == exact(text), (name, repr(text))
