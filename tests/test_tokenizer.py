@@ -221,8 +221,10 @@ def test_batch_token_stream_fast_path_fuzz():
 
     from trinity_ray.tokenizer import TOKENIZERS, batch_token_stream
 
+    from trinity_ray.tokenizer import _TRINITY_JOINERS
+
     rng = random.Random(0xF457)
-    alphabet = "ab zZ09" + ".,:&'+#-" + "  .__()"
+    alphabet = "ab zZ09" + _TRINITY_JOINERS.decode() + "  .__()"
     texts = ["".join(rng.choice(alphabet)
                      for _ in range(rng.randrange(0, 120)))
              for _ in range(1000)]
@@ -234,3 +236,38 @@ def test_batch_token_stream_fast_path_fuzz():
             ids = idx[starts[i]:starts[i + 1]]
             got = [norm[j] for j in ids if norm[j] is not None]
             assert got == exact(text), (name, repr(text))
+
+
+def test_trinity_joiner_inventory_lockstep():
+    """_TRINITY_JOINERS must cover every non-alnum char a trinity token can
+    contain — otherwise the region scan would split where TOKEN_RE joins.
+    Behavioral probe: for every printable ASCII char, if the exact
+    tokenizer ever emits a token containing it, it must be a joiner (or
+    alnum).  Adding a new punctuation form to TOKEN_RE without updating
+    _TRINITY_JOINERS fails here, loudly."""
+    import string
+
+    from trinity_ray.tokenizer import _TRINITY_JOINERS, trinity_tokenize
+
+    joiners = set(_TRINITY_JOINERS.decode())
+    alnum = set(string.ascii_letters + string.digits)
+    for c in string.printable:
+        if c in alnum or not c.isprintable():
+            continue
+        probes = [f"a{c}b", f"a{c}s", f"1{c}2", f"ab{c}cd", f"a{c}b{c}cd",
+                  f"x{c}{c}y", f"a{c}", f"{c}a", f"A{c}B{c}C{c}D"]
+        for p in probes:
+            for tok in trinity_tokenize(p):
+                for ch in tok:
+                    assert ch in alnum or ch in joiners, (
+                        f"TOKEN_RE emits {ch!r} (probe {p!r}, token {tok!r})"
+                        f" but it is not in _TRINITY_JOINERS")
+
+
+def test_batch_token_stream_unknown_name():
+    import pytest
+
+    from trinity_ray.tokenizer import batch_token_stream
+
+    with pytest.raises(KeyError):
+        batch_token_stream(["plain ascii"], "typo_name")

@@ -326,6 +326,7 @@ def batch_token_stream(texts: list[str], name: str
     import numpy as _np
     import pyarrow as _pa
 
+    exact = TOKENIZERS[name]   # validate name up front on EVERY path
     n = len(texts)
     joined = "\n".join(texts) if None not in texts else \
         "\n".join(t or "" for t in texts)
@@ -339,7 +340,7 @@ def batch_token_stream(texts: list[str], name: str
             cum = _np.concatenate(([0], _np.cumsum(tl)))
             gidx = _np.arange(total, dtype=_np.int64)
             gidx += _np.repeat(ts - cum[:-1], tl)
-            values[:] = arr[gidx]
+            _np.take(arr, gidx, out=values)
         offs = _np.zeros(len(ts) + 1, _np.int64)
         _np.cumsum(tl, out=offs[1:])
         # large_binary: a batch of max-length docs can flatten past the
@@ -358,7 +359,6 @@ def batch_token_stream(texts: list[str], name: str
         de = tok_arr.dictionary_encode()
     else:
         regex = _TOKEN_RE_NC_B if name == "trinity" else _SIMPLE_RE_B
-        exact = TOKENIZERS[name]
         flat: list[bytes] = []
         counts = _np.empty(n, _np.int64)
         for i, t in enumerate(texts):
