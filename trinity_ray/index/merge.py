@@ -417,18 +417,40 @@ def _merge_segments_into(index_dir: str, segs: list, masks: dict,
                     hdata = np.frombuffer(fh.read(hhi - hlo), np.uint8)
                 values[_range_idx(out_off[rows] + il, hl)] = hdata[
                     _range_idx(ho - hlo, hl)]
-        blob = pa.Array.from_buffers(
-            pa.binary(), n,
-            [None, pa.py_buffer(out_off.astype(np.int32)),
-             pa.py_buffer(values)])
         names = np.array([m[0] for m in meta], object)[pidx]
         bases = np.array([m[1] for m in meta], np.uint64)[pidx]
-        return pa.table({
-            "term": t.column("term"),
-            "blob": blob,
-            "seg_name": pa.array(names, pa.string()),
-            "doc_base": pa.array(bases, pa.uint64()),
-        })
+        term_col = t.column("term").combine_chunks()
+        # yield <=1 GiB sub-batches: blob stays 32-bit-offset pa.binary()
+        # (the sort schema's type) and a skewed batch referencing >=2 GiB
+        # of postings can't silently wrap the offsets — a SINGLE blob past
+        # int32 range has no legal encoding in this schema, so fail loudly
+        if (lns + hlns).max(initial=0) >= (1 << 31):
+            raise ValueError("single posting blob >= 2 GiB cannot ride the "
+                             "binary merge schema; re-shard the segment")
+        chunk = 1 << 30
+        lo = 0
+        while lo < n or (n == 0 and lo == 0):
+            if n == 0:
+                hi = 0
+            else:
+                hi = int(np.searchsorted(out_off, out_off[lo] + chunk,
+                                         side="right")) - 1
+                hi = min(max(hi, lo + 1), n)
+            sl_off = (out_off[lo:hi + 1] - out_off[lo]).astype(np.int32)
+            sl_val = np.ascontiguousarray(
+                values[int(out_off[lo]):int(out_off[hi])])
+            blob = pa.Array.from_buffers(
+                pa.binary(), hi - lo,
+                [None, pa.py_buffer(sl_off), pa.py_buffer(sl_val)])
+            yield pa.table({
+                "term": term_col.slice(lo, hi - lo),
+                "blob": blob,
+                "seg_name": pa.array(names[lo:hi], pa.string()),
+                "doc_base": pa.array(bases[lo:hi], pa.uint64()),
+            })
+            if n == 0:
+                break
+            lo = hi
 
     ds = rd.read_parquet(sorted(by_path),
                          columns=["term", "off", "len", "hoff", "hlen"],

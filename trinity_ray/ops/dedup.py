@@ -193,15 +193,14 @@ PARTIAL_COUNT_MAX = 5_000_000
 
 
 def _mix64(x: np.ndarray) -> np.ndarray:
-    """splitmix64 finalizer, vectorized over a uint64 array (wraparound is
-    the modulus).  Quality is ample for LSH bucketing keys."""
-    x = x + np.uint64(0x9E3779B97F4A7C15)
-    x ^= x >> np.uint64(30)
-    x *= np.uint64(0xBF58476D1CE4E5B9)
-    x ^= x >> np.uint64(27)
-    x *= np.uint64(0x94D049BB133111EB)
-    x ^= x >> np.uint64(31)
-    return x
+    """splitmix64 finalizer with the golden-ratio increment folded in,
+    vectorized over a uint64 array (wraparound is the modulus).  Quality
+    is ample for LSH bucketing keys.  The core permutation is ONE shared
+    definition (ops.sketch._mix64) so the HLL and LSH paths cannot
+    silently diverge; output values here are unchanged from r4."""
+    from trinity_ray.ops.sketch import _mix64 as _splitmix64
+
+    return _splitmix64(x + np.uint64(0x9E3779B97F4A7C15))
 
 
 class MinHasher:
@@ -710,12 +709,33 @@ def _verify_pairs_jaccard_join(pairs_ds, docs_ds, *, k: int,
             "sh": pa.array(shs, pa.binary()),
         })
 
+    # restrict the corpus to ids that can ever match BEFORE shingling:
+    # only ~2x n_pairs distinct candidate ids exist, so shingling (the
+    # most expensive stage) and both verify joins carry candidate docs
+    # only, never the whole corpus.  Fully distributed — per-block
+    # distinct inside map_batches, a native hash-distinct (map-side
+    # partials), then an inner semi-join; the driver never holds the ids.
+    parts = int(max(2, min(64, n_pairs // 200_000 + 2)))
+
+    def flat_ids(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        both = pa.concat_arrays([b.column("id_a").combine_chunks(),
+                                 b.column("id_b").combine_chunks()])
+        return pa.table({"id": pc.unique(both)})
+
+    distinct_ids = pairs_ds.select_columns(["id_a", "id_b"]) \
+        .map_batches(flat_ids, batch_format="pyarrow") \
+        .groupby("id").count().select_columns(["id"])
+    candidates = docs_ds.select_columns([id_column, text_column]).join(
+        distinct_ids, "inner", num_partitions=parts,
+        on=(id_column,), right_on=("id",))
+
     # materialize: doc_sh feeds BOTH joins — without pinning, the shingle
     # map (the most expensive stage at this scale) would re-run per join
-    doc_sh = docs_ds.select_columns([id_column, text_column]).map_batches(
+    doc_sh = candidates.map_batches(
         shingle, batch_format="pyarrow",
         runtime_env=package_runtime_env()).materialize()
-    parts = int(max(2, min(64, n_pairs // 200_000 + 2)))
     # left_outer keeps pairs whose id is missing from docs (null sh ->
     # empty shingle set), matching the broadcast path's texts.get(id, "")
     j1 = pairs_ds.select_columns(["id_a", "id_b"]).join(

@@ -405,7 +405,8 @@ class SegmentReader:
             pm.append(cur)
         self._rg_prefix_max = pm
 
-    def _probe(self, term: str) -> tuple[int, int, int, int, int] | None:
+    def _probe(self, term: str
+               ) -> tuple[int, int, int, int, int, int, int] | None:
         self._ensure_dict()
         if self._dict is not None:
             return self._dict.get(term)
