@@ -793,3 +793,56 @@ def test_compact_plans_wave_equals_sequential(ray_session, corpus_dir,
     a, b = segs[0], segs[1]
     with pytest.raises(ValueError, match="disjoint"):
         compact_plans(idxs["wave"], [[a, b], [b, a]])
+
+
+def test_slice_tagged_batches_chunking():
+    """tag()'s sub-batch slicer must reassemble bit-identically at ANY
+    chunk size (the 1 GiB production threshold is never hit by test
+    data, so force the multi-chunk path directly), keep every offset
+    within int32, and refuse a single >=2 GiB blob."""
+    import pyarrow as pa
+
+    from trinity_ray.index.merge import _slice_tagged_batches
+
+    rng = np.random.default_rng(7)
+    n = 50
+    lens = rng.integers(0, 97, n)
+    out_off = np.zeros(n + 1, np.int64)
+    np.cumsum(lens, out=out_off[1:])
+    values = rng.integers(0, 256, int(out_off[-1])).astype(np.uint8)
+    term_col = pa.array([f"t{i:04d}" for i in range(n)])
+    names = np.array([f"s{i % 3}" for i in range(n)], object)
+    bases = np.arange(n, dtype=np.uint64) * 7
+
+    def collect(chunk):
+        tabs = list(_slice_tagged_batches(term_col, names, bases,
+                                          out_off, values, chunk))
+        assert all(t.column("blob").type == pa.binary() for t in tabs)
+        return pa.concat_tables(tabs)
+
+    ref = collect(1 << 30)          # single batch
+    assert ref.num_rows == n
+    for chunk in (1, 64, 257, 1000):
+        got = collect(chunk)
+        assert got.num_rows == n
+        assert got.column("blob").to_pylist() == ref.column("blob").to_pylist()
+        assert got.column("term").to_pylist() == ref.column("term").to_pylist()
+        assert got.column("seg_name").to_pylist() == ref.column("seg_name").to_pylist()
+        assert got.column("doc_base").to_pylist() == ref.column("doc_base").to_pylist()
+    # chunk=1 forces one row per batch (every row exceeds the budget)
+    assert len(list(_slice_tagged_batches(term_col, names, bases,
+                                          out_off, values, 1))) == n
+
+    # empty input still yields one schema-correct empty batch
+    empty = list(_slice_tagged_batches(
+        pa.array([], pa.string()), np.array([], object),
+        np.array([], np.uint64), np.zeros(1, np.int64),
+        np.empty(0, np.uint8), 64))
+    assert len(empty) == 1 and empty[0].num_rows == 0
+
+    # a single >= 2 GiB blob cannot be encoded — must refuse loudly
+    big_off = np.array([0, 1 << 31], np.int64)
+    with pytest.raises(ValueError, match="2 GiB"):
+        list(_slice_tagged_batches(pa.array(["t"]), np.array(["s"], object),
+                                   np.array([0], np.uint64), big_off,
+                                   np.empty(0, np.uint8), 1 << 30))

@@ -84,6 +84,50 @@ _PENDING_SCHEMA = pa.schema([
     ("blob", pa.binary()),
 ])
 
+# max combined blob bytes per tag() output sub-batch: keeps the binary
+# column's int32 offsets far from the 2 GiB wrap on skewed dictionaries
+# (tests shrink this to force the multi-chunk yield path)
+_TAG_CHUNK_BYTES = 1 << 30
+
+
+def _slice_tagged_batches(term_col: pa.Array, names: np.ndarray,
+                          bases: np.ndarray, out_off: np.ndarray,
+                          values: np.ndarray, chunk: int):
+    """Yield the tagged dictionary rows as <=``chunk``-byte sub-batches:
+    the blob column stays 32-bit-offset ``pa.binary()`` (the sort
+    schema's type) and a skewed batch referencing >=2 GiB of postings
+    can't silently wrap the offsets.  A SINGLE blob past int32 range has
+    no legal encoding in this schema, so fail loudly.  ``out_off`` is the
+    int64 per-row cumulative byte offset (n+1 entries); ``values`` the
+    packed blob bytes."""
+    n = len(out_off) - 1
+    if n and int(np.diff(out_off).max()) >= (1 << 31):
+        raise ValueError("single posting blob >= 2 GiB cannot ride the "
+                         "binary merge schema; re-shard the segment")
+    lo = 0
+    while lo < n or (n == 0 and lo == 0):
+        if n == 0:
+            hi = 0
+        else:
+            hi = int(np.searchsorted(out_off, out_off[lo] + chunk,
+                                     side="right")) - 1
+            hi = min(max(hi, lo + 1), n)
+        sl_off = (out_off[lo:hi + 1] - out_off[lo]).astype(np.int32)
+        sl_val = np.ascontiguousarray(
+            values[int(out_off[lo]):int(out_off[hi])])
+        blob = pa.Array.from_buffers(
+            pa.binary(), hi - lo,
+            [None, pa.py_buffer(sl_off), pa.py_buffer(sl_val)])
+        yield pa.table({
+            "term": term_col.slice(lo, hi - lo),
+            "blob": blob,
+            "seg_name": pa.array(names[lo:hi], pa.string()),
+            "doc_base": pa.array(bases[lo:hi], pa.uint64()),
+        })
+        if n == 0:
+            break
+        lo = hi
+
 
 def compute_masks(manifest: IndexManifest, index_dir: str) -> dict[str, np.ndarray]:
     """name -> sorted deleted doc_ids (from strictly newer generations)."""
@@ -419,38 +463,9 @@ def _merge_segments_into(index_dir: str, segs: list, masks: dict,
                     _range_idx(ho - hlo, hl)]
         names = np.array([m[0] for m in meta], object)[pidx]
         bases = np.array([m[1] for m in meta], np.uint64)[pidx]
-        term_col = t.column("term").combine_chunks()
-        # yield <=1 GiB sub-batches: blob stays 32-bit-offset pa.binary()
-        # (the sort schema's type) and a skewed batch referencing >=2 GiB
-        # of postings can't silently wrap the offsets — a SINGLE blob past
-        # int32 range has no legal encoding in this schema, so fail loudly
-        if (lns + hlns).max(initial=0) >= (1 << 31):
-            raise ValueError("single posting blob >= 2 GiB cannot ride the "
-                             "binary merge schema; re-shard the segment")
-        chunk = 1 << 30
-        lo = 0
-        while lo < n or (n == 0 and lo == 0):
-            if n == 0:
-                hi = 0
-            else:
-                hi = int(np.searchsorted(out_off, out_off[lo] + chunk,
-                                         side="right")) - 1
-                hi = min(max(hi, lo + 1), n)
-            sl_off = (out_off[lo:hi + 1] - out_off[lo]).astype(np.int32)
-            sl_val = np.ascontiguousarray(
-                values[int(out_off[lo]):int(out_off[hi])])
-            blob = pa.Array.from_buffers(
-                pa.binary(), hi - lo,
-                [None, pa.py_buffer(sl_off), pa.py_buffer(sl_val)])
-            yield pa.table({
-                "term": term_col.slice(lo, hi - lo),
-                "blob": blob,
-                "seg_name": pa.array(names[lo:hi], pa.string()),
-                "doc_base": pa.array(bases[lo:hi], pa.uint64()),
-            })
-            if n == 0:
-                break
-            lo = hi
+        yield from _slice_tagged_batches(
+            t.column("term").combine_chunks(), names, bases, out_off,
+            values, _TAG_CHUNK_BYTES)
 
     ds = rd.read_parquet(sorted(by_path),
                          columns=["term", "off", "len", "hoff", "hlen"],
