@@ -87,6 +87,22 @@ class PartitionSpec:
         }
 
 
+def _list_parquet_files(paths: str | Iterable[str]) -> list[str]:
+    if isinstance(paths, str):
+        if os.path.isdir(paths):
+            return sorted(
+                os.path.join(paths, f) for f in os.listdir(paths)
+                if f.endswith(".parquet"))
+        return [paths]
+    return sorted(paths)
+
+
+def plan_total_rows(paths: str | Iterable[str]) -> int:
+    """Total corpus rows from Parquet footers only (driver-side, cheap)."""
+    return sum(pq.read_metadata(p).num_rows
+               for p in _list_parquet_files(paths))
+
+
 def plan_partitions(
     paths: str | Iterable[str],
     target_rows: int = 250_000,
@@ -99,15 +115,7 @@ def plan_partitions(
     order — the per-partition contiguous docID range invariant the codecs
     and the merge's ordered-concat depend on (SURVEY.md §4 ordering row).
     """
-    if isinstance(paths, str):
-        if os.path.isdir(paths):
-            files = sorted(
-                os.path.join(paths, f) for f in os.listdir(paths) if f.endswith(".parquet")
-            )
-        else:
-            files = [paths]
-    else:
-        files = sorted(paths)
+    files = _list_parquet_files(paths)
     specs: list[PartitionSpec] = []
     doc_base = 0
     part_id = 0
@@ -281,7 +289,11 @@ class SegmentBuilder:
         tokenizer: str,
         positions: bool,
         generation: int,
-        read_batch_rows: int = 8192,
+        # ~2k docs per tokenize chunk keeps each task's working set inside
+        # its LLC share at full parallelism: on the 1.5M-doc corpus, 12k-row
+        # partitions built at 20.6k docs/s with 8192-row read batches and
+        # 93.5k docs/s with 2048 (32 CPUs) — identical output either way
+        read_batch_rows: int = 2048,
         flush_hits: int = 4_000_000,
         replace_docs: bool = False,
         codec: str = "varint",
@@ -779,9 +791,9 @@ def build_index(
     tokenizer: str = "trinity",
     positions: bool = True,
     generation: int = 0,
-    target_rows_per_partition: int = 250_000,
+    target_rows_per_partition: int | None = None,
     concurrency: int | None = None,
-    read_batch_rows: int = 8192,
+    read_batch_rows: int = 2048,
     flush_hits: int = 4_000_000,
     replace_docs: bool = False,
     codec: str = "varint",
@@ -805,6 +817,16 @@ def build_index(
                 f"{prev.tokenizer!r}/positions={prev.positions}; "
                 f"rebuild into a fresh directory to change them")
 
+    if target_rows_per_partition is None:
+        # adaptive default: enough partitions for several waves on every
+        # core (small corpora previously collapsed to rows/250k tasks —
+        # a 1.5M-doc default-args build ran 8-wide on 32 CPUs), bounded
+        # below so tiny corpora don't fragment into per-row segments and
+        # above so huge corpora keep the proven ~250k cap
+        total = plan_total_rows(input_paths)
+        ncpu = int(ray.cluster_resources().get("CPU", 4))
+        target_rows_per_partition = int(
+            min(250_000, max(1024, total // (4 * ncpu) + 1)))
     specs = plan_partitions(input_paths, target_rows=target_rows_per_partition)
     if not specs:
         raise ValueError(f"no parquet input found at {input_paths!r}")
