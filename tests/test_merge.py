@@ -829,9 +829,14 @@ def test_slice_tagged_batches_chunking():
         assert got.column("term").to_pylist() == ref.column("term").to_pylist()
         assert got.column("seg_name").to_pylist() == ref.column("seg_name").to_pylist()
         assert got.column("doc_base").to_pylist() == ref.column("doc_base").to_pylist()
-    # chunk=1 forces one row per batch (every row exceeds the budget)
+    # chunk=1 forces one row per batch when every blob is non-empty
+    # (adjacent ZERO-length rows legally coalesce, so use positive lens)
+    lens_pos = lens + 1
+    off_pos = np.zeros(n + 1, np.int64)
+    np.cumsum(lens_pos, out=off_pos[1:])
+    vals_pos = rng.integers(0, 256, int(off_pos[-1])).astype(np.uint8)
     assert len(list(_slice_tagged_batches(term_col, names, bases,
-                                          out_off, values, 1))) == n
+                                          off_pos, vals_pos, 1))) == n
 
     # empty input still yields one schema-correct empty batch
     empty = list(_slice_tagged_batches(

@@ -167,7 +167,8 @@ def main(argv: list[str] | None = None) -> int:
                         "(DocPredicate filters / facet aggregation)")
     b.add_argument("--tokenizer", default="trinity", choices=["trinity", "simple"])
     b.add_argument("--no-positions", action="store_true")
-    b.add_argument("--target-rows", type=int, default=250_000)
+    # None = build_index's corpus-adaptive default
+    b.add_argument("--target-rows", type=int, default=None)
     b.add_argument("--concurrency", type=int, default=None)
     b.add_argument("--codec", default="varint", choices=["varint", "packed"],
                    help="posting-list codec (packed = bit-packed FOR blocks)")

@@ -106,6 +106,7 @@ def plan_total_rows(paths: str | Iterable[str]) -> int:
 def plan_partitions(
     paths: str | Iterable[str],
     target_rows: int = 250_000,
+    metadata: list | None = None,
 ) -> list[PartitionSpec]:
     """Deterministic partition plan from Parquet metadata (driver-side).
 
@@ -114,13 +115,16 @@ def plan_partitions(
     docID bases are global cumulative row counts in (sorted path, row group)
     order — the per-partition contiguous docID range invariant the codecs
     and the merge's ordered-concat depend on (SURVEY.md §4 ordering row).
+    ``metadata`` optionally supplies pre-read ``pq.read_metadata`` objects
+    (position-matched to the sorted file list) so callers that already
+    paid the footer reads don't pay them twice.
     """
     files = _list_parquet_files(paths)
     specs: list[PartitionSpec] = []
     doc_base = 0
     part_id = 0
-    for path in files:
-        meta = pq.read_metadata(path)
+    for fi, path in enumerate(files):
+        meta = metadata[fi] if metadata is not None else pq.read_metadata(path)
         cur_rgs: list[int] = []
         cur_rows = 0
         for rg in range(meta.num_row_groups):
@@ -817,17 +821,24 @@ def build_index(
                 f"{prev.tokenizer!r}/positions={prev.positions}; "
                 f"rebuild into a fresh directory to change them")
 
+    # materialize the file list ONCE: input_paths may be a one-shot
+    # iterable, and the footers it names are read exactly once below
+    files = _list_parquet_files(input_paths)
+    metas = [pq.read_metadata(p) for p in files]
     if target_rows_per_partition is None:
-        # adaptive default: enough partitions for several waves on every
-        # core (small corpora previously collapsed to rows/250k tasks —
-        # a 1.5M-doc default-args build ran 8-wide on 32 CPUs), bounded
-        # below so tiny corpora don't fragment into per-row segments and
-        # above so huge corpora keep the proven ~250k cap
-        total = plan_total_rows(input_paths)
-        ncpu = int(ray.cluster_resources().get("CPU", 4))
+        # adaptive default: enough partitions for ~128-way parallelism in
+        # several waves (small corpora previously collapsed to rows/250k
+        # tasks — a 1.5M-doc default-args build ran 8-wide on 32 CPUs),
+        # bounded below so tiny corpora don't fragment into per-row
+        # segments and above so huge corpora keep the proven ~250k cap.
+        # Derived from the CORPUS ONLY (never cluster size): a resumed
+        # build must re-plan identically on any cluster, or every
+        # checkpointed segment would fail the lineage check and rebuild
+        total = sum(m.num_rows for m in metas)
         target_rows_per_partition = int(
-            min(250_000, max(1024, total // (4 * ncpu) + 1)))
-    specs = plan_partitions(input_paths, target_rows=target_rows_per_partition)
+            min(250_000, max(1024, total // 128 + 1)))
+    specs = plan_partitions(files, target_rows=target_rows_per_partition,
+                            metadata=metas)
     if not specs:
         raise ValueError(f"no parquet input found at {input_paths!r}")
     if prev is not None and not replace_docs:
