@@ -129,6 +129,32 @@ def test_build_determinism_across_parallelism(ray_session, corpus_dir, tmp_path)
         np.testing.assert_allclose(r1.scores, r2.scores, rtol=0, atol=0)
 
 
+def test_adaptive_default_partition_plan(ray_session, corpus_dir, tmp_path):
+    """A default-args build plans from the CORPUS ONLY: the formula clamps
+    are pinned here because a resumed default-args build must re-plan
+    identically on any cluster (or every checkpointed segment fails the
+    lineage check and rebuilds)."""
+    from trinity_ray.index.build import default_target_rows, plan_partitions
+
+    # formula clamps: tiny corpora floor at 1024, huge cap at 250k, and the
+    # mid-range targets ~128 partitions (total // 128 + 1)
+    assert default_target_rows(10) == 1024
+    assert default_target_rows(1_280_000) == 10_001
+    assert default_target_rows(10**9) == 250_000
+    assert default_target_rows(500_000) == 500_000 // 128 + 1
+
+    # a default-args build uses exactly plan_partitions(corpus,
+    # default_target_rows(total)) — same segment names, bases, and row
+    # splits regardless of concurrency (not an input to planning)
+    d = str(tmp_path / "adaptive")
+    m = build_index(corpus_dir, d, concurrency=2)
+    expected = plan_partitions(corpus_dir,
+                               target_rows=default_target_rows(N_DOCS))
+    assert [(s.doc_base, s.doc_count) for s in m.segments] \
+        == [(s.doc_base, s.rows) for s in expected]
+    assert sum(s.doc_count for s in m.segments) == N_DOCS
+
+
 def test_resume_skips_complete_segments(ray_session, corpus_dir, tmp_path):
     d = str(tmp_path / "resumed")
     m1 = build_index(corpus_dir, d, target_rows_per_partition=300)

@@ -97,10 +97,16 @@ def _list_parquet_files(paths: str | Iterable[str]) -> list[str]:
     return sorted(paths)
 
 
-def plan_total_rows(paths: str | Iterable[str]) -> int:
-    """Total corpus rows from Parquet footers only (driver-side, cheap)."""
-    return sum(pq.read_metadata(p).num_rows
-               for p in _list_parquet_files(paths))
+def default_target_rows(total_rows: int) -> int:
+    """Adaptive default partition size for ``build_index``.
+
+    Targets ~128 partitions (several waves on any realistic worker count),
+    clamped below so tiny corpora don't fragment into per-row segments and
+    above so huge corpora keep the proven ~250k cap.  Derived from the
+    CORPUS ONLY (never cluster size): a resumed build must re-plan
+    identically on any cluster, or every checkpointed segment would fail
+    the lineage check and rebuild."""
+    return int(min(250_000, max(1024, total_rows // 128 + 1)))
 
 
 def plan_partitions(
@@ -826,17 +832,10 @@ def build_index(
     files = _list_parquet_files(input_paths)
     metas = [pq.read_metadata(p) for p in files]
     if target_rows_per_partition is None:
-        # adaptive default: enough partitions for ~128-way parallelism in
-        # several waves (small corpora previously collapsed to rows/250k
-        # tasks — a 1.5M-doc default-args build ran 8-wide on 32 CPUs),
-        # bounded below so tiny corpora don't fragment into per-row
-        # segments and above so huge corpora keep the proven ~250k cap.
-        # Derived from the CORPUS ONLY (never cluster size): a resumed
-        # build must re-plan identically on any cluster, or every
-        # checkpointed segment would fail the lineage check and rebuild
-        total = sum(m.num_rows for m in metas)
-        target_rows_per_partition = int(
-            min(250_000, max(1024, total // 128 + 1)))
+        # adaptive default (small corpora previously collapsed to rows/250k
+        # tasks — a 1.5M-doc default-args build ran 8-wide on 32 CPUs)
+        target_rows_per_partition = default_target_rows(
+            sum(m.num_rows for m in metas))
     specs = plan_partitions(files, target_rows=target_rows_per_partition,
                             metadata=metas)
     if not specs:
