@@ -152,6 +152,29 @@ _POS = ("SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts, 1) AS pos "
         "FROM (SELECT doc_id, regexp_extract_all(upper(text), '[A-Z0-9]+') AS"
         " ts FROM documents)")
 
+# token char offsets (the per-hit payload channel, codecs.h:194-195):
+# offset of token i = cumulative length of all tokens j<=i plus the
+# separator chunks before each (regexp_split_to_array yields the n+1
+# between-token chunks), minus token i's own length.  Replays
+# simple_tokenize_spans' m.start() exactly on ASCII text (upper() is
+# length-preserving there, and the corpus token stream is already
+# proven ASCII-stable by the green _POS oracles).
+_OFFS = """t AS (
+  SELECT doc_id,
+         regexp_extract_all(upper(text), '[A-Z0-9]+') AS toks,
+         regexp_split_to_array(upper(text), '[A-Z0-9]+') AS seps
+  FROM documents),
+tok_u AS (SELECT doc_id, unnest(toks) AS tok,
+                 generate_subscripts(toks, 1) AS i FROM t),
+sep_u AS (SELECT doc_id, length(unnest(seps)) AS slen,
+                 generate_subscripts(seps, 1) AS i FROM t),
+offs AS (
+  SELECT k.doc_id, k.i AS pos, k.tok,
+         SUM(s.slen + length(k.tok))
+           OVER (PARTITION BY k.doc_id ORDER BY k.i)
+           - length(k.tok) AS off
+  FROM tok_u k JOIN sep_u s ON s.doc_id = k.doc_id AND s.i = k.i)"""
+
 
 def _bm25_sql(terms: list[str], matched_sql: str, *,
               live_filter: str | None = None, k: int = 10) -> str:
@@ -417,6 +440,64 @@ SELECT CAST(t.rank AS BIGINT) AS rank, t.doc_id,
 FROM topk t
 JOIN pos p ON p.doc_id = t.doc_id AND p.tok IN ('DUP', 'VECTOR')
 JOIN tf f ON f.doc_id = t.doc_id AND f.tok = p.tok
+""",
+        # per-hit payload channel: every (top-k doc, matched-term
+        # occurrence) with its char offset, replayed via the _OFFS
+        # cumulative-length CTE (exact parity with the engine's
+        # payload="char_offset" channel, prototyped mismatch-free)
+        "search_payload_hits": f"""
+WITH {_OFFS},
+tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM tok_u
+       WHERE tok IN ('DUP', 'VECTOR') GROUP BY doc_id, tok),
+df AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok),
+nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+matched AS ({m_or}),
+scores AS (
+  SELECT m.doc_id,
+         sum(ln(1.0 + (nn.n - df.df + 0.5) / (df.df + 0.5)) * tf.tf / (tf.tf + {K1})) AS score
+  FROM matched m
+  JOIN tf ON tf.doc_id = m.doc_id
+  JOIN df ON df.tok = tf.tok
+  CROSS JOIN nn
+  GROUP BY m.doc_id),
+topk AS (SELECT doc_id, score,
+                row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+         FROM scores ORDER BY score DESC, doc_id LIMIT 10)
+SELECT CAST(t.rank AS BIGINT) AS rank, t.doc_id, o.tok AS term,
+       CAST(o.pos AS BIGINT) AS pos, CAST(o.off AS BIGINT) AS char_offset
+FROM topk t
+JOIN offs o ON o.doc_id = t.doc_id AND o.tok IN ('DUP', 'VECTOR')
+""",
+        # highlight snippet around each top-k doc's FIRST hit: min char
+        # offset over the matched terms' occurrences, then the same
+        # [max(0,off-30), off+30) slice the engine takes
+        "search_snippets": f"""
+WITH {_OFFS},
+tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM tok_u
+       WHERE tok IN ('DUP', 'VECTOR') GROUP BY doc_id, tok),
+df AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok),
+nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+matched AS ({m_or}),
+scores AS (
+  SELECT m.doc_id,
+         sum(ln(1.0 + (nn.n - df.df + 0.5) / (df.df + 0.5)) * tf.tf / (tf.tf + {K1})) AS score
+  FROM matched m
+  JOIN tf ON tf.doc_id = m.doc_id
+  JOIN df ON df.tok = tf.tok
+  CROSS JOIN nn
+  GROUP BY m.doc_id),
+topk AS (SELECT doc_id, score,
+                row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+         FROM scores ORDER BY score DESC, doc_id LIMIT 10),
+firsts AS (SELECT o.doc_id, min(o.off) AS off
+           FROM offs o WHERE o.tok IN ('DUP', 'VECTOR') GROUP BY o.doc_id)
+SELECT CAST(t.rank AS BIGINT) AS rank, t.doc_id,
+       substring(d.text, CAST(greatest(f.off - 30, 0) + 1 AS BIGINT),
+                 CAST(f.off + 30 - greatest(f.off - 30, 0) AS BIGINT))
+         AS snippet
+FROM topk t
+JOIN firsts f ON f.doc_id = t.doc_id
+JOIN documents d ON d.doc_id = t.doc_id
 """,
         # co-occurrence bitmask counts over {KEY, ORDER, DUP}
         "intersect_counts": f"""
@@ -938,8 +1019,5 @@ GROUP BY tok ORDER BY cnt DESC, term ASC LIMIT 100
 """,
         # no oracle (non-SQL-expressible, driver records rows-only):
         # search_trinity_top10 (trinity parser not expressible in SQL),
-        # search_payload_hits / search_snippets (char offsets not
-        # expressible in SQL; snippets pytest-verified vs re.finditer),
-        # text_fingerprint (crc32-poly rolling hash),
         # multimodal_decode_shape (stubbed pixel decode)
     }

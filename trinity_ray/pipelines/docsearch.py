@@ -280,8 +280,9 @@ def q_search_packed_top10(sf_dir: str) -> pa.Table:
 
 def q_search_payload_hits(sf_dir: str) -> pa.Table:
     """Per-hit payload channel: rich-match rows whose payload is each hit's
-    char offset in the source text.  Char offsets of regex matches are not
-    SQL-expressible in DuckDB, so this entry is rows-only; pytest verifies
+    char offset in the source text.  Exact SQL oracle: the _OFFS CTE in
+    __ray_entry__.py replays simple_tokenize_spans' m.start() as a
+    cumulative token+separator length sum; pytest additionally verifies
     payload values against a direct re.finditer scan
     (tests/test_codec_seam.py)."""
     res, tbl = _searcher(payload_index(sf_dir)).search_rich(
@@ -302,9 +303,10 @@ def q_search_snippets(sf_dir: str) -> pa.Table:
     """Top-10 with a highlight snippet around each doc's FIRST hit: the
     per-hit char-offset payload channel locates the hit without
     re-tokenizing, then ONE pruned + id-filtered Parquet read gathers just
-    the 10 winners' texts (row-group stats skip everything else).  Char
-    offsets are not SQL-expressible, so this entry is rows-only; pytest
-    verifies snippets against a re.finditer recomputation."""
+    the 10 winners' texts (row-group stats skip everything else).  Exact
+    SQL oracle: the _OFFS cumulative-length CTE + the same
+    [max(0,off-30), off+30) substring; pytest additionally verifies
+    snippets against a re.finditer recomputation."""
     import pyarrow.dataset as pads
 
     res, tbl = _searcher(payload_index(sf_dir)).search_rich(
