@@ -282,11 +282,17 @@ def _token_spans_ascii(big: bytes, name: str):
     ext = _np.zeros(len(arr) + 2, _np.int8)
     ext[1:-1] = cls[arr]
     d = _np.diff(ext)
-    rs = _np.flatnonzero(d == 1)
-    re_ = _np.flatnonzero(d == -1)
-    cumj = _np.zeros(len(arr) + 1, _np.int64)
-    _np.cumsum(join[arr], out=cumj[1:])
-    mixed = (cumj[re_] - cumj[rs]) > 0
+    # one transition pass instead of two (d is -1/0/+1; starts and ends
+    # strictly alternate start-first, so even/odd positions split them
+    # without re-reading d)
+    nz = _np.flatnonzero(d)
+    rs, re_ = nz[0::2], nz[1::2]
+    # joiners are rare (<0.1% of bytes): locate them sparsely and count
+    # per region via searchsorted — replaces a full-length int64 cumsum
+    # (8 B/char of write traffic on the build hot path)
+    jpos = _np.flatnonzero(join[arr])
+    mixed = (_np.searchsorted(jpos, rs, side="left")
+             < _np.searchsorted(jpos, re_, side="left"))
     ts, te = rs[~mixed], re_[~mixed]
     if mixed.any():
         regex = _TOKEN_RE_NC_B if name == "trinity" else _SIMPLE_RE_B
