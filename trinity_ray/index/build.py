@@ -404,9 +404,9 @@ class SegmentBuilder:
                 return
             t0 = time.perf_counter()
             term_ids = (np.concatenate(term_ids_parts) if term_ids_parts
-                        else np.empty(0, np.int64))
+                        else np.empty(0, np.int32))
             hit_docs = (np.concatenate(doc_ids_parts) if doc_ids_parts
-                        else np.empty(0, np.uint64))
+                        else np.empty(0, np.uint32))
             hit_pos = (np.concatenate(pos_parts) if pos_parts
                        else None)
             hit_pay = (np.concatenate(pay_parts) if pay_parts
@@ -414,7 +414,8 @@ class SegmentBuilder:
             term_ids_parts, doc_ids_parts, pos_parts, pay_parts = [], [], [], []
             pending_hits = 0
             st, (table,) = self._encode_segment(vocab, term_ids, hit_docs,
-                                                hit_pos, hit_pay)
+                                                hit_pos, hit_pay,
+                                                doc_base=dbase)
             run_stats.append(st)
             path = os.path.join(tmp_dir, f"run-{len(run_files):04d}.parquet")
             pq.write_table(table, path, row_group_size=TERMS_ROW_GROUP,
@@ -423,11 +424,20 @@ class SegmentBuilder:
             t_enc_total[0] += time.perf_counter() - t0
 
         next_doc = spec["doc_base"]
+        dbase = spec["doc_base"]
         for rb in pf.iter_batches(batch_size=self.read_batch_rows,
                                   row_groups=row_groups, columns=columns):
             texts = rb.column(self.content_column).to_pylist()
             n = len(texts)
             batch_docs = np.arange(next_doc, next_doc + n, dtype=np.uint64)
+            # hit streams carry PARTITION-LOCAL uint32 doc offsets (and
+            # int32/uint32 term ids + positions): the sort/gather in
+            # _encode_segment is memory-bandwidth-bound at 32-way, and
+            # halving every hit-level array halves that traffic.  Absolute
+            # uint64 docIDs are restored at the POSTINGS level (doc_base
+            # re-added before the codec), so blob bytes are unchanged.
+            batch_local = np.arange(next_doc - dbase, next_doc - dbase + n,
+                                    dtype=np.uint32)
             if self.payload_kind is None:
                 # hot path: flat RAW byte-token stream (regex scan only),
                 # one Arrow dictionary_encode over the batch, and Python
@@ -443,17 +453,20 @@ class SegmentBuilder:
                 mapping = np.fromiter(
                     (v.setdefault(t, len(v)) if t is not None else -1
                      for t in norm),
-                    dtype=np.int64, count=len(norm))
+                    dtype=np.int32, count=len(norm))
                 tids_all = (mapping[idx] if idx.size
-                            else np.empty(0, np.int64))
+                            else np.empty(0, np.int32))
                 keep = tids_all >= 0
                 # 1-based position among KEPT tokens, restarting per doc
                 # (dropped tokens do not consume a position — parity with
-                # the per-doc tokenizer, which never emits them)
-                ck = np.cumsum(keep.astype(np.int64))
+                # the per-doc tokenizer, which never emits them).  int32
+                # throughout: a flush run holds <= flush_hits (4M) hits.
+                ck = np.cumsum(keep, dtype=np.int32)
+                z1 = np.zeros(1, np.int32)
                 starts = np.concatenate(([0], np.cumsum(counts_raw)))
-                before = np.concatenate(([0], ck))[starts[:-1]]
-                kept_per_doc = np.diff(np.concatenate(([0], ck))[starts])
+                ck_ext = np.concatenate((z1, ck))
+                before = ck_ext[starts[:-1]]
+                kept_per_doc = np.diff(ck_ext[starts])
                 pos_all = ck - np.repeat(before, counts_raw)
                 keep &= pos_all < MAX_POSITION  # cap: pos <= MAX_POSITION-1
                 counts = np.minimum(kept_per_doc, MAX_POSITION - 1)
@@ -461,9 +474,9 @@ class SegmentBuilder:
                 # per doc exactly `counts` tokens survive `keep`, so repeat
                 # by the final counts directly — no raw-length uint64 array
                 # + mask gather on the hot path
-                doc_ids_parts.append(np.repeat(batch_docs, counts))
+                doc_ids_parts.append(np.repeat(batch_local, counts))
                 if self.positions:
-                    pos_parts.append(pos_all[keep].astype(np.uint64))
+                    pos_parts.append(pos_all[keep].astype(np.uint32))
                 pending_hits += int(counts.sum())
             else:
                 pairs = [self.tokenize_spans(t or "") for t in texts]
@@ -482,23 +495,23 @@ class SegmentBuilder:
                 bdict = de.dictionary.to_pylist()
                 v = vocab
                 mapping = np.fromiter((v.setdefault(t, len(v)) for t in bdict),
-                                      dtype=np.int64, count=len(bdict))
+                                      dtype=np.int32, count=len(bdict))
                 idx = de.indices.to_numpy(zero_copy_only=False)
                 term_ids_parts.append(mapping[idx] if idx.size
-                                      else np.empty(0, np.int64))
-                doc_ids_parts.append(np.repeat(batch_docs, counts))
+                                      else np.empty(0, np.int32))
+                doc_ids_parts.append(np.repeat(batch_local, counts))
                 if self.positions:
                     # positions restart at 1 per doc
-                    pos = np.arange(1, int(counts.sum()) + 1, dtype=np.uint64)
+                    pos = np.arange(1, int(counts.sum()) + 1, dtype=np.uint32)
                     cum = np.concatenate(([0], np.cumsum(counts)))
-                    pos -= np.repeat(cum[:-1], counts).astype(np.uint64)
+                    pos -= np.repeat(cum[:-1], counts).astype(np.uint32)
                     pos_parts.append(pos)
                 flat_sp: list[int] = []
                 for sp, c in zip(span_lists, counts):
                     flat_sp.extend(sp[: int(c)])
                 pay_parts.append(
                     np.minimum(np.asarray(flat_sp, dtype=np.uint64),
-                               np.uint64(0xFFFFFFFF)))
+                               np.uint64(0xFFFFFFFF)).astype(np.uint32))
                 pending_hits += int(counts.sum())
 
             sha = pa.array(
@@ -544,14 +557,15 @@ class SegmentBuilder:
             # otherwise pays a zstd compress + write + read + decompress
             # round trip through the run parquet
             term_ids = (np.concatenate(term_ids_parts) if term_ids_parts
-                        else np.empty(0, np.int64))
+                        else np.empty(0, np.int32))
             hit_docs = (np.concatenate(doc_ids_parts) if doc_ids_parts
-                        else np.empty(0, np.uint64))
+                        else np.empty(0, np.uint32))
             hit_pos = np.concatenate(pos_parts) if pos_parts else None
             hit_pay = np.concatenate(pay_parts) if pay_parts else None
             stats, (table,) = self._encode_segment(vocab, term_ids,
                                                    hit_docs, hit_pos,
-                                                   hit_pay)
+                                                   hit_pay,
+                                                   doc_base=dbase)
             out = TermsBinWriter(os.path.join(tmp_dir, TERMS_FILE),
                                  os.path.join(tmp_dir, BIN_FILE))
             out.add_table(table)
@@ -681,8 +695,16 @@ class SegmentBuilder:
         hit_docs: np.ndarray,
         hit_pos: np.ndarray,
         hit_pay: np.ndarray | None = None,
+        doc_base: int = 0,
     ) -> tuple[FieldStatistics, tuple[pa.Table, ...]]:
-        """Sort hits by (term, doc, pos) and encode — indexer.cpp:396-478."""
+        """Sort hits by (term, doc, pos) and encode — indexer.cpp:396-478.
+
+        ``hit_docs`` may be partition-LOCAL uint32 offsets with the
+        absolute base supplied as ``doc_base`` (the build hot path: 32-bit
+        hit streams halve the sort/gather memory traffic), or absolute
+        uint64 ids with ``doc_base=0`` (LiveIndex).  Docs are widened to
+        absolute uint64 at the postings level, so blob bytes are identical
+        either way."""
         n_hits = term_ids.size
         if n_hits == 0:
             empty = pa.table({
@@ -697,7 +719,7 @@ class SegmentBuilder:
         # terms must be encoded in lexicographic order (sorted dictionary,
         # terms.cpp:126-172): remap local ids to sorted-term order first
         terms_sorted = sorted(vocab, key=lambda t: t)
-        rank = np.empty(len(vocab), dtype=np.int64)
+        rank = np.empty(len(vocab), dtype=term_ids.dtype)
         for r, t in enumerate(terms_sorted):
             rank[vocab[t]] = r
         term_ids = rank[term_ids]
@@ -722,10 +744,13 @@ class SegmentBuilder:
                                 | (hit_pos[1:] >= hit_pos[:-1]))
             stream_sorted = bool(adjacent_ok.all())
         if stream_sorted:
-            key32 = (term_ids.astype(np.uint32)
-                     if len(vocab) < (1 << 32) else term_ids)
-            order = np.argsort(key32, kind="stable")
-            del key32
+            if term_ids.dtype.itemsize <= 4:
+                key = term_ids  # already narrow (build hot path)
+            else:
+                key = (term_ids.astype(np.uint32)
+                       if len(vocab) < (1 << 32) else term_ids)
+            order = np.argsort(key, kind="stable")
+            del key
         else:
             order = (np.lexsort((hit_pos, hit_docs, term_ids))
                  if hit_pos is not None
@@ -747,7 +772,12 @@ class SegmentBuilder:
         posting_start = key_change | doc_change
         p_idx = np.flatnonzero(posting_start)
         p_term = term_ids[p_idx]
-        p_doc = hit_docs[p_idx]
+        # widen to absolute uint64 docIDs at the POSTINGS level (the codec
+        # encodes first-doc absolute + deltas; bytes match the old
+        # absolute-throughout path exactly)
+        p_doc = hit_docs[p_idx].astype(np.uint64, copy=False)
+        if doc_base:
+            p_doc = p_doc + np.uint64(doc_base)
         p_tf = np.diff(np.concatenate((p_idx, [n_hits]))).astype(np.uint64)
 
         term_start_mask = np.empty(p_idx.size, dtype=bool)
