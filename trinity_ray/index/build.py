@@ -744,13 +744,19 @@ class SegmentBuilder:
                                 | (hit_pos[1:] >= hit_pos[:-1]))
             stream_sorted = bool(adjacent_ok.all())
         if stream_sorted:
-            if term_ids.dtype.itemsize <= 4:
-                key = term_ids  # already narrow (build hot path)
+            if len(vocab) < (1 << 32) and n_hits < (1 << 32):
+                # stable sort via ONE uint64 VALUE sort: (key << 32) | index
+                # — ties break by original index, reproducing
+                # argsort(kind="stable") exactly, but a value sort avoids
+                # the indirect index moves that make numpy's stable argsort
+                # ~6x slower (measured 200 ms -> 33 ms at 1.7M hits)
+                comp = term_ids.astype(np.uint64) << np.uint64(32)
+                comp |= np.arange(n_hits, dtype=np.uint64)
+                comp.sort()
+                comp &= np.uint64(0xFFFFFFFF)
+                order = comp  # uint64 indices gather fine
             else:
-                key = (term_ids.astype(np.uint32)
-                       if len(vocab) < (1 << 32) else term_ids)
-            order = np.argsort(key, kind="stable")
-            del key
+                order = np.argsort(term_ids, kind="stable")
         else:
             order = (np.lexsort((hit_pos, hit_docs, term_ids))
                  if hit_pos is not None
