@@ -271,3 +271,63 @@ def test_batch_token_stream_unknown_name():
 
     with pytest.raises(KeyError):
         batch_token_stream(["plain ascii"], "typo_name")
+
+
+# ---- zero-copy Arrow buffer path (batch_token_stream_buffer) ----------
+
+
+def _buffer_vs_list(texts, name="trinity"):
+    import pyarrow as pa
+
+    from trinity_ray.tokenizer import (arrow_ascii_view, batch_token_stream,
+                                       batch_token_stream_buffer)
+
+    view = arrow_ascii_view(pa.array(texts, pa.string()))
+    assert view is not None
+    idx2, norm2, c2 = batch_token_stream_buffer(*view, name)
+    idx1, norm1, c1 = batch_token_stream(texts, name)
+    assert [norm1[i] for i in idx1] == [norm2[i] for i in idx2]
+    assert list(c1) == list(c2)
+
+
+def test_buffer_path_parity_edge_docs():
+    # doc boundaries with alnum/joiner neighbours (the '\n'.join separator
+    # the buffer path replaces with explicit region splits), empty docs,
+    # every TOKEN_RE alternative, tokens at doc edges
+    docs = ["abc", "def", "", "x", "9.000", "I.B.M", "L'Oreal rocks",
+            "c++", "d&d", "site:x-box.com", "", "", "end9", "9start",
+            "a.b.c", "...", "-", "a-b", "john's", "tail.", ".head",
+            "a", "b", "c"]
+    _buffer_vs_list(docs)
+    _buffer_vs_list(docs, "simple")
+
+
+def test_buffer_path_parity_fuzz():
+    import random
+    import string
+
+    from trinity_ray.tokenizer import _TRINITY_JOINERS
+
+    rng = random.Random(7)
+    alpha = (string.ascii_letters + string.digits
+             + _TRINITY_JOINERS.decode() + "  \n\t!()")
+    for _ in range(150):
+        docs = ["".join(rng.choice(alpha)
+                        for _ in range(rng.randrange(0, 30)))
+                for _ in range(rng.randrange(1, 12))]
+        _buffer_vs_list(docs)
+
+
+def test_arrow_ascii_view_fallback_triggers():
+    import pyarrow as pa
+
+    from trinity_ray.tokenizer import arrow_ascii_view
+
+    assert arrow_ascii_view(pa.array(["héllo"], pa.string())) is None
+    assert arrow_ascii_view(pa.array(["a", None], pa.string())) is None
+    sliced = pa.array(["aa", "bb", "cc"], pa.string()).slice(1, 2)
+    assert arrow_ascii_view(sliced) is None
+    assert arrow_ascii_view(pa.array([1, 2])) is None
+    # large_string IS supported
+    view = arrow_ascii_view(pa.array(["ok here"], pa.large_string()))
+    assert view is not None and bytes(view[2]) == b"OK HERE"

@@ -65,8 +65,9 @@ from trinity_ray.index.segment import (
     segment_is_complete,
     write_manifest,
 )
-from trinity_ray.tokenizer import (MAX_POSITION, batch_token_stream,
-                                   get_tokenizer)
+from trinity_ray.tokenizer import (MAX_POSITION, arrow_ascii_view,
+                                   batch_token_stream,
+                                   batch_token_stream_buffer, get_tokenizer)
 
 
 @dataclass
@@ -427,8 +428,9 @@ class SegmentBuilder:
         dbase = spec["doc_base"]
         for rb in pf.iter_batches(batch_size=self.read_batch_rows,
                                   row_groups=row_groups, columns=columns):
-            texts = rb.column(self.content_column).to_pylist()
-            n = len(texts)
+            content_col = rb.column(self.content_column)
+            texts = None  # materialized lazily: only fallback paths need it
+            n = len(content_col)
             batch_docs = np.arange(next_doc, next_doc + n, dtype=np.uint64)
             # hit streams carry PARTITION-LOCAL uint32 doc offsets (and
             # int32/uint32 term ids + positions): the sort/gather in
@@ -443,9 +445,18 @@ class SegmentBuilder:
                 # one Arrow dictionary_encode over the batch, and Python
                 # normalization + vocab probes per DISTINCT token only
                 # (~1000x fewer Python ops than per-token classification
-                # — the tokenize->encode memory-traffic hot spot)
-                idx, norm, counts_raw = batch_token_stream(
-                    texts, self.tokenizer_name)
+                # — the tokenize->encode memory-traffic hot spot).
+                # All-ASCII null-free batches scan the Arrow values buffer
+                # zero-copy (no per-doc Python strings at all); others
+                # fall back to the list path.
+                view = arrow_ascii_view(content_col)
+                if view is not None:
+                    idx, norm, counts_raw = batch_token_stream_buffer(
+                        view[0], view[1], view[2], self.tokenizer_name)
+                else:
+                    texts = content_col.to_pylist()
+                    idx, norm, counts_raw = batch_token_stream(
+                        texts, self.tokenizer_name)
                 v = vocab
                 # dropped terms (MAX_TERM_LEN) map to -1; zero-hit vocab
                 # entries are tolerated by _encode_segment (same as terms
@@ -479,6 +490,7 @@ class SegmentBuilder:
                     pos_parts.append(pos_all[keep].astype(np.uint32))
                 pending_hits += int(counts.sum())
             else:
+                texts = content_col.to_pylist()
                 pairs = [self.tokenize_spans(t or "") for t in texts]
                 tok_lists = [p[0] for p in pairs]
                 span_lists = [p[1] for p in pairs]
@@ -514,9 +526,19 @@ class SegmentBuilder:
                                np.uint64(0xFFFFFFFF)).astype(np.uint32))
                 pending_hits += int(counts.sum())
 
-            sha = pa.array(
-                [hashlib.sha256((t or "").encode()).hexdigest() for t in texts]
-            )
+            if texts is None:
+                # buffer path: hash the original UTF-8 bytes straight from
+                # the Arrow values buffer (identical to (t or "").encode())
+                vals, offs, _up = view
+                mv = memoryview(vals)
+                sha = pa.array(
+                    [hashlib.sha256(mv[offs[i]:offs[i + 1]]).hexdigest()
+                     for i in range(n)])
+            else:
+                sha = pa.array(
+                    [hashlib.sha256((t or "").encode()).hexdigest()
+                     for t in texts]
+                )
             meta_cols = {"doc_id": pa.array(batch_docs, type=pa.uint64())}
             for c in self.id_columns:
                 meta_cols[c] = rb.column(c)

@@ -383,6 +383,123 @@ def batch_token_stream(texts: list[str], name: str
     return idx, norm, counts
 
 
+def arrow_ascii_view(col):
+    """``(values uint8 view, int64 offsets, upper-cased values view)``
+    over an all-ASCII Arrow string array's buffers, or ``None`` when the
+    zero-copy path can't be used (non-ASCII bytes, nulls — whose offset
+    extents are not guaranteed empty — or a sliced array).  Callers fall
+    back to ``to_pylist()``.  The upper-case copy comes from Arrow's
+    SIMD ``ascii_upper`` kernel (~10x a numpy LUT gather); the original
+    ``vals`` stay available for content hashing."""
+    import numpy as _np
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    if col.null_count or col.offset:
+        return None
+    t = col.type
+    if t == _pa.string():
+        odt = _np.int32
+    elif t == _pa.large_string():
+        odt = _np.int64
+    else:
+        return None
+    bufs = col.buffers()
+    n = len(col)
+    offs = _np.frombuffer(bufs[1], odt, n + 1)
+    if odt is _np.int32:
+        offs = offs.astype(_np.int64)  # n+1 values, tiny
+    L = int(offs[-1]) if offs.size else 0
+    vals = (_np.frombuffer(bufs[2], _np.uint8, L)
+            if L and bufs[2] is not None else _np.empty(0, _np.uint8))
+    if vals.size and int(vals.max()) >= 0x80:
+        return None
+    up = (_np.frombuffer(_pc.ascii_upper(col).buffers()[2], _np.uint8, L)
+          if L else vals)
+    return vals, offs, up
+
+
+def batch_token_stream_buffer(vals, offs, up, name: str):
+    """:func:`batch_token_stream` over a zero-copy Arrow values buffer
+    (from :func:`arrow_ascii_view`): no per-doc Python strings, ONE
+    upper-case LUT pass, region scan directly on the concatenated doc
+    bytes.  Because docs are adjacent WITHOUT a separator here, any
+    region straddling a doc boundary whose neighbours are both token
+    chars is split at that boundary (the job the ``'\\n'.join``
+    separator did in the list path); mixed (joiner-bearing) regions run
+    the byte regex on a standalone upper-cased slice — equivalent
+    context, since the reference lookarounds treat string edges and
+    adjacent non-alnum chars identically (same argument as
+    ``_token_spans_ascii``)."""
+    import numpy as _np
+    import pyarrow as _pa
+
+    TOKENIZERS[name]  # validate name up front on EVERY path
+    n = offs.size - 1
+    L = vals.size
+    counts = _np.zeros(n, _np.int64)
+    if L == 0:
+        de = _pa.array([], _pa.large_binary()).dictionary_encode()
+        return (de.indices.to_numpy(zero_copy_only=False), [], counts)
+    cls, join = _scan_lut(name)
+    cls_arr = cls[vals]
+    inner = _np.flatnonzero(cls_arr[1:] != cls_arr[:-1]) + 1
+    parts = []
+    if cls_arr[0]:
+        parts.append(_np.zeros(1, _np.int64))
+    parts.append(inner)
+    if cls_arr[-1]:
+        parts.append(_np.full(1, L, _np.int64))
+    nz = _np.concatenate(parts) if len(parts) > 1 else parts[0]
+    rs, re_ = nz[0::2], nz[1::2]
+    b = offs[1:-1]
+    if b.size:
+        bb = b[(b > 0) & (b < L)]
+        crossing = bb[cls_arr[bb - 1] & cls_arr[bb]]
+        if crossing.size:
+            crossing = _np.unique(crossing)
+            rs = _np.insert(rs, _np.searchsorted(rs, crossing), crossing)
+            re_ = _np.insert(re_, _np.searchsorted(re_, crossing), crossing)
+    jpos = _np.flatnonzero(join[vals])
+    mixed = (_np.searchsorted(jpos, rs, side="left")
+             < _np.searchsorted(jpos, re_, side="left"))
+    ts, te = rs[~mixed], re_[~mixed]
+    if mixed.any():
+        regex = _TOKEN_RE_NC_B if name == "trinity" else _SIMPLE_RE_B
+        ex_s: list[int] = []
+        ex_e: list[int] = []
+        for s0, e0 in zip(rs[mixed].tolist(), re_[mixed].tolist()):
+            seg = up[s0:e0].tobytes()
+            for m in regex.finditer(seg):
+                ex_s.append(s0 + m.start())
+                ex_e.append(s0 + m.end())
+        if ex_s:
+            ts = _np.concatenate([ts, _np.array(ex_s, _np.int64)])
+            te = _np.concatenate([te, _np.array(ex_e, _np.int64)])
+            order = _np.argsort(ts, kind="stable")
+            ts, te = ts[order], te[order]
+    tl = te - ts
+    total = int(tl.sum())
+    values = _np.empty(total, _np.uint8)
+    if total:
+        cum = _np.concatenate(([0], _np.cumsum(tl)))
+        gidx = _np.arange(total, dtype=_np.int64)
+        gidx += _np.repeat(ts - cum[:-1], tl)
+        _np.take(up, gidx, out=values)
+    toffs = _np.zeros(len(ts) + 1, _np.int64)
+    _np.cumsum(tl, out=toffs[1:])
+    tok_arr = _pa.LargeBinaryArray.from_buffers(
+        _pa.large_binary(), len(ts),
+        [None, _pa.py_buffer(toffs), _pa.py_buffer(values)])
+    counts = _np.bincount(
+        _np.searchsorted(offs[:-1], ts, side="right") - 1, minlength=n)
+    de = tok_arr.dictionary_encode()
+    distinct = de.dictionary.cast(_pa.large_string()).to_pylist()
+    norm = normalize_raw_terms(distinct, name)
+    idx = de.indices.to_numpy(zero_copy_only=False)
+    return idx, norm, counts
+
+
 TOKENIZERS: dict[str, Callable[[str], list[str]]] = {
     "trinity": trinity_tokenize,
     "simple": simple_tokenize,
