@@ -471,9 +471,11 @@ class SegmentBuilder:
                 # 1-based position among KEPT tokens, restarting per doc
                 # (dropped tokens do not consume a position — parity with
                 # the per-doc tokenizer, which never emits them).  int32
-                # throughout: a flush run holds <= flush_hits (4M) hits.
-                ck = np.cumsum(keep, dtype=np.int32)
-                z1 = np.zeros(1, np.int32)
+                # when the batch's RAW token count fits (always, short of
+                # a >2^31-token read batch — but guard it, don't assume)
+                cdt = np.int32 if idx.size < (1 << 31) else np.int64
+                ck = np.cumsum(keep, dtype=cdt)
+                z1 = np.zeros(1, cdt)
                 starts = np.concatenate(([0], np.cumsum(counts_raw)))
                 ck_ext = np.concatenate((z1, ck))
                 before = ck_ext[starts[:-1]]

@@ -268,17 +268,21 @@ def _scan_lut(name: str):
     return lut
 
 
-def _token_spans_ascii(big: bytes, name: str):
-    """(starts, ends) of every token in upper-cased ASCII ``big``, in
-    document order — the vectorized region scan described at
-    ``_TRINITY_JOINERS``.  Mixed (joiner-bearing) regions run the byte
-    regex with pos/endpos bounds: the chars before/after a region are
-    non-alnum, so the lookbehind/lookahead context is identical to
-    matching the region standalone."""
+def _token_spans(arr, name: str, splits=None):
+    """(starts, ends) of every token in the upper-cased ASCII uint8 array
+    ``arr``, in document order — the vectorized region scan described at
+    ``_TRINITY_JOINERS``.  ``splits`` (optional, sorted int positions) are
+    hard token boundaries (document edges in the Arrow-buffer path):
+    any region straddling one is split there.  Mixed (joiner-bearing)
+    regions run the byte regex on a standalone slice — the chars before/
+    after a region (and a string edge) are equally non-alnum, so the
+    lookbehind/lookahead context is identical either way.
+
+    THE single span scanner: every tokenize path (list and Arrow-buffer)
+    goes through here, so TOKEN_RE lockstep fixes land everywhere."""
     import numpy as _np
 
     cls, join = _scan_lut(name)
-    arr = _np.frombuffer(big, _np.uint8)
     ext = _np.zeros(len(arr) + 2, _np.int8)
     ext[1:-1] = cls[arr]
     d = _np.diff(ext)
@@ -287,6 +291,14 @@ def _token_spans_ascii(big: bytes, name: str):
     # without re-reading d)
     nz = _np.flatnonzero(d)
     rs, re_ = nz[0::2], nz[1::2]
+    if splits is not None and splits.size:
+        # ext[b] / ext[b+1] are cls of the chars before/at b: a split
+        # strictly inside a region has both set — split the region there
+        crossing = splits[(ext[splits] & ext[splits + 1]) != 0]
+        if crossing.size:
+            crossing = _np.unique(crossing)
+            rs = _np.insert(rs, _np.searchsorted(rs, crossing), crossing)
+            re_ = _np.insert(re_, _np.searchsorted(re_, crossing), crossing)
     # joiners are rare (<0.1% of bytes): locate them sparsely and count
     # per region via searchsorted — replaces a full-length int64 cumsum
     # (8 B/char of write traffic on the build hot path)
@@ -299,15 +311,49 @@ def _token_spans_ascii(big: bytes, name: str):
         ex_s: list[int] = []
         ex_e: list[int] = []
         for s0, e0 in zip(rs[mixed].tolist(), re_[mixed].tolist()):
-            for m in regex.finditer(big, s0, e0):
-                ex_s.append(m.start())
-                ex_e.append(m.end())
+            seg = arr[s0:e0].tobytes()
+            for m in regex.finditer(seg):
+                ex_s.append(s0 + m.start())
+                ex_e.append(s0 + m.end())
         if ex_s:
             ts = _np.concatenate([ts, _np.array(ex_s, _np.int64)])
             te = _np.concatenate([te, _np.array(ex_e, _np.int64)])
             order = _np.argsort(ts, kind="stable")
             ts, te = ts[order], te[order]
-    return arr, ts, te
+    return ts, te
+
+
+def _finish_token_stream(arr, ts, te, doc_starts, n: int, name: str):
+    """Shared tail of both batch tokenize paths: gather token bytes from
+    ``arr`` into one contiguous buffer, wrap as a zero-copy Arrow
+    ``large_binary`` array, count tokens per doc (``doc_starts`` = start
+    offset of each doc in ``arr``), dictionary-encode, and normalize the
+    DISTINCT terms."""
+    import numpy as _np
+    import pyarrow as _pa
+
+    tl = te - ts
+    total = int(tl.sum())
+    values = _np.empty(total, _np.uint8)
+    if total:
+        cum = _np.concatenate(([0], _np.cumsum(tl)))
+        gidx = _np.arange(total, dtype=_np.int64)
+        gidx += _np.repeat(ts - cum[:-1], tl)
+        _np.take(arr, gidx, out=values)
+    offs = _np.zeros(len(ts) + 1, _np.int64)
+    _np.cumsum(tl, out=offs[1:])
+    # large_binary: a batch of max-length docs can flatten past the
+    # 2 GiB 32-bit-offset cap of plain binary
+    tok_arr = _pa.LargeBinaryArray.from_buffers(
+        _pa.large_binary(), len(ts),
+        [None, _pa.py_buffer(offs), _pa.py_buffer(values)])
+    counts = _np.bincount(
+        _np.searchsorted(doc_starts, ts, side="right") - 1, minlength=n)
+    de = tok_arr.dictionary_encode()
+    distinct = de.dictionary.cast(_pa.large_string()).to_pylist()
+    norm = normalize_raw_terms(distinct, name)
+    idx = de.indices.to_numpy(zero_copy_only=False)
+    return idx, norm, counts
 
 
 def batch_token_stream(texts: list[str], name: str
@@ -338,31 +384,14 @@ def batch_token_stream(texts: list[str], name: str
         "\n".join(t or "" for t in texts)
     if joined.isascii():
         big = joined.upper().encode("ascii")
-        arr, ts, te = _token_spans_ascii(big, name)
-        tl = te - ts
-        total = int(tl.sum())
-        values = _np.empty(total, _np.uint8)
-        if total:
-            cum = _np.concatenate(([0], _np.cumsum(tl)))
-            gidx = _np.arange(total, dtype=_np.int64)
-            gidx += _np.repeat(ts - cum[:-1], tl)
-            _np.take(arr, gidx, out=values)
-        offs = _np.zeros(len(ts) + 1, _np.int64)
-        _np.cumsum(tl, out=offs[1:])
-        # large_binary: a batch of max-length docs can flatten past the
-        # 2 GiB 32-bit-offset cap of plain binary
-        tok_arr = _pa.LargeBinaryArray.from_buffers(
-            _pa.large_binary(), len(ts),
-            [None, _pa.py_buffer(offs), _pa.py_buffer(values)])
+        arr = _np.frombuffer(big, _np.uint8)
+        ts, te = _token_spans(arr, name)
         doc_starts = _np.zeros(n, _np.int64)
         if n > 1:
             lens = _np.fromiter((len(t) if t else 0 for t in texts),
                                 _np.int64, n)
             _np.cumsum(lens[:-1] + 1, out=doc_starts[1:])
-        counts = _np.bincount(
-            _np.searchsorted(doc_starts, ts, side="right") - 1,
-            minlength=n)
-        de = tok_arr.dictionary_encode()
+        return _finish_token_stream(arr, ts, te, doc_starts, n, name)
     else:
         regex = _TOKEN_RE_NC_B if name == "trinity" else _SIMPLE_RE_B
         flat: list[bytes] = []
@@ -421,83 +450,23 @@ def arrow_ascii_view(col):
 
 def batch_token_stream_buffer(vals, offs, up, name: str):
     """:func:`batch_token_stream` over a zero-copy Arrow values buffer
-    (from :func:`arrow_ascii_view`): no per-doc Python strings, ONE
-    upper-case LUT pass, region scan directly on the concatenated doc
-    bytes.  Because docs are adjacent WITHOUT a separator here, any
-    region straddling a doc boundary whose neighbours are both token
-    chars is split at that boundary (the job the ``'\\n'.join``
-    separator did in the list path); mixed (joiner-bearing) regions run
-    the byte regex on a standalone upper-cased slice — equivalent
-    context, since the reference lookarounds treat string edges and
-    adjacent non-alnum chars identically (same argument as
-    ``_token_spans_ascii``)."""
+    (from :func:`arrow_ascii_view`): no per-doc Python strings — the
+    span scan runs on the SIMD-upper-cased buffer directly.  Docs are
+    adjacent WITHOUT a separator here, so interior doc boundaries go to
+    :func:`_token_spans` as hard splits (the job the ``'\\n'.join``
+    separator does in the list path); everything else is the shared
+    scan + tail."""
     import numpy as _np
     import pyarrow as _pa
 
     TOKENIZERS[name]  # validate name up front on EVERY path
     n = offs.size - 1
-    L = vals.size
-    counts = _np.zeros(n, _np.int64)
-    if L == 0:
+    if vals.size == 0:
         de = _pa.array([], _pa.large_binary()).dictionary_encode()
-        return (de.indices.to_numpy(zero_copy_only=False), [], counts)
-    cls, join = _scan_lut(name)
-    cls_arr = cls[vals]
-    inner = _np.flatnonzero(cls_arr[1:] != cls_arr[:-1]) + 1
-    parts = []
-    if cls_arr[0]:
-        parts.append(_np.zeros(1, _np.int64))
-    parts.append(inner)
-    if cls_arr[-1]:
-        parts.append(_np.full(1, L, _np.int64))
-    nz = _np.concatenate(parts) if len(parts) > 1 else parts[0]
-    rs, re_ = nz[0::2], nz[1::2]
-    b = offs[1:-1]
-    if b.size:
-        bb = b[(b > 0) & (b < L)]
-        crossing = bb[cls_arr[bb - 1] & cls_arr[bb]]
-        if crossing.size:
-            crossing = _np.unique(crossing)
-            rs = _np.insert(rs, _np.searchsorted(rs, crossing), crossing)
-            re_ = _np.insert(re_, _np.searchsorted(re_, crossing), crossing)
-    jpos = _np.flatnonzero(join[vals])
-    mixed = (_np.searchsorted(jpos, rs, side="left")
-             < _np.searchsorted(jpos, re_, side="left"))
-    ts, te = rs[~mixed], re_[~mixed]
-    if mixed.any():
-        regex = _TOKEN_RE_NC_B if name == "trinity" else _SIMPLE_RE_B
-        ex_s: list[int] = []
-        ex_e: list[int] = []
-        for s0, e0 in zip(rs[mixed].tolist(), re_[mixed].tolist()):
-            seg = up[s0:e0].tobytes()
-            for m in regex.finditer(seg):
-                ex_s.append(s0 + m.start())
-                ex_e.append(s0 + m.end())
-        if ex_s:
-            ts = _np.concatenate([ts, _np.array(ex_s, _np.int64)])
-            te = _np.concatenate([te, _np.array(ex_e, _np.int64)])
-            order = _np.argsort(ts, kind="stable")
-            ts, te = ts[order], te[order]
-    tl = te - ts
-    total = int(tl.sum())
-    values = _np.empty(total, _np.uint8)
-    if total:
-        cum = _np.concatenate(([0], _np.cumsum(tl)))
-        gidx = _np.arange(total, dtype=_np.int64)
-        gidx += _np.repeat(ts - cum[:-1], tl)
-        _np.take(up, gidx, out=values)
-    toffs = _np.zeros(len(ts) + 1, _np.int64)
-    _np.cumsum(tl, out=toffs[1:])
-    tok_arr = _pa.LargeBinaryArray.from_buffers(
-        _pa.large_binary(), len(ts),
-        [None, _pa.py_buffer(toffs), _pa.py_buffer(values)])
-    counts = _np.bincount(
-        _np.searchsorted(offs[:-1], ts, side="right") - 1, minlength=n)
-    de = tok_arr.dictionary_encode()
-    distinct = de.dictionary.cast(_pa.large_string()).to_pylist()
-    norm = normalize_raw_terms(distinct, name)
-    idx = de.indices.to_numpy(zero_copy_only=False)
-    return idx, norm, counts
+        return (de.indices.to_numpy(zero_copy_only=False), [],
+                _np.zeros(n, _np.int64))
+    ts, te = _token_spans(up, name, splits=offs[1:-1])
+    return _finish_token_stream(up, ts, te, offs[:-1], n, name)
 
 
 TOKENIZERS: dict[str, Callable[[str], list[str]]] = {
