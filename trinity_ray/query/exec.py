@@ -155,7 +155,8 @@ class TermPostings:
     """
 
     __slots__ = ("_df", "_max_tf", "_loader", "_hits_loader", "_blob",
-                 "_docs", "_freqs", "_pos", "_pay", "_blocks", "_blocks_pos")
+                 "_docs", "_freqs", "_pos", "_pay", "_blocks", "_blocks_pos",
+                 "_local64", "_tf64")
 
     def __init__(self, df: int, max_tf: int, loader, hits_loader=None):
         self._df = int(df)
@@ -169,6 +170,8 @@ class TermPostings:
         self._pay: tuple[np.ndarray, np.ndarray] | None = None
         self._blocks: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         self._blocks_pos: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self._local64: np.ndarray | None = None
+        self._tf64: np.ndarray | None = None
 
     @property
     def blob(self) -> PostingsBlob:
@@ -198,6 +201,20 @@ class TermPostings:
     def freqs(self) -> np.ndarray:
         self._decode()
         return self._freqs
+
+    def local_idx(self, base) -> np.ndarray:
+        """``(doc_ids - base)`` as int64, cached — the dense-scatter index
+        ``score()`` uses every query; a TermPostings belongs to exactly
+        one segment, so ``base`` never varies across calls."""
+        if self._local64 is None:
+            self._local64 = (self.doc_ids - base).astype(np.int64)
+        return self._local64
+
+    def tf64(self) -> np.ndarray:
+        """``freqs`` as float64, cached (scorer input)."""
+        if self._tf64 is None:
+            self._tf64 = self.freqs.astype(np.float64)
+        return self._tf64
 
     def positions(self) -> tuple[np.ndarray, np.ndarray]:
         if self._pos is None:
@@ -894,8 +911,7 @@ class SegmentReader:
                 tp = self.postings(term)
                 if tp is None or w == 0.0:
                     continue
-                idx = (tp.doc_ids - base).astype(np.int64)
-                dense[idx] += sc.contrib(w, tp.freqs.astype(np.float64))
+                dense[tp.local_idx(base)] += sc.contrib(w, tp.tf64())
                 touched = True
             if not touched:
                 return np.zeros(matched.size, dtype=np.float64)
