@@ -156,7 +156,7 @@ class TermPostings:
 
     __slots__ = ("_df", "_max_tf", "_loader", "_hits_loader", "_blob",
                  "_docs", "_freqs", "_pos", "_pay", "_blocks", "_blocks_pos",
-                 "_local64", "_tf64")
+                 "_local64", "_tf64", "_contrib")
 
     def __init__(self, df: int, max_tf: int, loader, hits_loader=None):
         self._df = int(df)
@@ -172,6 +172,7 @@ class TermPostings:
         self._blocks_pos: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         self._local64: np.ndarray | None = None
         self._tf64: np.ndarray | None = None
+        self._contrib: tuple | None = None  # ((scorer, w), per-doc scores)
 
     @property
     def blob(self) -> PostingsBlob:
@@ -215,6 +216,16 @@ class TermPostings:
         if self._tf64 is None:
             self._tf64 = self.freqs.astype(np.float64)
         return self._tf64
+
+    def contrib(self, sc, w: float) -> np.ndarray:
+        """Per-posting score contributions ``sc.contrib(w, tf)``, cached
+        single-slot: a term's weight is fixed for a searcher session
+        (global df), so repeated queries re-add the same vector — the
+        impact-cache shape of serving pools.  Callers must not mutate."""
+        key = (sc.name, w)
+        if self._contrib is None or self._contrib[0] != key:
+            self._contrib = (key, sc.contrib(w, self.tf64()))
+        return self._contrib[1]
 
     def positions(self) -> tuple[np.ndarray, np.ndarray]:
         if self._pos is None:
@@ -725,41 +736,48 @@ class SegmentReader:
         if isinstance(node, And):
             return self._match_and(node)
         if isinstance(node, Or):
-            parts = [self.match(c) for c in node.children]
-            parts = [p for p in parts if p.size]
-            if not parts:
-                return EMPTY_U64
-            if len(parts) == 1:
-                return parts[0]
-            return self._union_count(np.concatenate(parts), 1)
+            return self._union_count(node.children, 1)
         if isinstance(node, MatchSome):
-            parts = [self.match(c) for c in node.children]
-            allv = np.concatenate([p for p in parts if p.size] or [EMPTY_U64])
-            if allv.size == 0:
-                return EMPTY_U64
-            return self._union_count(allv, node.min_match)
+            return self._union_count(node.children, node.min_match)
         raise TypeError(f"unknown node {node!r}")
 
-    def _union_count(self, allv: np.ndarray, k: int) -> np.ndarray:
-        """docIDs appearing >= k times in ``allv`` (k=1 == sorted union).
+    def _union_count(self, children, k: int) -> np.ndarray:
+        """docIDs matching >= k of ``children`` (k=1 == sorted union).
 
         Dense path: when the segment's docID span is comparable to the
         hit volume, a bincount over (id - doc_base) beats the O(N log N)
         sort of np.unique — the 8K-window bitmap counting of
         DocsSetSpanForDisjunctions (docset_spans.cpp) with the window as
         the whole segment.  Sparse spans (a merged segment over a huge id
-        space) keep the sort path."""
+        space) keep the sort path.  Token children contribute their
+        CACHED local-index arrays directly (no per-query base-subtract
+        pass over hot posting lists)."""
+        base = np.uint64(self.doc_base)
+        parts: list[np.ndarray] = []  # int64 segment-local ids
+        for c in children:
+            if isinstance(c, Token):
+                tp = self.postings(c.term)
+                if tp is not None and tp.df:
+                    parts.append(tp.local_idx(base))
+            else:
+                m = self.match(c)
+                if m.size:
+                    parts.append((m - base).astype(np.int64))
+        if not parts:
+            return EMPTY_U64
+        if len(parts) == 1:
+            return parts[0].astype(np.uint64) + base
+        allv = np.concatenate(parts)
         span = self.doc_count
         if 0 < span <= min(4 * allv.size, 1 << 23):  # cap the per-query
             # dense allocation (a merged segment's span is the id space)
-            cnt = np.bincount((allv - np.uint64(self.doc_base)
-                               ).astype(np.int64), minlength=span)
+            cnt = np.bincount(allv, minlength=span)
             hits = np.flatnonzero(cnt >= k)
-            return hits.astype(np.uint64) + np.uint64(self.doc_base)
+            return hits.astype(np.uint64) + base
         if k == 1:
-            return np.unique(allv)
+            return np.unique(allv).astype(np.uint64) + base
         vals, counts = np.unique(allv, return_counts=True)
-        return vals[counts >= k]
+        return vals[counts >= k].astype(np.uint64) + base
 
     def _match_and(self, node: And) -> np.ndarray:
         """Cost-ordered intersection (reorder_execnodes, exec.cpp:27-131):
@@ -911,7 +929,7 @@ class SegmentReader:
                 tp = self.postings(term)
                 if tp is None or w == 0.0:
                     continue
-                dense[tp.local_idx(base)] += sc.contrib(w, tp.tf64())
+                dense[tp.local_idx(base)] += tp.contrib(sc, w)
                 touched = True
             if not touched:
                 return np.zeros(matched.size, dtype=np.float64)
