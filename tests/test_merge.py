@@ -325,15 +325,15 @@ def test_merged_segment_prefers_sparse_union(dirs, monkeypatch):
     rm = LocalSearcher(merged).readers[0]
     span = rm.doc_count
     # few hits vs the span: 4*hits < span => dense must NOT engage
-    allv = np.asarray([rm.doc_base + i for i in (1, 2, 5, 7, 2, 5)],
-                      dtype=np.uint64)
+    allv = np.asarray([1, 2, 5, 7, 2, 5], dtype=np.int64)  # LOCAL ids
     assert 4 * allv.size < span
     def boom(*a, **kw):
         raise AssertionError("dense bincount used on sparse merged union")
     monkeypatch.setattr(np, "bincount", boom)
-    out = rm._union_count(allv, 1)
+    out = rm._union_count_vals(allv, 1)
     monkeypatch.undo()
-    np.testing.assert_array_equal(out, np.unique(allv))
+    np.testing.assert_array_equal(
+        out, np.unique(allv).astype(np.uint64) + np.uint64(rm.doc_base))
     # positive control: hit volume comparable to span => dense engages
     calls = {"n": 0}
     real_bincount = np.bincount
@@ -341,9 +341,8 @@ def test_merged_segment_prefers_sparse_union(dirs, monkeypatch):
         calls["n"] += 1
         return real_bincount(*a, **kw)
     monkeypatch.setattr(np, "bincount", counting)
-    hot = np.repeat(np.arange(rm.doc_base, rm.doc_base + span,
-                              dtype=np.uint64), 1)
-    out2 = rm._union_count(hot, 1)
+    hot = np.repeat(np.arange(span, dtype=np.int64), 1)  # LOCAL ids
+    out2 = rm._union_count_vals(hot, 1)
     assert calls["n"] >= 1
     assert out2.size == span
 

@@ -767,7 +767,13 @@ class SegmentReader:
             return EMPTY_U64
         if len(parts) == 1:
             return parts[0].astype(np.uint64) + base
-        allv = np.concatenate(parts)
+        return self._union_count_vals(np.concatenate(parts), k)
+
+    def _union_count_vals(self, allv: np.ndarray, k: int) -> np.ndarray:
+        """The kernel of :meth:`_union_count` over segment-LOCAL int64 ids:
+        dense bincount when the span is comparable to the hit volume,
+        sort/unique otherwise (merged segments span huge id spaces)."""
+        base = np.uint64(self.doc_base)
         span = self.doc_count
         if 0 < span <= min(4 * allv.size, 1 << 23):  # cap the per-query
             # dense allocation (a merged segment's span is the id space)
