@@ -337,8 +337,11 @@ def _finish_token_stream(arr, ts, te, doc_starts, n: int, name: str):
     values = _np.empty(total, _np.uint8)
     if total:
         cum = _np.concatenate(([0], _np.cumsum(tl)))
-        gidx = _np.arange(total, dtype=_np.int64)
-        gidx += _np.repeat(ts - cum[:-1], tl)
+        # int32 gather indices: `total` is one batch's token BYTES, far
+        # under 2^31 — halves the dominant scratch-array traffic here
+        idt = _np.int32 if total < (1 << 31) else _np.int64
+        gidx = _np.arange(total, dtype=idt)
+        gidx += _np.repeat((ts - cum[:-1]).astype(idt), tl)
         _np.take(arr, gidx, out=values)
     offs = _np.zeros(len(ts) + 1, _np.int64)
     _np.cumsum(tl, out=offs[1:])
