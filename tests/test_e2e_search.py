@@ -929,3 +929,19 @@ def test_hits_file_split_lazy_io(index_dir, corpus_dir):
     phr = s.search(f'"{t1} {t2}"', k=10)      # phrase needs positions
     assert hits_handles(s) >= 1
     assert phr.doc_ids.size > 0
+
+
+def test_match_some_single_present_child_respects_min_match(index_dir):
+    """Regression (r5 review): MatchSome(k>=2) where only ONE child has
+    postings must return the EMPTY set — the union shortcut for a single
+    non-empty part applies only at k == 1.  Also pins k > number of
+    non-empty children => empty, and the k == 1 single-part shortcut."""
+    s = LocalSearcher(index_dir)
+    present = "merge"  # in the corpus vocab
+    r2 = s.search(f"[2 {present} zzzmissing qqqmissing]", k=0)
+    assert r2.doc_ids.size == 0
+    r3 = s.search(f"[3 {present} zzzmissing]", k=0)
+    assert r3.doc_ids.size == 0
+    r1 = s.search(f"[1 {present} zzzmissing]", k=0)
+    base = s.search(present, k=0)
+    assert sorted(map(int, r1.doc_ids)) == sorted(map(int, base.doc_ids))

@@ -205,11 +205,12 @@ class TermPostings:
 
     def local_idx(self, base) -> np.ndarray:
         """``(doc_ids - base)`` as int64, cached — the dense-scatter index
-        ``score()`` uses every query; a TermPostings belongs to exactly
-        one segment, so ``base`` never varies across calls."""
-        if self._local64 is None:
-            self._local64 = (self.doc_ids - base).astype(np.int64)
-        return self._local64
+        ``score()`` uses every query.  A TermPostings belongs to exactly
+        one segment so ``base`` should never vary, but the cache records
+        it and recomputes on mismatch rather than trusting callers."""
+        if self._local64 is None or self._local64[0] != base:
+            self._local64 = (base, (self.doc_ids - base).astype(np.int64))
+        return self._local64[1]
 
     def tf64(self) -> np.ndarray:
         """``freqs`` as float64, cached (scorer input)."""
@@ -221,11 +222,14 @@ class TermPostings:
         """Per-posting score contributions ``sc.contrib(w, tf)``, cached
         single-slot: a term's weight is fixed for a searcher session
         (global df), so repeated queries re-add the same vector — the
-        impact-cache shape of serving pools.  Callers must not mutate."""
-        key = (sc.name, w)
-        if self._contrib is None or self._contrib[0] != key:
-            self._contrib = (key, sc.contrib(w, self.tf64()))
-        return self._contrib[1]
+        impact-cache shape of serving pools.  Keyed on the Scorer INSTANCE
+        (held alive by the cache, so identity is stable): two scorers
+        sharing a name but different contrib functions never serve each
+        other's vectors.  Callers must not mutate."""
+        if (self._contrib is None or self._contrib[0] is not sc
+                or self._contrib[1] != w):
+            self._contrib = (sc, w, sc.contrib(w, self.tf64()))
+        return self._contrib[2]
 
     def positions(self) -> tuple[np.ndarray, np.ndarray]:
         if self._pos is None:
@@ -763,9 +767,11 @@ class SegmentReader:
                 m = self.match(c)
                 if m.size:
                     parts.append((m - base).astype(np.int64))
-        if not parts:
+        if len(parts) < max(k, 1):
+            # fewer non-empty children than min_match: no doc can appear
+            # k times (parts are sorted-unique doc sets)
             return EMPTY_U64
-        if len(parts) == 1:
+        if len(parts) == 1:  # k <= 1 here
             return parts[0].astype(np.uint64) + base
         return self._union_count_vals(np.concatenate(parts), k)
 

@@ -337,9 +337,12 @@ def _finish_token_stream(arr, ts, te, doc_starts, n: int, name: str):
     values = _np.empty(total, _np.uint8)
     if total:
         cum = _np.concatenate(([0], _np.cumsum(tl)))
-        # int32 gather indices: `total` is one batch's token BYTES, far
-        # under 2^31 — halves the dominant scratch-array traffic here
-        idt = _np.int32 if total < (1 << 31) else _np.int64
+        # int32 gather indices: gidx VALUES index into `arr`, so the
+        # guard covers both the token-byte count AND the batch length
+        # (a >=2 GiB batch with few token bytes must not wrap) — halves
+        # the dominant scratch-array traffic in the normal case
+        idt = (_np.int32 if max(total, arr.size) < (1 << 31)
+               else _np.int64)
         gidx = _np.arange(total, dtype=idt)
         gidx += _np.repeat((ts - cum[:-1]).astype(idt), tl)
         _np.take(arr, gidx, out=values)
