@@ -99,3 +99,28 @@ def test_random_asts_match_oracle(fuzz_index):
             f"trial {trial}: {node!r}"
         np.testing.assert_allclose(res.scores, [x for _, x in want_sc],
                                    rtol=1e-12, err_msg=repr(node))
+
+
+def test_match_some_presence_matrix(fuzz_index):
+    """Deterministic sweep: MatchSome over every (children, present, k)
+    combination up to 4 children — the r5 review found a k>=2
+    single-present-child bug that 120 random trials had missed, so the
+    space is now enumerated instead of sampled.  Nodes are NOT
+    normalized: this pins raw evaluator semantics."""
+    idx, oracle = fuzz_index
+    s = LocalSearcher(idx)
+    from trinity_ray.search import merge_topk
+
+    present = ["ALPHA", "BETA", "GAMMA", "DELTA"]
+    missing = ["NOSUCH1", "NOSUCH2", "NOSUCHX", "NOSUCHY"]
+    for n in range(2, 5):
+        for n_present in range(0, n + 1):
+            toks = tuple(Token(t) for t in
+                         present[:n_present] + missing[:n - n_present])
+            for k in range(1, n + 1):
+                node = MatchSome(k, toks)
+                parts = [r.execute(node, {}, 0) for r in s.readers]
+                got = sorted(int(d) for d in merge_topk(
+                    [p for p in parts if p[0].size], 0).doc_ids)
+                want = sorted(oracle.match(node))
+                assert got == want, f"n={n} present={n_present} k={k}"
