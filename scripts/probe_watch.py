@@ -39,19 +39,28 @@ def log(msg: str) -> None:
 
 def run_capture(kind: str, args: list[str], env: dict) -> dict | None:
     t0 = time.time()
-    proc = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py"), *args],
-        capture_output=True, text=True, env=env, cwd=REPO,
-        timeout=3600,
-    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py"), *args],
+            capture_output=True, text=True, env=env, cwd=REPO,
+            timeout=5400,
+        )
+    except subprocess.TimeoutExpired:
+        # a degraded window can stretch a run past any budget; the
+        # unattended collector must survive and keep hunting
+        log(f"{kind} timed out after {time.time() - t0:.0f}s; dropping")
+        return None
     if proc.returncode != 0:
         log(f"{kind} failed rc={proc.returncode}: {proc.stderr[-500:]}")
         return None
-    line = proc.stdout.strip().splitlines()[-1]
+    lines = proc.stdout.strip().splitlines()
+    if not lines:
+        log(f"{kind} produced no output")
+        return None
     try:
-        result = json.loads(line)
+        result = json.loads(lines[-1])
     except json.JSONDecodeError:
-        log(f"{kind} produced non-JSON tail: {line[:200]}")
+        log(f"{kind} produced non-JSON tail: {lines[-1][:200]}")
         return None
     stamp = time.strftime("%Y%m%d_%H%M%S")
     path = os.path.join(OUT_DIR, f"{kind}_{stamp}.json")

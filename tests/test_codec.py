@@ -440,3 +440,44 @@ def test_concat_encoded_many_rejects_overlap_and_mixed():
     off4 = np.concatenate(([0], np.cumsum(lens4)))[:-1]
     assert concat_encoded_many(cat4, off4, lens4,
                                np.array([0, 2], np.int64)) is None
+
+
+def test_terms_bin_writer_large_binary_offsets(tmp_path):
+    """add_table must parse int64 (large_binary) offsets: encode_many_arrow
+    switches to large_binary once a run's blob bytes exceed 2 GiB, and
+    reading its offsets buffer as int32 scrambles every blob range."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from trinity_ray.index.build import TermsBinWriter
+    from trinity_ray.index.segment import hits_path
+
+    rng = np.random.default_rng(7)
+    blobs = []
+    for n in (3, 17, 130):
+        d, f, p = _random_postings(rng, n)
+        blobs.append(encode_postings(d, f, p))
+
+    def table(binary_type):
+        return pa.table({
+            "term": pa.array(["a", "b", "c"]),
+            "df": pa.array([3, 17, 130], pa.uint32()),
+            "max_tf": pa.array([5, 5, 5], pa.uint32()),
+            "sum_hits": pa.array([9, 40, 300], pa.uint64()),
+            "blob": pa.array(blobs, binary_type),
+        })
+
+    outs = {}
+    for name, typ in (("narrow", pa.binary()), ("wide", pa.large_binary())):
+        terms = str(tmp_path / f"{name}-terms.parquet")
+        binf = str(tmp_path / f"{name}-postings.bin")
+        w = TermsBinWriter(terms, binf)
+        w.add_table(table(typ))
+        w.close()
+        outs[name] = (
+            pq.read_table(terms).to_pydict(),
+            open(binf, "rb").read(),
+            open(hits_path(binf), "rb").read(),
+        )
+    assert outs["narrow"] == outs["wide"]
+    assert len(outs["wide"][1]) > 0 and len(outs["wide"][2]) > 0

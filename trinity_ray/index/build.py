@@ -48,7 +48,14 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from trinity_ray.codec import PostingsBlob, encode_many_arrow, encode_postings
+from trinity_ray.codec import (
+    PostingsBlob,
+    _range_idx,
+    encode_many_arrow,
+    encode_postings,
+    index_part_len,
+    index_part_lens,
+)
 from trinity_ray.rayutil import package_runtime_env
 from trinity_ray.index.segment import (
     BIN_FILE,
@@ -183,8 +190,6 @@ class TermsBinWriter:
 
     def add(self, term: str, df: int, max_tf: int, sum_hits: int,
             blob: bytes) -> None:
-        from trinity_ray.codec import index_part_len
-
         split = index_part_len(blob)
         self._bin.write(blob[:split])
         self._hits.write(blob[split:])
@@ -202,8 +207,6 @@ class TermsBinWriter:
         for its index/hits split point, two range-gathers emit the bin and
         hits streams, and the dictionary rows are written as Arrow columns
         — no per-term Python loop over postings bytes."""
-        from trinity_ray.codec import _range_idx, index_part_lens
-
         n = table.num_rows
         if n == 0:
             return
@@ -212,7 +215,12 @@ class TermsBinWriter:
         bufs = blob.buffers()
         data = (np.frombuffer(bufs[2], np.uint8)
                 if bufs[2] is not None else np.empty(0, np.uint8))
-        boffs = np.frombuffer(bufs[1], np.int32)[
+        # encode_many_arrow switches to large_binary (int64 offsets) once a
+        # run's blob bytes exceed 2 GiB — parse the offsets buffer at the
+        # matching width or every start/end is garbage
+        off_dt = (np.int64 if pa.types.is_large_binary(blob.type)
+                  else np.int32)
+        boffs = np.frombuffer(bufs[1], off_dt)[
             blob.offset:blob.offset + n + 1].astype(np.int64)
         starts, ends = boffs[:-1], boffs[1:]
         split = index_part_lens(data, starts, ends)

@@ -442,8 +442,14 @@ def _merge_segments_into(index_dir: str, segs: list, masks: dict,
         out_off = np.zeros(n + 1, np.int64)
         np.cumsum(lns + hlns, out=out_off[1:])
         values = np.empty(int(out_off[-1]), np.uint8)
+        # one stable argsort groups rows by path; per-path flatnonzero would
+        # re-scan the whole batch once per distinct file (O(files x rows))
+        order = np.argsort(pidx, kind="stable")
+        bounds = np.searchsorted(pidx[order], np.arange(len(meta) + 1))
         for u, (sn, db, bin_path) in enumerate(meta):
-            rows = np.flatnonzero(pidx == u)
+            rows = order[bounds[u]:bounds[u + 1]]
+            if rows.size == 0:      # unified dictionary may carry unused paths
+                continue
             io_, il = offs[rows], lns[rows]
             lo = int(io_.min())
             hi = int((io_ + il).max())
