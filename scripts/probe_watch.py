@@ -87,13 +87,22 @@ def main() -> None:
 
     full_ok = 0
     scaling_ok = 0
+    last_capture = 0.0
     while full_ok < a.max_full or scaling_ok < a.max_full:
         eff = host_probe(32)["host_probe_parallel_eff"]
-        if eff < a.min_eff:
+        # Fallback cadence: the round-5 evidence shows suite performance has
+        # decoupled from the bandwidth-bound probe (the round's best sample,
+        # e2e 77.5 s, was captured at probe 0.09) — if no healthy window
+        # appears for 45 min, capture anyway; the metric values themselves
+        # decide whether the sample becomes an anchor.
+        stale = time.time() - last_capture > 45 * 60
+        if eff < a.min_eff and not stale:
             log(f"eff {eff:.3f} < {a.min_eff}; sleeping {a.interval}s")
             time.sleep(a.interval)
             continue
-        log(f"healthy window (eff {eff:.3f}); capturing")
+        log(f"capturing (eff {eff:.3f}, "
+            f"{'healthy window' if eff >= a.min_eff else 'stale fallback'})")
+        last_capture = time.time()
         if full_ok <= scaling_ok:
             r = run_capture("full", [], env)
             if r and r.get("comparable"):
