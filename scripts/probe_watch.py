@@ -87,6 +87,7 @@ def main() -> None:
 
     full_ok = 0
     scaling_ok = 0
+    attempts = 0
     last_capture = 0.0
     while full_ok < a.max_full or scaling_ok < a.max_full:
         eff = host_probe(32)["host_probe_parallel_eff"]
@@ -103,7 +104,10 @@ def main() -> None:
         log(f"capturing (eff {eff:.3f}, "
             f"{'healthy window' if eff >= a.min_eff else 'stale fallback'})")
         last_capture = time.time()
-        if full_ok <= scaling_ok:
+        # alternate by ATTEMPT, not by comparable success — in a round-long
+        # degraded window nothing stamps comparable and full would starve
+        # the scaling captures entirely
+        if attempts % 2 == 0:
             r = run_capture("full", [], env)
             if r and r.get("comparable"):
                 full_ok += 1
@@ -111,6 +115,7 @@ def main() -> None:
             r = run_capture("scaling", ["--scaling"], env)
             if r and r.get("comparable"):
                 scaling_ok += 1
+        attempts += 1
         time.sleep(10)
     log(f"target reached: {full_ok} full + {scaling_ok} scaling samples")
 
