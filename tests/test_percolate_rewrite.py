@@ -397,3 +397,57 @@ def _iter_nodes(node):
         yield from _iter_nodes(node.child)
     elif isinstance(node, Optional_):
         yield from _iter_nodes(node.child)
+
+
+def test_percolator_fuzz_vs_search_oracle(tmp_path, ray_session):
+    """Random standing queries (AND/OR/NOT/phrase/MatchSome/Optional) over
+    random docs: percolate's per-doc evaluation must agree exactly with
+    indexing the same batch and running each query through the search
+    engine — two independent code paths for the same boolean semantics."""
+    VOCAB = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta",
+             "theta", "nosuch1"]
+    rng = np.random.default_rng(424242)
+
+    def rand_q(depth):
+        k = rng.choice(["tok", "tok", "phrase", "and", "or", "not",
+                        "some", "opt"] if depth > 0 else ["tok", "phrase"])
+        if k == "tok":
+            return str(rng.choice(VOCAB))
+        if k == "phrase":
+            n = int(rng.integers(2, 4))
+            return '"' + " ".join(str(t) for t in rng.choice(VOCAB, n)) + '"'
+        if k == "not":
+            return f"({rand_q(depth - 1)} NOT {rand_q(0)})"
+        if k == "opt":
+            return f"({rand_q(depth - 1)} <{str(rng.choice(VOCAB))}>)"
+        if k == "some":
+            n = int(rng.integers(2, 5))
+            kk = int(rng.integers(1, n + 1))
+            return ("[" + str(kk) + " "
+                    + " ".join(rand_q(0) for _ in range(n)) + "]")
+        op = " AND " if k == "and" else " OR "
+        n = int(rng.integers(2, 4))
+        return "(" + op.join(rand_q(depth - 1) for _ in range(n)) + ")"
+
+    for trial in range(5):
+        docs = [" ".join(rng.choice(VOCAB[:8], rng.integers(1, 18)).tolist())
+                for _ in range(120)]
+        queries = {f"q{qi}": rand_q(2) for qi in range(15)}
+        perc = Percolator(queries, tokenizer="simple")
+        tbl = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                        "text": pa.array(docs)})
+        out = perc(tbl).to_pydict()
+        got = set(zip(out["doc_id"], out["query_name"]))
+        base = tmp_path / f"perc{trial}"
+        base.mkdir()
+        pq.write_table(tbl, str(base / "d.parquet"))
+        idx = str(base / "idx")
+        build_index(str(base / "d.parquet"), idx, content_column="text",
+                    tokenizer="simple", positions=True,
+                    id_columns=("doc_id",))
+        s = LocalSearcher(idx)
+        want = set()
+        for qid, qs in queries.items():
+            for d in s.search(qs, k=0).doc_ids:
+                want.add((int(d), qid))
+        assert got == want, (trial, sorted(got ^ want)[:6])

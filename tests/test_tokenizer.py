@@ -331,3 +331,29 @@ def test_arrow_ascii_view_fallback_triggers():
     # large_string IS supported
     view = arrow_ascii_view(pa.array(["ok here"], pa.large_string()))
     assert view is not None and bytes(view[2]) == b"OK HERE"
+
+
+def test_batch_token_stream_non_ascii_parity():
+    """Non-ASCII docs take the list path (arrow_ascii_view refuses them);
+    the batch stream must still equal per-doc tokenization — including
+    multibyte chars, surrogates, and emoji splicing token boundaries."""
+    import random
+
+    from trinity_ray.tokenizer import batch_token_stream
+
+    pool = ("héllo wörld ütf 中文 русский a1 c++ naïve 9.000 x&y "
+            "emoji😀mix tab\tnl\n mix3d.aç ")
+    rng = random.Random(99)
+    cases = [["héllo wörld", "naïve c++", "中文 test", "a😀b", "é", ""]]
+    for _ in range(40):
+        cases.append(["".join(rng.choice(pool)
+                              for _ in range(rng.randrange(0, 40)))
+                      for _ in range(rng.randrange(1, 8))])
+    for docs in cases:
+        idx, norm, counts = batch_token_stream(docs, "trinity")
+        toks = [norm[i] for i in idx]
+        ref = []
+        for d in docs:
+            ref.extend(trinity_tokenize(d))
+        assert toks == ref, docs
+        assert list(counts) == [len(trinity_tokenize(d)) for d in docs]
