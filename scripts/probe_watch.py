@@ -77,6 +77,9 @@ def main() -> None:
     ap.add_argument("--interval", type=int, default=120)
     ap.add_argument("--max-full", type=int, default=4,
                     help="stop after this many comparable full-suite samples")
+    ap.add_argument("--stale-min", type=int, default=45,
+                    help="minutes without a healthy window before an "
+                         "unconditional fallback capture")
     a = ap.parse_args()
 
     os.makedirs(OUT_DIR, exist_ok=True)
@@ -96,7 +99,7 @@ def main() -> None:
         # e2e 77.5 s, was captured at probe 0.09) — if no healthy window
         # appears for 45 min, capture anyway; the metric values themselves
         # decide whether the sample becomes an anchor.
-        stale = time.time() - last_capture > 45 * 60
+        stale = time.time() - last_capture > a.stale_min * 60
         if eff < a.min_eff and not stale:
             log(f"eff {eff:.3f} < {a.min_eff}; sleeping {a.interval}s")
             time.sleep(a.interval)
