@@ -251,6 +251,14 @@ def oracle_sql() -> dict[str, str]:
         # codec seam: identical results from the bit-packed index
         "search_packed_top10": _bm25_sql(["KEY"], m_term("KEY")),
         "search_and_top10": _bm25_sql(["KEY", "ORDER"], m_and),
+        # trinity-tokenizer index: the parser's special forms (acronyms,
+        # site:, C++/genitives, queries.cpp:2098-2341) can't be expressed in
+        # SQL in general, but the documents corpus is pure [a-z ] text at
+        # every sf (verified: zero rows match '[^a-z ]'), where the trinity
+        # and simple token streams coincide exactly — so the standard BM25
+        # oracle applies verbatim; the parser's special forms stay covered
+        # by the golden/fuzz suites in tests/test_tokenizer.py
+        "search_trinity_top10": _bm25_sql(["KEY", "ORDER"], m_and),
         "search_or_top10": _bm25_sql(["DUP", "VECTOR"], m_or),
         "search_phrase_top10": _bm25_sql(["KEY", "ORDER"], m_phrase2),
         # optional term scores but doesn't gate matching

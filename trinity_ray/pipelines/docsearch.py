@@ -461,9 +461,12 @@ def q_search_trivial_top10(sf_dir: str) -> pa.Table:
 
 def trinity_index(sf_dir: str) -> str:
     """Index over documents.text with the TRINITY tokenizer (acronyms,
-    site:, C++/C#, genitives — queries.cpp:2098-2341 semantics); no SQL
-    oracle exists for that parser, so its entries are rows-only checked
-    (rank-identity vs the pure-Python oracle is covered in tests)."""
+    site:, C++/C#, genitives — queries.cpp:2098-2341 semantics).  The
+    parser's special forms aren't SQL-expressible in general, but the
+    documents corpus is pure [a-z ] text at every sf, where the trinity
+    and simple token streams coincide exactly — so search_trinity_top10
+    carries the standard BM25 oracle; the special forms themselves are
+    covered by the golden/fuzz suites in tests/test_tokenizer.py."""
     _check_docid_identity(sf_dir)
     index_dir = os.path.join(INDEX_ROOT, _tag(sf_dir), "trinity")
     key = ("trinity", index_dir)
