@@ -945,3 +945,40 @@ def test_match_some_single_present_child_respects_min_match(index_dir):
     r1 = s.search(f"[1 {present} zzzmissing]", k=0)
     base = s.search(present, k=0)
     assert sorted(map(int, r1.doc_ids)) == sorted(map(int, base.doc_ids))
+
+
+def test_ray_searcher_delete_k_sweep_parity(tmp_path, ray_session):
+    """RaySearcher must equal LocalSearcher exactly — doc order AND scores —
+    across actor counts, k values (including k=0 full match set), and with
+    a delete generation masking part of the corpus."""
+    import numpy as np
+
+    from trinity_ray.index.build import build_index
+    from trinity_ray.index.merge import delete_docs
+    from trinity_ray.search import LocalSearcher, RaySearcher
+
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta",
+             "theta"]
+    rng = np.random.default_rng(77177)
+    docs = [" ".join(rng.choice(vocab, rng.integers(1, 20)).tolist())
+            for _ in range(500)]
+    pq.write_table(pa.table({"text": pa.array(docs)}),
+                   str(tmp_path / "d.parquet"), row_group_size=100)
+    idx = str(tmp_path / "idx")
+    build_index(str(tmp_path / "d.parquet"), idx, content_column="text",
+                tokenizer="simple", positions=True,
+                target_rows_per_partition=150)
+    kill = sorted(int(x) for x in rng.choice(500, size=80, replace=False))
+    delete_docs(idx, kill, generation=2)
+    ls = LocalSearcher(idx)
+    queries = ["alpha", "beta OR gamma", "alpha AND delta", '"eps zeta"',
+               "eta NOT theta", "[2 alpha beta gamma]", "(alpha <beta>)"]
+    for na in (1, 3):
+        rs = RaySearcher(idx, num_actors=na)
+        for q in queries:
+            for k in (1, 37, 0):
+                a = ls.search(q, k=k)
+                b = rs.search(q, k=k)
+                assert list(map(int, a.doc_ids)) == list(map(int, b.doc_ids)), (na, q, k)
+                np.testing.assert_allclose(a.scores, b.scores, rtol=1e-12,
+                                           err_msg=f"{na} {q} {k}")
