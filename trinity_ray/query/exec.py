@@ -65,6 +65,7 @@ from trinity_ray.query.scorers import K1, Scorer, get_scorer
 
 _POS_SHIFT = 15  # > log2(MAX_POSITION)+1 headroom for pos+phrase-offset keys
 _EAGER_DICT_MAX = 262_144  # terms; above this, probe via row-group pruning
+_RG_CACHE_MAX = 512        # dictionary row groups resident per reader (LRU)
 _PRUNE_EPS = 1e-9  # float-associativity slack for max-score bounds
 _PRED_CACHE_MAX = 64  # DocPredicate id-set cache entries per SegmentReader
 _DOCVAL_CACHE_MAX = 4  # facet-column (doc_id, values) tables per reader
@@ -474,6 +475,15 @@ class SegmentReader:
                 pf = pq.ParquetFile(self._files[fi][0])
                 self._handles[("terms", fi)] = pf
             t = pf.read_row_group(rg)
+            # bound the cache: a long-lived serving actor probing a broad
+            # term space would otherwise pin every touched row group
+            # (~2360 groups x ~150 KB on a 1.2M-term dictionary).  LRU via
+            # dict move-to-end; hot groups stay resident.
+            if len(self._rg_cache) >= _RG_CACHE_MAX:
+                self._rg_cache.pop(next(iter(self._rg_cache)))
+            self._rg_cache[key] = t
+        else:
+            self._rg_cache.pop(key)          # move-to-end = LRU touch
             self._rg_cache[key] = t
         return t
 
