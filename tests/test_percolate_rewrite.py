@@ -451,3 +451,83 @@ def test_percolator_fuzz_vs_search_oracle(tmp_path, ray_session):
             for d in s.search(qs, k=0).doc_ids:
                 want.add((int(d), qid))
         assert got == want, (trial, sorted(got ^ want)[:6])
+
+
+# ---------------------------------------------------------------------------
+# operator-bearing (parsed) rewrite alternatives — queries_rewrite.h parses
+# every alternative with ast_parser (":370-376,:415,:463"), so alternatives
+# can be full sub-queries; the translation coefficient follows
+# set_rewrite_translation_coeff (queries.cpp:1589-1647): token count over
+# an AND-only subtree, bailout (tc=1) for anything else
+# ---------------------------------------------------------------------------
+
+def test_rewrite_parsed_alt_structure_and_coefficients():
+    from trinity_ray.query.ast import And, Or, Phrase, Token
+
+    # AND-only alternative: 1 -> 3 tokens, tc = 1/3 on every leaf
+    rw = rewrite_query(parse_query("cod game", "simple"), 1,
+                       lambda g: ["CALL AND OF AND DUTY"]
+                       if g == ("COD",) else None)
+    sub = next(c for o in rw.children if isinstance(o, Or)
+               for c in o.children if isinstance(c, And))
+    assert all(isinstance(t, Token) and abs(t.weight - 1 / 3) < 1e-9
+               for t in sub.children)
+
+    # OR-bearing alternative: the reference's first walk bails out, every
+    # leaf keeps tc=1 (only callback weight x src weight apply)
+    rw2 = rewrite_query(parse_query("lotr saga", "simple"), 1,
+                        lambda g: [('GANDALF OR "LORD OF THE RINGS"', 0.5)]
+                        if g == ("LOTR",) else None)
+    leaves = [c for c in _iter_nodes(rw2) if isinstance(c, (Token, Phrase))]
+    gand = next(c for c in leaves if isinstance(c, Token)
+                and c.term == "GANDALF")
+    phr = next(c for c in leaves if isinstance(c, Phrase)
+               and c.terms == ("LORD", "OF", "THE", "RINGS"))
+    assert gand.weight == 0.5 and phr.weight == 0.5
+
+    # quoted phrase inside an alternative keeps byte-exact terms (the
+    # pass-through tokenizer: the callback owns normalization)
+    rw3 = rewrite_query(parse_query("scan", "simple"), 1,
+                        lambda g: ['"FULL SCAN" OR FULLSCAN']
+                        if g == ("SCAN",) else None)
+    assert any(isinstance(c, Phrase) and c.terms == ("FULL", "SCAN")
+               for c in _iter_nodes(rw3))
+    assert any(isinstance(c, Token) and c.term == "FULLSCAN"
+               for c in _iter_nodes(rw3))
+
+
+def test_rewrite_parsed_alt_search_equals_manual(tmp_path, ray_session):
+    """Searching a rewrite spliced from an operator-bearing alternative ==
+    searching the manually-expanded query (rank-identical ids + scores)."""
+    pq.write_table(pa.table({"text": pa.array(DOCS * 40, pa.string())}),
+                   str(tmp_path / "d.parquet"), row_group_size=70)
+    idx = str(tmp_path / "idx")
+    build_index(str(tmp_path / "d.parquet"), idx, content_column="text",
+                tokenizer="simple", positions=True)
+    s = LocalSearcher(idx)
+    rw = rewrite_query(
+        parse_query("quick search", "simple"), 1,
+        lambda g: ["FAST OR BROWN"] if g == ("QUICK",) else None)
+    manual = parse_query("(quick OR fast OR brown) search", "simple")
+    a = s.search(rw, k=20)
+    b = s.search(manual, k=20)
+    np.testing.assert_array_equal(a.doc_ids, b.doc_ids)
+    np.testing.assert_array_equal(a.scores, b.scores)
+
+
+def test_rewrite_budget_prunes_composite_alternatives():
+    """The budget prune key for a composite alternative is its best leaf
+    weight; lower-weighted composite alts are pruned first."""
+    from trinity_ray.query.ast import Or, Token
+
+    def cb(g):
+        if g == ("QUICK",):
+            return [("SPEEDY OR RAPID", 0.9), ("HASTY AND SWIFT", 0.2),
+                    ("FAST", 0.6)]
+        return None
+
+    rw = rewrite_query(parse_query("quick", "simple"), 1, cb, budget=2)
+    terms = {c.term for c in _iter_nodes(rw) if isinstance(c, Token)}
+    # 0.9-weight OR-alt and 0.6 token survive; 0.2 AND-alt pruned
+    assert "SPEEDY" in terms and "RAPID" in terms and "FAST" in terms
+    assert "HASTY" not in terms and "SWIFT" not in terms

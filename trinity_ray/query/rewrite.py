@@ -10,11 +10,15 @@ into an OR tree.  We keep the same seam, Pythonic:
 
 ``callback(tokens: tuple[str, ...]) -> list[str]`` returns alternative
 surface strings for a gram (empty/None = no alternatives).  A gram with
-alternatives is replaced by ``Or(original, *alternatives)`` where each
-alternative parses to a Token (single term) or Phrase (multi term) — the
-optimal-OR-tree construction of queries_rewrite.h:522-948 reduced to one
-flat OR (sufficient for scoring; provenance/rewrite_ctx tracking is a
-documented capability gap, SURVEY.md §7.4 non-goals).
+alternatives is replaced by ``Or(original, *alternatives)``.  A bare word
+sequence parses to a Token (single term) or Phrase (multi term); an
+alternative carrying query syntax — quotes, parens, ``|``, AND/OR/NOT,
+``<optional>``, ``[k ...]`` — is parsed with the full query grammar the
+way the reference hands every alternative to ast_parser
+(queries_rewrite.h:370-376, 415, 463), with the reference's
+translation-coefficient rule applied to the parsed subtree
+(queries.cpp:1589-1647 set_rewrite_translation_coeff: token count over an
+AND-only subtree; any other operator leaves tc at 1).
 
 Longest-gram-first, non-overlapping, left-to-right — mirroring the
 reference's preference for longer captures (queries_rewrite.h:217-260).
@@ -28,6 +32,8 @@ up.
 
 from __future__ import annotations
 
+import dataclasses
+import re
 from typing import Callable, Sequence
 
 from trinity_ray.query.ast import (
@@ -39,6 +45,8 @@ from trinity_ray.query.ast import (
     Or,
     Phrase,
     Token,
+    _lex,
+    _Parser,
     assign_query_indices,
     normalize,
 )
@@ -50,6 +58,99 @@ from trinity_ray.query.ast import (
 # rides on the Token/Phrase node and multiplies that term's idf.
 RewriteCallback = Callable[
     [tuple[str, ...]], Sequence["str | tuple[str, float]"] | None]
+
+
+# an alternative that uses query syntax (operators / grouping / quoting)
+# is parsed with the full query grammar, exactly as the reference parses
+# every alternative with ast_parser (queries_rewrite.h:370-376); bare
+# word sequences keep the historical fast path (Token / Phrase)
+_ALT_SYNTAX = re.compile(r'["()|<>\[\]“”]|(?<![\w])(?:AND|OR|NOT)(?![\w])')
+
+
+def _parse_alt_query(text: str) -> Node:
+    """Parse an operator-bearing alternative with the query grammar but a
+    PASS-THROUGH tokenizer: terms from the callback are already normalized
+    the way the index tokenizer would produce them (the module contract),
+    so only structure — quotes, parens, |, AND/OR/NOT, <>, [k ...] — is
+    interpreted; term text is preserved byte-for-byte."""
+    node = _Parser(_lex(text, lambda s: [s])).parse_expr()
+    if not _has_leaf(node):
+        raise ValueError(f"rewrite alternative {text!r} has no terms")
+    return node
+
+
+def _has_leaf(node: Node) -> bool:
+    if isinstance(node, (Token, Phrase)):
+        return True
+    for f in dataclasses.fields(node):
+        v = getattr(node, f.name)
+        if isinstance(v, Node) and _has_leaf(v):
+            return True
+        if isinstance(v, tuple) and any(
+                isinstance(c, Node) and _has_leaf(c) for c in v):
+            return True
+    return False
+
+
+def _and_only_token_count(node: Node) -> int | None:
+    """Token count of an AND-only subtree over Token/Phrase leaves, else
+    None — the first walk of ast_node::set_rewrite_translation_coeff
+    (queries.cpp:1589-1627): any operator other than AND/STRICT_AND makes
+    the coefficient inapplicable (the reference returns without setting
+    it, leaving every leaf at tc=1)."""
+    if isinstance(node, Token):
+        return 1
+    if isinstance(node, Phrase):       # Near included (Phrase subclass)
+        return len(node.terms)
+    if isinstance(node, And):
+        total = 0
+        for c in node.children:
+            sub = _and_only_token_count(c)
+            if sub is None:
+                return None
+            total += sub
+        return total
+    return None
+
+
+def _scale_leaf_weights(node: Node, f: float) -> Node:
+    """Multiply every Token/Phrase leaf weight by ``f`` (the second walk of
+    set_rewrite_translation_coeff, queries.cpp:1628-1646, generalized to
+    descend all composite nodes so callback weight x src_weight still
+    reach leaves under OR)."""
+    if f == 1.0:
+        return node
+    if isinstance(node, (Token, Phrase)):
+        return dataclasses.replace(node, weight=node.weight * f)
+    if isinstance(node, (And, Or)):
+        return type(node)(tuple(_scale_leaf_weights(c, f)
+                                for c in node.children))
+    if isinstance(node, Not):
+        return Not(_scale_leaf_weights(node.child, f))
+    if isinstance(node, Optional_):
+        return Optional_(_scale_leaf_weights(node.child, f))
+    if isinstance(node, MatchSome):
+        return MatchSome(node.min_match,
+                         tuple(_scale_leaf_weights(c, f)
+                               for c in node.children))
+    return node
+
+
+def _node_weight(node: Node) -> float:
+    """Prune key for the budget seam: leaf weight, or the max leaf weight
+    of a composite alternative (its best-scoring branch)."""
+    if isinstance(node, (Token, Phrase)):
+        return node.weight
+    best = 0.0
+    if isinstance(node, (And, Or, MatchSome)):
+        kids = node.children
+    elif isinstance(node, (Not, Optional_)):
+        kids = (node.child,)
+    else:
+        return best
+    for c in kids:
+        best = max(best, _node_weight(c))
+    return best
 
 
 def _alt_node(alt, src_len: int, src_weight: float = 1.0,
@@ -71,6 +172,16 @@ def _alt_node(alt, src_len: int, src_weight: float = 1.0,
     w = default_weight
     if isinstance(alt, tuple):
         alt, w = alt
+    if _ALT_SYNTAX.search(alt):
+        # operator-bearing alternative: full query grammar, reference
+        # coefficient semantics — tc applies only when the parsed subtree
+        # is AND-only (set_rewrite_translation_coeff's first-walk bailout
+        # leaves OR-bearing alternatives at tc=1), while the callback
+        # weight and the source gram's weight reach every leaf
+        sub = _parse_alt_query(alt)
+        cnt = _and_only_token_count(sub)
+        tc = (min(src_len, cnt) / max(src_len, cnt)) if cnt else 1.0
+        return _scale_leaf_weights(sub, float(w) * tc * float(src_weight))
     parts = tuple(p for p in alt.split() if p)
     if not parts:
         raise ValueError("empty rewrite alternative")
@@ -117,7 +228,7 @@ def _rewrite_run(tokens: list[tuple[str, float]], k: int,
                     if len(nodes) > budget[0]:
                         # stable highest-weight-first prune to budget
                         order = sorted(range(len(nodes)),
-                                       key=lambda j: -nodes[j].weight)
+                                       key=lambda j: -_node_weight(nodes[j]))
                         keep = set(order[:budget[0]])
                         nodes = [nd for j, nd in enumerate(nodes)
                                  if j in keep]
