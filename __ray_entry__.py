@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": dsp.q_events_hopping,
         "events_distinct_users": dsp.q_events_distinct_users,
         "events_sessions": dsp.q_events_sessions,
+        "events_asof": dsp.q_events_asof,
         # -- corpus curation: sampling / decontamination / vocabulary -------
         "sample_md5": dsp.q_sample_md5,
         "sample_stratified": dsp.q_sample_stratified,
@@ -665,6 +666,16 @@ FROM events GROUP BY 1, 2
         "events_distinct_users": """
 SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
 FROM events GROUP BY event_type
+""",
+        # as-of join: each purchase matched to the user's most recent
+        # prior-or-equal click (left join; NULLs when no prior click)
+        "events_asof": """
+SELECT p.user_id, p.ts, p.event_id, c.event_id AS click_id,
+       c.ts AS click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.event_id
 """,
         # hopping 1h windows every 30 min: event at t covers window ids
         # floor(t/hop) and floor(t/hop)-1 (window start = id * hop)

@@ -333,3 +333,90 @@ def test_hash64_string_path_vectorized_semantics():
     mixed = pa.array(["a", "bb" * 400, "a", "ccc"])
     h = _hash64(mixed)
     assert h[0] == h[2] and len({h[0], h[1], h[3]}) == 3
+
+
+# ---------------------------------------------------------------------------
+# as-of join (ops/relational.asof_join)
+# ---------------------------------------------------------------------------
+
+def _brute_asof(rows, direction="backward"):
+    """Per-purchase most recent prior click (or next, forward) by user —
+    O(n^2) reference; ties on ts broken by max event_id."""
+    out = []
+    for p in rows:
+        if p["event_type"] != "buy":
+            continue
+        cand = [c for c in rows if c["event_type"] == "click"
+                and c["user_id"] == p["user_id"]
+                and (c["ts"] <= p["ts"] if direction == "backward"
+                     else c["ts"] >= p["ts"])]
+        if cand:
+            if direction == "backward":
+                best = max(cand, key=lambda c: (c["ts"], c["event_id"]))
+            else:
+                best = min(cand, key=lambda c: (c["ts"], -c["event_id"]))
+            out.append((p["event_id"], best["event_id"]))
+        else:
+            out.append((p["event_id"], None))
+    return dict(out)
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_join_vs_bruteforce(events, direction):
+    from trinity_ray.ops.relational import asof_join
+
+    rows, ds = events
+    left = ds.filter(expr="event_type == 'buy'")
+    right = ds.filter(expr="event_type == 'click'")
+    res = asof_join(left, right, key_column="user_id", ts_column="ts",
+                    left_columns=("event_id",),
+                    right_columns=("event_id",),
+                    right_names=("click_id",),
+                    right_id="event_id", direction=direction).to_pandas()
+    got = {int(r.event_id): (None if np.isnan(r.click_id)
+                             else int(r.click_id))
+           for r in res.itertuples()}
+    assert got == _brute_asof(rows, direction)
+
+
+def test_asof_join_ts_ties_break_by_max_id(ray_session):
+    """Two clicks at the purchase's exact timestamp: the max right_id wins
+    in BOTH directions (deterministic under any shuffle order)."""
+    import ray.data as rd
+    from trinity_ray.ops.relational import asof_join
+
+    t = T0 + dt.timedelta(seconds=10)
+    left = rd.from_items([{"event_id": 100, "ts": t, "user_id": 1}])
+    right = rd.from_items([
+        {"event_id": 7, "ts": t, "user_id": 1},
+        {"event_id": 9, "ts": t, "user_id": 1},
+        {"event_id": 3, "ts": t - dt.timedelta(seconds=5), "user_id": 1},
+    ])
+    for direction in ("backward", "forward"):
+        res = asof_join(left, right, key_column="user_id", ts_column="ts",
+                        left_columns=("event_id",),
+                        right_columns=("event_id",),
+                        right_names=("click_id",),
+                        right_id="event_id",
+                        direction=direction).to_pandas()
+        assert list(res.click_id) == [9], direction
+
+
+def test_asof_join_unmatched_user_keeps_nulls(ray_session):
+    import ray.data as rd
+    from trinity_ray.ops.relational import asof_join
+
+    left = rd.from_items([
+        {"event_id": 1, "ts": T0, "user_id": 1},
+        {"event_id": 2, "ts": T0, "user_id": 2},
+    ])
+    right = rd.from_items([
+        {"event_id": 50, "ts": T0 - dt.timedelta(seconds=1), "user_id": 2},
+    ])
+    res = asof_join(left, right, key_column="user_id", ts_column="ts",
+                    left_columns=("event_id",),
+                    right_columns=("event_id", "ts"),
+                    right_names=("click_id", "click_ts"),
+                    right_id="event_id").to_pandas()
+    res = res.sort_values("event_id").reset_index(drop=True)
+    assert np.isnan(res.click_id[0]) and res.click_id[1] == 50

@@ -1015,6 +1015,29 @@ def q_events_distinct_users(sf_dir: str):
                                 group_key="event_type")
 
 
+def q_events_asof(sf_dir: str):
+    """Per-user as-of join: every purchase matched to the user's most
+    recent prior-or-equal click (DuckDB ASOF LEFT JOIN semantics).  Ray
+    Data lacks an as-of join; ops/relational.asof_join composes it from
+    ONE groupby(user) shuffle + a per-group vectorized searchsorted —
+    the documented pattern for operators the Dataset API can't express.
+    Column pruning at the read: only the 4 needed columns leave storage."""
+    import ray.data as rd
+    from trinity_ray.ops.relational import asof_join
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "ts", "user_id",
+                                  "event_type"])
+    left = ev.filter(expr="event_type == 'purchase'")
+    right = ev.filter(expr="event_type == 'click'")
+    out = asof_join(left, right, key_column="user_id", ts_column="ts",
+                    left_columns=("event_id",),
+                    right_columns=("event_id", "ts"),
+                    right_names=("click_id", "click_ts"),
+                    right_id="event_id")
+    return out.sort("event_id")
+
+
 def q_events_sessions(sf_dir: str):
     """Gap-based sessionization (30 min) per user."""
     from trinity_ray.ops.window import sessionize
