@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users": dsp.q_events_distinct_users,
         "events_sessions": dsp.q_events_sessions,
         "events_asof": dsp.q_events_asof,
+        "events_range_count": dsp.q_events_range_count,
         # -- corpus curation: sampling / decontamination / vocabulary -------
         "sample_md5": dsp.q_sample_md5,
         "sample_stratified": dsp.q_sample_stratified,
@@ -675,6 +676,18 @@ SELECT p.user_id, p.ts, p.event_id, c.event_id AS click_id,
 FROM (SELECT * FROM events WHERE event_type = 'purchase') p
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
   ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.event_id
+""",
+        # trailing-window range join, aggregate form: clicks by the same
+        # user in the 30 minutes up to (and including) each purchase
+        "events_range_count": """
+SELECT p.user_id, p.ts, p.event_id,
+       CAST(count(c.event_id) AS BIGINT) AS n_clicks_30m
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+GROUP BY p.user_id, p.ts, p.event_id
 ORDER BY p.event_id
 """,
         # hopping 1h windows every 30 min: event at t covers window ids

@@ -420,3 +420,46 @@ def test_asof_join_unmatched_user_keeps_nulls(ray_session):
                     right_id="event_id").to_pandas()
     res = res.sort_values("event_id").reset_index(drop=True)
     assert np.isnan(res.click_id[0]) and res.click_id[1] == 50
+
+
+def test_range_count_join_vs_bruteforce(events):
+    from trinity_ray.ops.relational import range_count_join
+
+    rows, ds = events
+    left = ds.filter(expr="event_type == 'buy'")
+    right = ds.filter(expr="event_type == 'click'")
+    res = range_count_join(left, right, key_column="user_id",
+                           ts_column="ts", left_columns=("event_id",),
+                           window_s=600).to_pandas()
+    got = {int(r.event_id): int(r.n_in_window) for r in res.itertuples()}
+    want = {}
+    for p in rows:
+        if p["event_type"] != "buy":
+            continue
+        lo = p["ts"] - dt.timedelta(seconds=600)
+        want[p["event_id"]] = sum(
+            1 for c in rows if c["event_type"] == "click"
+            and c["user_id"] == p["user_id"] and lo <= c["ts"] <= p["ts"])
+    assert got == want
+
+
+def test_range_count_join_strict_upper_bound(ray_session):
+    import ray.data as rd
+    from trinity_ray.ops.relational import range_count_join
+
+    t = T0 + dt.timedelta(seconds=100)
+    left = rd.from_items([{"event_id": 1, "ts": t, "user_id": 1}])
+    right = rd.from_items([
+        {"event_id": 10, "ts": t, "user_id": 1},                      # == ts
+        {"event_id": 11, "ts": t - dt.timedelta(seconds=5), "user_id": 1},
+        {"event_id": 12, "ts": t - dt.timedelta(seconds=999), "user_id": 1},
+    ])
+    inc = range_count_join(left, right, key_column="user_id",
+                           ts_column="ts", left_columns=("event_id",),
+                           window_s=10).to_pandas()
+    exc = range_count_join(left, right, key_column="user_id",
+                           ts_column="ts", left_columns=("event_id",),
+                           window_s=10,
+                           include_equal=False).to_pandas()
+    assert int(inc.n_in_window[0]) == 2   # equal-ts click counted
+    assert int(exc.n_in_window[0]) == 1   # strict: only the -5s click

@@ -1038,6 +1038,28 @@ def q_events_asof(sf_dir: str):
     return out.sort("event_id")
 
 
+def q_events_range_count(sf_dir: str):
+    """Per-user trailing-window range join (aggregate form): for every
+    purchase, the count of the same user's clicks within the preceding
+    30 minutes — `r.ts BETWEEN l.ts - w AND l.ts` band-join semantics,
+    composed as one groupby(user) shuffle + two searchsorted probes
+    (ops/relational.range_count_join); the count form keeps output
+    linear in the left side where a pair-emitting range join is
+    quadratic in hot windows."""
+    import ray.data as rd
+    from trinity_ray.ops.relational import range_count_join
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "ts", "user_id",
+                                  "event_type"])
+    left = ev.filter(expr="event_type == 'purchase'")
+    right = ev.filter(expr="event_type == 'click'")
+    out = range_count_join(left, right, key_column="user_id",
+                           ts_column="ts", left_columns=("event_id",),
+                           window_s=1800, count_name="n_clicks_30m")
+    return out.sort("event_id")
+
+
 def q_events_sessions(sf_dir: str):
     """Gap-based sessionization (30 min) per user."""
     from trinity_ray.ops.window import sessionize
