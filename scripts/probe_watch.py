@@ -107,6 +107,12 @@ def main() -> None:
         log(f"capturing (eff {eff:.3f}, "
             f"{'healthy window' if eff >= a.min_eff else 'stale fallback'})")
         last_capture = time.time()
+        if eff >= a.min_eff:
+            # healthy windows on this host last under two minutes more
+            # often than not: bank a core-suite sample FIRST (~90 s, most
+            # likely to finish inside the window and stamp comparable)
+            # before spending the window on a full/scaling capture
+            run_capture("core", ["--core"], env)
         # alternate by ATTEMPT, not by comparable success — in a round-long
         # degraded window nothing stamps comparable and full would starve
         # the scaling captures entirely
