@@ -463,3 +463,39 @@ def test_range_count_join_strict_upper_bound(ray_session):
                            include_equal=False).to_pandas()
     assert int(inc.n_in_window[0]) == 2   # equal-ts click counted
     assert int(exc.n_in_window[0]) == 1   # strict: only the -5s click
+
+
+def test_asof_join_stitches_across_sorted_blocks(ray_session):
+    """A whale key spanning many sorted blocks must stitch its carried
+    lefts against earlier blocks' boundary rights: interleave one user's
+    clicks/buys so early-block rights are the correct match for
+    later-block lefts, over many input partitions."""
+    import ray.data as rd
+    from trinity_ray.ops.relational import asof_join
+
+    rng = np.random.default_rng(11)
+    rows = []
+    t_us = 0
+    for i in range(600):
+        t_us += int(rng.integers(1, 50)) * 1_000_000
+        rows.append({"event_id": i,
+                     "ts": T0 + dt.timedelta(microseconds=t_us),
+                     # one whale user + a handful of minnows
+                     "user_id": 1 if i % 3 else int(rng.integers(2, 6)),
+                     "event_type": ["click", "buy"][int(rng.integers(0, 2))]})
+    # long click-free stretch: lefts must reach far back across blocks
+    for r in rows[200:320]:
+        if r["user_id"] == 1:
+            r["event_type"] = "buy"
+    ds = rd.from_items(rows).repartition(16)
+    left = ds.filter(expr="event_type == 'buy'")
+    right = ds.filter(expr="event_type == 'click'")
+    res = asof_join(left, right, key_column="user_id", ts_column="ts",
+                    left_columns=("event_id",), right_columns=("event_id",),
+                    right_names=("click_id",),
+                    right_id="event_id").to_pandas()
+    got = {int(r.event_id): (None if np.isnan(r.click_id)
+                             else int(r.click_id))
+           for r in res.itertuples()}
+    assert got == _brute_asof(rows, "backward")
+    assert len(got) == sum(r["event_type"] == "buy" for r in rows)

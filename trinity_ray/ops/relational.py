@@ -65,24 +65,30 @@ def asof_join(left_ds, right_ds, *, key_column: str, ts_column: str,
     smallest ``ts >= left.ts`` (``"forward"``).  Unmatched left rows keep
     nulls in the right columns (left join).
 
-    Ray Data has no as-of join; the reference engine has no joins at all
-    (it is an IR library).  This is the documented composition for
-    operators the Dataset API lacks: normalize both sides to one schema,
-    ONE ``groupby(key)`` shuffle co-locates each key's rows, and the
-    per-group kernel is a vectorized ``searchsorted`` of left timestamps
-    into the key's sorted right timestamps.  Partitioning assumption: one
-    KEY's rows (both sides) fit in a worker — groups are per-user /
-    per-entity event streams, orders of magnitude smaller than the table;
-    a whale key degrades one task, not the job.
+    Ray Data has no as-of join; this is the sorted-block composition for
+    operators the Dataset API lacks (the same shape as
+    ops/window.sessionize): normalize both sides to one schema, ONE
+    ``sort((key, ts, side, tie))`` shuffle, then a fully VECTORIZED
+    per-block kernel — a segmented max-accumulate matches every left row
+    to the last preceding right row of its key with no per-key Python
+    call (a ``groupby(key).map_groups`` formulation pays one Python
+    invocation per key: fatal at 10^9 keys).
+
+    Because the sort makes each key's rows globally CONTIGUOUS, a block
+    resolves every left row locally except those of its FIRST key (which
+    may continue from earlier blocks), and only its LAST key's final
+    right row can matter to later blocks — so the boundary-stitch pass
+    sees O(#blocks + first-key-unmatched-lefts) rows, grouped per
+    spanning key.  The kernel output is materialized once (it is
+    output-sized) so the resolved stream and the tiny stitch stream don't
+    re-execute the sort.
 
     ``right_names`` renames the emitted right columns (they may collide
     with left names — e.g. both sides carry ``event_id``).  ``right_id``
     names a right column used to break exact-timestamp ties
     deterministically (max id wins); with no ties the result equals the
-    oracle regardless.
+    oracle regardless.  Null keys or timestamps are rejected.
     """
-    import ray  # noqa: F401  (parity with the module's other operators)
-
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, "
                          f"not {direction!r}")
@@ -96,28 +102,53 @@ def asof_join(left_ds, right_ds, *, key_column: str, ts_column: str,
     rschema = right_ds.schema()
     ltypes = dict(zip(lschema.names, lschema.types))
     rtypes = dict(zip(rschema.names, rschema.types))
-    ts_t = pa.timestamp("us") if pa.types.is_timestamp(
-        ltypes[ts_column]) else ltypes[ts_column]
+    is_ts = pa.types.is_timestamp(ltypes[ts_column])
+    ts_t = pa.timestamp("us") if is_ts else ltypes[ts_column]
+    fwd = direction == "forward"
+    tie_src = right_id
 
-    out_left = [c for c in left_columns]
-    # one unioned schema: key, ts, side, left payload, right payload
+    def _ts_us(col: pa.ChunkedArray) -> pa.ChunkedArray:
+        c = col.cast(pa.timestamp("us")).cast(pa.int64()) if is_ts \
+            else col.cast(pa.int64())
+        return pc.negate_checked(c) if fwd else c
+
+    def _check_nulls(batch: pa.Table) -> None:
+        if (batch.column(key_column).null_count
+                or batch.column(ts_column).null_count):
+            raise ValueError("asof_join requires non-null key and ts")
+
+    # one unioned schema: key, ts (original, for output), sort columns
+    # (__ts_us negated in forward mode, __ord rights-first, __tie max-id
+    # ties), left payload, right payload
     def norm_left(batch: pa.Table) -> pa.Table:
+        _check_nulls(batch)
         n = batch.num_rows
         cols = {key_column: batch.column(key_column),
                 ts_column: batch.column(ts_column).cast(ts_t),
-                "__side": pa.array(np.ones(n, dtype=np.int8))}
-        for c in out_left:
+                "__ts_us": _ts_us(batch.column(ts_column)),
+                "__ord": pa.array(np.ones(n, dtype=np.int8)),
+                "__tie": pa.nulls(n, pa.int64()).fill_null(0)}
+        for c in left_columns:
             cols["l_" + c] = batch.column(c)
         for c, nm in zip(right_columns, right_names):
             cols["r_" + nm] = pa.nulls(n, rtypes[c])
         return pa.table(cols)
 
     def norm_right(batch: pa.Table) -> pa.Table:
+        _check_nulls(batch)
         n = batch.num_rows
+        # the kernel always takes the LAST right row in sort order among
+        # equal (key, ts): ascending id puts the max id last — in BOTH
+        # directions (forward negates only the timestamp)
+        tie = (batch.column(tie_src).cast(pa.int64())
+               if tie_src is not None
+               else pa.chunked_array([np.zeros(n, dtype=np.int64)]))
         cols = {key_column: batch.column(key_column),
                 ts_column: batch.column(ts_column).cast(ts_t),
-                "__side": pa.array(np.zeros(n, dtype=np.int8))}
-        for c in out_left:
+                "__ts_us": _ts_us(batch.column(ts_column)),
+                "__ord": pa.array(np.zeros(n, dtype=np.int8)),
+                "__tie": tie}
+        for c in left_columns:
             cols["l_" + c] = pa.nulls(n, ltypes[c])
         for c, nm in zip(right_columns, right_names):
             cols["r_" + nm] = batch.column(c)
@@ -127,61 +158,129 @@ def asof_join(left_ds, right_ds, *, key_column: str, ts_column: str,
                             runtime_env=package_runtime_env()).union(
         right_ds.map_batches(norm_right, batch_format="pyarrow",
                              runtime_env=package_runtime_env()))
+    s = u.sort([key_column, "__ts_us", "__ord", "__tie"])
 
-    fwd = direction == "forward"
-    tie_name = ("r_" + right_names[right_columns.index(right_id)]
-                if right_id is not None else None)
+    out_names = [key_column, ts_column] + list(left_columns) \
+        + list(right_names)
+    aux = ["__kind", "__ts_us", "__tie"]
 
-    def join_group(g: pa.Table) -> pa.Table:
-        side = g.column("__side").to_numpy(zero_copy_only=False)
-        ts = g.column(ts_column).cast(pa.timestamp("us")).cast(
-            pa.int64()).to_numpy(zero_copy_only=False) \
-            if pa.types.is_timestamp(g.schema.field(ts_column).type) \
-            else g.column(ts_column).to_numpy(zero_copy_only=False)
-        lrows = np.flatnonzero(side == 1)
-        rrows = np.flatnonzero(side == 0)
-        out = {key_column: g.column(key_column).take(pa.array(lrows)),
-               ts_column: g.column(ts_column).take(pa.array(lrows))}
-        for c in out_left:
-            out[c] = g.column("l_" + c).take(pa.array(lrows))
+    def _empty_out(schema: pa.Schema) -> pa.Table:
+        cols, names = [], []
+        for nm in out_names + aux:
+            src = nm
+            if nm in left_columns:
+                src = "l_" + nm
+            elif nm in right_names:
+                src = "r_" + nm
+            t = (pa.int8() if nm == "__kind"
+                 else schema.field(src).type)
+            cols.append(pa.array([], t))
+            names.append(nm)
+        return pa.table(dict(zip(names, cols)))
+
+    def block_kernel(batch: pa.Table) -> pa.Table:
+        """Resolve one (key, ts, ord, tie)-sorted block.  Emits __kind=0
+        resolved output rows (every left except the first key's
+        unmatched heads), __kind=1 unresolved first-key lefts, __kind=2
+        the last right row of the block's LAST key (the only right any
+        later block can need, by key contiguity)."""
+        n = batch.num_rows
+        if n == 0:
+            return _empty_out(batch.schema)
+        batch = batch.combine_chunks()
+        k = batch.column(key_column)
+        key_start = np.ones(n, dtype=bool)
+        if n > 1:
+            key_start[1:] = pc.not_equal(
+                k.slice(1), k.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False)
+            # key equality with nulls is rejected upstream, so not_equal
+            # never yields null here
+        key_ord = np.cumsum(key_start, dtype=np.int64) - 1
+        is_right = batch.column("__ord").to_numpy(
+            zero_copy_only=False) == 0
+        big = np.int64(n + 1)
+        v = np.where(is_right, np.arange(1, n + 1, dtype=np.int64), 0)
+        acc = np.maximum.accumulate(key_ord * big + v)
+        mk = acc // big
+        mv = acc % big
+        valid = (mk == key_ord) & (mv > 0)
+        left_rows = np.flatnonzero(~is_right)
+        l_valid = valid[left_rows]
+        l_first = key_ord[left_rows] == 0
+        resolved = left_rows[l_valid | ~l_first]
+        unresolved = left_rows[~l_valid & l_first]
+
+        def out_table(rows: np.ndarray, kind: int,
+                      match_src: np.ndarray | None,
+                      match_ok: np.ndarray | None) -> pa.Table:
+            idx = pa.array(rows)
+            cols = {key_column: k.take(idx),
+                    ts_column: batch.column(ts_column).take(idx)}
+            for c in left_columns:
+                cols[c] = batch.column("l_" + c).take(idx)
+            for nm in right_names:
+                col = batch.column("r_" + nm)
+                if match_src is None:
+                    cols[nm] = col.take(idx)
+                else:
+                    got = col.take(pa.array(match_src))
+                    cols[nm] = pc.if_else(pa.array(match_ok), got,
+                                          pa.nulls(len(rows), col.type))
+            cols["__kind"] = pa.array(
+                np.full(len(rows), kind, dtype=np.int8))
+            cols["__ts_us"] = batch.column("__ts_us").take(idx)
+            cols["__tie"] = batch.column("__tie").take(idx)
+            return pa.table(cols)
+
+        parts = [out_table(resolved, 0,
+                           np.maximum(mv[resolved] - 1, 0),
+                           valid[resolved]),
+                 out_table(unresolved, 1, None, None)]
+        # last right of the block's LAST key: acc[-1] always encodes the
+        # last key (every row contributes key_ord * big), so mv[-1] > 0
+        # iff that key has a right row in this block
+        if mv[-1] > 0:
+            parts.append(out_table(np.array([mv[-1] - 1]), 2, None, None))
+        return pa.concat_tables(parts)
+
+    resolved_all = s.map_batches(block_kernel, batch_size=None,
+                                 batch_format="pyarrow",
+                                 runtime_env=package_runtime_env()) \
+                    .materialize()
+
+    done = resolved_all.filter(expr="__kind == 0").drop_columns(aux)
+    pending = resolved_all.filter(expr="__kind != 0")
+
+    def stitch(g: pa.Table) -> pa.Table:
+        """Resolve one spanning key's carried lefts against the earlier
+        blocks' boundary rights (all of which precede them in the global
+        sort, so plain (ts, tie) max-searchsorted is exact)."""
+        kind = g.column("__kind").to_numpy(zero_copy_only=False)
+        lrows = np.flatnonzero(kind == 1)
+        out = {nm: g.column(nm).take(pa.array(lrows))
+               for nm in out_names if nm not in right_names}
+        rrows = np.flatnonzero(kind == 2)
+        ts = g.column("__ts_us").to_numpy(zero_copy_only=False)
         if rrows.size == 0:
             for nm in right_names:
-                out[nm] = g.column("r_" + nm).take(pa.array(lrows))
+                out[nm] = g.column(nm).take(pa.array(lrows))
             return pa.table(out)
-        rts = ts[rrows]
-        if tie_name is not None:
-            tid = g.column(tie_name).to_numpy(zero_copy_only=False)[rrows]
-            order = np.lexsort((tid, rts))      # ties: max id LAST
-        else:
-            order = np.argsort(rts, kind="stable")
-        rts_sorted = rts[order]
-        lts = ts[lrows]
-        if fwd:
-            # smallest right ts >= left ts; ties -> FIRST in sorted order,
-            # so flip the tie key to put max id first among equals
-            if tie_name is not None:
-                order = np.lexsort((-tid, rts))
-                rts_sorted = rts[order]
-            idx = np.searchsorted(rts_sorted, lts, side="left")
-            matched = idx < rts_sorted.size
-            idx = np.minimum(idx, rts_sorted.size - 1)
-        else:
-            # largest right ts <= left ts; side='right' - 1 is the last
-            # (max tie id) among equals
-            idx = np.searchsorted(rts_sorted, lts, side="right") - 1
-            matched = idx >= 0
-            idx = np.maximum(idx, 0)
-        src = rrows[order[idx]]
-        valid = pa.array(matched)
+        tie = g.column("__tie").to_numpy(zero_copy_only=False)
+        order = np.lexsort((tie[rrows], ts[rrows]))
+        rts = ts[rrows][order]
+        idx = np.searchsorted(rts, ts[lrows], side="right") - 1
+        ok = idx >= 0
+        src = rrows[order[np.maximum(idx, 0)]]
         for nm in right_names:
-            col = g.column("r_" + nm).take(pa.array(src))
-            out[nm] = pc.if_else(valid, col, pa.nulls(
-                len(src), col.type if not isinstance(col, pa.ChunkedArray)
-                else col.type))
+            col = g.column(nm).take(pa.array(src))
+            out[nm] = pc.if_else(pa.array(ok), col,
+                                 pa.nulls(lrows.size, col.type))
         return pa.table(out)
 
-    return u.groupby(key_column).map_groups(join_group,
-                                            batch_format="pyarrow")
+    stitched = pending.groupby(key_column).map_groups(
+        stitch, batch_format="pyarrow")
+    return done.union(stitched)
 
 
 def range_count_join(left_ds, right_ds, *, key_column: str, ts_column: str,
