@@ -499,3 +499,37 @@ def test_asof_join_stitches_across_sorted_blocks(ray_session):
            for r in res.itertuples()}
     assert got == _brute_asof(rows, "backward")
     assert len(got) == sum(r["event_type"] == "buy" for r in rows)
+
+
+def test_range_count_join_stitches_across_sorted_blocks(ray_session):
+    """Whale key spanning many sorted blocks: carried lefts count rights
+    from earlier blocks through the ts-only boundary partials."""
+    import ray.data as rd
+    from trinity_ray.ops.relational import range_count_join
+
+    rng = np.random.default_rng(23)
+    rows = []
+    t_us = 0
+    for i in range(600):
+        t_us += int(rng.integers(1, 40)) * 1_000_000
+        rows.append({"event_id": i,
+                     "ts": T0 + dt.timedelta(microseconds=t_us),
+                     "user_id": 1 if i % 3 else int(rng.integers(2, 6)),
+                     "event_type": ["click", "buy"][int(rng.integers(0, 2))]})
+    ds = rd.from_items(rows).repartition(16)
+    left = ds.filter(expr="event_type == 'buy'")
+    right = ds.filter(expr="event_type == 'click'")
+    res = range_count_join(left, right, key_column="user_id",
+                           ts_column="ts", left_columns=("event_id",),
+                           window_s=300).to_pandas()
+    got = {int(r.event_id): int(r.n_in_window) for r in res.itertuples()}
+    want = {}
+    for p in rows:
+        if p["event_type"] != "buy":
+            continue
+        lo = p["ts"] - dt.timedelta(seconds=300)
+        want[p["event_id"]] = sum(
+            1 for c in rows if c["event_type"] == "click"
+            and c["user_id"] == p["user_id"] and lo <= c["ts"] <= p["ts"])
+    assert got == want
+    assert len(got) == sum(r["event_type"] == "buy" for r in rows)

@@ -282,7 +282,6 @@ def asof_join(left_ds, right_ds, *, key_column: str, ts_column: str,
         stitch, batch_format="pyarrow")
     return done.union(stitched)
 
-
 def range_count_join(left_ds, right_ds, *, key_column: str, ts_column: str,
                      left_columns: tuple[str, ...],
                      window_s: float, count_name: str = "n_in_window",
@@ -294,34 +293,50 @@ def range_count_join(left_ds, right_ds, *, key_column: str, ts_column: str,
     ``LEFT JOIN r ON l.k = r.k AND r.ts BETWEEN l.ts - w AND l.ts`` +
     ``GROUP BY l.*`` — a range join Ray Data cannot express natively.
 
-    Same composition and partitioning assumption as ``asof_join``: one
-    ``groupby(key)`` shuffle co-locates each key's rows; the per-group
-    kernel is two vectorized ``searchsorted`` probes (window lower bound,
-    upper bound) into the key's sorted right timestamps — O((nl+nr) log
-    nr) per key, never a nl x nr pair blow-up.  The aggregate form is the
-    scale-safe one: emitting matched PAIRS of a range join is inherently
-    quadratic in hot windows; counts/aggregates keep output linear in the
-    left side."""
+    Same sorted-block composition as :func:`asof_join` — one
+    ``sort((key, ts, side))`` shuffle, then a fully vectorized per-block
+    kernel: each left row contributes two PROBE points (``ts - w`` and
+    ``ts``); one lexsort ranks probes among the block's right rows and a
+    per-key cumulative right count turns each probe pair into the window
+    count, with no per-key Python call.  Key contiguity after the sort
+    means only a block's FIRST key can owe counts to earlier blocks;
+    those lefts and the boundary keys' right TIMESTAMPS (ts-only int64
+    partials — never payloads) go to a per-spanning-key stitch group,
+    where two ``searchsorted`` probes finish the count.  The aggregate
+    form is the scale-safe one: emitting matched PAIRS of a range join
+    is inherently quadratic in hot windows; counts keep output linear in
+    the left side."""
     lschema = left_ds.schema()
     ltypes = dict(zip(lschema.names, lschema.types))
-    ts_t = pa.timestamp("us") if pa.types.is_timestamp(
-        ltypes[ts_column]) else ltypes[ts_column]
-    window_us = int(round(window_s * 1_000_000)) \
-        if pa.types.is_timestamp(ltypes[ts_column]) else window_s
+    is_ts = pa.types.is_timestamp(ltypes[ts_column])
+    ts_t = pa.timestamp("us") if is_ts else ltypes[ts_column]
+    window_us = int(round(window_s * 1_000_000)) if is_ts else window_s
 
     def norm_left(batch: pa.Table) -> pa.Table:
+        if (batch.column(key_column).null_count
+                or batch.column(ts_column).null_count):
+            raise ValueError("range_count_join requires non-null key/ts")
+        ts = batch.column(ts_column).cast(ts_t)
         cols = {key_column: batch.column(key_column),
-                ts_column: batch.column(ts_column).cast(ts_t),
-                "__side": pa.array(np.ones(batch.num_rows, dtype=np.int8))}
+                ts_column: ts,
+                "__ts_us": (ts.cast(pa.int64()) if is_ts
+                            else ts.cast(pa.int64())),
+                "__ord": pa.array(
+                    np.ones(batch.num_rows, dtype=np.int8))}
         for c in left_columns:
             cols["l_" + c] = batch.column(c)
         return pa.table(cols)
 
     def norm_right(batch: pa.Table) -> pa.Table:
+        if (batch.column(key_column).null_count
+                or batch.column(ts_column).null_count):
+            raise ValueError("range_count_join requires non-null key/ts")
         n = batch.num_rows
+        ts = batch.column(ts_column).cast(ts_t)
         cols = {key_column: batch.column(key_column),
-                ts_column: batch.column(ts_column).cast(ts_t),
-                "__side": pa.array(np.zeros(n, dtype=np.int8))}
+                ts_column: ts,
+                "__ts_us": ts.cast(pa.int64()),
+                "__ord": pa.array(np.zeros(n, dtype=np.int8))}
         for c in left_columns:
             cols["l_" + c] = pa.nulls(n, ltypes[c])
         return pa.table(cols)
@@ -330,26 +345,117 @@ def range_count_join(left_ds, right_ds, *, key_column: str, ts_column: str,
                             runtime_env=package_runtime_env()).union(
         right_ds.map_batches(norm_right, batch_format="pyarrow",
                              runtime_env=package_runtime_env()))
+    s = u.sort([key_column, "__ts_us", "__ord"])
 
-    def join_group(g: pa.Table) -> pa.Table:
-        side = g.column("__side").to_numpy(zero_copy_only=False)
-        if pa.types.is_timestamp(g.schema.field(ts_column).type):
-            ts = g.column(ts_column).cast(pa.timestamp("us")).cast(
-                pa.int64()).to_numpy(zero_copy_only=False)
-        else:
-            ts = g.column(ts_column).to_numpy(zero_copy_only=False)
-        lrows = np.flatnonzero(side == 1)
-        out = {key_column: g.column(key_column).take(pa.array(lrows)),
-               ts_column: g.column(ts_column).take(pa.array(lrows))}
-        for c in left_columns:
-            out[c] = g.column("l_" + c).take(pa.array(lrows))
-        rts = np.sort(ts[np.flatnonzero(side == 0)])
+    out_names = [key_column, ts_column] + list(left_columns) \
+        + [count_name]
+    aux = ["__kind", "__ts_us"]
+    # probe tag ordering among equal ts: lo probes (and strict hi probes)
+    # rank BEFORE rights, inclusive hi probes AFTER
+    hi_tag = 2 if include_equal else 0
+
+    def _empty_out(schema: pa.Schema) -> pa.Table:
+        cols = {}
+        for nm in out_names + aux:
+            if nm == count_name:
+                t = pa.int64()
+            elif nm == "__kind":
+                t = pa.int8()
+            elif nm in left_columns:
+                t = schema.field("l_" + nm).type
+            else:
+                t = schema.field(nm).type
+            cols[nm] = pa.array([], t)
+        return pa.table(cols)
+
+    def block_kernel(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return _empty_out(batch.schema)
+        batch = batch.combine_chunks()
+        k = batch.column(key_column)
+        key_start = np.ones(n, dtype=bool)
+        if n > 1:
+            key_start[1:] = pc.not_equal(
+                k.slice(1), k.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False)
+        key_ord = np.cumsum(key_start, dtype=np.int64) - 1
+        is_right = batch.column("__ord").to_numpy(
+            zero_copy_only=False) == 0
+        ts = batch.column("__ts_us").to_numpy(zero_copy_only=False)
+        last_key = key_ord[-1]
+        left_rows = np.flatnonzero(~is_right)
+        l_first = key_ord[left_rows] == 0
+        counted = left_rows[~l_first]          # key began in this block
+        carried = left_rows[l_first]           # may owe earlier blocks
+        # boundary rights: every right of the block's first AND last key
+        # (within a key, blocks are ts-ordered, so these are exactly the
+        # rights any spanning key has in this block)
+        r_rows = np.flatnonzero(is_right)
+        r_boundary = r_rows[(key_ord[r_rows] == 0)
+                            | (key_ord[r_rows] == last_key)]
+
+        # one probe lexsort counts all counted lefts at once: rights
+        # tag 1; lo probes (ts - w) tag 0; hi probes tag hi_tag
+        rk, rt = key_ord[r_rows], ts[r_rows]
+        ck, ct = key_ord[counted], ts[counted]
+        kk = np.concatenate([rk, ck, ck])
+        tt = np.concatenate([rt, ct - window_us, ct])
+        tag = np.concatenate([
+            np.ones(rk.size, dtype=np.int8),
+            np.zeros(ck.size, dtype=np.int8),
+            np.full(ck.size, hi_tag, dtype=np.int8)])
+        order = np.lexsort((tag, tt, kk))
+        cum = np.cumsum(tag[order] == 1)
+        pos = np.empty(order.size, dtype=np.int64)
+        pos[order] = np.arange(order.size)
+        at = np.where(tag == 1, 0, cum[pos])   # rights before each probe
+        lo = at[rk.size:rk.size + ck.size]
+        hi = at[rk.size + ck.size:]
+        counts = hi - lo
+
+        def out_table(rows, kind, cnt):
+            idx = pa.array(rows)
+            cols = {key_column: k.take(idx),
+                    ts_column: batch.column(ts_column).take(idx)}
+            for c in left_columns:
+                cols[c] = batch.column("l_" + c).take(idx)
+            cols[count_name] = pa.array(
+                cnt if cnt is not None
+                else np.zeros(len(rows), dtype=np.int64), pa.int64())
+            cols["__kind"] = pa.array(
+                np.full(len(rows), kind, dtype=np.int8))
+            cols["__ts_us"] = batch.column("__ts_us").take(idx)
+            return pa.table(cols)
+
+        return pa.concat_tables([
+            out_table(counted, 0, counts.astype(np.int64)),
+            out_table(carried, 1, None),
+            out_table(r_boundary, 2, None),
+        ])
+
+    all_rows = s.map_batches(block_kernel, batch_size=None,
+                             batch_format="pyarrow",
+                             runtime_env=package_runtime_env()) \
+                .materialize()
+    done = all_rows.filter(expr="__kind == 0").drop_columns(aux)
+    pending = all_rows.filter(expr="__kind != 0")
+
+    def stitch(g: pa.Table) -> pa.Table:
+        kind = g.column("__kind").to_numpy(zero_copy_only=False)
+        lrows = np.flatnonzero(kind == 1)
+        ts = g.column("__ts_us").to_numpy(zero_copy_only=False)
+        rts = np.sort(ts[kind == 2])
         lts = ts[lrows]
-        hi = np.searchsorted(rts, lts, side="right" if include_equal
-                             else "left")
+        hi = np.searchsorted(rts, lts,
+                             side="right" if include_equal else "left")
         lo = np.searchsorted(rts, lts - window_us, side="left")
+        out = {nm: g.column(nm).take(pa.array(lrows))
+               for nm in out_names if nm != count_name}
         out[count_name] = pa.array((hi - lo).astype(np.int64))
         return pa.table(out)
 
-    return u.groupby(key_column).map_groups(join_group,
-                                            batch_format="pyarrow")
+    stitched = pending.groupby(key_column).map_groups(
+        stitch, batch_format="pyarrow")
+    return done.union(stitched)
+
