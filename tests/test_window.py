@@ -533,3 +533,86 @@ def test_range_count_join_stitches_across_sorted_blocks(ray_session):
             and c["user_id"] == p["user_id"] and lo <= c["ts"] <= p["ts"])
     assert got == want
     assert len(got) == sum(r["event_type"] == "buy" for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (ops/sketch.MisraGries / heavy_hitters)
+# ---------------------------------------------------------------------------
+
+def test_misra_gries_bounds_and_merge():
+    from trinity_ray.ops.sketch import MisraGries
+
+    rng = np.random.default_rng(7)
+    # zipf-ish stream over 2000 distinct items
+    data = (rng.zipf(1.3, size=50_000) % 2000).astype(str)
+    items, counts = np.unique(data, return_counts=True)
+    true = dict(zip(items.tolist(), counts.tolist()))
+
+    # one summary over the whole stream
+    whole = MisraGries(64)
+    whole.add_counts(items.tolist(), counts)
+    # split into 7 summaries, tree-merged via the row protocol
+    import pyarrow as pa
+    parts = []
+    for chunk in np.array_split(data, 7):
+        ci, cc = np.unique(chunk, return_counts=True)
+        s = MisraGries(64)
+        s.add_counts(ci.tolist(), cc)
+        parts.append(s.to_rows())
+    merged = MisraGries.from_rows(pa.concat_tables(parts), 64)
+
+    for s in (whole, merged):
+        err = s.error()
+        assert err > 0
+        for it, cl in s.counts.items():
+            t = true[it]
+            assert cl <= t <= cl + err, (it, cl, t, err)
+        # guarantee: every item with true count > error is present
+        for it, t in true.items():
+            if t > err:
+                assert it in s.counts, (it, t, err)
+
+
+def test_misra_gries_split_summary_accounting():
+    """Rows of ONE summary split across merge tasks must not lose or
+    double decrement accounting (the marker-row protocol)."""
+    import pyarrow as pa
+    from trinity_ray.ops.sketch import MisraGries
+
+    s = MisraGries(4)
+    s.add_counts([str(i) for i in range(16)],
+                 np.arange(1, 17, dtype=np.int64))
+    rows = s.to_rows()
+    a = MisraGries.from_rows(rows.slice(0, 2), 4)
+    b = MisraGries.from_rows(rows.slice(2), 4)
+    rejoined = MisraGries.from_rows(
+        pa.concat_tables([a.to_rows(), b.to_rows()]), 4)
+    # the recorded error never shrinks below the source summary's, and
+    # every surviving lower bound stays a lower bound of the original
+    assert rejoined.error() >= s.error()
+    for it, cl in rejoined.counts.items():
+        assert cl <= s.counts.get(it, 0) + s.error()
+
+
+def test_heavy_hitters_dataset(ray_session):
+    import ray.data as rd
+    from trinity_ray.ops.sketch import heavy_hitters
+
+    rng = np.random.default_rng(3)
+    vals = (rng.zipf(1.5, size=30_000) % 500).astype(str).tolist()
+    ds = rd.from_items([{"term": v} for v in vals]).repartition(10)
+    t = heavy_hitters(ds, "term", m=64, fanout=4)
+    items, counts = np.unique(np.asarray(vals), return_counts=True)
+    true = dict(zip(items.tolist(), counts.tolist()))
+    err = int(t.column("error")[0].as_py())
+    got = dict(zip(t.column("item").to_pylist(),
+                   t.column("count_lower").to_pylist()))
+    assert 0 < len(got) <= 64
+    for it, cl in got.items():
+        assert cl <= true[it] <= cl + err
+    for it, n in true.items():
+        if n > err:
+            assert it in got, (it, n, err)
+    # output is count-desc sorted
+    cl = t.column("count_lower").to_numpy()
+    assert (np.diff(cl) <= 0).all()

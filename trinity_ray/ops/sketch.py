@@ -22,7 +22,8 @@ import pyarrow as pa
 
 from trinity_ray.rayutil import package_runtime_env
 
-__all__ = ["HyperLogLog", "hll_distinct", "distinct_count_exact"]
+__all__ = ["HyperLogLog", "hll_distinct", "distinct_count_exact",
+           "MisraGries", "heavy_hitters"]
 
 _MIX_A = np.uint64(0xBF58476D1CE4E5B9)
 _MIX_B = np.uint64(0x94D049BB133111EB)
@@ -254,3 +255,135 @@ def distinct_count_exact(ds, column: str, *, group_key: str):
                   Count(alias_name="_n")).drop_columns(["_n"])
     return pairs.groupby(group_key).aggregate(
         Count(alias_name="n_distinct"))
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries / SpaceSaving heavy hitters (mergeable summaries)
+# ---------------------------------------------------------------------------
+
+class MisraGries:
+    """Misra-Gries frequency summary with ``m`` counters: after absorbing
+    any stream of (item, count) pairs, every stored count is a LOWER
+    bound on the true count, undercounting by at most ``error()`` (the
+    total of all shrink decrements), and every item with true count >
+    ``error()`` is guaranteed present.  Merge = sum counters, subtract
+    the (m+1)-th largest, drop non-positive — the mergeable-summaries
+    construction (Agarwal et al., PODS'12), so the distributed shape is
+    the same partial/combiner pattern as :class:`HyperLogLog`: per-block
+    partials of m rows, log-depth tree merge, never a full-vocabulary
+    shuffle (the exact oracled sibling is ops/text.top_terms /
+    ``vocab_top100``)."""
+
+    __slots__ = ("m", "counts", "decremented")
+
+    def __init__(self, m: int):
+        if m < 1:
+            raise ValueError("m must be >= 1")
+        self.m = m
+        self.counts: dict = {}
+        self.decremented = 0
+
+    def add_counts(self, items, counts) -> None:
+        """Absorb pre-aggregated (item, count) pairs (e.g. a block's
+        exact value_counts) — the batch form of the one-at-a-time MG
+        update, equivalent to merging an exact summary."""
+        c = self.counts
+        for it, n in zip(items, counts):
+            c[it] = c.get(it, 0) + int(n)
+        self._shrink()
+
+    def _shrink(self) -> None:
+        if len(self.counts) <= self.m:
+            return
+        vals = np.fromiter(self.counts.values(), dtype=np.int64,
+                           count=len(self.counts))
+        # subtracting the (m+1)-th largest value kills enough counters
+        d = int(np.partition(vals, -self.m - 1)[-self.m - 1])
+        self.counts = {k: v - d for k, v in self.counts.items() if v > d}
+        self.decremented += d
+
+    def error(self) -> int:
+        """Upper bound on the undercount of any stored or dropped item."""
+        return self.decremented
+
+    def to_rows(self) -> pa.Table:
+        """Summary as mergeable rows: one row per item (dec=0) plus ONE
+        marker row (item=null) carrying this summary's decrement total.
+        Repartitioning may split a summary's rows across merge tasks;
+        because every shrink decrement rides on exactly one marker ROW,
+        row-wise splits keep the global error accounting exact (a
+        value-keyed dedup would collapse equal decrements from different
+        summaries)."""
+        items = [str(i) for i in self.counts] + [None]
+        cnts = [int(v) for v in self.counts.values()] + [0]
+        decs = [0] * len(self.counts) + [self.decremented]
+        return pa.table({"item": pa.array(items, pa.string()),
+                         "count_lower": pa.array(cnts, pa.int64()),
+                         "dec": pa.array(decs, pa.int64())})
+
+    @staticmethod
+    def from_rows(t: pa.Table, m: int) -> "MisraGries":
+        """Re-form a summary from (possibly many summaries') rows: exact
+        per-item count sums, then one shrink — equivalent to pairwise
+        merges (both the count sums and the decrement total are
+        associative and commutative)."""
+        import pyarrow.compute as pc
+
+        s = MisraGries(m)
+        valid = t.filter(pc.is_valid(t.column("item")))
+        agg = valid.group_by("item").aggregate([("count_lower", "sum")])
+        s.counts = dict(zip(
+            agg.column("item").to_pylist(),
+            (int(v) for v in agg.column("count_lower_sum").to_numpy(
+                zero_copy_only=False))))
+        s.decremented = int(pc.sum(t.column("dec")).as_py() or 0)
+        s._shrink()
+        return s
+
+
+def heavy_hitters(ds, column: str, *, m: int = 256,
+                  fanout: int = 32) -> pa.Table:
+    """Approximate heavy hitters of ``column``: per-block Misra-Gries
+    partials (exact block value_counts folded into an m-counter summary)
+    -> repartition(fanout) tree merge -> final driver merge of <= fanout
+    summaries (extend with more repartition levels for deeper trees).
+    Returns (item, count_lower, error) sorted by count_lower desc:
+    count_lower <= true_count <= count_lower + error, and every item
+    with true count > error is present (tests pin both properties
+    against exact counts — approximate, so no SQL oracle;
+    ``vocab_top100`` is the exact oracled sibling)."""
+    import pyarrow.compute as pc
+
+    def partials(batch: pa.Table) -> pa.Table:
+        vc = batch.column(column).combine_chunks()
+        if vc.null_count:
+            vc = vc.filter(pc.is_valid(vc))
+        agg = pa.table({"v": vc.cast(pa.string())}) \
+                .group_by("v").aggregate([("v", "count")])
+        s = MisraGries(m)
+        s.add_counts(agg.column("v").to_pylist(),
+                     agg.column("v_count").to_numpy(zero_copy_only=False))
+        return s.to_rows()
+
+    def merge_block(batch: pa.Table) -> pa.Table:
+        return MisraGries.from_rows(batch, m).to_rows()
+
+    p = ds.select_columns([column]) \
+          .map_batches(partials, batch_format="pyarrow",
+                       runtime_env=package_runtime_env()) \
+          .repartition(fanout) \
+          .map_batches(merge_block, batch_size=None,
+                       batch_format="pyarrow",
+                       runtime_env=package_runtime_env())
+    final = MisraGries.from_rows(
+        pa.concat_tables(p.iter_batches(batch_format="pyarrow",
+                                        batch_size=None)), m)
+    items = list(final.counts)
+    t = pa.table({"item": pa.array(items, pa.string()),
+                  "count_lower": pa.array(
+                      [final.counts[i] for i in items], pa.int64()),
+                  "error": pa.array([final.error()] * len(items),
+                                    pa.int64())})
+    order = pc.sort_indices(t, sort_keys=[("count_lower", "descending"),
+                                          ("item", "ascending")])
+    return t.take(order)
