@@ -278,6 +278,10 @@ def asof_join(left_ds, right_ds, *, key_column: str, ts_column: str,
                                  pa.nulls(lrows.size, col.type))
         return pa.table(out)
 
+    if pending.count() == 0:
+        # no spanning keys: skip the stitch stage (an empty map_groups
+        # emits schema-less bundles that make the union warn)
+        return done
     stitched = pending.groupby(key_column).map_groups(
         stitch, batch_format="pyarrow")
     return done.union(stitched)
@@ -455,6 +459,10 @@ def range_count_join(left_ds, right_ds, *, key_column: str, ts_column: str,
         out[count_name] = pa.array((hi - lo).astype(np.int64))
         return pa.table(out)
 
+    if pending.count() == 0:
+        # no spanning keys: skip the stitch stage (an empty map_groups
+        # emits schema-less bundles that make the union warn)
+        return done
     stitched = pending.groupby(key_column).map_groups(
         stitch, batch_format="pyarrow")
     return done.union(stitched)
