@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": dsp.q_events_sessions,
         "events_asof": dsp.q_events_asof,
         "events_range_count": dsp.q_events_range_count,
+        "events_conversion": dsp.q_events_conversion,
         # -- corpus curation: sampling / decontamination / vocabulary -------
         "sample_md5": dsp.q_sample_md5,
         "sample_stratified": dsp.q_sample_stratified,
@@ -689,6 +690,15 @@ LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
  AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
 GROUP BY p.user_id, p.ts, p.event_id
 ORDER BY p.event_id
+""",
+        # forward as-of funnel: signups converted to a purchase within 24h
+        "events_conversion": """
+SELECT CAST(count(*) AS BIGINT) AS n_signups,
+       CAST(count(*) FILTER (p.ts IS NOT NULL
+            AND p.ts <= s.ts + INTERVAL 24 HOUR) AS BIGINT) AS n_converted
+FROM (SELECT * FROM events WHERE event_type = 'signup') s
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON s.user_id = p.user_id AND s.ts <= p.ts
 """,
         # hopping 1h windows every 30 min: event at t covers window ids
         # floor(t/hop) and floor(t/hop)-1 (window start = id * hop)

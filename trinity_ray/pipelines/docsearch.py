@@ -1060,6 +1060,48 @@ def q_events_range_count(sf_dir: str):
     return out.sort("event_id")
 
 
+def q_events_conversion(sf_dir: str):
+    """Signup -> purchase conversion funnel: the FORWARD as-of direction
+    (each signup matched to the user's first subsequent purchase), then a
+    24h-window conversion flag folded into one global (n_signups,
+    n_converted) row — the whole funnel is one sorted-block asof_join
+    plus a trivial aggregate, and the count depends only on the matched
+    timestamp, so equal-ts tie ambiguity cannot affect it."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from trinity_ray.ops.relational import asof_join
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "ts", "user_id",
+                                  "event_type"])
+    signups = ev.filter(expr="event_type == 'signup'")
+    purchases = ev.filter(expr="event_type == 'purchase'")
+    j = asof_join(signups, purchases, key_column="user_id",
+                  ts_column="ts", left_columns=("event_id",),
+                  right_columns=("ts",), right_names=("purch_ts",),
+                  direction="forward")
+
+    def flag(batch: pa.Table) -> pa.Table:
+        s = batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        p_ = batch.column("purch_ts").cast(
+            pa.timestamp("us")).cast(pa.int64())
+        conv = pc.fill_null(pc.less_equal(
+            pc.subtract(p_, s), 24 * 3600 * 1_000_000), False)
+        return pa.table({"one": pa.array(
+            np.ones(batch.num_rows, dtype=np.int64)),
+            "conv": pc.cast(conv, pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    out = j.map_batches(flag, batch_format="pyarrow").aggregate(
+        Sum("one", alias_name="n_signups"),
+        Sum("conv", alias_name="n_converted"))
+    return pa.table({"n_signups": pa.array([out["n_signups"]], pa.int64()),
+                     "n_converted": pa.array([out["n_converted"]],
+                                             pa.int64())})
+
+
 def q_events_sessions(sf_dir: str):
     """Gap-based sessionization (30 min) per user."""
     from trinity_ray.ops.window import sessionize
