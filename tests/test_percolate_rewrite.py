@@ -531,3 +531,21 @@ def test_rewrite_budget_prunes_composite_alternatives():
     # 0.9-weight OR-alt and 0.6 token survive; 0.2 AND-alt pruned
     assert "SPEEDY" in terms and "RAPID" in terms and "FAST" in terms
     assert "HASTY" not in terms and "SWIFT" not in terms
+
+
+def test_rewrite_alt_keyword_needs_whitespace_delimiters():
+    """'AND-GATE CIRCUIT' is a bare word sequence (hyphen-adjacent AND is
+    a term, not the operator) — it must NOT be grammar-parsed into a
+    negation."""
+    from trinity_ray.query.ast import Phrase
+
+    n = _alt_node("AND-GATE CIRCUIT", 1)
+    assert n == Phrase(("AND-GATE", "CIRCUIT"), weight=0.5)
+
+
+def test_rewrite_alt_trailing_junk_raises():
+    with pytest.raises(ValueError, match="unparsed trailing"):
+        _alt_node("FOO) BAR", 1)
+
+
+from trinity_ray.query.rewrite import _alt_node  # noqa: E402

@@ -616,3 +616,37 @@ def test_heavy_hitters_dataset(ray_session):
     # output is count-desc sorted
     cl = t.column("count_lower").to_numpy()
     assert (np.diff(cl) <= 0).all()
+
+
+def test_asof_join_rejects_colliding_output_columns(ray_session):
+    import ray.data as rd
+    from trinity_ray.ops.relational import asof_join, range_count_join
+
+    left = rd.from_items([{"event_id": 1, "ts": T0, "user_id": 1}])
+    right = rd.from_items([{"event_id": 2, "ts": T0, "user_id": 1}])
+    with pytest.raises(ValueError, match="collision"):
+        asof_join(left, right, key_column="user_id", ts_column="ts",
+                  left_columns=("event_id",),
+                  right_columns=("event_id",))  # default name collides
+    with pytest.raises(ValueError, match="collision"):
+        range_count_join(left, right, key_column="user_id",
+                         ts_column="ts", left_columns=("event_id",),
+                         window_s=10, count_name="event_id")
+
+
+def test_range_count_join_integer_ts_stays_exact(ray_session):
+    """Integer ts columns beyond 2^53 must not round-trip through
+    float64: two rights 1 unit apart at 2^60 are distinguished."""
+    import ray.data as rd
+    from trinity_ray.ops.relational import range_count_join
+
+    base = 1 << 60
+    left = rd.from_items([{"lid": 1, "t": base + 2, "k": 1}])
+    right = rd.from_items([{"t": base, "k": 1},
+                           {"t": base + 1, "k": 1},
+                           {"t": base + 2, "k": 1}])
+    res = range_count_join(left, right, key_column="k", ts_column="t",
+                           left_columns=("lid",),
+                           window_s=1).to_pandas()
+    # window [base+1, base+2]: exactly 2 rights
+    assert int(res.n_in_window[0]) == 2

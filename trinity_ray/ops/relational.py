@@ -53,6 +53,37 @@ def broadcast_join_agg(big_ds, small_table: pa.Table, *,
                      Sum("cents", alias_name="sum_cents"))
 
 
+def _check_output_disjoint(op: str, key_column: str, ts_column: str,
+                           left_columns, right_names) -> None:
+    """Output columns are dict-keyed; a collision would silently
+    overwrite a left payload with the matched right value."""
+    seen = [key_column, ts_column, *left_columns, *right_names]
+    dupes = {c for c in seen if seen.count(c) > 1}
+    if dupes:
+        raise ValueError(
+            f"{op}: output column collision {sorted(dupes)} — rename via "
+            f"right_names (key/ts/left_columns/right_names must be "
+            f"pairwise distinct)")
+
+
+def _check_ts_type(op: str, t: pa.DataType) -> bool:
+    """Returns is_timestamp; rejects float ts columns (they would be
+    silently truncated by the int64 ordering cast)."""
+    if pa.types.is_timestamp(t):
+        return True
+    if pa.types.is_integer(t):
+        return False
+    raise ValueError(f"{op}: ts column must be a timestamp or integer, "
+                     f"not {t}")
+
+
+def _check_nonnull(batch: pa.Table, key_column: str, ts_column: str,
+                   op: str) -> None:
+    if (batch.column(key_column).null_count
+            or batch.column(ts_column).null_count):
+        raise ValueError(f"{op} requires non-null key and ts")
+
+
 def asof_join(left_ds, right_ds, *, key_column: str, ts_column: str,
               left_columns: tuple[str, ...],
               right_columns: tuple[str, ...],
@@ -97,12 +128,14 @@ def asof_join(left_ds, right_ds, *, key_column: str, ts_column: str,
         raise ValueError("right_names must match right_columns")
     if right_id is not None and right_id not in right_columns:
         raise ValueError("right_id must be one of right_columns")
+    _check_output_disjoint("asof_join", key_column, ts_column,
+                           left_columns, right_names)
 
     lschema = left_ds.schema()
     rschema = right_ds.schema()
     ltypes = dict(zip(lschema.names, lschema.types))
     rtypes = dict(zip(rschema.names, rschema.types))
-    is_ts = pa.types.is_timestamp(ltypes[ts_column])
+    is_ts = _check_ts_type("asof_join", ltypes[ts_column])
     ts_t = pa.timestamp("us") if is_ts else ltypes[ts_column]
     fwd = direction == "forward"
     tie_src = right_id
@@ -113,9 +146,7 @@ def asof_join(left_ds, right_ds, *, key_column: str, ts_column: str,
         return pc.negate_checked(c) if fwd else c
 
     def _check_nulls(batch: pa.Table) -> None:
-        if (batch.column(key_column).null_count
-                or batch.column(ts_column).null_count):
-            raise ValueError("asof_join requires non-null key and ts")
+        _check_nonnull(batch, key_column, ts_column, "asof_join")
 
     # one unioned schema: key, ts (original, for output), sort columns
     # (__ts_us negated in forward mode, __ord rights-first, __tie max-id
@@ -127,7 +158,7 @@ def asof_join(left_ds, right_ds, *, key_column: str, ts_column: str,
                 ts_column: batch.column(ts_column).cast(ts_t),
                 "__ts_us": _ts_us(batch.column(ts_column)),
                 "__ord": pa.array(np.ones(n, dtype=np.int8)),
-                "__tie": pa.nulls(n, pa.int64()).fill_null(0)}
+                "__tie": pa.array(np.zeros(n, dtype=np.int64))}
         for c in left_columns:
             cols["l_" + c] = batch.column(c)
         for c, nm in zip(right_columns, right_names):
@@ -293,7 +324,9 @@ def range_count_join(left_ds, right_ds, *, key_column: str, ts_column: str,
     """Per-key range (band) join, aggregate form: for every left row, the
     COUNT of right rows with ``left.ts - window_s <= right.ts <= left.ts``
     (a trailing-window count; ``include_equal=False`` makes the upper
-    bound strict).  The SQL shape is
+    bound strict).  ``window_s`` is seconds for timestamp columns and the
+    column's own integer units otherwise (rounded to int — float window
+    arithmetic over int64 epochs would lose precision past 2^53).  The SQL shape is
     ``LEFT JOIN r ON l.k = r.k AND r.ts BETWEEN l.ts - w AND l.ts`` +
     ``GROUP BY l.*`` — a range join Ray Data cannot express natively.
 
@@ -310,21 +343,24 @@ def range_count_join(left_ds, right_ds, *, key_column: str, ts_column: str,
     form is the scale-safe one: emitting matched PAIRS of a range join
     is inherently quadratic in hot windows; counts keep output linear in
     the left side."""
+    _check_output_disjoint("range_count_join", key_column, ts_column,
+                           left_columns, (count_name,))
     lschema = left_ds.schema()
     ltypes = dict(zip(lschema.names, lschema.types))
-    is_ts = pa.types.is_timestamp(ltypes[ts_column])
+    is_ts = _check_ts_type("range_count_join", ltypes[ts_column])
     ts_t = pa.timestamp("us") if is_ts else ltypes[ts_column]
-    window_us = int(round(window_s * 1_000_000)) if is_ts else window_s
+    # integer window in the column's units: float arithmetic over int64
+    # timestamps would promote the probe arrays to float64 and lose
+    # low-order bits past 2^53
+    window_us = int(round(window_s * 1_000_000)) if is_ts \
+        else int(round(window_s))
 
     def norm_left(batch: pa.Table) -> pa.Table:
-        if (batch.column(key_column).null_count
-                or batch.column(ts_column).null_count):
-            raise ValueError("range_count_join requires non-null key/ts")
+        _check_nonnull(batch, key_column, ts_column, "range_count_join")
         ts = batch.column(ts_column).cast(ts_t)
         cols = {key_column: batch.column(key_column),
                 ts_column: ts,
-                "__ts_us": (ts.cast(pa.int64()) if is_ts
-                            else ts.cast(pa.int64())),
+                "__ts_us": ts.cast(pa.int64()),
                 "__ord": pa.array(
                     np.ones(batch.num_rows, dtype=np.int8))}
         for c in left_columns:
@@ -332,9 +368,7 @@ def range_count_join(left_ds, right_ds, *, key_column: str, ts_column: str,
         return pa.table(cols)
 
     def norm_right(batch: pa.Table) -> pa.Table:
-        if (batch.column(key_column).null_count
-                or batch.column(ts_column).null_count):
-            raise ValueError("range_count_join requires non-null key/ts")
+        _check_nonnull(batch, key_column, ts_column, "range_count_join")
         n = batch.num_rows
         ts = batch.column(ts_column).cast(ts_t)
         cols = {key_column: batch.column(key_column),

@@ -1019,9 +1019,11 @@ def q_events_asof(sf_dir: str):
     """Per-user as-of join: every purchase matched to the user's most
     recent prior-or-equal click (DuckDB ASOF LEFT JOIN semantics).  Ray
     Data lacks an as-of join; ops/relational.asof_join composes it from
-    ONE groupby(user) shuffle + a per-group vectorized searchsorted —
-    the documented pattern for operators the Dataset API can't express.
-    Column pruning at the read: only the 4 needed columns leave storage."""
+    ONE sort((user, ts, side, tie)) shuffle + a segmented max-accumulate
+    per sorted block (no per-key Python call) with an O(blocks) boundary
+    stitch — the documented pattern for operators the Dataset API can't
+    express.  Column pruning at the read: only the 4 needed columns
+    leave storage."""
     import ray.data as rd
     from trinity_ray.ops.relational import asof_join
 
@@ -1042,7 +1044,8 @@ def q_events_range_count(sf_dir: str):
     """Per-user trailing-window range join (aggregate form): for every
     purchase, the count of the same user's clicks within the preceding
     30 minutes — `r.ts BETWEEN l.ts - w AND l.ts` band-join semantics,
-    composed as one groupby(user) shuffle + two searchsorted probes
+    composed as one sort((user, ts, side)) shuffle + a per-sorted-block
+    probe lexsort with ts-only boundary partials
     (ops/relational.range_count_join); the count form keeps output
     linear in the left side where a pair-emitting range join is
     quadratic in hot windows."""
@@ -1097,9 +1100,13 @@ def q_events_conversion(sf_dir: str):
     out = j.map_batches(flag, batch_format="pyarrow").aggregate(
         Sum("one", alias_name="n_signups"),
         Sum("conv", alias_name="n_converted"))
-    return pa.table({"n_signups": pa.array([out["n_signups"]], pa.int64()),
-                     "n_converted": pa.array([out["n_converted"]],
-                                             pa.int64())})
+    # Dataset.aggregate returns None (or None-valued sums) on an empty
+    # input; the oracle's COUNT semantics give a (0, 0) row
+    out = out or {}
+    return pa.table({
+        "n_signups": pa.array([out.get("n_signups") or 0], pa.int64()),
+        "n_converted": pa.array([out.get("n_converted") or 0],
+                                pa.int64())})
 
 
 def q_events_sessions(sf_dir: str):

@@ -63,8 +63,10 @@ RewriteCallback = Callable[
 # an alternative that uses query syntax (operators / grouping / quoting)
 # is parsed with the full query grammar, exactly as the reference parses
 # every alternative with ast_parser (queries_rewrite.h:370-376); bare
-# word sequences keep the historical fast path (Token / Phrase)
-_ALT_SYNTAX = re.compile(r'["()|<>\[\]“”]|(?<![\w])(?:AND|OR|NOT)(?![\w])')
+# word sequences keep the historical fast path (Token / Phrase).  The
+# keywords must be WHITESPACE-delimited ("AND-GATE" is a term, not the
+# operator — \b would trip on the hyphen and invert the parse)
+_ALT_SYNTAX = re.compile(r'["()|<>\[\]“”]|(?<!\S)(?:AND|OR|NOT)(?!\S)')
 
 
 def _parse_alt_query(text: str) -> Node:
@@ -72,8 +74,19 @@ def _parse_alt_query(text: str) -> Node:
     PASS-THROUGH tokenizer: terms from the callback are already normalized
     the way the index tokenizer would produce them (the module contract),
     so only structure — quotes, parens, |, AND/OR/NOT, <>, [k ...] — is
-    interpreted; term text is preserved byte-for-byte."""
-    node = _Parser(_lex(text, lambda s: [s])).parse_expr()
+    interpreted; term text is preserved byte-for-byte.  A malformed
+    alternative raises instead of silently truncating (the reference
+    throws data_error on a failed alternative parse,
+    queries_rewrite.h:372-373): unconsumed trailing tokens mean the
+    grammar stopped early (e.g. a stray ')')."""
+    items = _lex(text, lambda s: [s])
+    parser = _Parser(items)
+    node = parser.parse_expr()
+    kind, val = parser.peek()
+    if kind is not None:
+        raise ValueError(
+            f"rewrite alternative {text!r}: unparsed trailing input "
+            f"from {val!r}")
     if not _has_leaf(node):
         raise ValueError(f"rewrite alternative {text!r} has no terms")
     return node
