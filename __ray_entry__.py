@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof": dsp.q_events_asof,
         "events_range_count": dsp.q_events_range_count,
         "events_conversion": dsp.q_events_conversion,
+        "events_props_sum": dsp.q_events_props_sum,
         # -- corpus curation: sampling / decontamination / vocabulary -------
         "sample_md5": dsp.q_sample_md5,
         "sample_stratified": dsp.q_sample_stratified,
@@ -699,6 +700,13 @@ SELECT CAST(count(*) AS BIGINT) AS n_signups,
 FROM (SELECT * FROM events WHERE event_type = 'signup') s
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
   ON s.user_id = p.user_id AND s.ts <= p.ts
+""",
+        # typed extraction from the JSON props column, per-type aggregate
+        "events_props_sum": """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k
+FROM events GROUP BY event_type ORDER BY event_type
 """,
         # hopping 1h windows every 30 min: event at t covers window ids
         # floor(t/hop) and floor(t/hop)-1 (window start = id * hop)

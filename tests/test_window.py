@@ -650,3 +650,56 @@ def test_range_count_join_integer_ts_stays_exact(ray_session):
                            window_s=1).to_pandas()
     # window [base+1, base+2]: exactly 2 rights
     assert int(res.n_in_window[0]) == 2
+
+
+# ---------------------------------------------------------------------------
+# JSON extraction (ops/jsonx)
+# ---------------------------------------------------------------------------
+
+def test_joined_buffer_slices_and_empties():
+    import pyarrow as pa
+    from trinity_ray.ops.jsonx import joined_buffer
+
+    a = pa.array(['{"k": 1}', "", '{"k": 3}'])
+    assert joined_buffer(a) == b'{"k": 1}\n\n{"k": 3}\n'
+    assert joined_buffer(a.slice(1)) == b'\n{"k": 3}\n'
+    assert joined_buffer(pa.array([], pa.string())) == b""
+
+
+def test_extract_json_typed_fields(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from trinity_ray.ops.jsonx import extract_json
+
+    rows = [{"id": 0, "props": '{"k": 7, "tag": "a"}'},
+            {"id": 1, "props": '{"k": 8}'},            # missing tag
+            {"id": 2, "props": None},                   # null value
+            {"id": 3, "props": ""},                     # empty string
+            {"id": 4, "props": '{"tag": "b"}'}]         # missing k
+    ds = rd.from_items(rows)
+    out = extract_json(ds, "props",
+                       {"k": pa.int64(), "tag": pa.string()},
+                       keep=("id",)).to_pandas().sort_values("id")
+    assert out.k.tolist()[:2] == [7, 8]
+    assert np.isnan(out.k.tolist()[2]) and np.isnan(out.k.tolist()[3])
+    assert out.tag.tolist()[0] == "a" and out.tag.tolist()[4] == "b"
+    assert out.tag.isna().tolist() == [False, True, True, True, False]
+
+
+def test_extract_json_multiline_value_ok_but_misalignment_raises(
+        ray_session):
+    """Arrow's JSON reader consumes an object STREAM: newlines between
+    tokens are legal whitespace (one multi-line object still parses to
+    one row); a cell smuggling TWO objects would shift every later row
+    and must be caught by the row-count guard."""
+    import pyarrow as pa
+    import ray.data as rd
+    from trinity_ray.ops.jsonx import extract_json
+
+    ds = rd.from_items([{"props": '{"k":\n 1}'}])
+    out = extract_json(ds, "props", {"k": pa.int64()}).to_pandas()
+    assert out.k.tolist() == [1]
+
+    bad = rd.from_items([{"props": '{"k": 1} {"k": 2}'}])
+    with pytest.raises(Exception, match="rows for|misalign"):
+        extract_json(bad, "props", {"k": pa.int64()}).to_pandas()

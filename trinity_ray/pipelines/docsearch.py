@@ -1109,6 +1109,25 @@ def q_events_conversion(sf_dir: str):
                                 pa.int64())})
 
 
+def q_events_props_sum(sf_dir: str):
+    """Typed extraction from the JSON ``props`` column (Arrow C++ JSON
+    parser over a vectorized newline-joined batch buffer — no per-row
+    Python, ops/jsonx.extract_json), aggregated per event_type: the
+    semi-structured-metadata hoist every curation pipeline needs."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+    from trinity_ray.ops.jsonx import extract_json
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "props"])
+    ex = extract_json(ev, "props", {"k": pa.int64()},
+                      keep=("event_type",))
+    return ex.groupby("event_type").aggregate(
+        Count(alias_name="n_events"),
+        Sum("k", alias_name="sum_k")).sort("event_type")
+
+
 def q_events_sessions(sf_dir: str):
     """Gap-based sessionization (30 min) per user."""
     from trinity_ray.ops.window import sessionize
