@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_count": dsp.q_events_range_count,
         "events_conversion": dsp.q_events_conversion,
         "events_props_sum": dsp.q_events_props_sum,
+        "docs_top_per_lang": dsp.q_docs_top_per_lang,
         # -- corpus curation: sampling / decontamination / vocabulary -------
         "sample_md5": dsp.q_sample_md5,
         "sample_stratified": dsp.q_sample_stratified,
@@ -707,6 +708,14 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
        CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
             AS BIGINT) AS sum_k
 FROM events GROUP BY event_type ORDER BY event_type
+""",
+        # per-group top-k (window function QUALIFY shape)
+        "docs_top_per_lang": """
+SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS text_len
+FROM documents
+QUALIFY row_number() OVER (PARTITION BY lang
+                           ORDER BY length(text) DESC, doc_id ASC) <= 3
+ORDER BY lang, doc_id
 """,
         # hopping 1h windows every 30 min: event at t covers window ids
         # floor(t/hop) and floor(t/hop)-1 (window start = id * hop)

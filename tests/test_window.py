@@ -703,3 +703,42 @@ def test_extract_json_multiline_value_ok_but_misalignment_raises(
     bad = rd.from_items([{"props": '{"k": 1} {"k": 2}'}])
     with pytest.raises(Exception, match="rows for|misalign"):
         extract_json(bad, "props", {"k": pa.int64()}).to_pandas()
+
+
+def test_grouped_top_k_vs_bruteforce(ray_session):
+    import ray.data as rd
+    from trinity_ray.ops.relational import grouped_top_k
+
+    rng = np.random.default_rng(31)
+    rows = [{"g": int(rng.integers(0, 6)), "v": int(rng.integers(0, 50)),
+             "id": i} for i in range(400)]
+    ds = rd.from_items(rows).repartition(8)
+    for desc in (True, False):
+        res = grouped_top_k(ds, group_column="g", order_column="v",
+                            k=4, descending=desc,
+                            tie_column="id").to_pandas()
+        got = {}
+        for r in res.itertuples():
+            got.setdefault(r.g, []).append((r.v, r.id))
+        want = {}
+        for r in sorted(rows, key=lambda r: (r["g"],
+                                             -r["v"] if desc else r["v"],
+                                             r["id"])):
+            want.setdefault(r["g"], [])
+            if len(want[r["g"]]) < 4:
+                want[r["g"]].append((r["v"], r["id"]))
+        assert {g: sorted(v) for g, v in got.items()} == \
+            {g: sorted(v) for g, v in want.items()}, desc
+
+
+def test_grouped_top_k_small_groups_and_k1(ray_session):
+    import ray.data as rd
+    from trinity_ray.ops.relational import grouped_top_k
+
+    ds = rd.from_items([{"g": "a", "v": 1, "id": 0},
+                        {"g": "b", "v": 5, "id": 1},
+                        {"g": "b", "v": 5, "id": 2}])
+    res = grouped_top_k(ds, group_column="g", order_column="v", k=1,
+                        tie_column="id").to_pandas()
+    got = dict(zip(res.g, res.id))
+    assert got == {"a": 0, "b": 1}   # tie at v=5 -> smaller id wins

@@ -501,3 +501,69 @@ def range_count_join(left_ds, right_ds, *, key_column: str, ts_column: str,
         stitch, batch_format="pyarrow")
     return done.union(stitched)
 
+
+
+def grouped_top_k(ds, *, group_column: str, order_column: str, k: int,
+                  descending: bool = True, tie_column: str | None = None,
+                  columns: tuple[str, ...] = ()):
+    """Per-group top-k rows by ``order_column`` (the SQL window shape
+    ``QUALIFY row_number() OVER (PARTITION BY g ORDER BY o) <= k`` — Ray
+    Data has no window functions).  ``tie_column`` breaks order ties
+    ascending for a deterministic result.
+
+    Scale shape: each block reduces to AT MOST k rows per group present
+    in the block (one vectorized lexsort + segment-rank, no per-group
+    Python), so the only shuffle — ``groupby(group)`` over the partials —
+    moves <= k x blocks rows per group, never raw data volume; the
+    per-group finisher re-ranks those few rows.  The partial/combiner
+    discipline of the windowed aggregates applied to a window FUNCTION."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    out_cols = [group_column, order_column,
+                *(c for c in columns
+                  if c not in (group_column, order_column))]
+    if tie_column is not None and tie_column not in out_cols:
+        out_cols.append(tie_column)
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        batch = batch.select(out_cols).combine_chunks()
+        n = batch.num_rows
+        if n == 0:
+            return batch
+        o = batch.column(order_column).to_numpy(zero_copy_only=False)
+        keys = [o if not descending else _neg_order(o)]
+        if tie_column is not None:
+            keys.insert(0, batch.column(tie_column).to_numpy(
+                zero_copy_only=False))
+        # group as the MAJOR key via dictionary codes (works for any
+        # group type, including strings, without object-dtype lexsort);
+        # combine_chunks() on the COLUMN yields a plain Array with
+        # .indices (a Table's columns stay chunked)
+        g = batch.column(group_column).combine_chunks().dictionary_encode()
+        codes = g.indices.to_numpy(zero_copy_only=False)
+        order = np.lexsort((*keys, codes))
+        gs = codes[order]
+        seg_start = np.ones(n, dtype=bool)
+        seg_start[1:] = gs[1:] != gs[:-1]
+        starts = np.flatnonzero(seg_start)
+        rank = np.arange(n, dtype=np.int64) - np.repeat(
+            starts, np.diff(np.append(starts, n)))
+        keep = order[rank < k]
+        return batch.take(pa.array(keep))
+
+    def finish(gtab: pa.Table) -> pa.Table:
+        return block_topk(gtab)
+
+    partials = ds.map_batches(block_topk, batch_format="pyarrow",
+                              runtime_env=package_runtime_env())
+    return partials.groupby(group_column).map_groups(
+        finish, batch_format="pyarrow")
+
+
+def _neg_order(o: np.ndarray) -> np.ndarray:
+    """Descending sort key for lexsort: negate numerics; other dtypes
+    (e.g. strings) fall back to a rank-based negation."""
+    if np.issubdtype(o.dtype, np.number):
+        return -o
+    ranks = np.unique(o, return_inverse=True)[1]
+    return -ranks

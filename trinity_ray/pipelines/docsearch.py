@@ -1128,6 +1128,34 @@ def q_events_props_sum(sf_dir: str):
         Sum("k", alias_name="sum_k")).sort("event_type")
 
 
+def q_docs_top_per_lang(sf_dir: str):
+    """Per-language top-3 documents by character length (ties broken by
+    doc_id) — the SQL window shape `QUALIFY row_number() OVER (PARTITION
+    BY lang ORDER BY length DESC) <= 3`, which Ray Data has no window
+    function for: ops/relational.grouped_top_k reduces every block to at
+    most k rows per group (one lexsort + segment rank, no per-group
+    Python) so the groupby shuffle moves only k x blocks rows."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from trinity_ray.ops.relational import grouped_top_k
+
+    docs = rd.read_parquet(documents_parquet(sf_dir),
+                           columns=["doc_id", "lang", "text"])
+
+    def with_len(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "lang": b.column("lang"),
+            "text_len": pc.cast(pc.utf8_length(b.column("text")),
+                                pa.int64())})
+
+    out = grouped_top_k(docs.map_batches(with_len, batch_format="pyarrow"),
+                        group_column="lang", order_column="text_len",
+                        k=3, descending=True, tie_column="doc_id")
+    return out.sort(["lang", "doc_id"])
+
+
 def q_events_sessions(sf_dir: str):
     """Gap-based sessionization (30 min) per user."""
     from trinity_ray.ops.window import sessionize
