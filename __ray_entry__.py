@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_conversion": dsp.q_events_conversion,
         "events_props_sum": dsp.q_events_props_sum,
         "docs_top_per_lang": dsp.q_docs_top_per_lang,
+        "sample_exact_k": dsp.q_sample_exact_k,
         # -- corpus curation: sampling / decontamination / vocabulary -------
         "sample_md5": dsp.q_sample_md5,
         "sample_stratified": dsp.q_sample_stratified,
@@ -716,6 +717,15 @@ FROM documents
 QUALIFY row_number() OVER (PARTITION BY lang
                            ORDER BY length(text) DESC, doc_id ASC) <= 3
 ORDER BY lang, doc_id
+""",
+        # exact-size deterministic sample: bottom-100 by md5 rank
+        # (row order of the comparison is doc_id, matching the Ray sort)
+        "sample_exact_k": """
+SELECT * FROM (
+  SELECT doc_id, lang FROM documents
+  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+  LIMIT 100
+) ORDER BY doc_id
 """,
         # hopping 1h windows every 30 min: event at t covers window ids
         # floor(t/hop) and floor(t/hop)-1 (window start = id * hop)

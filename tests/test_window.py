@@ -742,3 +742,22 @@ def test_grouped_top_k_small_groups_and_k1(ray_session):
                         tie_column="id").to_pandas()
     got = dict(zip(res.g, res.id))
     assert got == {"a": 0, "b": 1}   # tie at v=5 -> smaller id wins
+
+
+def test_sample_exact_k_partition_invariant(ray_session):
+    """Bottom-k sample picks the SAME rows regardless of partitioning,
+    and exactly k of them."""
+    import ray.data as rd
+    from trinity_ray.ops.sample import sample_exact_k
+
+    rows = [{"doc_id": i, "lang": "x"} for i in range(300)]
+    a = sample_exact_k(rd.from_items(rows), 20).to_pandas()
+    b = sample_exact_k(rd.from_items(rows).repartition(13), 20).to_pandas()
+    assert len(a) == len(b) == 20
+    assert sorted(a.doc_id) == sorted(b.doc_id)
+    # brute-force: k smallest md5 ranks
+    import hashlib
+    want = sorted(range(300),
+                  key=lambda i: hashlib.md5(str(i).encode()).hexdigest()
+                  )[:20]
+    assert sorted(a.doc_id) == sorted(want)

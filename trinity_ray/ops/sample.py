@@ -121,3 +121,40 @@ def stratified_sample(ds, rates: dict, strata_column: str = "lang",
         return batch.filter(pa.array(mask))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def sample_exact_k(ds, k: int, key_column: str = "doc_id",
+                   salt: str = "", columns: tuple[str, ...] = ()):
+    """EXACT-size deterministic uniform sample: the k rows with the
+    smallest ``md5(str(key) + salt)`` — a bottom-k sketch, so unlike the
+    rate-based :func:`sample_by_hash` the output size is exactly ``k``
+    (not binomial), while keeping every property that matters at scale:
+    order/partitioning independence, resumable reruns picking the SAME
+    rows, and SQL reproducibility (``ORDER BY md5(...) LIMIT k``).
+
+    Distributed shape: bottom-k is a mergeable summary — each block
+    reduces to its local bottom-k (ops/relational.grouped_top_k with a
+    constant group), and only k x blocks candidate rows reach the final
+    merge; no full sort, no full shuffle."""
+    import pyarrow.compute as pc
+
+    from trinity_ray.ops.relational import grouped_top_k
+
+    keep = tuple(columns) if columns else tuple(ds.schema().names)
+    if key_column not in keep:
+        keep = (key_column, *keep)
+
+    def rank(batch: pa.Table) -> pa.Table:
+        ks = batch.column(key_column).to_pylist()
+        hs = [hashlib.md5((str(x) + salt).encode()).hexdigest()
+              for x in ks]
+        cols = {c: batch.column(c) for c in keep}
+        cols["_h"] = pa.array(hs, pa.string())
+        cols["_grp"] = pa.array(np.zeros(batch.num_rows, np.int8))
+        return pa.table(cols)
+
+    out = grouped_top_k(ds.map_batches(rank, batch_format="pyarrow"),
+                        group_column="_grp", order_column="_h", k=k,
+                        descending=False, tie_column=key_column,
+                        columns=keep)
+    return out.drop_columns(["_grp"])

@@ -1156,6 +1156,20 @@ def q_docs_top_per_lang(sf_dir: str):
     return out.sort(["lang", "doc_id"])
 
 
+def q_sample_exact_k(sf_dir: str):
+    """Exact-100-row deterministic uniform sample of documents (bottom-k
+    by md5 rank — a mergeable summary: each block reduces to its local
+    bottom-k, only k x blocks candidates reach the merge)."""
+    import ray.data as rd
+    from trinity_ray.ops.sample import sample_exact_k
+
+    docs = rd.read_parquet(documents_parquet(sf_dir),
+                           columns=["doc_id", "lang"])
+    out = sample_exact_k(docs, 100, key_column="doc_id",
+                         columns=("doc_id", "lang"))
+    return out.drop_columns(["_h"]).sort("doc_id")
+
+
 def q_events_sessions(sf_dir: str):
     """Gap-based sessionization (30 min) per user."""
     from trinity_ray.ops.window import sessionize
