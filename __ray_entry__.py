@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_sum": dsp.q_events_props_sum,
         "docs_top_per_lang": dsp.q_docs_top_per_lang,
         "sample_exact_k": dsp.q_sample_exact_k,
+        "events_value_quantiles": dsp.q_events_value_quantiles,
         # -- corpus curation: sampling / decontamination / vocabulary -------
         "sample_md5": dsp.q_sample_md5,
         "sample_stratified": dsp.q_sample_stratified,
@@ -726,6 +727,15 @@ SELECT * FROM (
   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
   LIMIT 100
 ) ORDER BY doc_id
+""",
+        # exact per-group discrete quantiles (integer cents compare
+        # exactly across engines)
+        "events_value_quantiles": """
+SELECT event_type,
+  CAST(round(quantile_disc(value, 0.25) * 100, 0) AS BIGINT) AS q25_cents,
+  CAST(round(quantile_disc(value, 0.5) * 100, 0) AS BIGINT) AS q50_cents,
+  CAST(round(quantile_disc(value, 0.9) * 100, 0) AS BIGINT) AS q90_cents
+FROM events GROUP BY event_type ORDER BY event_type
 """,
         # hopping 1h windows every 30 min: event at t covers window ids
         # floor(t/hop) and floor(t/hop)-1 (window start = id * hop)

@@ -761,3 +761,27 @@ def test_sample_exact_k_partition_invariant(ray_session):
                   key=lambda i: hashlib.md5(str(i).encode()).hexdigest()
                   )[:20]
     assert sorted(a.doc_id) == sorted(want)
+
+
+def test_grouped_quantile_disc_vs_bruteforce(ray_session):
+    """quantile_disc = sorted element at ceil(q*n)-1; exact via the
+    sparse cents histogram under any partitioning."""
+    import ray.data as rd
+    from trinity_ray.ops.relational import grouped_quantile_disc
+
+    rng = np.random.default_rng(41)
+    rows = [{"g": ["a", "b"][int(rng.integers(0, 2))],
+             "v": float(np.round(rng.uniform(0, 30), 2))}
+            for _ in range(337)]
+    ds = rd.from_items(rows).repartition(7)
+    res = grouped_quantile_disc(ds, group_column="g", value_column="v",
+                                qs=(0.25, 0.5, 0.9)).to_pandas()
+    got = {r.g: (r.q25_cents, r.q50_cents, r.q90_cents)
+           for r in res.itertuples()}
+    for g in ("a", "b"):
+        vals = np.sort(np.array(
+            [int(round(r["v"] * 100)) for r in rows if r["g"] == g]))
+        n = vals.size
+        want = tuple(int(vals[max(int(np.ceil(q * n)) - 1, 0)])
+                     for q in (0.25, 0.5, 0.9))
+        assert got[g] == want, g

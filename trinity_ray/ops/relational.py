@@ -567,3 +567,58 @@ def _neg_order(o: np.ndarray) -> np.ndarray:
         return -o
     ranks = np.unique(o, return_inverse=True)[1]
     return -ranks
+
+
+def grouped_quantile_disc(ds, *, group_column: str, value_column: str,
+                          qs: tuple[float, ...] = (0.25, 0.5, 0.9),
+                          scale: int = 100):
+    """EXACT per-group discrete quantiles (``quantile_disc`` semantics:
+    the element at sorted index ``ceil(q * n) - 1``) for values with a
+    bounded decimal domain, via a sparse integer histogram: each block
+    emits (group, cent, n) partials (cent = round(value * scale)), the
+    only shuffle carries one row per DISTINCT (group, cent) pair —
+    bounded by groups x domain size, never data volume — and the
+    per-group finisher is a cumsum + searchsorted over at most
+    domain-size rows.  Exactness without a sort shuffle is what the
+    bounded domain buys; unbounded domains need a mergeable quantile
+    sketch instead.  Returns one row per group with ``q<q*100>_cents``
+    integer columns (integer cents compare exactly across engines)."""
+    from ray.data.aggregate import Sum
+
+    def cents(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            group_column: batch.column(group_column),
+            "cent": pc.cast(pc.round(pc.multiply(
+                batch.column(value_column), float(scale)),
+                round_mode="half_towards_infinity"), pa.int64()),
+        })
+        # block-local combiner: only distinct (group, cent) pairs leave
+        return t.group_by([group_column, "cent"]).aggregate(
+            [([], "count_all")]).rename_columns(
+            [group_column, "cent", "n"])
+
+    partials = ds.map_batches(cents, batch_format="pyarrow",
+                              runtime_env=package_runtime_env()) \
+                 .groupby([group_column, "cent"]).aggregate(
+                     Sum("n", alias_name="n"))
+
+    names = [f"q{int(round(q * 100))}_cents" for q in qs]
+
+    def finish(g: pa.Table) -> pa.Table:
+        c = g.column("cent").to_numpy(zero_copy_only=False)
+        n = g.column("n").to_numpy(zero_copy_only=False)
+        order = np.argsort(c)
+        c, n = c[order], n[order]
+        cum = np.cumsum(n)
+        total = int(cum[-1])
+        out = {group_column: g.column(group_column).take(pa.array([0]))}
+        for q, nm in zip(qs, names):
+            # quantile_disc picks sorted index ceil(q*n) - 1 (pinned
+            # against DuckDB over discriminating n/q combinations)
+            idx = max(int(np.ceil(q * total)) - 1, 0)
+            out[nm] = pa.array(
+                [int(c[np.searchsorted(cum, idx + 1)])], pa.int64())
+        return pa.table(out)
+
+    return partials.groupby(group_column).map_groups(
+        finish, batch_format="pyarrow")

@@ -1170,6 +1170,21 @@ def q_sample_exact_k(sf_dir: str):
     return out.drop_columns(["_h"]).sort("doc_id")
 
 
+def q_events_value_quantiles(sf_dir: str):
+    """Exact per-event-type quantile_disc(0.25/0.5/0.9) of value via the
+    sparse integer-cents histogram (ops/relational.grouped_quantile_disc):
+    the shuffle carries one row per distinct (type, cent) pair — bounded
+    by the value domain, never event volume."""
+    import ray.data as rd
+    from trinity_ray.ops.relational import grouped_quantile_disc
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "value"])
+    return grouped_quantile_disc(
+        ev, group_column="event_type",
+        value_column="value").sort("event_type")
+
+
 def q_events_sessions(sf_dir: str):
     """Gap-based sessionization (30 min) per user."""
     from trinity_ray.ops.window import sessionize
