@@ -785,3 +785,28 @@ def test_grouped_quantile_disc_vs_bruteforce(ray_session):
         want = tuple(int(vals[max(int(np.ceil(q * n)) - 1, 0)])
                      for q in (0.25, 0.5, 0.9))
         assert got[g] == want, g
+
+
+def test_grouped_quantile_sample_rank_error(ray_session):
+    """Sampled quantiles land within 5/sqrt(m) RANK error of the truth,
+    and the sample is partition-invariant."""
+    import ray.data as rd
+    from trinity_ray.ops.relational import grouped_quantile_sample
+
+    rng = np.random.default_rng(53)
+    rows = [{"g": "a", "v": float(rng.lognormal(0, 2))}
+            for _ in range(20_000)]
+    m = 1024
+    res = grouped_quantile_sample(
+        rd.from_items(rows).repartition(11), group_column="g",
+        value_column="v", qs=(0.25, 0.5, 0.9), m=m).to_pandas()
+    res2 = grouped_quantile_sample(
+        rd.from_items(rows).repartition(3), group_column="g",
+        value_column="v", qs=(0.25, 0.5, 0.9), m=m).to_pandas()
+    assert res.iloc[0].tolist() == res2.iloc[0].tolist()
+    vals = np.sort(np.array([r["v"] for r in rows]))
+    tol = 5.0 / np.sqrt(m)
+    for q, nm in ((0.25, "q25"), (0.5, "q50"), (0.9, "q90")):
+        est = float(res[nm].iloc[0])
+        true_rank = np.searchsorted(vals, est) / vals.size
+        assert abs(true_rank - q) <= tol, (q, est, true_rank)

@@ -622,3 +622,50 @@ def grouped_quantile_disc(ds, *, group_column: str, value_column: str,
 
     return partials.groupby(group_column).map_groups(
         finish, batch_format="pyarrow")
+
+
+def grouped_quantile_sample(ds, *, group_column: str, value_column: str,
+                            qs: tuple[float, ...] = (0.25, 0.5, 0.9),
+                            m: int = 1024, salt: str = ""):
+    """Approximate per-group quantiles for UNBOUNDED value domains — the
+    mergeable sibling of :func:`grouped_quantile_disc` (which needs a
+    bounded decimal domain): a deterministic size-m uniform sample per
+    group (the m smallest md5 ranks of the row key (group, value, salt) —
+    a bottom-m sketch, so it is mergeable, partition/order-invariant and
+    rerun-stable), then ``quantile_disc`` over the sample.  Sampling
+    error is the usual O(1/sqrt(m)) in RANK (tests pin a 5/sqrt(m)
+    rank-error bound); memory and shuffle are m rows per group per
+    block at most.  Use the exact histogram variant whenever the domain
+    is bounded."""
+    import hashlib
+
+    def rank(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_column).to_pylist()
+        v = batch.column(value_column).to_pylist()
+        hs = [hashlib.md5(f"{a}\x00{b}\x00{salt}".encode()).hexdigest()
+              for a, b in zip(g, v)]
+        return pa.table({group_column: batch.column(group_column),
+                         value_column: batch.column(value_column),
+                         "_h": pa.array(hs, pa.string())})
+
+    sampled = grouped_top_k(
+        ds.map_batches(rank, batch_format="pyarrow",
+                       runtime_env=package_runtime_env()),
+        group_column=group_column, order_column="_h", k=m,
+        descending=False, tie_column=value_column,
+        columns=(value_column,))
+
+    names = [f"q{int(round(q * 100))}" for q in qs]
+
+    def finish(g: pa.Table) -> pa.Table:
+        vals = np.sort(g.column(value_column).to_numpy(
+            zero_copy_only=False))
+        n = vals.size
+        out = {group_column: g.column(group_column).take(pa.array([0]))}
+        for q, nm in zip(qs, names):
+            out[nm] = pa.array(
+                [vals[max(int(np.ceil(q * n)) - 1, 0)]])
+        return pa.table(out)
+
+    return sampled.groupby(group_column).map_groups(
+        finish, batch_format="pyarrow")
