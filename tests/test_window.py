@@ -797,12 +797,15 @@ def test_grouped_quantile_sample_rank_error(ray_session):
     rows = [{"g": "a", "v": float(rng.lognormal(0, 2))}
             for _ in range(20_000)]
     m = 1024
+    rows = [dict(r, rid=i) for i, r in enumerate(rows)]
     res = grouped_quantile_sample(
         rd.from_items(rows).repartition(11), group_column="g",
-        value_column="v", qs=(0.25, 0.5, 0.9), m=m).to_pandas()
+        value_column="v", key_column="rid", qs=(0.25, 0.5, 0.9),
+        m=m).to_pandas()
     res2 = grouped_quantile_sample(
         rd.from_items(rows).repartition(3), group_column="g",
-        value_column="v", qs=(0.25, 0.5, 0.9), m=m).to_pandas()
+        value_column="v", key_column="rid", qs=(0.25, 0.5, 0.9),
+        m=m).to_pandas()
     assert res.iloc[0].tolist() == res2.iloc[0].tolist()
     vals = np.sort(np.array([r["v"] for r in rows]))
     tol = 5.0 / np.sqrt(m)
@@ -810,3 +813,87 @@ def test_grouped_quantile_sample_rank_error(ray_session):
         est = float(res[nm].iloc[0])
         true_rank = np.searchsorted(vals, est) / vals.size
         assert abs(true_rank - q) <= tol, (q, est, true_rank)
+
+
+def test_grouped_top_k_rejects_null_groups(ray_session):
+    """Ray's groupby sort cannot compare null keys, and NaN dictionary
+    codes would give every null row rank 0 — a clear upfront error
+    beats either failure mode."""
+    import ray.data as rd
+    from trinity_ray.ops.relational import grouped_top_k
+
+    rows = ([{"g": None, "v": i, "id": i} for i in range(10)]
+            + [{"g": "a", "v": i, "id": 100 + i} for i in range(5)])
+    with pytest.raises(Exception, match="non-null group"):
+        grouped_top_k(rd.from_items(rows), group_column="g",
+                      order_column="v", k=2,
+                      tie_column="id").to_pandas()
+
+
+def test_grouped_top_k_unsigned_descending(ray_session):
+    """uint64 order columns must not wrap under negation (0 is the
+    smallest, not the largest)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from trinity_ray.ops.relational import grouped_top_k
+
+    t = pa.table({"g": ["x"] * 4,
+                  "v": pa.array([0, 5, 3, 2], pa.uint64()),
+                  "id": pa.array([0, 1, 2, 3], pa.int64())})
+    ds = rd.from_arrow(t)
+    res = grouped_top_k(ds, group_column="g", order_column="v", k=2,
+                        tie_column="id").to_pandas()
+    assert sorted(res.v) == [3, 5]
+
+
+def test_grouped_quantile_disc_skips_nulls(ray_session):
+    import ray.data as rd
+    from trinity_ray.ops.relational import grouped_quantile_disc
+
+    rows = [{"g": "a", "v": 1.0}, {"g": "a", "v": None},
+            {"g": "a", "v": None}, {"g": "a", "v": 3.0}]
+    res = grouped_quantile_disc(rd.from_items(rows), group_column="g",
+                                value_column="v",
+                                qs=(0.5,)).to_pandas()
+    # quantile_disc over [1.0, 3.0]: ceil(0.5*2)-1 = 0 -> 1.0 (100 cents)
+    assert int(res.q50_cents.iloc[0]) == 100
+
+
+def test_extract_json_whitespace_cell_is_blank(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from trinity_ray.ops.jsonx import extract_json
+
+    ds = rd.from_items([{"id": 0, "props": "   "},
+                        {"id": 1, "props": '{"k": 9}'}])
+    out = extract_json(ds, "props", {"k": pa.int64()},
+                       keep=("id",)).to_pandas().sort_values("id")
+    assert np.isnan(out.k.iloc[0]) and out.k.iloc[1] == 9
+
+
+def test_extract_json_rejects_field_collision(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from trinity_ray.ops.jsonx import extract_json
+
+    ds = rd.from_items([{"id": 0, "props": "{}"}])
+    with pytest.raises(ValueError, match="collide"):
+        extract_json(ds, "props", {"id": pa.int64()}, keep=("id",))
+
+
+def test_grouped_quantile_sample_duplicate_heavy(ray_session):
+    """90% duplicates of one value: the unique-key hash keeps the
+    duplicate mass proportionally represented (hashing the value would
+    collapse it to one rank and estimate a tail value)."""
+    import ray.data as rd
+    from trinity_ray.ops.relational import grouped_quantile_sample
+
+    rng = np.random.default_rng(61)
+    rows = [{"g": "a", "rid": i,
+             "v": 1.0 if i % 10 else float(rng.uniform(100, 200))}
+            for i in range(10_000)]
+    res = grouped_quantile_sample(
+        rd.from_items(rows).repartition(5), group_column="g",
+        value_column="v", key_column="rid", qs=(0.5,),
+        m=512).to_pandas()
+    assert float(res.q50.iloc[0]) == 1.0   # the true median

@@ -66,6 +66,13 @@ def extract_json(ds, column: str, fields: dict[str, pa.DataType], *,
     absent from a value extract as null.  ``keep`` limits the carried
     input columns (column pruning)."""
     schema = pa.schema(fields)
+    carried = set(keep) if keep else set(ds.schema().names)
+    clash = set(schema.names) & carried
+    if clash or column in schema.names:
+        bad = sorted(clash | ({column} & set(schema.names)))
+        raise ValueError(
+            f"extract_json: field names collide with carried columns "
+            f"{bad} — a dict-keyed output would silently overwrite them")
 
     def parse(batch: pa.Table) -> pa.Table:
         from pyarrow import json as pj
@@ -75,7 +82,11 @@ def extract_json(ds, column: str, fields: dict[str, pa.DataType], *,
             # an all-null block carries no string buffers at all
             col = col.cast(pa.string())
         col = pc.fill_null(col, "{}")
-        col = pc.if_else(pc.equal(col, ""), pa.scalar("{}"), col)
+        # blank INCLUDING whitespace-only: a whitespace cell parses to
+        # zero objects, which would mask a neighboring multi-object cell
+        # from the row-count guard and shift rows silently
+        blank = pc.equal(pc.utf8_trim_whitespace(col), "")
+        col = pc.if_else(blank, pa.scalar("{}"), col)
         parsed = pj.read_json(
             io.BytesIO(joined_buffer(col)),
             parse_options=pj.ParseOptions(explicit_schema=schema),

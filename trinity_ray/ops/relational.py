@@ -17,6 +17,15 @@ import pyarrow.compute as pc
 from trinity_ray.rayutil import package_runtime_env
 
 
+def _to_cents(col, scale: float = 100.0):
+    """round(value * scale) as int64 — half_towards_infinity matches
+    DuckDB's round(), the rounding-parity rule every exact-integer
+    comparison in this module depends on."""
+    return pc.cast(pc.round(pc.multiply(col, float(scale)),
+                            round_mode="half_towards_infinity"),
+                   pa.int64())
+
+
 def broadcast_join_agg(big_ds, small_table: pa.Table, *,
                        big_key: str, small_key: str, label_column: str,
                        cents_column: str):
@@ -38,9 +47,7 @@ def broadcast_join_agg(big_ds, small_table: pa.Table, *,
         hit = skeys[idx] == bk
         # vectorized label gather: Arrow take on the broadcast label array
         lab = labels.take(pa.array(idx))
-        cents = pc.cast(pc.round(pc.multiply(
-            batch.column(cents_column), 100.0),
-            round_mode="half_towards_infinity"), pa.int64())  # == DuckDB round()
+        cents = _to_cents(batch.column(cents_column))
         return pa.table({
             label_column: lab,
             "cents": cents,
@@ -136,6 +143,9 @@ def asof_join(left_ds, right_ds, *, key_column: str, ts_column: str,
     ltypes = dict(zip(lschema.names, lschema.types))
     rtypes = dict(zip(rschema.names, rschema.types))
     is_ts = _check_ts_type("asof_join", ltypes[ts_column])
+    if _check_ts_type("asof_join", rtypes[ts_column]) != is_ts:
+        raise ValueError("asof_join: left and right ts columns must both "
+                         "be timestamps or both integers")
     ts_t = pa.timestamp("us") if is_ts else ltypes[ts_column]
     fwd = direction == "forward"
     tie_src = right_id
@@ -346,8 +356,13 @@ def range_count_join(left_ds, right_ds, *, key_column: str, ts_column: str,
     _check_output_disjoint("range_count_join", key_column, ts_column,
                            left_columns, (count_name,))
     lschema = left_ds.schema()
+    rschema = right_ds.schema()
     ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = dict(zip(rschema.names, rschema.types))
     is_ts = _check_ts_type("range_count_join", ltypes[ts_column])
+    if _check_ts_type("range_count_join", rtypes[ts_column]) != is_ts:
+        raise ValueError("range_count_join: left and right ts columns "
+                         "must both be timestamps or both integers")
     ts_t = pa.timestamp("us") if is_ts else ltypes[ts_column]
     # integer window in the column's units: float arithmetic over int64
     # timestamps would promote the probe arrays to float64 and lose
@@ -539,8 +554,16 @@ def grouped_top_k(ds, *, group_column: str, order_column: str, k: int,
         # group type, including strings, without object-dtype lexsort);
         # combine_chunks() on the COLUMN yields a plain Array with
         # .indices (a Table's columns stay chunked)
+        if batch.column(group_column).null_count:
+            # Ray's groupby sort cannot compare a null key, and NaN
+            # dictionary codes would make every null row its own rank-0
+            # segment here — reject upfront with a usable message (the
+            # joins' _check_nonnull convention); pre-fill nulls with a
+            # sentinel value to window over them
+            raise ValueError("grouped_top_k requires a non-null group "
+                             "column (fill nulls with a sentinel first)")
         g = batch.column(group_column).combine_chunks().dictionary_encode()
-        codes = g.indices.to_numpy(zero_copy_only=False)
+        codes = g.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.lexsort((*keys, codes))
         gs = codes[order]
         seg_start = np.ones(n, dtype=bool)
@@ -551,22 +574,23 @@ def grouped_top_k(ds, *, group_column: str, order_column: str, k: int,
         keep = order[rank < k]
         return batch.take(pa.array(keep))
 
-    def finish(gtab: pa.Table) -> pa.Table:
-        return block_topk(gtab)
-
     partials = ds.map_batches(block_topk, batch_format="pyarrow",
                               runtime_env=package_runtime_env())
+    # the finisher IS the block combiner re-applied to one group's
+    # collected partials (<= k x blocks rows)
     return partials.groupby(group_column).map_groups(
-        finish, batch_format="pyarrow")
+        block_topk, batch_format="pyarrow")
 
 
 def _neg_order(o: np.ndarray) -> np.ndarray:
-    """Descending sort key for lexsort: negate numerics; other dtypes
-    (e.g. strings) fall back to a rank-based negation."""
-    if np.issubdtype(o.dtype, np.number):
+    """Descending sort key for lexsort: negate floats directly; every
+    other dtype goes through a rank-based negation — raw negation of
+    unsigned ints wraps (0 would sort as the maximum) and of INT64_MIN
+    overflows back to itself."""
+    if np.issubdtype(o.dtype, np.floating):
         return -o
     ranks = np.unique(o, return_inverse=True)[1]
-    return -ranks
+    return -ranks.astype(np.int64)
 
 
 def grouped_quantile_disc(ds, *, group_column: str, value_column: str,
@@ -588,10 +612,13 @@ def grouped_quantile_disc(ds, *, group_column: str, value_column: str,
     def cents(batch: pa.Table) -> pa.Table:
         t = pa.table({
             group_column: batch.column(group_column),
-            "cent": pc.cast(pc.round(pc.multiply(
-                batch.column(value_column), float(scale)),
-                round_mode="half_towards_infinity"), pa.int64()),
+            "cent": _to_cents(batch.column(value_column), scale),
         })
+        # NULL values never count toward a quantile (quantile_disc /
+        # SQL aggregate semantics) — a null cent row would inflate the
+        # rank total and can land the index in the null bucket
+        if t.column("cent").null_count:
+            t = t.filter(pc.is_valid(t.column("cent")))
         # block-local combiner: only distinct (group, cent) pairs leave
         return t.group_by([group_column, "cent"]).aggregate(
             [([], "count_all")]).rename_columns(
@@ -625,14 +652,17 @@ def grouped_quantile_disc(ds, *, group_column: str, value_column: str,
 
 
 def grouped_quantile_sample(ds, *, group_column: str, value_column: str,
+                            key_column: str,
                             qs: tuple[float, ...] = (0.25, 0.5, 0.9),
                             m: int = 1024, salt: str = ""):
     """Approximate per-group quantiles for UNBOUNDED value domains — the
     mergeable sibling of :func:`grouped_quantile_disc` (which needs a
     bounded decimal domain): a deterministic size-m uniform sample per
-    group (the m smallest md5 ranks of the row key (group, value, salt) —
+    group (the m smallest md5 ranks of the row's UNIQUE ``key_column`` —
     a bottom-m sketch, so it is mergeable, partition/order-invariant and
-    rerun-stable), then ``quantile_disc`` over the sample.  Sampling
+    rerun-stable; hashing the value instead would collapse duplicate
+    values to one rank and bias the sample on duplicate-heavy data),
+    then ``quantile_disc`` over the sample.  Sampling
     error is the usual O(1/sqrt(m)) in RANK (tests pin a 5/sqrt(m)
     rank-error bound); memory and shuffle are m rows per group per
     block at most.  Use the exact histogram variant whenever the domain
@@ -640,10 +670,9 @@ def grouped_quantile_sample(ds, *, group_column: str, value_column: str,
     import hashlib
 
     def rank(batch: pa.Table) -> pa.Table:
-        g = batch.column(group_column).to_pylist()
-        v = batch.column(value_column).to_pylist()
-        hs = [hashlib.md5(f"{a}\x00{b}\x00{salt}".encode()).hexdigest()
-              for a, b in zip(g, v)]
+        ks = batch.column(key_column).to_pylist()
+        hs = [hashlib.md5(f"{a}\x00{salt}".encode()).hexdigest()
+              for a in ks]
         return pa.table({group_column: batch.column(group_column),
                          value_column: batch.column(value_column),
                          "_h": pa.array(hs, pa.string())})

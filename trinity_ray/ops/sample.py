@@ -29,8 +29,8 @@ from fractions import Fraction
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["sample_by_hash", "stratified_sample", "md5_threshold_hex",
-           "splitmix64"]
+__all__ = ["sample_by_hash", "stratified_sample", "sample_exact_k",
+           "md5_threshold_hex", "splitmix64"]
 
 _MD5_SPACE = 1 << 128
 
@@ -136,8 +136,6 @@ def sample_exact_k(ds, k: int, key_column: str = "doc_id",
     reduces to its local bottom-k (ops/relational.grouped_top_k with a
     constant group), and only k x blocks candidate rows reach the final
     merge; no full sort, no full shuffle."""
-    import pyarrow.compute as pc
-
     from trinity_ray.ops.relational import grouped_top_k
 
     keep = tuple(columns) if columns else tuple(ds.schema().names)
@@ -157,4 +155,4 @@ def sample_exact_k(ds, k: int, key_column: str = "doc_id",
                         group_column="_grp", order_column="_h", k=k,
                         descending=False, tie_column=key_column,
                         columns=keep)
-    return out.drop_columns(["_grp"])
+    return out.drop_columns(["_grp", "_h"])

@@ -1167,7 +1167,7 @@ def q_sample_exact_k(sf_dir: str):
                            columns=["doc_id", "lang"])
     out = sample_exact_k(docs, 100, key_column="doc_id",
                          columns=("doc_id", "lang"))
-    return out.drop_columns(["_h"]).sort("doc_id")
+    return out.sort("doc_id")
 
 
 def q_events_value_quantiles(sf_dir: str):
