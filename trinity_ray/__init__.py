@@ -52,6 +52,23 @@ _EXPORTS = {
     "top_terms": ("trinity_ray.ops.text", "top_terms"),
     "repetition_stats": ("trinity_ray.ops.text", "repetition_stats"),
     "export_curated": ("trinity_ray.pipelines.export", "export_curated"),
+    # round 5 (final session): relational/event operators Ray Data lacks,
+    # sketches, semi-structured extraction
+    "asof_join": ("trinity_ray.ops.relational", "asof_join"),
+    "range_count_join": ("trinity_ray.ops.relational", "range_count_join"),
+    "grouped_top_k": ("trinity_ray.ops.relational", "grouped_top_k"),
+    "grouped_quantile_disc": ("trinity_ray.ops.relational",
+                              "grouped_quantile_disc"),
+    "grouped_quantile_sample": ("trinity_ray.ops.relational",
+                                "grouped_quantile_sample"),
+    "sample_exact_k": ("trinity_ray.ops.sample", "sample_exact_k"),
+    "extract_json": ("trinity_ray.ops.jsonx", "extract_json"),
+    "heavy_hitters": ("trinity_ray.ops.sketch", "heavy_hitters"),
+    "MisraGries": ("trinity_ray.ops.sketch", "MisraGries"),
+    "hll_distinct": ("trinity_ray.ops.sketch", "hll_distinct"),
+    "tumbling_window": ("trinity_ray.ops.window", "tumbling_window"),
+    "hopping_window": ("trinity_ray.ops.window", "hopping_window"),
+    "sessionize": ("trinity_ray.ops.window", "sessionize"),
 }
 
 __all__ = sorted(_EXPORTS) + ["__version__"]
