@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": dsp.q_events_sessions,
         "events_asof": dsp.q_events_asof,
         "events_range_count": dsp.q_events_range_count,
+        "events_range_sum": dsp.q_events_range_sum,
         "events_conversion": dsp.q_events_conversion,
         "events_props_sum": dsp.q_events_props_sum,
         "docs_top_per_lang": dsp.q_docs_top_per_lang,
@@ -688,6 +689,19 @@ ORDER BY p.event_id
         "events_range_count": """
 SELECT p.user_id, p.ts, p.event_id,
        CAST(count(c.event_id) AS BIGINT) AS n_clicks_30m
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+GROUP BY p.user_id, p.ts, p.event_id
+ORDER BY p.event_id
+""",
+        # range join with an exact integer-cents windowed SUM
+        "events_range_sum": """
+SELECT p.user_id, p.ts, p.event_id,
+       CAST(count(c.event_id) AS BIGINT) AS n_clicks_30m,
+       CAST(coalesce(sum(CAST(round(c.value * 100, 0) AS BIGINT)), 0)
+            AS BIGINT) AS click_cents_30m
 FROM (SELECT * FROM events WHERE event_type = 'purchase') p
 LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
   ON p.user_id = c.user_id

@@ -897,3 +897,43 @@ def test_grouped_quantile_sample_duplicate_heavy(ray_session):
         value_column="v", key_column="rid", qs=(0.5,),
         m=512).to_pandas()
     assert float(res.q50.iloc[0]) == 1.0   # the true median
+
+
+def test_range_sum_join_vs_bruteforce_across_blocks(ray_session):
+    """Windowed sum (integer cents) with a whale key spanning blocks:
+    exact against brute force, including null values summing as 0."""
+    import ray.data as rd
+    from trinity_ray.ops.relational import range_count_join
+
+    rng = np.random.default_rng(67)
+    rows = []
+    t_us = 0
+    for i in range(500):
+        t_us += int(rng.integers(1, 40)) * 1_000_000
+        rows.append({"event_id": i,
+                     "ts": T0 + dt.timedelta(microseconds=t_us),
+                     "user_id": 1 if i % 3 else int(rng.integers(2, 5)),
+                     "event_type": ["click", "buy"][int(rng.integers(0, 2))],
+                     "value": (None if i % 17 == 0
+                               else float(np.round(rng.uniform(0, 50), 2)))})
+    ds = rd.from_items(rows).repartition(12)
+    left = ds.filter(expr="event_type == 'buy'")
+    right = ds.filter(expr="event_type == 'click'")
+    res = range_count_join(left, right, key_column="user_id",
+                           ts_column="ts", left_columns=("event_id",),
+                           window_s=240, sum_cents_column="value",
+                           sum_name="cents").to_pandas()
+    got = {int(r.event_id): (int(r.n_in_window), int(r.cents))
+           for r in res.itertuples()}
+    want = {}
+    for p in rows:
+        if p["event_type"] != "buy":
+            continue
+        lo = p["ts"] - dt.timedelta(seconds=240)
+        sel = [c for c in rows if c["event_type"] == "click"
+               and c["user_id"] == p["user_id"] and lo <= c["ts"] <= p["ts"]]
+        want[p["event_id"]] = (
+            len(sel),
+            sum(int(round(c["value"] * 100)) for c in sel
+                if c["value"] is not None))
+    assert got == want

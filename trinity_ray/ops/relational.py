@@ -330,7 +330,9 @@ def asof_join(left_ds, right_ds, *, key_column: str, ts_column: str,
 def range_count_join(left_ds, right_ds, *, key_column: str, ts_column: str,
                      left_columns: tuple[str, ...],
                      window_s: float, count_name: str = "n_in_window",
-                     include_equal: bool = True):
+                     include_equal: bool = True,
+                     sum_cents_column: str | None = None,
+                     sum_name: str = "sum_cents"):
     """Per-key range (band) join, aggregate form: for every left row, the
     COUNT of right rows with ``left.ts - window_s <= right.ts <= left.ts``
     (a trailing-window count; ``include_equal=False`` makes the upper
@@ -352,9 +354,16 @@ def range_count_join(left_ds, right_ds, *, key_column: str, ts_column: str,
     where two ``searchsorted`` probes finish the count.  The aggregate
     form is the scale-safe one: emitting matched PAIRS of a range join
     is inherently quadratic in hot windows; counts keep output linear in
-    the left side."""
+    the left side.
+
+    ``sum_cents_column`` additionally emits ``sum_name``: the exact
+    integer-cents SUM (``round(value*100)``, NULL values sum as 0 per
+    SQL) of that right column over the same window — the cumulative
+    trick extends from counts to any associative partial for free."""
     _check_output_disjoint("range_count_join", key_column, ts_column,
-                           left_columns, (count_name,))
+                           left_columns,
+                           (count_name,) if sum_cents_column is None
+                           else (count_name, sum_name))
     lschema = left_ds.schema()
     rschema = right_ds.schema()
     ltypes = dict(zip(lschema.names, lschema.types))
@@ -378,6 +387,9 @@ def range_count_join(left_ds, right_ds, *, key_column: str, ts_column: str,
                 "__ts_us": ts.cast(pa.int64()),
                 "__ord": pa.array(
                     np.ones(batch.num_rows, dtype=np.int8))}
+        if sum_cents_column is not None:
+            cols["__cents"] = pa.array(
+                np.zeros(batch.num_rows, dtype=np.int64))
         for c in left_columns:
             cols["l_" + c] = batch.column(c)
         return pa.table(cols)
@@ -390,6 +402,10 @@ def range_count_join(left_ds, right_ds, *, key_column: str, ts_column: str,
                 ts_column: ts,
                 "__ts_us": ts.cast(pa.int64()),
                 "__ord": pa.array(np.zeros(n, dtype=np.int8))}
+        if sum_cents_column is not None:
+            # SQL SUM ignores nulls: they contribute 0
+            cols["__cents"] = pc.fill_null(
+                _to_cents(batch.column(sum_cents_column)), 0)
         for c in left_columns:
             cols["l_" + c] = pa.nulls(n, ltypes[c])
         return pa.table(cols)
@@ -401,7 +417,7 @@ def range_count_join(left_ds, right_ds, *, key_column: str, ts_column: str,
     s = u.sort([key_column, "__ts_us", "__ord"])
 
     out_names = [key_column, ts_column] + list(left_columns) \
-        + [count_name]
+        + [count_name] + ([] if sum_cents_column is None else [sum_name])
     aux = ["__kind", "__ts_us"]
     # probe tag ordering among equal ts: lo probes (and strict hi probes)
     # rank BEFORE rights, inclusive hi probes AFTER
@@ -410,7 +426,7 @@ def range_count_join(left_ds, right_ds, *, key_column: str, ts_column: str,
     def _empty_out(schema: pa.Schema) -> pa.Table:
         cols = {}
         for nm in out_names + aux:
-            if nm == count_name:
+            if nm in (count_name, sum_name):
                 t = pa.int64()
             elif nm == "__kind":
                 t = pa.int8()
@@ -466,8 +482,20 @@ def range_count_join(left_ds, right_ds, *, key_column: str, ts_column: str,
         lo = at[rk.size:rk.size + ck.size]
         hi = at[rk.size + ck.size:]
         counts = hi - lo
+        sums = None
+        cents_all = None
+        if sum_cents_column is not None:
+            cents_all = batch.column("__cents").to_numpy(
+                zero_copy_only=False)
+            vals = np.concatenate([
+                cents_all[r_rows],
+                np.zeros(2 * ck.size, dtype=np.int64)])
+            cumv = np.cumsum(vals[order])
+            atv = np.where(tag == 1, 0, cumv[pos])
+            sums = (atv[rk.size + ck.size:]
+                    - atv[rk.size:rk.size + ck.size])
 
-        def out_table(rows, kind, cnt):
+        def out_table(rows, kind, cnt, sm):
             idx = pa.array(rows)
             cols = {key_column: k.take(idx),
                     ts_column: batch.column(ts_column).take(idx)}
@@ -476,15 +504,22 @@ def range_count_join(left_ds, right_ds, *, key_column: str, ts_column: str,
             cols[count_name] = pa.array(
                 cnt if cnt is not None
                 else np.zeros(len(rows), dtype=np.int64), pa.int64())
+            if sum_cents_column is not None:
+                # kind-2 rows carry the right's OWN cents so the stitch
+                # can re-accumulate them; kind-1 rows carry 0
+                cols[sum_name] = pa.array(
+                    sm if sm is not None
+                    else np.zeros(len(rows), dtype=np.int64), pa.int64())
             cols["__kind"] = pa.array(
                 np.full(len(rows), kind, dtype=np.int8))
             cols["__ts_us"] = batch.column("__ts_us").take(idx)
             return pa.table(cols)
 
         return pa.concat_tables([
-            out_table(counted, 0, counts.astype(np.int64)),
-            out_table(carried, 1, None),
-            out_table(r_boundary, 2, None),
+            out_table(counted, 0, counts.astype(np.int64), sums),
+            out_table(carried, 1, None, None),
+            out_table(r_boundary, 2, None,
+                      None if cents_all is None else cents_all[r_boundary]),
         ])
 
     all_rows = s.map_batches(block_kernel, batch_size=None,
@@ -497,15 +532,24 @@ def range_count_join(left_ds, right_ds, *, key_column: str, ts_column: str,
     def stitch(g: pa.Table) -> pa.Table:
         kind = g.column("__kind").to_numpy(zero_copy_only=False)
         lrows = np.flatnonzero(kind == 1)
+        rmask = kind == 2
         ts = g.column("__ts_us").to_numpy(zero_copy_only=False)
-        rts = np.sort(ts[kind == 2])
+        rts_raw = ts[rmask]
+        r_order = np.argsort(rts_raw)
+        rts = rts_raw[r_order]
         lts = ts[lrows]
         hi = np.searchsorted(rts, lts,
                              side="right" if include_equal else "left")
         lo = np.searchsorted(rts, lts - window_us, side="left")
         out = {nm: g.column(nm).take(pa.array(lrows))
-               for nm in out_names if nm != count_name}
+               for nm in out_names if nm not in (count_name, sum_name)}
         out[count_name] = pa.array((hi - lo).astype(np.int64))
+        if sum_cents_column is not None:
+            rc = g.column(sum_name).to_numpy(
+                zero_copy_only=False)[rmask][r_order]
+            cums = np.concatenate([[0], np.cumsum(rc)])
+            out[sum_name] = pa.array(
+                (cums[hi] - cums[lo]).astype(np.int64))
         return pa.table(out)
 
     if pending.count() == 0:

@@ -1185,6 +1185,27 @@ def q_events_value_quantiles(sf_dir: str):
         value_column="value").sort("event_type")
 
 
+def q_events_range_sum(sf_dir: str):
+    """Trailing-window range join with an exact integer-cents SUM: for
+    every purchase, the count AND summed value of the same user's clicks
+    in the preceding 30 minutes (the cumulative kernel extends from
+    counts to any associative partial)."""
+    import ray.data as rd
+    from trinity_ray.ops.relational import range_count_join
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "ts", "user_id",
+                                  "event_type", "value"])
+    left = ev.filter(expr="event_type == 'purchase'")
+    right = ev.filter(expr="event_type == 'click'")
+    out = range_count_join(left, right, key_column="user_id",
+                           ts_column="ts", left_columns=("event_id",),
+                           window_s=1800, count_name="n_clicks_30m",
+                           sum_cents_column="value",
+                           sum_name="click_cents_30m")
+    return out.sort("event_id")
+
+
 def q_events_sessions(sf_dir: str):
     """Gap-based sessionization (30 min) per user."""
     from trinity_ray.ops.window import sessionize
