@@ -150,3 +150,33 @@ def test_cli_facet_and_suggest(tmp_path, capsys, ray_session):
     rows = [json.loads(l) for l in
             capsys.readouterr().out.strip().splitlines()]
     assert rows[0] == {"term": "BETA", "df": 4}
+
+
+def test_cli_curate(tmp_path, ray_session, capsys):
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from trinity_ray.cli import main
+
+    docs = pa.table({
+        "doc_id": pa.array(range(40), pa.int64()),
+        "text": pa.array(
+            [f"the quick brown fox number {i} jumps over the lazy dog"
+             for i in range(20)] * 2),   # 20 exact dups
+    })
+    src = tmp_path / "docs.parquet"
+    pq.write_table(docs, str(src))
+    out = tmp_path / "curated"
+    rc = main(["curate", "--input", str(src), "--out", str(out),
+               "--min-words", "3"])
+    assert rc == 0
+    manifest = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0 < manifest["rows"] <= 20          # dups dropped
+    # resumable: second run returns the recorded manifest, no rewrite
+    rc2 = main(["curate", "--input", str(src), "--out", str(out),
+                "--min-words", "3"])
+    assert rc2 == 0
+    manifest2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert manifest2["rows"] == manifest["rows"]

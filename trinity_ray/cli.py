@@ -128,6 +128,27 @@ def cmd_suggest(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_curate(args: argparse.Namespace) -> int:
+    """clean_corpus (exact dedup -> MinHash near-dup -> quality/lang
+    filters) -> hive-partitioned resumable Parquet export — the
+    training-data curation job for ``ray job submit``."""
+    _ensure_ray()
+    import ray.data as rd
+
+    from trinity_ray.pipelines.clean import clean_corpus
+    from trinity_ray.pipelines.export import export_curated
+
+    ds = rd.read_parquet(args.input)
+    cleaned = clean_corpus(ds, id_column=args.id_column,
+                           text_column=args.text_column,
+                           jaccard_threshold=args.jaccard_threshold,
+                           min_words=args.min_words, lang=args.lang)
+    manifest = export_curated(cleaned, args.out,
+                              partition_cols=tuple(args.partition_cols))
+    print(json.dumps(manifest))
+    return 0
+
+
 def cmd_percolate(args: argparse.Namespace) -> int:
     import ray.data as rd
 
@@ -240,6 +261,18 @@ def main(argv: list[str] | None = None) -> int:
     pc.add_argument("--out", default=None)
     pc.add_argument("--limit", type=int, default=100)
     pc.set_defaults(fn=cmd_percolate)
+    cu = sub.add_parser("curate", help="clean + dedup a corpus and export "
+                                       "hive-partitioned curated Parquet")
+    cu.add_argument("--input", required=True)
+    cu.add_argument("--out", required=True)
+    cu.add_argument("--id-column", default="doc_id")
+    cu.add_argument("--text-column", default="text")
+    cu.add_argument("--jaccard-threshold", type=float, default=0.6)
+    cu.add_argument("--min-words", type=int, default=5)
+    cu.add_argument("--lang", default="en")
+    cu.add_argument("--partition-cols", nargs="*", default=["lang_pred"])
+    cu.set_defaults(fn=cmd_curate)
+
 
     args = p.parse_args(argv)
     return args.fn(args)
