@@ -937,3 +937,53 @@ def test_range_sum_join_vs_bruteforce_across_blocks(ray_session):
             sum(int(round(c["value"] * 100)) for c in sel
                 if c["value"] is not None))
     assert got == want
+
+
+def test_extract_json_ignores_unrequested_mixed_type_fields(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from trinity_ray.ops.jsonx import extract_json
+
+    ds = rd.from_items([{"props": '{"k": 1, "x": 1}'},
+                        {"props": '{"k": 2, "x": "s"}'}])
+    out = extract_json(ds, "props", {"k": pa.int64()}).to_pandas()
+    assert sorted(out.k) == [1, 2]
+
+
+def test_grouped_quantile_sample_skips_null_values(ray_session):
+    import ray.data as rd
+    from trinity_ray.ops.relational import grouped_quantile_sample
+
+    rows = ([{"g": "a", "rid": i, "v": float(i % 7)} for i in range(200)]
+            + [{"g": "a", "rid": 1000 + i, "v": None} for i in range(50)])
+    res = grouped_quantile_sample(
+        rd.from_items(rows), group_column="g", value_column="v",
+        key_column="rid", qs=(0.9,), m=256).to_pandas()
+    assert not np.isnan(float(res.q90.iloc[0]))
+
+
+def test_grouped_top_k_rejects_null_order(ray_session):
+    import ray.data as rd
+    from trinity_ray.ops.relational import grouped_top_k
+
+    ds = rd.from_items([{"g": "a", "v": 1, "id": 0},
+                        {"g": "a", "v": None, "id": 1}])
+    with pytest.raises(Exception, match="non-null order"):
+        grouped_top_k(ds, group_column="g", order_column="v", k=1,
+                      tie_column="id").to_pandas()
+
+
+def test_range_count_join_left_column_named_sum_cents(ray_session):
+    """A left payload named 'sum_cents' must survive when the sum channel
+    is disabled (the internal default name must not shadow it)."""
+    import ray.data as rd
+    from trinity_ray.ops.relational import range_count_join
+
+    t = T0 + dt.timedelta(seconds=50)
+    left = rd.from_items([{"sum_cents": 77, "ts": t, "user_id": 1}])
+    right = rd.from_items(
+        [{"ts": t - dt.timedelta(seconds=5), "user_id": 1}])
+    res = range_count_join(left, right, key_column="user_id",
+                           ts_column="ts", left_columns=("sum_cents",),
+                           window_s=10).to_pandas()
+    assert int(res.sum_cents[0]) == 77 and int(res.n_in_window[0]) == 1

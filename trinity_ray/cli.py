@@ -138,11 +138,16 @@ def cmd_curate(args: argparse.Namespace) -> int:
     from trinity_ray.pipelines.clean import clean_corpus
     from trinity_ray.pipelines.export import export_curated
 
+    if not args.partition_cols:
+        raise SystemExit("curate: --partition-cols needs at least one "
+                         "column (export partitioning is what makes the "
+                         "write resumable)")
     ds = rd.read_parquet(args.input)
     cleaned = clean_corpus(ds, id_column=args.id_column,
                            text_column=args.text_column,
                            jaccard_threshold=args.jaccard_threshold,
-                           min_words=args.min_words, lang=args.lang)
+                           min_words=args.min_words, lang=args.lang,
+                           keep_columns=(args.text_column,))
     manifest = export_curated(cleaned, args.out,
                               partition_cols=tuple(args.partition_cols))
     print(json.dumps(manifest))

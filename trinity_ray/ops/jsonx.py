@@ -89,7 +89,13 @@ def extract_json(ds, column: str, fields: dict[str, pa.DataType], *,
         col = pc.if_else(blank, pa.scalar("{}"), col)
         parsed = pj.read_json(
             io.BytesIO(joined_buffer(col)),
-            parse_options=pj.ParseOptions(explicit_schema=schema),
+            # ignore fields outside the explicit schema: inferring them
+            # fails the whole batch when an UNREQUESTED field's type
+            # varies across rows (mixed-type optional metadata is
+            # routine), and inference work on them is wasted anyway
+            parse_options=pj.ParseOptions(
+                explicit_schema=schema,
+                unexpected_field_behavior="ignore"),
         )
         if parsed.num_rows != batch.num_rows:
             raise ValueError(

@@ -364,6 +364,10 @@ def range_count_join(left_ds, right_ds, *, key_column: str, ts_column: str,
                            left_columns,
                            (count_name,) if sum_cents_column is None
                            else (count_name, sum_name))
+    if sum_cents_column is None:
+        # the internal name must not shadow a legal left column when the
+        # sum channel is disabled (stitch/_empty_out test membership)
+        sum_name = None
     lschema = left_ds.schema()
     rschema = right_ds.schema()
     ltypes = dict(zip(lschema.names, lschema.types))
@@ -589,6 +593,13 @@ def grouped_top_k(ds, *, group_column: str, order_column: str, k: int,
         n = batch.num_rows
         if n == 0:
             return batch
+        if batch.column(order_column).null_count or (
+                tie_column is not None
+                and batch.column(tie_column).null_count):
+            # null order/tie values would silently materialize an int64
+            # column as float64 (precision loss past 2^53) and rank NaN
+            raise ValueError("grouped_top_k requires non-null order and "
+                             "tie columns")
         o = batch.column(order_column).to_numpy(zero_copy_only=False)
         keys = [o if not descending else _neg_order(o)]
         if tie_column is not None:
@@ -649,7 +660,10 @@ def grouped_quantile_disc(ds, *, group_column: str, value_column: str,
     per-group finisher is a cumsum + searchsorted over at most
     domain-size rows.  Exactness without a sort shuffle is what the
     bounded domain buys; unbounded domains need a mergeable quantile
-    sketch instead.  Returns one row per group with ``q<q*100>_cents``
+    sketch instead.  NULL values are ignored (SQL aggregate semantics);
+    a group whose values are ALL null is OMITTED from the output, where
+    SQL GROUP BY would emit it with null quantiles — partials cannot
+    represent a group with zero contributing rows.  Returns one row per group with ``q<q*100>_cents``
     integer columns (integer cents compare exactly across engines)."""
     from ray.data.aggregate import Sum
 
@@ -709,17 +723,19 @@ def grouped_quantile_sample(ds, *, group_column: str, value_column: str,
     then ``quantile_disc`` over the sample.  Sampling
     error is the usual O(1/sqrt(m)) in RANK (tests pin a 5/sqrt(m)
     rank-error bound); memory and shuffle are m rows per group per
-    block at most.  Use the exact histogram variant whenever the domain
-    is bounded."""
-    import hashlib
+    block at most.  NULL values never enter the sample (SQL aggregate
+    semantics; a sampled NaN would sort into the upper tail).  Use the
+    exact histogram variant whenever the domain is bounded."""
+    from trinity_ray.ops.sample import md5_rank_hex
 
     def rank(batch: pa.Table) -> pa.Table:
-        ks = batch.column(key_column).to_pylist()
-        hs = [hashlib.md5(f"{a}\x00{salt}".encode()).hexdigest()
-              for a in ks]
+        vc = batch.column(value_column).combine_chunks()
+        if vc.null_count:
+            batch = batch.filter(pc.is_valid(vc))
         return pa.table({group_column: batch.column(group_column),
                          value_column: batch.column(value_column),
-                         "_h": pa.array(hs, pa.string())})
+                         "_h": md5_rank_hex(
+                             batch.column(key_column).to_pylist(), salt)})
 
     sampled = grouped_top_k(
         ds.map_batches(rank, batch_format="pyarrow",

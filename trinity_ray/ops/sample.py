@@ -30,7 +30,7 @@ import numpy as np
 import pyarrow as pa
 
 __all__ = ["sample_by_hash", "stratified_sample", "sample_exact_k",
-           "md5_threshold_hex", "splitmix64"]
+           "md5_threshold_hex", "md5_rank_hex", "splitmix64"]
 
 _MD5_SPACE = 1 << 128
 
@@ -63,6 +63,15 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
     z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
     z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
     return z ^ (z >> np.uint64(31))
+
+
+def md5_rank_hex(keys: list, salt: str) -> pa.Array:
+    """md5(str(key) + salt) hex ranks — THE shared rank derivation for
+    every bottom-k selection (sample_exact_k, grouped_quantile_sample):
+    one definition so the same (key, salt) selects the same rows across
+    APIs and any future change lands once."""
+    return pa.array([hashlib.md5((str(k) + salt).encode()).hexdigest()
+                     for k in keys], pa.string())
 
 
 def _md5_keep_mask(keys: list, salt: str, th_hex: str) -> np.ndarray:
@@ -144,10 +153,8 @@ def sample_exact_k(ds, k: int, key_column: str = "doc_id",
 
     def rank(batch: pa.Table) -> pa.Table:
         ks = batch.column(key_column).to_pylist()
-        hs = [hashlib.md5((str(x) + salt).encode()).hexdigest()
-              for x in ks]
         cols = {c: batch.column(c) for c in keep}
-        cols["_h"] = pa.array(hs, pa.string())
+        cols["_h"] = md5_rank_hex(ks, salt)
         cols["_grp"] = pa.array(np.zeros(batch.num_rows, np.int8))
         return pa.table(cols)
 

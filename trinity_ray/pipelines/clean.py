@@ -27,8 +27,12 @@ from trinity_ray.rayutil import package_runtime_env
 
 def clean_corpus(ds, *, id_column: str = "doc_id",
                  text_column: str = "text", jaccard_threshold: float = 0.6,
-                 min_words: int = 5, lang: str = "en"):
-    """Returns the cleaned Dataset with (id, n_words, lang_pred) columns."""
+                 min_words: int = 5, lang: str = "en",
+                 keep_columns: tuple = ()):
+    """Returns the cleaned Dataset with (id, n_words, lang_pred) columns,
+    plus any ``keep_columns`` carried through (e.g. the text itself for a
+    curated-training-data export — the default stays metadata-only for
+    the oracle entry)."""
     import ray
 
     from trinity_ray.ops.dedup import (
@@ -67,4 +71,6 @@ def clean_corpus(ds, *, id_column: str = "doc_id",
         expr=f"n_words >= {min_words}")
     d4 = lang_id(d3, text_column=text_column).filter(
         expr=f"lang_pred == '{lang}'")
-    return d4.select_columns([id_column, "n_words", "lang_pred"])
+    extra = [c for c in keep_columns
+             if c not in (id_column, "n_words", "lang_pred")]
+    return d4.select_columns([id_column, "n_words", "lang_pred", *extra])
