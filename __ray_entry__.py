@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": dsp.q_dedup_clusters,
         "pii_scrub": dsp.q_pii_scrub,
         "chunk_tokens": dsp.q_chunk_tokens,
+        "pack_sequences": dsp.q_pack_sequences,
         # -- inverted-index build + query engine (SURVEY.md §2.1-2.7) -----
         "search_rare_top10": dsp.q_search_rare_top10,
         "search_hot_top10": dsp.q_search_hot_top10,
@@ -1100,6 +1101,26 @@ SELECT doc_id, CAST((p - 1) // 32 AS BIGINT) AS chunk_idx,
        count(*) AS n_tokens,
        CAST(sum(((p - 1) % 32 + 1) * vid) AS BIGINT) AS checksum
 FROM ids GROUP BY doc_id, (p - 1) // 32
+""",
+        # concat-and-split sequence packing: exclusive-prefix-sum window +
+        # LATERAL generate_series over the covered sequence ids
+        "pack_sequences": """
+WITH counts AS (
+  SELECT doc_id,
+         len(list_filter(regexp_extract_all(text, '[A-Za-z0-9]+'),
+                         x -> len(x) <= 64)) AS n
+  FROM documents),
+pos AS (
+  SELECT doc_id, n,
+         COALESCE(SUM(n) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+  FROM counts WHERE n > 0)
+SELECT CAST(k AS BIGINT) AS seq_id, doc_id,
+       CAST(LEAST(s + n, (k + 1) * 256) - GREATEST(s, k * 256) AS BIGINT)
+         AS n_tokens
+FROM pos, LATERAL unnest(generate_series(CAST(s // 256 AS BIGINT),
+                                         CAST((s + n - 1) // 256 AS BIGINT))
+                         ) AS t(k)
 """,
         # exact heavy hitters, ties term-ascending (same order as the
         # engine's sort key)

@@ -303,3 +303,52 @@ def test_chunk_documents_windows(ray_session):
     assert got["chunk_idx"].tolist() == [0, 1, 2, 0]
     assert got["n_tokens"].tolist() == [2, 2, 1, 2]
     assert got["checksum"].tolist() == [5, 5, 2, 2]
+
+
+def test_pack_sequences_small(ray_session):
+    from trinity_ray.ops.pack import pack_sequences
+
+    t = pa.table({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["a b c", "", "d e f g h", "i"],
+    })
+    got = pack_sequences(rd.from_arrow(t), seq_len=4, range_span=2
+                         ).to_pandas().sort_values(
+        ["seq_id", "doc_id"]).reset_index(drop=True)
+    # stream by id: doc0 3 toks | doc2 5 | doc3 1 -> 9 tokens, L=4:
+    # seq0 = doc0[3] + doc2[1]; seq1 = doc2[4]; seq2 = doc3[1]
+    assert got["seq_id"].tolist() == [0, 0, 1, 2]
+    assert got["doc_id"].tolist() == [0, 2, 2, 3]
+    assert got["n_tokens"].tolist() == [3, 1, 4, 1]
+
+
+def test_pack_sequences_matches_bruteforce(ray_session):
+    import random
+
+    from trinity_ray.ops.pack import pack_sequences
+
+    rnd = random.Random(42)
+    ids = rnd.sample(range(1000), 60)          # sparse, unsorted ids
+    texts = {i: " ".join("w" for _ in range(rnd.randrange(0, 23)))
+             for i in ids}
+    t = pa.table({"doc_id": ids, "text": [texts[i] for i in ids]})
+    L = 16
+    got = pack_sequences(rd.from_arrow(t), seq_len=L, range_span=64
+                         ).to_pandas().sort_values(
+        ["seq_id", "doc_id"]).reset_index(drop=True)
+
+    # brute force: walk docs in id order, cut the concatenated stream
+    expect, pos = [], 0
+    for i in sorted(ids):
+        n = len(texts[i].split())
+        if n == 0:
+            continue
+        s, e = pos, pos + n
+        for k in range(s // L, (e - 1) // L + 1):
+            expect.append((k, i, min(e, (k + 1) * L) - max(s, k * L)))
+        pos = e
+    expect.sort()
+    assert list(map(tuple, got.itertuples(index=False))) == expect
+    # per-sequence totals: exactly L everywhere but the tail
+    sums = got.groupby("seq_id")["n_tokens"].sum()
+    assert (sums.iloc[:-1] == L).all() and 0 < sums.iloc[-1] <= L

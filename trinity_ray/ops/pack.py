@@ -23,7 +23,7 @@ import pyarrow as pa
 from trinity_ray.rayutil import package_runtime_env
 from trinity_ray.tokenizer import get_tokenizer
 
-__all__ = ["chunk_documents"]
+__all__ = ["chunk_documents", "pack_sequences"]
 
 
 def chunk_documents(ds, vocab, *, seq_len: int = 128,
@@ -82,3 +82,100 @@ def chunk_documents(ds, vocab, *, seq_len: int = 128,
 
     return ds.map_batches(chunks, batch_format="pyarrow",
                           runtime_env=package_runtime_env())
+
+
+def pack_sequences(ds, *, seq_len: int = 256, text_column: str = "text",
+                   id_column: str = "doc_id", tokenizer: str = "simple",
+                   range_span: int = 4096):
+    """Cross-document concat-and-split sequence packing.
+
+    The standard pre-training layout: every document's token stream is
+    concatenated in ascending ``id_column`` order and the global stream is
+    cut into fixed ``seq_len`` training sequences.  Output: one row per
+    (sequence, document) overlap — ``(seq_id, <id_column>, n_tokens)``
+    where ``n_tokens`` is how many of the document's tokens land in that
+    sequence.  Summing per document recovers its token count; summing per
+    sequence gives exactly ``seq_len`` everywhere but the tail.  Documents
+    with zero tokens emit no rows (and shift no offsets).
+
+    Scale shape — the distributed prefix-sum pattern:
+
+    1. a stateless ``map_batches`` counts tokens per document;
+    2. a count-only ``groupby(range_id).sum`` whose result (one row per
+       id-range of ``range_span`` consecutive ids — NOT per document)
+       reaches the driver for the exclusive prefix sum and is broadcast
+       back once via ``ray.put``;
+    3. ``groupby(range_id).map_groups`` sorts each bounded range by id,
+       adds the broadcast range offset to a local cumulative sum, and
+       emits the per-sequence overlap rows fully vectorized.
+
+    Only O(#ranges) rows ever reach the driver, every heavy stage streams,
+    and group size is bounded by ``range_span`` documents.  Partitioning
+    assumption (documented per the custom-operator rule): ``id_column`` is
+    an integer; packing order is ascending id.
+    """
+    import ray
+
+    from trinity_ray.ops.text import TokenCounter
+
+    L = int(seq_len)
+    if L <= 0:
+        raise ValueError("seq_len must be positive")
+    span = int(range_span)
+    if span <= 0:
+        raise ValueError("range_span must be positive")
+    counter = TokenCounter(text_column=text_column, tokenizer=tokenizer)
+
+    def counts(batch: pa.Table) -> pa.Table:
+        n = counter(batch).column("n_tokens").to_numpy(zero_copy_only=False)
+        ids = batch.column(id_column).cast(pa.int64()
+                                           ).to_numpy(zero_copy_only=False)
+        keep = n > 0
+        ids, n = ids[keep], n[keep]
+        return pa.table({id_column: pa.array(ids, pa.int64()),
+                         "range_id": pa.array(ids // span, pa.int64()),
+                         "n": pa.array(n.astype(np.int64), pa.int64())})
+
+    # two consumers (range totals + the packing groupby) read the counts:
+    # materialize the REDUCED table (3 int64 columns, ~24 B/doc vs the
+    # multi-KB text rows) so tokenization — the expensive stage — runs
+    # once; the object store spills it if it outgrows memory
+    cnt_ds = ds.map_batches(counts, batch_format="pyarrow",
+                            runtime_env=package_runtime_env()).materialize()
+    # one row per id-range: vocabulary-sized, never per-document
+    totals = cnt_ds.groupby("range_id").sum("n").to_pandas()
+    totals = totals.sort_values("range_id").reset_index(drop=True)
+    csum = totals["sum(n)"].cumsum().shift(1, fill_value=0)
+    offsets = dict(zip(totals["range_id"].astype(int), csum.astype(int)))
+    off_ref = ray.put(offsets)
+
+    def pack_group(group: pa.Table) -> pa.Table:
+        offs = ray.get(off_ref)
+        ids = group.column(id_column).to_numpy(zero_copy_only=False)
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids, n = ids[order], n[order]
+        rid = int(ids[0]) // span
+        s = int(offs[rid]) + np.concatenate(
+            ([0], np.cumsum(n[:-1], dtype=np.int64)))
+        e = s + n
+        k_lo, k_hi = s // L, (e - 1) // L
+        counts_per_doc = k_hi - k_lo + 1
+        total = int(counts_per_doc.sum())
+        idx = np.arange(total, dtype=np.int64)
+        base = np.concatenate(([0], np.cumsum(counts_per_doc[:-1],
+                                              dtype=np.int64)))
+        within = idx - np.repeat(base, counts_per_doc)
+        ks = np.repeat(k_lo, counts_per_doc) + within
+        s_rep = np.repeat(s, counts_per_doc)
+        e_rep = np.repeat(e, counts_per_doc)
+        n_in = (np.minimum(e_rep, (ks + 1) * L)
+                - np.maximum(s_rep, ks * L))
+        return pa.table({
+            "seq_id": pa.array(ks, pa.int64()),
+            id_column: pa.array(np.repeat(ids, counts_per_doc), pa.int64()),
+            "n_tokens": pa.array(n_in, pa.int64()),
+        })
+
+    return cnt_ds.groupby("range_id").map_groups(
+        pack_group, batch_format="pyarrow")

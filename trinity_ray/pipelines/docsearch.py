@@ -831,6 +831,18 @@ def q_chunk_tokens(sf_dir: str):
                            text_column="text", id_column="doc_id")
 
 
+def q_pack_sequences(sf_dir: str):
+    """Cross-document concat-and-split packing into 256-token training
+    sequences (ascending doc_id order): one row per (sequence, document)
+    overlap — the distributed-prefix-sum packer; exact window-function +
+    LATERAL generate_series oracle."""
+    from trinity_ray.ops.pack import pack_sequences
+
+    return pack_sequences(read_documents(sf_dir), seq_len=256,
+                          text_column="text", id_column="doc_id",
+                          range_span=64)
+
+
 def q_text_token_counts(sf_dir: str):
     from trinity_ray.ops.text import token_count
 
