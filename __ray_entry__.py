@@ -78,6 +78,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": dsp.q_pii_scrub,
         "chunk_tokens": dsp.q_chunk_tokens,
         "pack_sequences": dsp.q_pack_sequences,
+        "epoch_shuffle": dsp.q_epoch_shuffle,
+        "upsample": dsp.q_upsample,
         # -- inverted-index build + query engine (SURVEY.md §2.1-2.7) -----
         "search_rare_top10": dsp.q_search_rare_top10,
         "search_hot_top10": dsp.q_search_hot_top10,
@@ -1101,6 +1103,23 @@ SELECT doc_id, CAST((p - 1) // 32 AS BIGINT) AS chunk_idx,
        count(*) AS n_tokens,
        CAST(sum(((p - 1) % 32 + 1) * vid) AS BIGINT) AS checksum
 FROM ids GROUP BY doc_id, (p - 1) // 32
+""",
+        # deterministic epoch permutation: rank of md5(doc_id + seed)
+        "epoch_shuffle": """
+SELECT CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)
+                                            || ':epoch1'), doc_id) - 1
+            AS BIGINT) AS pos, doc_id
+FROM documents
+""",
+        # deterministic 2.5x upweighting: 2 copies + md5-gated third
+        "upsample": """
+SELECT doc_id, CAST(t.k AS BIGINT) AS repeat_idx
+FROM (SELECT doc_id,
+             2 + CASE WHEN md5(CAST(doc_id AS VARCHAR) || 'up')
+                      < '80000000000000000000000000000000' THEN 1 ELSE 0 END AS r
+      FROM documents),
+LATERAL unnest(generate_series(CAST(0 AS BIGINT), CAST(r - 1 AS BIGINT))
+               ) AS t(k)
 """,
         # concat-and-split sequence packing: exclusive-prefix-sum window +
         # LATERAL generate_series over the covered sequence ids

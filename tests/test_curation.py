@@ -352,3 +352,49 @@ def test_pack_sequences_matches_bruteforce(ray_session):
     # per-sequence totals: exactly L everywhere but the tail
     sums = got.groupby("seq_id")["n_tokens"].sum()
     assert (sums.iloc[:-1] == L).all() and 0 < sums.iloc[-1] <= L
+
+
+def test_epoch_shuffle_is_a_stable_permutation(ray_session):
+    from trinity_ray.ops.sample import epoch_shuffle
+
+    t = pa.table({"doc_id": list(range(40))})
+    a = epoch_shuffle(rd.from_arrow(t), seed="e1").to_pandas(
+        ).sort_values("pos").reset_index(drop=True)
+    # a permutation: every position once, every key once
+    assert a["pos"].tolist() == list(range(40))
+    assert sorted(a["doc_id"]) == list(range(40))
+    # same seed -> same order; different seed -> different order
+    b = epoch_shuffle(rd.from_arrow(t), seed="e1").to_pandas(
+        ).sort_values("pos").reset_index(drop=True)
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    c = epoch_shuffle(rd.from_arrow(t), seed="e2").to_pandas(
+        ).sort_values("pos").reset_index(drop=True)
+    assert a["doc_id"].tolist() != c["doc_id"].tolist()
+    # order-sensitive vs md5: positions sort the hex ranks
+    import hashlib
+    expect = sorted(range(40), key=lambda k: hashlib.md5(
+        (str(k) + "e1").encode()).hexdigest())
+    assert a["doc_id"].tolist() == expect
+
+
+def test_upsample_fractional_repetition(ray_session):
+    import hashlib
+
+    from trinity_ray.ops.sample import md5_threshold_hex, upsample
+
+    t = pa.table({"doc_id": list(range(30)),
+                  "lang": ["en", "fr", "de"] * 10})
+    got = upsample(rd.from_arrow(t), (5, 2), salt="s",
+                   columns=("lang",)).to_pandas().sort_values(
+        ["doc_id", "repeat_idx"]).reset_index(drop=True)
+    th = md5_threshold_hex((1, 2))
+    for k in range(30):
+        r = 2 + (hashlib.md5((str(k) + "s").encode()).hexdigest() < th)
+        sub = got[got.doc_id == k]
+        assert sub["repeat_idx"].tolist() == list(range(r))
+        assert (sub["lang"] == ["en", "fr", "de"][k % 3]).all()
+    # whole factors need no hash gate; factor < 1 is a subsample
+    two = upsample(rd.from_arrow(t), 2).to_pandas()
+    assert len(two) == 60
+    half = upsample(rd.from_arrow(t), (1, 2), salt="s").to_pandas()
+    assert (half["repeat_idx"] == 0).all() and 0 < len(half) < 30

@@ -62,6 +62,9 @@ _EXPORTS = {
     "grouped_quantile_sample": ("trinity_ray.ops.relational",
                                 "grouped_quantile_sample"),
     "sample_exact_k": ("trinity_ray.ops.sample", "sample_exact_k"),
+    "epoch_shuffle": ("trinity_ray.ops.sample", "epoch_shuffle"),
+    "upsample": ("trinity_ray.ops.sample", "upsample"),
+    "pack_sequences": ("trinity_ray.ops.pack", "pack_sequences"),
     "extract_json": ("trinity_ray.ops.jsonx", "extract_json"),
     "heavy_hitters": ("trinity_ray.ops.sketch", "heavy_hitters"),
     "MisraGries": ("trinity_ray.ops.sketch", "MisraGries"),

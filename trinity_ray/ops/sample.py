@@ -30,6 +30,7 @@ import numpy as np
 import pyarrow as pa
 
 __all__ = ["sample_by_hash", "stratified_sample", "sample_exact_k",
+           "epoch_shuffle", "upsample",
            "md5_threshold_hex", "md5_rank_hex", "splitmix64"]
 
 _MD5_SPACE = 1 << 128
@@ -163,3 +164,97 @@ def sample_exact_k(ds, k: int, key_column: str = "doc_id",
                         descending=False, tie_column=key_column,
                         columns=keep)
     return out.drop_columns(["_grp", "_h"])
+
+
+def epoch_shuffle(ds, *, seed: str = "", key_column: str = "doc_id",
+                  prefix_len: int = 2):
+    """Deterministic epoch permutation: global shuffle positions
+    ``pos = rank of md5(str(key) + seed)`` — the standard "different
+    epoch, different but reproducible order" for training loaders.
+    Output rows: ``(pos, <key_column>)``; a loader sorts or joins by
+    ``pos``.  Exactly reproducible in SQL (``row_number() OVER (ORDER BY
+    md5(...), key) - 1``).
+
+    Distributed shape — hash ranks are uniform, so global rank is a
+    two-pass prefix sum over hex-prefix ranges (16**prefix_len of them):
+    per-range counts (one row per RANGE, not per row) reach the driver
+    for the exclusive prefix sum; each range then sorts locally and adds
+    its broadcast offset.  No global sort of the corpus, group size is
+    n/16**prefix_len in expectation (raise ``prefix_len`` for bigger
+    corpora)."""
+    import ray
+
+    if prefix_len < 1 or prefix_len > 8:
+        raise ValueError("prefix_len must be in 1..8")
+
+    def ranks(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_column)
+        hs = md5_rank_hex(keys.to_pylist(), seed)
+        rid = pa.array([int(h[:prefix_len], 16) for h in hs.to_pylist()],
+                       pa.int64())
+        return pa.table({key_column: keys, "_h": hs, "_rid": rid})
+
+    # two consumers (range counts + the ranking groupby) — materialize the
+    # reduced (key, hash, range) projection so hashing runs once
+    ranked = ds.map_batches(ranks, batch_format="pyarrow").materialize()
+    totals = ranked.groupby("_rid").count().to_pandas()
+    totals = totals.sort_values("_rid").reset_index(drop=True)
+    csum = totals["count()"].cumsum().shift(1, fill_value=0)
+    offsets = dict(zip(totals["_rid"].astype(int), csum.astype(int)))
+    off_ref = ray.put(offsets)
+
+    def rank_group(group: pa.Table) -> pa.Table:
+        offs = ray.get(off_ref)
+        hs = np.asarray(group.column("_h").to_pylist())
+        keys = group.column(key_column).to_numpy(zero_copy_only=False)
+        order = np.lexsort((keys, hs))        # ties (never, for md5) by key
+        rid = int(group.column("_rid")[0].as_py())
+        pos = int(offs[rid]) + np.arange(len(hs), dtype=np.int64)
+        return pa.table({
+            "pos": pa.array(pos, pa.int64()),
+            key_column: group.column(key_column).take(pa.array(order)),
+        })
+
+    return ranked.groupby("_rid").map_groups(rank_group,
+                                             batch_format="pyarrow")
+
+
+def upsample(ds, factor, *, key_column: str = "doc_id", salt: str = "",
+             columns: tuple[str, ...] = ()):
+    """Deterministic fractional repetition — domain/source upweighting.
+
+    Each row is emitted ``floor(factor)`` times, plus once more iff
+    ``md5(str(key) + salt)`` falls below the fractional part of
+    ``factor`` — so a corpus upweighted 2.5x repeats every row twice and
+    a deterministic, order/partitioning-independent half of the rows a
+    third time.  ``factor`` is an exact fraction ``(num, den)`` or a
+    Fraction-able value >= 0; rows selected are SQL-reproducible like
+    :func:`sample_by_hash` (a factor < 1 is a plain subsample).
+
+    Output: ``(<key_column>, repeat_idx, *columns)`` with ``repeat_idx``
+    in ``0..r-1`` — downstream packing/shuffling treats repeats as
+    distinct rows.  Stateless ``map_batches``; no shuffle."""
+    f = Fraction(*factor) if isinstance(factor, tuple) else Fraction(factor)
+    if f < 0:
+        raise ValueError(f"factor must be >= 0, got {f}")
+    whole = int(f)
+    frac = f - whole
+    th = md5_threshold_hex(frac)
+    keep = tuple(columns)
+
+    def rep(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_column).to_pylist()
+        r = np.full(len(keys), whole, np.int64)
+        if frac > 0:
+            r += _md5_keep_mask(keys, salt, th)
+        tot = int(r.sum())
+        base = np.concatenate(([0], np.cumsum(r[:-1], dtype=np.int64)))
+        ridx = np.arange(tot, dtype=np.int64) - np.repeat(base, r)
+        gather = pa.array(np.repeat(np.arange(len(keys), dtype=np.int64), r))
+        out = {key_column: batch.column(key_column).take(gather),
+               "repeat_idx": pa.array(ridx, pa.int64())}
+        for c in keep:
+            out[c] = batch.column(c).take(gather)
+        return pa.table(out)
+
+    return ds.map_batches(rep, batch_format="pyarrow")

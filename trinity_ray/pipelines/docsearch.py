@@ -843,6 +843,26 @@ def q_pack_sequences(sf_dir: str):
                           range_span=64)
 
 
+def q_epoch_shuffle(sf_dir: str):
+    """Deterministic epoch permutation: global shuffle position = rank of
+    md5(doc_id + seed), computed by a two-pass hex-prefix-range prefix sum
+    (no global sort); exact row_number() oracle."""
+    from trinity_ray.ops.sample import epoch_shuffle
+
+    return epoch_shuffle(read_documents(sf_dir).select_columns(["doc_id"]),
+                         seed=":epoch1")
+
+
+def q_upsample(sf_dir: str):
+    """Deterministic 2.5x domain upweighting: every doc twice + a stable
+    md5-selected half a third time, repeat_idx distinguishing copies;
+    exact LATERAL generate_series oracle."""
+    from trinity_ray.ops.sample import upsample
+
+    return upsample(read_documents(sf_dir).select_columns(["doc_id"]),
+                    (5, 2), salt="up")
+
+
 def q_text_token_counts(sf_dir: str):
     from trinity_ray.ops.text import token_count
 
