@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": dsp.q_pii_scrub,
         "chunk_tokens": dsp.q_chunk_tokens,
         "pack_sequences": dsp.q_pack_sequences,
+        "dedup_lines": dsp.q_dedup_lines,
         "epoch_shuffle": dsp.q_epoch_shuffle,
         "upsample": dsp.q_upsample,
         # -- inverted-index build + query engine (SURVEY.md §2.1-2.7) -----
@@ -1103,6 +1104,28 @@ SELECT doc_id, CAST((p - 1) // 32 AS BIGINT) AS chunk_idx,
        count(*) AS n_tokens,
        CAST(sum(((p - 1) % 32 + 1) * vid) AS BIGINT) AS checksum
 FROM ids GROUP BY doc_id, (p - 1) // 32
+""",
+        # corpus-wide line dedup over word-split "lines" (first global
+        # occurrence wins; lines shorter than 4 chars exempt)
+        "dedup_lines": """
+WITH lines AS (
+  SELECT doc_id, i AS line_idx, l AS line
+  FROM (SELECT doc_id,
+               unnest(str_split(replace(text, ' ', chr(10)), chr(10))) AS l,
+               generate_subscripts(
+                   str_split(replace(text, ' ', chr(10)), chr(10)), 1) AS i
+        FROM documents)),
+marked AS (
+  SELECT doc_id, line_idx, line,
+         (length(line) < 4 OR row_number() OVER (
+              PARTITION BY line ORDER BY doc_id, line_idx) = 1) AS keep
+  FROM lines)
+SELECT doc_id,
+       COALESCE(string_agg(line, chr(10) ORDER BY line_idx)
+                FILTER (WHERE keep), '') AS text,
+       CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+       CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_dropped
+FROM marked GROUP BY doc_id
 """,
         # deterministic epoch permutation: rank of md5(doc_id + seed)
         "epoch_shuffle": """

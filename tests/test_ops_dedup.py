@@ -307,3 +307,28 @@ def test_clear_export_dir_refuses_foreign(tmp_path):
     with pytest.raises(RuntimeError, match="refusing"):
         _clear_export_dir(str(foreign))
     assert (foreign / "thesis.tex").read_text() == "important"
+
+
+def test_dedup_lines_first_occurrence_wins(ray_session):
+    import ray.data as rd
+
+    from trinity_ray.ops.dedup import dedup_lines
+
+    t = pa.table({"doc_id": [1, 2, 3], "text": [
+        "hello world\nfoo\n\nhello world",     # self-dup dropped
+        "foo bar baz\nhello world\nok",        # cross-doc dup dropped
+        "foo bar baz\n\nxy",                   # dup + short lines kept
+    ]})
+    out = dedup_lines(rd.from_arrow(t), min_chars=4).to_pandas(
+        ).sort_values("doc_id").reset_index(drop=True)
+    assert out["text"].tolist() == [
+        "hello world\nfoo\n", "foo bar baz\nok", "\nxy"]
+    assert out["n_kept"].tolist() == [3, 2, 2]
+    assert out["n_dropped"].tolist() == [1, 1, 1]
+    # idempotent: a second pass drops nothing
+    again = dedup_lines(rd.from_arrow(
+        pa.table({"doc_id": out.doc_id.tolist(),
+                  "text": out.text.tolist()})), min_chars=4
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert (again["n_dropped"] == 0).all()
+    assert again["text"].tolist() == out["text"].tolist()

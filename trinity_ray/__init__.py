@@ -65,6 +65,7 @@ _EXPORTS = {
     "epoch_shuffle": ("trinity_ray.ops.sample", "epoch_shuffle"),
     "upsample": ("trinity_ray.ops.sample", "upsample"),
     "pack_sequences": ("trinity_ray.ops.pack", "pack_sequences"),
+    "dedup_lines": ("trinity_ray.ops.dedup", "dedup_lines"),
     "extract_json": ("trinity_ray.ops.jsonx", "extract_json"),
     "heavy_hitters": ("trinity_ray.ops.sketch", "heavy_hitters"),
     "MisraGries": ("trinity_ray.ops.sketch", "MisraGries"),

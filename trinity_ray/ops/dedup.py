@@ -981,3 +981,93 @@ def cluster_near_dups(pairs_ds, docs_ds, *, id_column: str = "doc_id"):
 
     return docs_ds.select_columns([id_column]).map_batches(
         assign, batch_format="pyarrow", runtime_env=package_runtime_env())
+
+
+def dedup_lines(ds, *, text_column: str = "text", id_column: str = "doc_id",
+                min_chars: int = 4):
+    """Corpus-wide line-level deduplication (the RefinedWeb/Gopher-style
+    boilerplate pass): every line keeps only its FIRST occurrence across
+    the whole corpus — first = lowest ``(doc id, line index)`` — and
+    documents are reassembled from their surviving lines.  Lines shorter
+    than ``min_chars`` characters are exempt (blank lines and trivial
+    tokens are structure, not boilerplate).  Output rows:
+    ``(<id_column>, text, n_kept, n_dropped)`` with ``text`` the kept
+    lines re-joined by newline in original order.
+
+    Scale shape: documents explode to (id, line_idx, line) rows in one
+    stateless ``map_batches``; the group key is the line itself for
+    dedup-eligible lines but a per-row unique salt for short lines, so
+    the one ``groupby`` exchange never builds a hot key out of the
+    billions of identical blank/short lines (the classic skew case) —
+    each short line rides through as a singleton group.  First-occurrence
+    marking is a per-group argmin; reassembly is a second
+    ``groupby(id)``.  Both shuffles are inherent to the semantics (global
+    line identity, then document identity); line text is the shuffle
+    payload once, never the full document."""
+    m = int(min_chars)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_column).cast(pa.int64()
+                                           ).to_numpy(zero_copy_only=False)
+        txt = pc.fill_null(batch.column(text_column), "")
+        parts = pc.split_pattern(txt, "\n")
+        lens = pc.list_value_length(parts).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(parts).combine_chunks()
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.chunk(0) if flat.num_chunks else pa.array([], pa.string())
+        n = len(flat)
+        ids_rep = np.repeat(ids, lens)
+        base = np.concatenate(([0], np.cumsum(lens[:-1], dtype=np.int64)))
+        ix = np.arange(n, dtype=np.int64) - np.repeat(base, lens) + 1
+        is_long = pc.greater_equal(pc.utf8_length(flat), m)
+        # "L"+line groups identical long lines; short lines get a
+        # collision-proof per-row singleton key (prefix disambiguates),
+        # so a billion blank lines never form one hot shuffle key
+        sep = pa.array([""] * n, pa.string())
+        gk_long = pc.binary_join_element_wise(
+            pa.array(["L"] * n, pa.string()), flat, sep)
+        gk_short = pc.binary_join_element_wise(
+            pa.array(["S"] * n, pa.string()),
+            pa.array(ids_rep.astype("U"), pa.string()),
+            pa.array([":"] * n, pa.string()),
+            pa.array(ix.astype("U"), pa.string()), sep)
+        return pa.table({id_column: pa.array(ids_rep, pa.int64()),
+                         "line_idx": pa.array(ix, pa.int64()),
+                         "line": flat,
+                         "_gk": pc.if_else(is_long, gk_long, gk_short)})
+
+    lines = ds.map_batches(explode, batch_format="pyarrow",
+                           runtime_env=package_runtime_env())
+
+    def mark_first(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if group.column("_gk")[0].as_py().startswith("S"):
+            keep = np.ones(n, bool)               # singleton short line
+        else:
+            ids = group.column(id_column).to_numpy(zero_copy_only=False)
+            ixs = group.column("line_idx").to_numpy(zero_copy_only=False)
+            keep = np.zeros(n, bool)
+            keep[np.lexsort((ixs, ids))[0]] = True
+        return group.drop_columns(["_gk"]).append_column(
+            "keep", pa.array(keep))
+
+    marked = lines.groupby("_gk").map_groups(mark_first,
+                                             batch_format="pyarrow")
+
+    def reassemble(group: pa.Table) -> pa.Table:
+        ixs = group.column("line_idx").to_numpy(zero_copy_only=False)
+        keep = group.column("keep").to_numpy(zero_copy_only=False)
+        lns = group.column("line").to_pylist()
+        order = np.argsort(ixs, kind="stable")
+        kept = [lns[i] for i in order if keep[i]]
+        did = group.column(id_column)[0].as_py()
+        return pa.table({
+            id_column: pa.array([did], pa.int64()),
+            "text": pa.array(["\n".join(kept)], pa.string()),
+            "n_kept": pa.array([len(kept)], pa.int64()),
+            "n_dropped": pa.array([len(lns) - len(kept)], pa.int64()),
+        })
+
+    return marked.groupby(id_column).map_groups(reassemble,
+                                                batch_format="pyarrow")

@@ -863,6 +863,28 @@ def q_upsample(sf_dir: str):
                     (5, 2), salt="up")
 
 
+def q_dedup_lines(sf_dir: str):
+    """Corpus-wide line dedup (first global occurrence wins, short lines
+    exempt).  The synthetic documents are single-line, so the entry turns
+    spaces into newlines first (same replace in the oracle) — thousands
+    of repeated word-lines then exercise the drop, singleton-short and
+    reassembly paths with an exact string_agg oracle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from trinity_ray.ops.dedup import dedup_lines
+
+    def to_lines(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("text"), "text",
+            pc.replace_substring(batch.column("text"), " ", "\n"))
+
+    ds = read_documents(sf_dir).select_columns(["doc_id", "text"]
+                                               ).map_batches(
+        to_lines, batch_format="pyarrow")
+    return dedup_lines(ds, min_chars=4)
+
+
 def q_text_token_counts(sf_dir: str):
     from trinity_ray.ops.text import token_count
 
