@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_tokens": dsp.q_chunk_tokens,
         "pack_sequences": dsp.q_pack_sequences,
         "dedup_lines": dsp.q_dedup_lines,
+        "lm_surprisal": dsp.q_lm_surprisal,
         "epoch_shuffle": dsp.q_epoch_shuffle,
         "upsample": dsp.q_upsample,
         # -- inverted-index build + query engine (SURVEY.md §2.1-2.7) -----
@@ -1104,6 +1105,21 @@ SELECT doc_id, CAST((p - 1) // 32 AS BIGINT) AS chunk_idx,
        count(*) AS n_tokens,
        CAST(sum(((p - 1) % 32 + 1) * vid) AS BIGINT) AS checksum
 FROM ids GROUP BY doc_id, (p - 1) // 32
+""",
+        # unigram-LM mean token surprisal (CCNet-style quality signal)
+        "lm_surprisal": """
+WITH toks AS (SELECT doc_id,
+                     unnest(regexp_extract_all(upper(text), '[A-Z0-9]+'))
+                       AS tok
+              FROM documents),
+ft AS (SELECT doc_id, tok FROM toks WHERE length(tok) <= 64),
+f AS (SELECT tok, count(*) AS c FROM ft GROUP BY tok),
+tot AS (SELECT sum(c) AS t FROM f),
+per AS (SELECT doc_id, count(*) AS n_tokens, avg(ln(c)) AS ml
+        FROM ft JOIN f USING (tok) GROUP BY doc_id)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(ln(tot.t) - ml, 4) AS surprisal_r
+FROM per, tot
 """,
         # corpus-wide line dedup over word-split "lines" (first global
         # occurrence wins; lines shorter than 4 chars exempt)

@@ -398,3 +398,24 @@ def test_upsample_fractional_repetition(ray_session):
     assert len(two) == 60
     half = upsample(rd.from_arrow(t), (1, 2), salt="s").to_pandas()
     assert (half["repeat_idx"] == 0).all() and 0 < len(half) < 30
+
+
+def test_lm_surprisal_unigram_model(ray_session):
+    import math
+
+    from trinity_ray.ops.text import lm_surprisal
+
+    # corpus: "aa" x3, "bb" x2, "cc" x1 -> total 6
+    t = pa.table({"doc_id": [1, 2, 3],
+                  "text": ["aa aa bb", "aa bb cc", ""]})
+    got = lm_surprisal(rd.from_arrow(t)).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    # empty doc emits no row
+    assert got["doc_id"].tolist() == [1, 2]
+    assert got["n_tokens"].tolist() == [3, 3]
+    ln = math.log
+    exp1 = round(ln(6) - (2 * ln(3) + ln(2)) / 3, 4)
+    exp2 = round(ln(6) - (ln(3) + ln(2) + ln(1)) / 3, 4)
+    assert got["surprisal_r"].tolist() == [exp1, exp2]
+    # rarer wording scores strictly higher
+    assert exp2 > exp1

@@ -361,3 +361,60 @@ def scrub_pii(ds, *, text_column: str = "text",
         return batch
 
     return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+def lm_surprisal(ds, *, text_column: str = "text", id_column: str = "doc_id",
+                 tokenizer: str = "simple", batch_size: int = 2048):
+    """CCNet-style unigram language-model quality signal: per-document
+    mean token surprisal ``ln(total) - mean(ln(count(token)))`` under the
+    corpus's own unigram distribution — low = fluent/common wording,
+    high = rare-token soup; the standard cheap proxy used to rank or
+    filter web text before the expensive model-based scorer.  Output:
+    ``(<id_column>, n_tokens, surprisal_r)`` with the score rounded to 4
+    decimals (the repo's float-oracle convention).  Token-less documents
+    emit no row.  Out-of-vocabulary tokens (scoring a corpus the model
+    was not trained on) fall back to count 1.
+
+    Scale shape: the unigram model is the vocabulary-sized
+    ``groupby(term)`` already used for vocab building, broadcast once via
+    ``ray.put``; scoring is a stateless ``map_batches`` over docs (no
+    further shuffle).  For vocabularies too large to broadcast, the
+    documented alternative is a token→count semi-join, same shape as the
+    dedup verify fallback."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(
+        _PartialTermCounts,
+        fn_constructor_kwargs=dict(text_column=text_column,
+                                   tokenizer=tokenizer),
+        batch_format="pyarrow", batch_size=batch_size, **_act({}))
+    vocab = partials.groupby("term").aggregate(
+        Sum("cnt", alias_name="cnt")).to_pandas()
+    counts = dict(zip(vocab["term"], vocab["cnt"].astype(int)))
+    log_total = float(np.log(float(vocab["cnt"].sum())))
+    cnt_ref = ray.put(counts)
+    tok = get_tokenizer(tokenizer)
+
+    def score(batch: pa.Table) -> pa.Table:
+        c = ray.get(cnt_ref)
+        get = c.get
+        ids = batch.column(id_column)
+        out_i, out_n, out_s = [], [], []
+        for i in range(batch.num_rows):
+            toks = tok(batch.column(text_column)[i].as_py() or "")
+            if not toks:
+                continue
+            logs = np.log(np.fromiter((get(t, 1) for t in toks),
+                                      dtype=np.float64, count=len(toks)))
+            out_i.append(i)
+            out_n.append(len(toks))
+            out_s.append(round(log_total - float(np.mean(logs)), 4))
+        return pa.table({
+            id_column: ids.take(pa.array(out_i, pa.int64())),
+            "n_tokens": pa.array(out_n, pa.int64()),
+            "surprisal_r": pa.array(out_s, pa.float64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          batch_size=batch_size)

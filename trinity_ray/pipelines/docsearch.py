@@ -885,6 +885,17 @@ def q_dedup_lines(sf_dir: str):
     return dedup_lines(ds, min_chars=4)
 
 
+def q_lm_surprisal(sf_dir: str):
+    """CCNet-style unigram-LM quality signal: per-doc mean token
+    surprisal under the corpus's own unigram distribution (vocab built by
+    the same groupby(term) as vocab_top100, broadcast once); score
+    rounded to 4 decimals per the float-oracle convention."""
+    from trinity_ray.ops.text import lm_surprisal
+
+    return lm_surprisal(read_documents(sf_dir).select_columns(
+        ["doc_id", "text"]))
+
+
 def q_text_token_counts(sf_dir: str):
     from trinity_ray.ops.text import token_count
 
