@@ -419,3 +419,19 @@ def test_lm_surprisal_unigram_model(ray_session):
     assert got["surprisal_r"].tolist() == [exp1, exp2]
     # rarer wording scores strictly higher
     assert exp2 > exp1
+
+
+def test_new_ops_survive_empty_blocks(ray_session):
+    """0-row blocks (e.g. after an aggressive filter) must flow through
+    the round-5 curation ops without numpy broadcast errors."""
+    from trinity_ray.ops.dedup import dedup_lines
+    from trinity_ray.ops.pack import pack_sequences
+    from trinity_ray.ops.sample import sample_by_hash, upsample
+
+    t = pa.table({"doc_id": list(range(8)),
+                  "text": ["alpha beta\ngamma delta"] * 8})
+    # rate (1, 10**30) empties every block deterministically
+    emptied = sample_by_hash(rd.from_arrow(t), (1, 10**30))
+    assert upsample(emptied, (5, 2)).to_pandas().empty
+    assert dedup_lines(emptied).to_pandas().empty
+    assert pack_sequences(emptied, seq_len=4).to_pandas().empty

@@ -1006,7 +1006,14 @@ def dedup_lines(ds, *, text_column: str = "text", id_column: str = "doc_id",
     payload once, never the full document."""
     m = int(min_chars)
 
+    _empty = pa.table({id_column: pa.array([], pa.int64()),
+                       "line_idx": pa.array([], pa.int64()),
+                       "line": pa.array([], pa.string()),
+                       "_gk": pa.array([], pa.string())})
+
     def explode(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:          # 0-row block (e.g. post-filter)
+            return _empty
         ids = batch.column(id_column).cast(pa.int64()
                                            ).to_numpy(zero_copy_only=False)
         txt = pc.fill_null(batch.column(text_column), "")
@@ -1022,16 +1029,16 @@ def dedup_lines(ds, *, text_column: str = "text", id_column: str = "doc_id",
         ix = np.arange(n, dtype=np.int64) - np.repeat(base, lens) + 1
         is_long = pc.greater_equal(pc.utf8_length(flat), m)
         # "L"+line groups identical long lines; short lines get a
-        # collision-proof per-row singleton key (prefix disambiguates),
-        # so a billion blank lines never form one hot shuffle key
+        # collision-proof PER-DOCUMENT key (prefix disambiguates): a
+        # billion blank lines never form one hot shuffle key, and the
+        # group count for short lines is O(docs), not O(short lines) —
+        # per-group map_groups dispatch is the cost that matters there
         sep = pa.array([""] * n, pa.string())
         gk_long = pc.binary_join_element_wise(
             pa.array(["L"] * n, pa.string()), flat, sep)
         gk_short = pc.binary_join_element_wise(
             pa.array(["S"] * n, pa.string()),
-            pa.array(ids_rep.astype("U"), pa.string()),
-            pa.array([":"] * n, pa.string()),
-            pa.array(ix.astype("U"), pa.string()), sep)
+            pa.array(ids_rep.astype("U"), pa.string()), sep)
         return pa.table({id_column: pa.array(ids_rep, pa.int64()),
                          "line_idx": pa.array(ix, pa.int64()),
                          "line": flat,

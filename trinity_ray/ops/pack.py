@@ -116,25 +116,27 @@ def pack_sequences(ds, *, seq_len: int = 256, text_column: str = "text",
     """
     import ray
 
-    from trinity_ray.ops.text import TokenCounter
-
     L = int(seq_len)
     if L <= 0:
         raise ValueError("seq_len must be positive")
     span = int(range_span)
     if span <= 0:
         raise ValueError("range_span must be positive")
-    counter = TokenCounter(text_column=text_column, tokenizer=tokenizer)
+    tok = get_tokenizer(tokenizer)
 
     def counts(batch: pa.Table) -> pa.Table:
-        n = counter(batch).column("n_tokens").to_numpy(zero_copy_only=False)
+        # count-only tokenize (TokenCounter would also run its unused
+        # BPE-ish second regex pass over every document)
+        n = np.fromiter((len(tok(t or ""))
+                         for t in batch.column(text_column).to_pylist()),
+                        dtype=np.int64, count=batch.num_rows)
         ids = batch.column(id_column).cast(pa.int64()
                                            ).to_numpy(zero_copy_only=False)
         keep = n > 0
         ids, n = ids[keep], n[keep]
         return pa.table({id_column: pa.array(ids, pa.int64()),
                          "range_id": pa.array(ids // span, pa.int64()),
-                         "n": pa.array(n.astype(np.int64), pa.int64())})
+                         "n": pa.array(n, pa.int64())})
 
     # two consumers (range totals + the packing groupby) read the counts:
     # materialize the REDUCED table (3 int64 columns, ~24 B/doc vs the
@@ -143,10 +145,10 @@ def pack_sequences(ds, *, seq_len: int = 256, text_column: str = "text",
     cnt_ds = ds.map_batches(counts, batch_format="pyarrow",
                             runtime_env=package_runtime_env()).materialize()
     # one row per id-range: vocabulary-sized, never per-document
-    totals = cnt_ds.groupby("range_id").sum("n").to_pandas()
-    totals = totals.sort_values("range_id").reset_index(drop=True)
-    csum = totals["sum(n)"].cumsum().shift(1, fill_value=0)
-    offsets = dict(zip(totals["range_id"].astype(int), csum.astype(int)))
+    from trinity_ray.rayutil import exclusive_prefix_offsets
+
+    offsets = exclusive_prefix_offsets(
+        cnt_ds.groupby("range_id").sum("n").to_pandas(), "range_id", "sum(n)")
     off_ref = ray.put(offsets)
 
     def pack_group(group: pa.Table) -> pa.Table:

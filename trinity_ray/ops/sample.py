@@ -31,7 +31,7 @@ import pyarrow as pa
 
 __all__ = ["sample_by_hash", "stratified_sample", "sample_exact_k",
            "epoch_shuffle", "upsample",
-           "md5_threshold_hex", "md5_rank_hex", "splitmix64"]
+           "md5_threshold_hex", "md5_rank_hex", "md5_rank_list", "splitmix64"]
 
 _MD5_SPACE = 1 << 128
 
@@ -66,13 +66,19 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
     return z ^ (z >> np.uint64(31))
 
 
+def md5_rank_list(keys: list, salt: str) -> list:
+    """md5(str(key) + salt) hex ranks as a Python list — THE shared rank
+    derivation for every bottom-k / ordering selection (sample_exact_k,
+    grouped_quantile_sample, epoch_shuffle): one definition so the same
+    (key, salt) selects the same rows across APIs and any future change
+    lands once."""
+    return [hashlib.md5((str(k) + salt).encode()).hexdigest()
+            for k in keys]
+
+
 def md5_rank_hex(keys: list, salt: str) -> pa.Array:
-    """md5(str(key) + salt) hex ranks — THE shared rank derivation for
-    every bottom-k selection (sample_exact_k, grouped_quantile_sample):
-    one definition so the same (key, salt) selects the same rows across
-    APIs and any future change lands once."""
-    return pa.array([hashlib.md5((str(k) + salt).encode()).hexdigest()
-                     for k in keys], pa.string())
+    """Arrow-array form of :func:`md5_rank_list`."""
+    return pa.array(md5_rank_list(keys, salt), pa.string())
 
 
 def _md5_keep_mask(keys: list, salt: str, th_hex: str) -> np.ndarray:
@@ -189,18 +195,20 @@ def epoch_shuffle(ds, *, seed: str = "", key_column: str = "doc_id",
 
     def ranks(batch: pa.Table) -> pa.Table:
         keys = batch.column(key_column)
-        hs = md5_rank_hex(keys.to_pylist(), seed)
-        rid = pa.array([int(h[:prefix_len], 16) for h in hs.to_pylist()],
-                       pa.int64())
-        return pa.table({key_column: keys, "_h": hs, "_rid": rid})
+        hs = md5_rank_list(keys.to_pylist(), seed)
+        rid = pa.array([int(h[:prefix_len], 16) for h in hs], pa.int64())
+        return pa.table({key_column: keys,
+                         "_h": pa.array(hs, pa.string()), "_rid": rid})
 
     # two consumers (range counts + the ranking groupby) — materialize the
     # reduced (key, hash, range) projection so hashing runs once
-    ranked = ds.map_batches(ranks, batch_format="pyarrow").materialize()
-    totals = ranked.groupby("_rid").count().to_pandas()
-    totals = totals.sort_values("_rid").reset_index(drop=True)
-    csum = totals["count()"].cumsum().shift(1, fill_value=0)
-    offsets = dict(zip(totals["_rid"].astype(int), csum.astype(int)))
+    from trinity_ray.rayutil import (exclusive_prefix_offsets,
+                                     package_runtime_env)
+
+    ranked = ds.map_batches(ranks, batch_format="pyarrow",
+                            runtime_env=package_runtime_env()).materialize()
+    offsets = exclusive_prefix_offsets(
+        ranked.groupby("_rid").count().to_pandas(), "_rid", "count()")
     off_ref = ray.put(offsets)
 
     def rank_group(group: pa.Table) -> pa.Table:
@@ -244,6 +252,11 @@ def upsample(ds, factor, *, key_column: str = "doc_id", salt: str = "",
 
     def rep(batch: pa.Table) -> pa.Table:
         keys = batch.column(key_column).to_pylist()
+        if not keys:                     # 0-row block (e.g. post-filter)
+            return pa.table(
+                {key_column: batch.column(key_column),
+                 "repeat_idx": pa.array([], pa.int64()),
+                 **{c: batch.column(c) for c in keep}})
         r = np.full(len(keys), whole, np.int64)
         if frac > 0:
             r += _md5_keep_mask(keys, salt, th)
@@ -257,4 +270,7 @@ def upsample(ds, factor, *, key_column: str = "doc_id", salt: str = "",
             out[c] = batch.column(c).take(gather)
         return pa.table(out)
 
-    return ds.map_batches(rep, batch_format="pyarrow")
+    from trinity_ray.rayutil import package_runtime_env
+
+    return ds.map_batches(rep, batch_format="pyarrow",
+                          runtime_env=package_runtime_env())

@@ -399,22 +399,29 @@ def lm_surprisal(ds, *, text_column: str = "text", id_column: str = "doc_id",
     def score(batch: pa.Table) -> pa.Table:
         c = ray.get(cnt_ref)
         get = c.get
-        ids = batch.column(id_column)
+        texts = batch.column(text_column).to_pylist()
         out_i, out_n, out_s = [], [], []
-        for i in range(batch.num_rows):
-            toks = tok(batch.column(text_column)[i].as_py() or "")
+        # half-away-from-zero at 4 dp — DuckDB round() parity (same form
+        # as _RepetitionStats; Python round() banker's-rounds ties)
+        for i, t in enumerate(texts):
+            toks = tok(t or "")
             if not toks:
                 continue
-            logs = np.log(np.fromiter((get(t, 1) for t in toks),
+            logs = np.log(np.fromiter((get(tk, 1) for tk in toks),
                                       dtype=np.float64, count=len(toks)))
+            s = log_total - float(np.mean(logs))
             out_i.append(i)
             out_n.append(len(toks))
-            out_s.append(round(log_total - float(np.mean(logs)), 4))
+            out_s.append(np.floor(s * 1e4 + 0.5) / 1e4)
         return pa.table({
-            id_column: ids.take(pa.array(out_i, pa.int64())),
+            id_column: batch.column(id_column).take(
+                pa.array(out_i, pa.int64())),
             "n_tokens": pa.array(out_n, pa.int64()),
             "surprisal_r": pa.array(out_s, pa.float64()),
         })
 
+    from trinity_ray.rayutil import package_runtime_env
+
     return ds.map_batches(score, batch_format="pyarrow",
-                          batch_size=batch_size)
+                          batch_size=batch_size,
+                          runtime_env=package_runtime_env())

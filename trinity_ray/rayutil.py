@@ -74,3 +74,16 @@ def actor_pool(n: int) -> tuple[int, int]:
     progress; on big clusters it still reaches n.
     """
     return (1, max(1, int(n)))
+
+
+def exclusive_prefix_offsets(totals, key_col: str, val_col: str) -> dict:
+    """Driver-side exclusive prefix sum over a per-range totals frame — the
+    small half of the distributed prefix-sum pattern shared by
+    ``ops.pack.pack_sequences`` and ``ops.sample.epoch_shuffle``: the input
+    is one row per RANGE (never per corpus row), the output a
+    {range_key: global_offset} dict to broadcast via ``ray.put``."""
+    if totals.empty or key_col not in totals.columns:
+        return {}   # empty input: Ray's aggregate yields a column-less frame
+    totals = totals.sort_values(key_col).reset_index(drop=True)
+    csum = totals[val_col].cumsum().shift(1, fill_value=0)
+    return dict(zip(totals[key_col].astype(int), csum.astype(int)))
