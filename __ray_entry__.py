@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_surprisal": dsp.q_lm_surprisal,
         "epoch_shuffle": dsp.q_epoch_shuffle,
         "upsample": dsp.q_upsample,
+        "mixture_weights": dsp.q_mixture_weights,
         # -- inverted-index build + query engine (SURVEY.md §2.1-2.7) -----
         "search_rare_top10": dsp.q_search_rare_top10,
         "search_hot_top10": dsp.q_search_hot_top10,
@@ -1105,6 +1106,21 @@ SELECT doc_id, CAST((p - 1) // 32 AS BIGINT) AS chunk_idx,
        count(*) AS n_tokens,
        CAST(sum(((p - 1) % 32 + 1) * vid) AS BIGINT) AS checksum
 FROM ids GROUP BY doc_id, (p - 1) // 32
+""",
+        # per-domain mixture reweighting (de 2.5x, fr 3x, en 0.5x)
+        "mixture_weights": """
+WITH w AS (
+  SELECT doc_id, lang,
+         CASE lang WHEN 'de' THEN 2 WHEN 'fr' THEN 3 WHEN 'en' THEN 0
+                   ELSE 1 END
+         + CASE WHEN lang IN ('de', 'en')
+                 AND md5(CAST(doc_id AS VARCHAR) || 'mix') < '80000000000000000000000000000000'
+                THEN 1 ELSE 0 END AS r
+  FROM documents)
+SELECT doc_id, CAST(t.k AS BIGINT) AS repeat_idx, lang
+FROM w, LATERAL unnest(generate_series(CAST(0 AS BIGINT),
+                                       CAST(r - 1 AS BIGINT))) AS t(k)
+WHERE r > 0
 """,
         # unigram-LM mean token surprisal (CCNet-style quality signal)
         "lm_surprisal": """

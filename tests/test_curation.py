@@ -435,3 +435,28 @@ def test_new_ops_survive_empty_blocks(ray_session):
     assert upsample(emptied, (5, 2)).to_pandas().empty
     assert dedup_lines(emptied).to_pandas().empty
     assert pack_sequences(emptied, seq_len=4).to_pandas().empty
+
+
+def test_mixture_weights_per_stratum(ray_session):
+    import hashlib
+
+    from trinity_ray.ops.sample import md5_threshold_hex, mixture_weights
+
+    t = pa.table({"doc_id": list(range(30)),
+                  "lang": (["en"] * 10 + ["de"] * 10 + ["xx"] * 10)})
+    got = mixture_weights(rd.from_arrow(t),
+                          {"en": (1, 2), "de": (5, 2)}, salt="s",
+                          columns=("lang",)).to_pandas()
+    th = md5_threshold_hex((1, 2))
+
+    def gate(k):
+        return hashlib.md5((str(k) + "s").encode()).hexdigest() < th
+
+    for k in range(30):
+        lang = t.column("lang")[k].as_py()
+        r = {"en": 0, "de": 2, "xx": 1}[lang] + (gate(k) if lang in
+                                                 ("en", "de") else 0)
+        sub = got[got.doc_id == k]
+        assert sorted(sub["repeat_idx"]) == list(range(r)), (k, lang)
+    # unknown stratum used default weight 1 -> exactly once
+    assert (got[got.lang == "xx"].groupby("doc_id").size() == 1).all()

@@ -30,7 +30,7 @@ import numpy as np
 import pyarrow as pa
 
 __all__ = ["sample_by_hash", "stratified_sample", "sample_exact_k",
-           "epoch_shuffle", "upsample",
+           "epoch_shuffle", "upsample", "mixture_weights",
            "md5_threshold_hex", "md5_rank_hex", "md5_rank_list", "splitmix64"]
 
 _MD5_SPACE = 1 << 128
@@ -260,6 +260,63 @@ def upsample(ds, factor, *, key_column: str = "doc_id", salt: str = "",
         r = np.full(len(keys), whole, np.int64)
         if frac > 0:
             r += _md5_keep_mask(keys, salt, th)
+        tot = int(r.sum())
+        base = np.concatenate(([0], np.cumsum(r[:-1], dtype=np.int64)))
+        ridx = np.arange(tot, dtype=np.int64) - np.repeat(base, r)
+        gather = pa.array(np.repeat(np.arange(len(keys), dtype=np.int64), r))
+        out = {key_column: batch.column(key_column).take(gather),
+               "repeat_idx": pa.array(ridx, pa.int64())}
+        for c in keep:
+            out[c] = batch.column(c).take(gather)
+        return pa.table(out)
+
+    from trinity_ray.rayutil import package_runtime_env
+
+    return ds.map_batches(rep, batch_format="pyarrow",
+                          runtime_env=package_runtime_env())
+
+
+def mixture_weights(ds, weights: dict, *, strata_column: str = "lang",
+                    key_column: str = "doc_id", salt: str = "",
+                    default_weight=(1, 1), columns: tuple[str, ...] = ()):
+    """Deterministic corpus mixing — per-domain reweighting in one pass.
+
+    Each row's stratum (language / source / domain) maps to a weight:
+    the row is emitted ``floor(w)`` times plus once more iff
+    ``md5(str(key) + salt)`` falls below ``w``'s fractional part.  Weights
+    above 1 upsample a rare domain, below 1 subsample a common one — the
+    standard "data mixture" knob when composing a training corpus from
+    heterogeneous sources, unifying :func:`stratified_sample` (all w <= 1)
+    and :func:`upsample` (one global w).  Weights are exact fractions
+    ``(num, den)``; strata absent from ``weights`` use ``default_weight``.
+
+    Output: ``(<key_column>, repeat_idx, *columns)``; deterministic,
+    order/partitioning-independent, SQL-reproducible, stateless
+    ``map_batches`` — the weights table rides in the task closure, no
+    shuffle."""
+    def parts(w):
+        f = Fraction(*w) if isinstance(w, tuple) else Fraction(w)
+        if f < 0:
+            raise ValueError(f"weight must be >= 0, got {f}")
+        return int(f), md5_threshold_hex(f - int(f))
+
+    table = {s: parts(w) for s, w in weights.items()}
+    default = parts(default_weight)
+    keep = tuple(columns)
+
+    def rep(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_column).to_pylist()
+        if not keys:                     # 0-row block (e.g. post-filter)
+            return pa.table(
+                {key_column: batch.column(key_column),
+                 "repeat_idx": pa.array([], pa.int64()),
+                 **{c: batch.column(c) for c in keep}})
+        strata = batch.column(strata_column).to_pylist()
+        r = np.empty(len(keys), np.int64)
+        for i, (k, s) in enumerate(zip(keys, strata)):
+            whole, th = table.get(s, default)
+            r[i] = whole + (hashlib.md5(
+                (str(k) + salt).encode()).hexdigest() < th)
         tot = int(r.sum())
         base = np.concatenate(([0], np.cumsum(r[:-1], dtype=np.int64)))
         ridx = np.arange(tot, dtype=np.int64) - np.repeat(base, r)

@@ -896,6 +896,19 @@ def q_lm_surprisal(sf_dir: str):
         ["doc_id", "text"]))
 
 
+def q_mixture_weights(sf_dir: str):
+    """Deterministic corpus mixing: upsample rare languages (de 2.5x,
+    fr 3x), downsample the dominant one (en 1/2), keep the rest at 1 —
+    the per-domain reweighting pass of training-corpus composition;
+    exact per-stratum LATERAL generate_series oracle."""
+    from trinity_ray.ops.sample import mixture_weights
+
+    return mixture_weights(
+        read_documents(sf_dir).select_columns(["doc_id", "lang"]),
+        {"de": (5, 2), "fr": (3, 1), "en": (1, 2)},
+        strata_column="lang", salt="mix", columns=("lang",))
+
+
 def q_text_token_counts(sf_dir: str):
     from trinity_ray.ops.text import token_count
 
