@@ -663,11 +663,21 @@ def emit_best(kind: str, live: dict) -> dict:
     keep the better-probe artifact: when the LIVE run lands in a degraded
     host window (comparable: false), emit the round's best-probe banked
     sample instead, transparently stamped with its origin and the live
-    probe it replaced.  A comparable live run always wins."""
+    probe it replaced.  A comparable live run always wins.
+    ``GRAFT_NO_BANK=1`` disables the substitution — the background
+    collector sets it so its captures stay LIVE measurements (else it
+    would re-bank copies of the best artifact in a feedback loop)."""
+    if os.environ.get("GRAFT_NO_BANK"):
+        return live
     _sync_bank(kind)
     if live.get("comparable"):
         return live
     b = best_banked(kind)
+    # only substitute a sample of the SAME scale: a banked sf0.1/32-cpu
+    # artifact must never replace (or be replaced by) an sf0.01 smoke run
+    if b and (b[1].get("sf") != live.get("sf")
+              or b[1].get("num_cpus") != live.get("num_cpus")):
+        b = None
     if b and _bracket_eff(b[1]) > _bracket_eff(live):
         d = dict(b[1])
         d["banked_from"] = os.path.basename(b[0])

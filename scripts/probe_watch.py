@@ -68,6 +68,16 @@ def run_capture(kind: str, args: list[str], env: dict) -> dict | None:
         json.dump(result, f, indent=1)
     log(f"{kind} done in {time.time() - t0:.0f}s -> {path} "
         f"(comparable={result.get('comparable')})")
+    try:
+        # mirror the round's best-bracket sample into the committed bank
+        # IMMEDIATELY (a host reboot already wiped six healthy /tmp
+        # artifacts this round); bench.py's emit_best reads the bank
+        sys.path.insert(0, REPO)
+        import bench as _bench
+
+        _bench._sync_bank(kind)
+    except Exception as e:          # banking is best-effort
+        log(f"bank sync failed: {e}")
     return result
 
 
@@ -87,6 +97,8 @@ def main() -> None:
     # the watcher IS the gate: don't let bench.py sit in its own backoff
     env["GRAFT_PROBE_ATTEMPTS"] = "1"
     env["GRAFT_PROBE_MIN_EFF"] = str(a.min_eff)
+    # the collector wants the LIVE sample, never a re-emitted banked one
+    env["GRAFT_NO_BANK"] = "1"
 
     full_ok = 0
     scaling_ok = 0
