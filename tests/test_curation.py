@@ -460,3 +460,37 @@ def test_mixture_weights_per_stratum(ray_session):
         assert sorted(sub["repeat_idx"]) == list(range(r)), (k, lang)
     # unknown stratum used default weight 1 -> exactly once
     assert (got[got.lang == "xx"].groupby("doc_id").size() == 1).all()
+
+
+def test_bpe_train_classic_example(ray_session):
+    from trinity_ray.ops.text import bpe_encode, bpe_train
+
+    # classic BPE corpus: low x3, lower, lowest (simple tokenizer uppercases)
+    t = pa.table({"doc_id": [1, 2], "text": ["low low low", "lower lowest"]})
+    merges = bpe_train(rd.from_arrow(t), n_merges=10, min_pair_freq=2
+                       ).to_pandas()
+    # (L,O) and (O,W) tie at 5 -> lexicographically smallest first; then
+    # (LO,W) at 5, then (LOW,E) at 2; everything else is freq 1 -> stop
+    assert list(map(tuple, merges.itertuples(index=False))) == [
+        (0, "L", "O", 5), (1, "LO", "W", 5), (2, "LOW", "E", 2)]
+
+    enc = bpe_encode(rd.from_arrow(
+        pa.table({"doc_id": [7], "text": ["low lowest"]})),
+        bpe_train(rd.from_arrow(t), n_merges=10, min_pair_freq=2)
+        ).to_pandas()
+    # LOW -> [LOW]; LOWEST -> LOWE S T (rank-greedy application)
+    assert enc["n_words"].tolist() == [2]
+    assert enc["n_bpe"].tolist() == [1 + 3]
+    assert enc["bpe_ratio_r"].tolist() == [2.0]
+
+
+def test_bpe_encode_empty_and_oov(ray_session):
+    from trinity_ray.ops.text import bpe_encode
+
+    t = pa.table({"doc_id": [1, 2], "text": ["", "zz qq"]})
+    enc = bpe_encode(rd.from_arrow(t), [(0, "A", "B")]).to_pandas(
+        ).sort_values("doc_id").reset_index(drop=True)
+    # empty doc: 0 words, ratio 0; no applicable merges: chars per word
+    assert enc["n_words"].tolist() == [0, 2]
+    assert enc["n_bpe"].tolist() == [0, 4]
+    assert enc["bpe_ratio_r"].tolist() == [0.0, 2.0]

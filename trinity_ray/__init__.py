@@ -67,6 +67,8 @@ _EXPORTS = {
     "pack_sequences": ("trinity_ray.ops.pack", "pack_sequences"),
     "dedup_lines": ("trinity_ray.ops.dedup", "dedup_lines"),
     "lm_surprisal": ("trinity_ray.ops.text", "lm_surprisal"),
+    "bpe_train": ("trinity_ray.ops.text", "bpe_train"),
+    "bpe_encode": ("trinity_ray.ops.text", "bpe_encode"),
     "mixture_weights": ("trinity_ray.ops.sample", "mixture_weights"),
     "extract_json": ("trinity_ray.ops.jsonx", "extract_json"),
     "heavy_hitters": ("trinity_ray.ops.sketch", "heavy_hitters"),

@@ -425,3 +425,143 @@ def lm_surprisal(ds, *, text_column: str = "text", id_column: str = "doc_id",
     return ds.map_batches(score, batch_format="pyarrow",
                           batch_size=batch_size,
                           runtime_env=package_runtime_env())
+
+
+def bpe_train(ds, *, n_merges: int = 100, text_column: str = "text",
+              tokenizer: str = "simple", min_pair_freq: int = 2):
+    """Train a byte-pair-encoding merge table over the corpus.
+
+    Standard BPE training operates on the WORD-FREQUENCY table, not the
+    corpus (Sennrich et al. 2015; HuggingFace tokenizers do the same):
+    the distributed part is the vocabulary-sized ``groupby(term)`` word
+    count this module already uses, and the merge loop then runs locally
+    over that table — symbol-pair counts weighted by word frequency,
+    highest count merges first (ties: lexicographically smallest pair),
+    stopping early when no pair reaches ``min_pair_freq``.
+
+    Returns a pyarrow Table ``(rank, left, right, freq)`` — the merge
+    list in application order.  Deterministic for a given corpus.  Not
+    SQL-expressible (iterative re-segmentation), so correctness is
+    pinned by hand-worked unit tests rather than a DuckDB oracle.
+    """
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(
+        _PartialTermCounts,
+        fn_constructor_kwargs=dict(text_column=text_column,
+                                   tokenizer=tokenizer),
+        batch_format="pyarrow", batch_size=2048, **_act({}))
+    vocab = partials.groupby("term").aggregate(
+        Sum("cnt", alias_name="cnt")).to_pandas()
+
+    # word -> (symbol tuple, freq); end-of-word marker keeps merges from
+    # crossing word boundaries implicitly (each word is its own sequence)
+    words = [(tuple(term), int(cnt))
+             for term, cnt in zip(vocab["term"], vocab["cnt"])
+             if len(term) > 0]
+    merges = []
+    for rank in range(int(n_merges)):
+        pairs: Counter = Counter()
+        for syms, freq in words:
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += freq
+        if not pairs:
+            break
+        # max count, ties broken by the lexicographically smallest pair
+        best, best_freq = min(pairs.items(),
+                              key=lambda kv: (-kv[1], kv[0]))
+        if best_freq < int(min_pair_freq):
+            break
+        merges.append((rank, best[0], best[1], best_freq))
+        a, b, ab = best[0], best[1], best[0] + best[1]
+        out = []
+        for syms, freq in words:
+            if len(syms) >= 2:
+                merged, i, n = [], 0, len(syms)
+                while i < n:
+                    if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                        merged.append(ab)
+                        i += 2
+                    else:
+                        merged.append(syms[i])
+                        i += 1
+                syms = tuple(merged)
+            out.append((syms, freq))
+        words = out
+    return pa.table({
+        "rank": pa.array([m[0] for m in merges], pa.int64()),
+        "left": pa.array([m[1] for m in merges], pa.string()),
+        "right": pa.array([m[2] for m in merges], pa.string()),
+        "freq": pa.array([m[3] for m in merges], pa.int64()),
+    })
+
+
+def bpe_encode(ds, merges, *, text_column: str = "text",
+               id_column: str = "doc_id", tokenizer: str = "simple",
+               batch_size: int = 2048):
+    """Apply a BPE merge table to the corpus: per document, segment each
+    word into symbols and greedily apply merges in RANK order (the
+    canonical BPE encode).  Output: ``(<id_column>, n_words, n_bpe,
+    bpe_ratio_r)`` — subword fertility per doc, the number a tokenizer
+    owner actually monitors.  ``merges``: the table from
+    :func:`bpe_train` (or any (rank, left, right) rows).
+
+    Scale shape: the merge table is tiny and broadcast once via
+    ``ray.put``; encoding is a stateless ``map_batches``; per-word encode
+    results are memoized per batch (Zipf makes the hit rate high)."""
+    import ray
+
+    if isinstance(merges, pa.Table):
+        mlist = sorted(zip(merges.column("rank").to_pylist(),
+                           merges.column("left").to_pylist(),
+                           merges.column("right").to_pylist()))
+    else:
+        mlist = sorted(merges)
+    ranks = {(l, r): k for k, l, r in mlist}
+    rank_ref = ray.put(ranks)
+    tok = get_tokenizer(tokenizer)
+
+    def encode_word(word: str, ranks: dict, cache: dict) -> int:
+        hit = cache.get(word)
+        if hit is not None:
+            return hit
+        syms = list(word)
+        while len(syms) >= 2:
+            # lowest-rank applicable merge anywhere in the word
+            best_i, best_rank = -1, None
+            for i in range(len(syms) - 1):
+                rk = ranks.get((syms[i], syms[i + 1]))
+                if rk is not None and (best_rank is None or rk < best_rank):
+                    best_i, best_rank = i, rk
+            if best_rank is None:
+                break
+            syms[best_i:best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        cache[word] = len(syms)
+        return len(syms)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        ranks = ray.get(rank_ref)
+        cache: dict = {}
+        texts = batch.column(text_column).to_pylist()
+        n_words = np.empty(len(texts), np.int64)
+        n_bpe = np.empty(len(texts), np.int64)
+        for i, t in enumerate(texts):
+            ws = tok(t or "")
+            n_words[i] = len(ws)
+            n_bpe[i] = sum(encode_word(w, ranks, cache) for w in ws)
+        ratio = np.where(n_words > 0, n_bpe / np.maximum(n_words, 1), 0.0)
+        ratio = np.floor(ratio * 1e4 + 0.5) / 1e4     # round-4 convention
+        return pa.table({
+            id_column: batch.column(id_column),
+            "n_words": pa.array(n_words, pa.int64()),
+            "n_bpe": pa.array(n_bpe, pa.int64()),
+            "bpe_ratio_r": pa.array(ratio, pa.float64()),
+        })
+
+    from trinity_ray.rayutil import package_runtime_env
+
+    return ds.map_batches(encode, batch_format="pyarrow",
+                          batch_size=batch_size,
+                          runtime_env=package_runtime_env())
