@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": dsp.q_pack_sequences,
         "dedup_lines": dsp.q_dedup_lines,
         "lm_surprisal": dsp.q_lm_surprisal,
+        "normalize_text": dsp.q_normalize_text,
         "epoch_shuffle": dsp.q_epoch_shuffle,
         "upsample": dsp.q_upsample,
         "mixture_weights": dsp.q_mixture_weights,
@@ -1121,6 +1122,19 @@ SELECT doc_id, CAST(t.k AS BIGINT) AS repeat_idx, lang
 FROM w, LATERAL unnest(generate_series(CAST(0 AS BIGINT),
                                        CAST(r - 1 AS BIGINT))) AS t(k)
 WHERE r > 0
+""",
+        # canonical text normalization (NFC + control strip + ws collapse)
+        "normalize_text": r"""
+SELECT doc_id,
+       trim(regexp_replace(
+                regexp_replace(nfc_normalize(text),
+                               '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+                '[ \t\n\r\f\v]+', ' ', 'g')) AS text_norm,
+       trim(regexp_replace(
+                regexp_replace(nfc_normalize(text),
+                               '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+                '[ \t\n\r\f\v]+', ' ', 'g')) <> text AS changed
+FROM documents
 """,
         # unigram-LM mean token surprisal (CCNet-style quality signal)
         "lm_surprisal": """

@@ -494,3 +494,26 @@ def test_bpe_encode_empty_and_oov(ray_session):
     assert enc["n_words"].tolist() == [0, 2]
     assert enc["n_bpe"].tolist() == [0, 4]
     assert enc["bpe_ratio_r"].tolist() == [0.0, 2.0]
+
+
+def test_normalize_text_unicode_and_controls(ray_session):
+    import unicodedata
+
+    from trinity_ray.ops.text import normalize_text
+
+    decomposed = unicodedata.normalize("NFD", "\u00e9tude")  # e + U+0301
+    t = pa.table({"doc_id": [1, 2, 3, 4], "text": [
+        decomposed,                # combining accent -> NFC composed
+        "a\x00b\x07c",             # control chars stripped
+        "  x \t\n  y  ",           # whitespace collapse + trim
+        None,                      # null -> empty (counts as unchanged)
+    ]})
+    got = normalize_text(rd.from_arrow(t)).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert got["text_norm"].tolist() == ["\u00e9tude", "abc", "x y", ""]
+    assert got["changed"].tolist() == [True, True, True, False]
+    # idempotent: normalizing the result changes nothing
+    again = normalize_text(rd.from_arrow(pa.table(
+        {"doc_id": got.doc_id.tolist(), "text": got.text_norm.tolist()}))
+        ).to_pandas()
+    assert (~again["changed"]).all()

@@ -69,6 +69,7 @@ _EXPORTS = {
     "lm_surprisal": ("trinity_ray.ops.text", "lm_surprisal"),
     "bpe_train": ("trinity_ray.ops.text", "bpe_train"),
     "bpe_encode": ("trinity_ray.ops.text", "bpe_encode"),
+    "normalize_text": ("trinity_ray.ops.text", "normalize_text"),
     "mixture_weights": ("trinity_ray.ops.sample", "mixture_weights"),
     "extract_json": ("trinity_ray.ops.jsonx", "extract_json"),
     "heavy_hitters": ("trinity_ray.ops.sketch", "heavy_hitters"),

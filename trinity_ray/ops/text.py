@@ -565,3 +565,47 @@ def bpe_encode(ds, merges, *, text_column: str = "text",
     return ds.map_batches(encode, batch_format="pyarrow",
                           batch_size=batch_size,
                           runtime_env=package_runtime_env())
+
+
+def normalize_text(ds, *, text_column: str = "text",
+                   id_column: str = "doc_id"):
+    """Canonical text normalization — the first cleaning pass of a corpus
+    pipeline: Unicode NFC, strip ASCII control characters (keeping
+    tab/newline/CR only long enough for the whitespace collapse), collapse
+    ASCII whitespace runs to single spaces, trim.  Output:
+    ``(<id_column>, text_norm, changed)``.
+
+    ASCII rows (the overwhelming majority of a source-code corpus) stay
+    on pure Arrow kernels end to end — ASCII is NFC-invariant, detected
+    vectorized with ``string_is_ascii`` — and only the rare non-ASCII
+    rows pay a Python ``unicodedata.normalize`` call (pyarrow 16's
+    ``utf8_normalize`` does not COMPOSE, so it cannot express NFC parity
+    with DuckDB's utf8proc).  The regex engine is RE2 on both sides of
+    the oracle, so the transform is exactly SQL-reproducible.  The
+    whitespace class is explicit ASCII ``[ \\t\\n\\r\\f\\v]`` — Python's
+    ``\\s`` would disagree with RE2 on Unicode spaces."""
+    import unicodedata
+
+    ctl = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+    ws = "[ \t\n\r\f\v]+"
+
+    def norm(batch: pa.Table) -> pa.Table:
+        raw = pc.fill_null(batch.column(text_column), "")
+        if pc.min(pc.string_is_ascii(raw)).as_py() is False:
+            t = pa.array([unicodedata.normalize("NFC", v) if v else v
+                          for v in raw.to_pylist()], pa.string())
+        else:
+            t = raw                      # ASCII is NFC-invariant
+        t = pc.replace_substring_regex(t, ctl, "")
+        t = pc.replace_substring_regex(t, ws, " ")
+        t = pc.utf8_trim(t, " ")
+        return pa.table({
+            id_column: batch.column(id_column),
+            "text_norm": t,
+            "changed": pc.not_equal(t, raw),
+        })
+
+    from trinity_ray.rayutil import package_runtime_env
+
+    return ds.map_batches(norm, batch_format="pyarrow",
+                          runtime_env=package_runtime_env())

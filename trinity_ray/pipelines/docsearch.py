@@ -909,6 +909,16 @@ def q_mixture_weights(sf_dir: str):
         strata_column="lang", salt="mix", columns=("lang",))
 
 
+def q_normalize_text(sf_dir: str):
+    """Canonical text normalization (NFC + control strip + ASCII
+    whitespace collapse + trim), pure Arrow kernels; RE2 on both sides
+    makes the oracle byte-exact."""
+    from trinity_ray.ops.text import normalize_text
+
+    return normalize_text(read_documents(sf_dir).select_columns(
+        ["doc_id", "text"]))
+
+
 def q_text_token_counts(sf_dir: str):
     from trinity_ray.ops.text import token_count
 
