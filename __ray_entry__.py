@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_lines": dsp.q_dedup_lines,
         "lm_surprisal": dsp.q_lm_surprisal,
         "normalize_text": dsp.q_normalize_text,
+        "hybrid_search_top10": dsp.q_hybrid_search_top10,
         "epoch_shuffle": dsp.q_epoch_shuffle,
         "upsample": dsp.q_upsample,
         "mixture_weights": dsp.q_mixture_weights,
@@ -1122,6 +1123,38 @@ SELECT doc_id, CAST(t.k AS BIGINT) AS repeat_idx, lang
 FROM w, LATERAL unnest(generate_series(CAST(0 AS BIGINT),
                                        CAST(r - 1 AS BIGINT))) AS t(k)
 WHERE r > 0
+""",
+        # hybrid retrieval: BM25 top-50 candidates re-ranked by embedding
+        # cosine to the query vector (vec 0); 0.5/0.5 combination
+        "hybrid_search_top10": f"""
+WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(upper(text),
+                                    '[A-Z0-9]+')) AS tok FROM documents),
+tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM toks
+       WHERE tok IN ('KEY', 'ORDER') GROUP BY doc_id, tok),
+df AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok),
+nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+matched AS (SELECT doc_id FROM tf WHERE tok IN ('KEY', 'ORDER')
+            GROUP BY doc_id HAVING count(DISTINCT tok) = 2),
+bm AS (SELECT m.doc_id,
+              sum(ln(1.0 + (nn.n - df.df + 0.5) / (df.df + 0.5))
+                  * tf.tf / (tf.tf + {K1})) AS score
+       FROM matched m JOIN tf ON tf.doc_id = m.doc_id
+       JOIN df ON df.tok = tf.tok CROSS JOIN nn GROUP BY m.doc_id),
+cand AS (SELECT doc_id, score FROM bm ORDER BY score DESC, doc_id LIMIT 50),
+ev AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+              generate_subscripts(embedding, 1) AS i FROM embeddings),
+q AS (SELECT i, v AS qv FROM ev WHERE vec_id = 0),
+qn AS (SELECT sum(qv * qv) AS qn2 FROM q),
+cs AS (SELECT e.vec_id, sum(e.v * q.qv) AS dot, sum(e.v * e.v) AS n2
+       FROM ev e JOIN q ON e.i = q.i
+       WHERE e.vec_id IN (SELECT doc_id FROM cand) GROUP BY e.vec_id)
+SELECT c.doc_id,
+       round(0.5 * c.score
+             + 0.5 * (cs.dot / (sqrt(cs.n2) * sqrt(qn.qn2))), 4) AS score_r
+FROM cand c JOIN cs ON cs.vec_id = c.doc_id CROSS JOIN qn
+ORDER BY 0.5 * c.score + 0.5 * (cs.dot / (sqrt(cs.n2) * sqrt(qn.qn2)))
+         DESC, c.doc_id
+LIMIT 10
 """,
         # canonical text normalization (NFC + control strip + ws collapse)
         "normalize_text": r"""

@@ -982,3 +982,19 @@ def test_ray_searcher_delete_k_sweep_parity(tmp_path, ray_session):
                 assert list(map(int, a.doc_ids)) == list(map(int, b.doc_ids)), (na, q, k)
                 np.testing.assert_allclose(a.scores, b.scores, rtol=1e-12,
                                            err_msg=f"{na} {q} {k}")
+
+
+def test_hybrid_rerank_changes_pure_bm25_order(ray_session, sf_dir):
+    """Hybrid = 0.5*bm25 + 0.5*cosine must (a) draw from the BM25
+    candidate set and (b) respect the combined ordering."""
+    from trinity_ray.pipelines import docsearch as dsp
+
+    hybrid = dsp.q_hybrid_search_top10(sf_dir).to_pandas()
+    res = dsp._searcher(dsp.base_index(sf_dir)).search(
+        dsp.DRIVER_QUERIES["and2"], k=50)
+    cand = set(int(d) for d in res.doc_ids)
+    assert set(hybrid.doc_id) <= cand
+    assert len(hybrid) == min(10, len(cand))
+    # combined scores are non-increasing with doc_id tie-break
+    s = hybrid.score_r.tolist()
+    assert all(a >= b for a, b in zip(s, s[1:]))

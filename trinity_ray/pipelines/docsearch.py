@@ -956,6 +956,45 @@ def q_text_fingerprint(sf_dir: str):
                        ).select_columns(["doc_id", "fingerprint"])
 
 
+def q_hybrid_search_top10(sf_dir: str) -> pa.Table:
+    """Hybrid retrieval — the flagship composition of the engine's two
+    halves: BM25 candidate generation ('key AND order', top-50) re-ranked
+    by embedding cosine against the query vector (vec 0), combined score
+    = 0.5*bm25 + 0.5*cosine, top 10.
+
+    Scale shape: candidates are k-sized, so their embeddings come from a
+    vec_id-pruned parquet read (row-group predicate pushdown — the same
+    pruned id-gather the snippet path uses) and the cosine is one tiny
+    matmul; nothing corpus-sized moves after the index lookup."""
+    import pyarrow.parquet as pq
+
+    res = _searcher(base_index(sf_dir)).search(DRIVER_QUERIES["and2"], k=50)
+    cand = res.doc_ids.astype(np.int64)
+    bm25 = np.asarray(res.scores, np.float64)
+    qvec = np.asarray(
+        pq.read_table(embeddings_parquet(sf_dir), columns=["embedding"],
+                      filters=[("vec_id", "=", 0)]
+                      ).column("embedding")[0].as_py(), np.float64)
+    emb = pq.read_table(embeddings_parquet(sf_dir),
+                        columns=["vec_id", "embedding"],
+                        filters=[("vec_id", "in", [int(i) for i in cand])])
+    vid = emb.column("vec_id").to_numpy(zero_copy_only=False)
+    mat = np.asarray(emb.column("embedding").to_pylist(), np.float64)
+    cos = (mat @ qvec) / (np.linalg.norm(mat, axis=1)
+                          * np.linalg.norm(qvec))
+    cos_by_id = dict(zip(vid.astype(int), cos))
+    keep = np.array([int(d) in cos_by_id for d in cand])
+    cand, bm25 = cand[keep], bm25[keep]
+    combined = 0.5 * bm25 + 0.5 * np.array(
+        [cos_by_id[int(d)] for d in cand])
+    order = np.lexsort((cand, -combined))[:TOPK]
+    return pa.table({
+        "doc_id": pa.array(cand[order], pa.int64()),
+        "score_r": pa.array(np.floor(combined[order] * 1e4 + 0.5) / 1e4,
+                            pa.float64()),
+    })
+
+
 def q_ann_bruteforce_top10(sf_dir: str) -> pa.Table:
     from trinity_ray.ops.ann import brute_force_topk
 
