@@ -1157,16 +1157,18 @@ ORDER BY 0.5 * c.score + 0.5 * (cs.dot / (sqrt(cs.n2) * sqrt(qn.qn2)))
 LIMIT 10
 """,
         # canonical text normalization (NFC + control strip + ws collapse)
+        # NULL text is treated as '' on both sides (engine fill_null parity)
         "normalize_text": r"""
 SELECT doc_id,
        trim(regexp_replace(
-                regexp_replace(nfc_normalize(text),
+                regexp_replace(nfc_normalize(coalesce(text, '')),
                                '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
                 '[ \t\n\r\f\v]+', ' ', 'g')) AS text_norm,
        trim(regexp_replace(
-                regexp_replace(nfc_normalize(text),
+                regexp_replace(nfc_normalize(coalesce(text, '')),
                                '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
-                '[ \t\n\r\f\v]+', ' ', 'g')) <> text AS changed
+                '[ \t\n\r\f\v]+', ' ', 'g')) <> coalesce(text, '')
+         AS changed
 FROM documents
 """,
         # unigram-LM mean token surprisal (CCNet-style quality signal)

@@ -612,20 +612,21 @@ _BANK_DIRS = ("/tmp/bench_watch",
 
 
 def _bracket_eff(d: dict) -> float:
-    """Worst of the two bracketing host probes — the comparability signal."""
-    a = float(d.get("host_probe_parallel_eff", 0.0) or 0.0)
-    b = float(d.get("host_probe_end_parallel_eff", a) or a)
+    """Worst of the two bracketing host probes — the comparability signal.
+    A recorded end probe of 0.0 (window collapsed mid-run) must count as
+    0.0, not fall back to the start probe."""
+    a = d.get("host_probe_parallel_eff")
+    a = 0.0 if a is None else float(a)
+    b = d.get("host_probe_end_parallel_eff")
+    b = a if b is None else float(b)
     return min(a, b)
 
 
-def best_banked(kind: str):
-    """Best-probe banked artifact of this round: the background collector
-    (scripts/probe_watch.py) banks full/scaling samples all round under
-    /tmp/bench_watch, and the best ones are mirrored into the committed
-    bench_bank/ so a host reboot cannot lose them."""
+def _scan_bank(kind: str) -> list:
+    """All parseable banked artifacts for ``kind`` as (path, dict)."""
     import glob
 
-    best = None
+    out = []
     for bd in _BANK_DIRS:
         for f in sorted(glob.glob(os.path.join(bd, f"{kind}_*.json"))):
             try:
@@ -633,29 +634,61 @@ def best_banked(kind: str):
                     d = json.load(fh)
             except (OSError, ValueError):
                 continue
-            if not isinstance(d, dict) or "value" not in d:
-                continue
-            if best is None or _bracket_eff(d) > _bracket_eff(best[1]):
-                best = (f, d)
+            if isinstance(d, dict) and "value" in d:
+                out.append((f, d))
+    return out
+
+
+def best_banked(kind: str, sf=None, num_cpus=None):
+    """Best-BRACKET banked artifact of this round at the requested scale:
+    the background collector (scripts/probe_watch.py) banks full/scaling
+    samples all round under /tmp/bench_watch, and per-scale bests are
+    mirrored into the committed bench_bank/ so a host reboot cannot lose
+    them.  ``sf``/``num_cpus`` filter BEFORE selection, so a healthy
+    sample of the right scale is found even when another scale's sample
+    has a better window."""
+    best = None
+    for f, d in _scan_bank(kind):
+        if sf is not None and d.get("sf") != sf:
+            continue
+        if num_cpus is not None and d.get("num_cpus") != num_cpus:
+            continue
+        if best is None or _bracket_eff(d) > _bracket_eff(best[1]):
+            best = (f, d)
     return best
 
 
 def _sync_bank(kind: str) -> None:
-    """Mirror the best /tmp-banked artifact into the repo's bench_bank/."""
-    b = best_banked(kind)
-    if not b:
-        return
-    src_path, d = b
+    """Mirror the best /tmp artifact of EVERY (sf, num_cpus) scale into
+    the repo's bench_bank/ (reboot protection is per scale, not global)."""
+    best_per_scale: dict = {}
+    for f, d in _scan_bank(kind):
+        key = (d.get("sf"), d.get("num_cpus"))
+        if (key not in best_per_scale
+                or _bracket_eff(d) > _bracket_eff(best_per_scale[key][1])):
+            best_per_scale[key] = (f, d)
     repo_bank = _BANK_DIRS[1]
-    if os.path.dirname(os.path.abspath(src_path)) == repo_bank:
-        return                      # best is already the committed copy
+    for f, d in best_per_scale.values():
+        if os.path.dirname(os.path.abspath(f)) == repo_bank:
+            continue                # already the committed copy
+        try:
+            os.makedirs(repo_bank, exist_ok=True)
+            with open(os.path.join(repo_bank, os.path.basename(f)),
+                      "w") as fh:
+                json.dump(d, fh)
+        except OSError:
+            pass                    # banking is best-effort
+
+
+def _git_sha() -> str:
     try:
-        os.makedirs(repo_bank, exist_ok=True)
-        with open(os.path.join(repo_bank, os.path.basename(src_path)),
-                  "w") as fh:
-            json.dump(d, fh)
+        out = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        return out.stdout.strip() if out.returncode == 0 else ""
     except OSError:
-        pass                        # banking is best-effort
+        return ""
 
 
 def emit_best(kind: str, live: dict) -> dict:
@@ -667,24 +700,24 @@ def emit_best(kind: str, live: dict) -> dict:
     ``GRAFT_NO_BANK=1`` disables the substitution — the background
     collector sets it so its captures stay LIVE measurements (else it
     would re-bank copies of the best artifact in a feedback loop)."""
+    live.setdefault("git_sha", _git_sha())
     if os.environ.get("GRAFT_NO_BANK"):
         return live
     _sync_bank(kind)
     if live.get("comparable"):
         return live
-    b = best_banked(kind)
-    # only substitute a sample of the SAME scale: a banked sf0.1/32-cpu
-    # artifact must never replace (or be replaced by) an sf0.01 smoke run
-    if b and (b[1].get("sf") != live.get("sf")
-              or b[1].get("num_cpus") != live.get("num_cpus")):
-        b = None
+    # same-scale filter BEFORE selection: a banked sf0.1/32-cpu artifact
+    # must never replace (or shadow) an sf0.01 smoke run
+    b = best_banked(kind, sf=live.get("sf"), num_cpus=live.get("num_cpus"))
     if b and _bracket_eff(b[1]) > _bracket_eff(live):
         d = dict(b[1])
         d["banked_from"] = os.path.basename(b[0])
         d["live_probe_parallel_eff"] = live.get("host_probe_parallel_eff")
+        d["live_git_sha"] = live.get("git_sha", "")
         d["note"] = ("live window degraded; emitting this round's "
                      "best-probe banked sample from the background "
-                     "collector (bracketing probes inside the artifact)")
+                     "collector (bracketing probes inside the artifact; "
+                     "git_sha records the code it measured)")
         return d
     return live
 

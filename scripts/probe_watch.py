@@ -69,13 +69,12 @@ def run_capture(kind: str, args: list[str], env: dict) -> dict | None:
     log(f"{kind} done in {time.time() - t0:.0f}s -> {path} "
         f"(comparable={result.get('comparable')})")
     try:
-        # mirror the round's best-bracket sample into the committed bank
+        # mirror the round's best-bracket samples into the committed bank
         # IMMEDIATELY (a host reboot already wiped six healthy /tmp
         # artifacts this round); bench.py's emit_best reads the bank
-        sys.path.insert(0, REPO)
-        import bench as _bench
+        from bench import _sync_bank    # REPO already on sys.path (top)
 
-        _bench._sync_bank(kind)
+        _sync_bank(kind)
     except Exception as e:          # banking is best-effort
         log(f"bank sync failed: {e}")
     return result

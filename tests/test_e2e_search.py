@@ -989,6 +989,8 @@ def test_hybrid_rerank_changes_pure_bm25_order(ray_session, sf_dir):
     candidate set and (b) respect the combined ordering."""
     from trinity_ray.pipelines import docsearch as dsp
 
+    import pyarrow.parquet as pq
+
     hybrid = dsp.q_hybrid_search_top10(sf_dir).to_pandas()
     res = dsp._searcher(dsp.base_index(sf_dir)).search(
         dsp.DRIVER_QUERIES["and2"], k=50)
@@ -998,3 +1000,21 @@ def test_hybrid_rerank_changes_pure_bm25_order(ray_session, sf_dir):
     # combined scores are non-increasing with doc_id tie-break
     s = hybrid.score_r.tolist()
     assert all(a >= b for a, b in zip(s, s[1:]))
+    # pin the cosine path: recompute 0.5*bm25 + 0.5*cos independently and
+    # demand the exact same top-10 (an implementation ignoring the cosine
+    # term would pass the subset/ordering checks above)
+    emb = pq.read_table(dsp.embeddings_parquet(sf_dir),
+                        columns=["vec_id", "embedding"])
+    vecs = {int(v): np.asarray(e, np.float64)
+            for v, e in zip(emb.column("vec_id").to_pylist(),
+                            emb.column("embedding").to_pylist())}
+    q = vecs[0] / np.linalg.norm(vecs[0])
+    expect = sorted(
+        ((-0.5 * sc - 0.5 * float(vecs[int(d)]
+                                  @ q / np.linalg.norm(vecs[int(d)])),
+          int(d))
+         for d, sc in zip(res.doc_ids, res.scores) if int(d) in vecs),
+    )[:10]
+    assert hybrid.doc_id.tolist() == [d for _, d in expect]
+    assert hybrid.score_r.tolist() == [
+        float(np.floor(-c * 1e4 + 0.5) / 1e4) for c, _ in expect]

@@ -227,6 +227,28 @@ def epoch_shuffle(ds, *, seed: str = "", key_column: str = "doc_id",
                                              batch_format="pyarrow")
 
 
+def _repeat_rows(batch: pa.Table, r: np.ndarray, key_column: str,
+                 keep: tuple) -> pa.Table:
+    """Expand each batch row into ``r[i]`` copies with a ``repeat_idx``
+    column — the shared kernel of :func:`upsample` and
+    :func:`mixture_weights`."""
+    tot = int(r.sum())
+    base = np.concatenate(([0], np.cumsum(r[:-1], dtype=np.int64)))
+    ridx = np.arange(tot, dtype=np.int64) - np.repeat(base, r)
+    gather = pa.array(np.repeat(np.arange(len(r), dtype=np.int64), r))
+    out = {key_column: batch.column(key_column).take(gather),
+           "repeat_idx": pa.array(ridx, pa.int64())}
+    for c in keep:
+        out[c] = batch.column(c).take(gather)
+    return pa.table(out)
+
+
+def _empty_repeat(batch: pa.Table, key_column: str, keep: tuple) -> pa.Table:
+    return pa.table({key_column: batch.column(key_column),
+                     "repeat_idx": pa.array([], pa.int64()),
+                     **{c: batch.column(c) for c in keep}})
+
+
 def upsample(ds, factor, *, key_column: str = "doc_id", salt: str = "",
              columns: tuple[str, ...] = ()):
     """Deterministic fractional repetition — domain/source upweighting.
@@ -253,22 +275,11 @@ def upsample(ds, factor, *, key_column: str = "doc_id", salt: str = "",
     def rep(batch: pa.Table) -> pa.Table:
         keys = batch.column(key_column).to_pylist()
         if not keys:                     # 0-row block (e.g. post-filter)
-            return pa.table(
-                {key_column: batch.column(key_column),
-                 "repeat_idx": pa.array([], pa.int64()),
-                 **{c: batch.column(c) for c in keep}})
+            return _empty_repeat(batch, key_column, keep)
         r = np.full(len(keys), whole, np.int64)
         if frac > 0:
             r += _md5_keep_mask(keys, salt, th)
-        tot = int(r.sum())
-        base = np.concatenate(([0], np.cumsum(r[:-1], dtype=np.int64)))
-        ridx = np.arange(tot, dtype=np.int64) - np.repeat(base, r)
-        gather = pa.array(np.repeat(np.arange(len(keys), dtype=np.int64), r))
-        out = {key_column: batch.column(key_column).take(gather),
-               "repeat_idx": pa.array(ridx, pa.int64())}
-        for c in keep:
-            out[c] = batch.column(c).take(gather)
-        return pa.table(out)
+        return _repeat_rows(batch, r, key_column, keep)
 
     from trinity_ray.rayutil import package_runtime_env
 
@@ -298,7 +309,9 @@ def mixture_weights(ds, weights: dict, *, strata_column: str = "lang",
         f = Fraction(*w) if isinstance(w, tuple) else Fraction(w)
         if f < 0:
             raise ValueError(f"weight must be >= 0, got {f}")
-        return int(f), md5_threshold_hex(f - int(f))
+        frac = f - int(f)
+        # None threshold = integer weight: no md5 needed for those rows
+        return int(f), (md5_threshold_hex(frac) if frac > 0 else None)
 
     table = {s: parts(w) for s, w in weights.items()}
     default = parts(default_weight)
@@ -307,25 +320,16 @@ def mixture_weights(ds, weights: dict, *, strata_column: str = "lang",
     def rep(batch: pa.Table) -> pa.Table:
         keys = batch.column(key_column).to_pylist()
         if not keys:                     # 0-row block (e.g. post-filter)
-            return pa.table(
-                {key_column: batch.column(key_column),
-                 "repeat_idx": pa.array([], pa.int64()),
-                 **{c: batch.column(c) for c in keep}})
+            return _empty_repeat(batch, key_column, keep)
         strata = batch.column(strata_column).to_pylist()
         r = np.empty(len(keys), np.int64)
         for i, (k, s) in enumerate(zip(keys, strata)):
             whole, th = table.get(s, default)
-            r[i] = whole + (hashlib.md5(
+            # md5 only where the stratum HAS a fractional part (integer
+            # weights — including the default 1 — skip hashing entirely)
+            r[i] = whole + (th is not None and hashlib.md5(
                 (str(k) + salt).encode()).hexdigest() < th)
-        tot = int(r.sum())
-        base = np.concatenate(([0], np.cumsum(r[:-1], dtype=np.int64)))
-        ridx = np.arange(tot, dtype=np.int64) - np.repeat(base, r)
-        gather = pa.array(np.repeat(np.arange(len(keys), dtype=np.int64), r))
-        out = {key_column: batch.column(key_column).take(gather),
-               "repeat_idx": pa.array(ridx, pa.int64())}
-        for c in keep:
-            out[c] = batch.column(c).take(gather)
-        return pa.table(out)
+        return _repeat_rows(batch, r, key_column, keep)
 
     from trinity_ray.rayutil import package_runtime_env
 

@@ -456,8 +456,9 @@ def bpe_train(ds, *, n_merges: int = 100, text_column: str = "text",
     vocab = partials.groupby("term").aggregate(
         Sum("cnt", alias_name="cnt")).to_pandas()
 
-    # word -> (symbol tuple, freq); end-of-word marker keeps merges from
-    # crossing word boundaries implicitly (each word is its own sequence)
+    # word -> (symbol tuple, freq): each word is its own sequence, so
+    # merges never cross word boundaries (no Sennrich-style </w> marker —
+    # word-final subwords are NOT distinguished from word-internal ones)
     words = [(tuple(term), int(cnt))
              for term, cnt in zip(vocab["term"], vocab["cnt"])
              if len(term) > 0]

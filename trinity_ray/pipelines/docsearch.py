@@ -971,6 +971,10 @@ def q_hybrid_search_top10(sf_dir: str) -> pa.Table:
     res = _searcher(base_index(sf_dir)).search(DRIVER_QUERIES["and2"], k=50)
     cand = res.doc_ids.astype(np.int64)
     bm25 = np.asarray(res.scores, np.float64)
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "score_r": pa.array([], pa.float64())})
+    if cand.size == 0:               # no BM25 candidates: oracle is empty too
+        return empty
     qvec = np.asarray(
         pq.read_table(embeddings_parquet(sf_dir), columns=["embedding"],
                       filters=[("vec_id", "=", 0)]
@@ -983,8 +987,10 @@ def q_hybrid_search_top10(sf_dir: str) -> pa.Table:
     cos = (mat @ qvec) / (np.linalg.norm(mat, axis=1)
                           * np.linalg.norm(qvec))
     cos_by_id = dict(zip(vid.astype(int), cos))
-    keep = np.array([int(d) in cos_by_id for d in cand])
+    keep = np.array([int(d) in cos_by_id for d in cand], dtype=bool)
     cand, bm25 = cand[keep], bm25[keep]
+    if cand.size == 0:               # candidates without embeddings drop
+        return empty
     combined = 0.5 * bm25 + 0.5 * np.array(
         [cos_by_id[int(d)] for d in cand])
     order = np.lexsort((cand, -combined))[:TOPK]
