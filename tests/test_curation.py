@@ -517,3 +517,34 @@ def test_normalize_text_unicode_and_controls(ray_session):
         {"doc_id": got.doc_id.tolist(), "text": got.text_norm.tolist()}))
         ).to_pandas()
     assert (~again["changed"]).all()
+
+
+def test_export_packed_resumable(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from trinity_ray.ops.pack import pack_sequences
+    from trinity_ray.pipelines.export import export_packed
+
+    t = pa.table({"doc_id": list(range(12)),
+                  "text": ["w " * 9] * 12})        # 9 tokens per doc
+    out = str(tmp_path / "packed")
+    manifest = export_packed(rd.from_arrow(t), out, seq_len=16,
+                             seqs_per_partition=2, range_span=4)
+    # 12 docs x 9 tokens = 108 tokens -> 7 sequences -> 4 buckets of 2
+    assert manifest["rows"] > 0
+    assert set(manifest["partitions"]) == {"0", "1", "2", "3"}
+    # written data round-trips to exactly the packer's output
+    import pyarrow.dataset as pads
+
+    back = pads.dataset(out, format="parquet", partitioning="hive",
+                        ignore_prefixes=[".", "_", "DONE"]).to_table(
+        ).select(["seq_id", "doc_id", "n_tokens"]).to_pandas().sort_values(
+        ["seq_id", "doc_id"]).reset_index(drop=True)
+    direct = pack_sequences(rd.from_arrow(t), seq_len=16, range_span=4
+                            ).to_pandas().sort_values(
+        ["seq_id", "doc_id"]).reset_index(drop=True)
+    assert back.astype("int64").equals(direct.astype("int64"))
+    # rerun of a finished export is a no-op returning the same manifest
+    again = export_packed(rd.from_arrow(t), out, seq_len=16,
+                          seqs_per_partition=2, range_span=4)
+    assert again == manifest

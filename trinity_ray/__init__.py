@@ -52,6 +52,7 @@ _EXPORTS = {
     "top_terms": ("trinity_ray.ops.text", "top_terms"),
     "repetition_stats": ("trinity_ray.ops.text", "repetition_stats"),
     "export_curated": ("trinity_ray.pipelines.export", "export_curated"),
+    "export_packed": ("trinity_ray.pipelines.export", "export_packed"),
     # round 5 (final session): relational/event operators Ray Data lacks,
     # sketches, semi-structured extraction
     "asof_join": ("trinity_ray.ops.relational", "asof_join"),

@@ -19,7 +19,7 @@ import json
 import os
 import shutil
 
-__all__ = ["export_curated"]
+__all__ = ["export_curated", "export_packed"]
 
 _DONE = "DONE.json"
 
@@ -85,3 +85,32 @@ def export_curated(ds, out_dir: str, *, partition_cols=("lang",),
         json.dump(manifest, f)
     os.replace(tmp, marker)               # the commit point
     return manifest
+
+
+def export_packed(docs_ds, out_dir: str, *, seq_len: int = 256,
+                  seqs_per_partition: int = 1024,
+                  compression: str = "zstd", **pack_kwargs) -> dict:
+    """Terminal of the training-data pipeline: pack documents into
+    fixed-``seq_len`` sequences (:func:`trinity_ray.ops.pack.pack_sequences`)
+    and write them as resumable hive-partitioned Parquet, one directory
+    per ``seqs_per_partition`` consecutive sequence ids — a training
+    loader reads partitions in order and a failed export reruns
+    idempotently (directory-level commit via :func:`export_curated`'s
+    DONE manifest)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from trinity_ray.ops.pack import pack_sequences
+
+    if seqs_per_partition <= 0:
+        raise ValueError("seqs_per_partition must be positive")
+    seqs = pack_sequences(docs_ds, seq_len=seq_len, **pack_kwargs)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        b = pc.divide(batch.column("seq_id"),
+                      pa.scalar(seqs_per_partition, pa.int64()))
+        return batch.append_column("seq_bucket", pc.cast(b, pa.int64()))
+
+    return export_curated(seqs.map_batches(bucket, batch_format="pyarrow"),
+                          out_dir, partition_cols=("seq_bucket",),
+                          compression=compression)
