@@ -180,3 +180,33 @@ def test_cli_curate(tmp_path, ray_session, capsys):
     assert rc2 == 0
     manifest2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert manifest2["rows"] == manifest["rows"]
+
+
+def test_build_from_jsonl_matches_parquet(ray_session, tmp_path):
+    """A JSONL corpus stages once into Parquet and produces an index whose
+    search results are identical to the Parquet-built index."""
+    import os
+
+    from trinity_ray.search import LocalSearcher
+
+    docs = [{"doc_id": i, "content": t} for i, t in enumerate(DOCS)]
+    jl = tmp_path / "corpus.jsonl"
+    jl.write_text("\n".join(json.dumps(d) for d in docs) + "\n")
+    pqf = tmp_path / "corpus.parquet"
+    pq.write_table(pa.table({
+        "doc_id": [d["doc_id"] for d in docs],
+        "content": [d["content"] for d in docs]}), pqf)
+
+    idx_j = str(tmp_path / "idx_jsonl")
+    idx_p = str(tmp_path / "idx_parquet")
+    assert main(["build", "--input", str(jl), "--index", idx_j,
+                 "--tokenizer", "simple"]) == 0
+    assert main(["build", "--input", str(pqf), "--index", idx_p,
+                 "--tokenizer", "simple"]) == 0
+    # staging committed with a DONE marker; rerun is a no-op
+    assert os.path.exists(os.path.join(idx_j, "staging", "DONE.json"))
+    for q in ("beta", "alpha AND epsilon", '"beta gamma"'):
+        a = LocalSearcher(idx_j).search(q, k=10)
+        b = LocalSearcher(idx_p).search(q, k=10)
+        assert list(a.doc_ids) == list(b.doc_ids)
+        assert list(a.scores) == list(b.scores)

@@ -53,6 +53,7 @@ _EXPORTS = {
     "repetition_stats": ("trinity_ray.ops.text", "repetition_stats"),
     "export_curated": ("trinity_ray.pipelines.export", "export_curated"),
     "export_packed": ("trinity_ray.pipelines.export", "export_packed"),
+    "stage_corpus": ("trinity_ray.sources", "stage_corpus"),
     # round 5 (final session): relational/event operators Ray Data lacks,
     # sketches, semi-structured extraction
     "asof_join": ("trinity_ray.ops.relational", "asof_join"),

@@ -15,6 +15,7 @@ only when one isn't already provided (guarded init per the driver contract).
 from __future__ import annotations
 
 import argparse
+import os
 import json
 import sys
 
@@ -28,10 +29,17 @@ def _ensure_ray() -> None:
 
 def cmd_build(args: argparse.Namespace) -> int:
     from trinity_ray.index.build import build_index
+    from trinity_ray.sources import stage_corpus
 
     _ensure_ray()
+    # JSONL/CSV corpora stage once into Parquet (idempotent, DONE-marker
+    # committed); Parquet inputs pass through with no staging cost
+    corpus = stage_corpus(
+        args.input,
+        args.staging or os.path.join(args.index, "staging"),
+        format=args.format)
     manifest = build_index(
-        args.input, args.index,
+        corpus, args.index,
         content_column=args.content_column,
         id_columns=tuple(args.id_columns or ()),
         tokenizer=args.tokenizer,
@@ -187,6 +195,13 @@ def main(argv: list[str] | None = None) -> int:
     b = sub.add_parser("build", help="build an index over a Parquet corpus")
     b.add_argument("--input", required=True)
     b.add_argument("--index", required=True)
+    b.add_argument("--format", default=None,
+                   choices=[None, "parquet", "jsonl", "csv"],
+                   help="corpus format (default: sniffed from the path); "
+                        "jsonl/csv stage once into Parquet")
+    b.add_argument("--staging", default=None,
+                   help="staging dir for non-Parquet corpora "
+                        "(default: <index>/staging)")
     b.add_argument("--content-column", default="content")
     b.add_argument("--id-columns", nargs="*", default=None,
                    help="app-field columns carried into docs metadata "
