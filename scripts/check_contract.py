@@ -105,6 +105,13 @@ def main() -> int:
                 merged = mine.compare(ref) if mine.shape == ref.shape else None
                 if merged is not None:
                     print(merged.head(10))
+            # dump both frames so a flaky failure can be diagnosed post-hoc
+            try:
+                mine.to_parquet(f"/tmp/contract_fail_{name}_mine.parquet")
+                ref.to_parquet(f"/tmp/contract_fail_{name}_ref.parquet")
+                print(f"  dumped /tmp/contract_fail_{name}_{{mine,ref}}.parquet")
+            except Exception:
+                pass
     print("failures:", failures)
     return 1 if failures else 0
 
