@@ -85,6 +85,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "epoch_shuffle": dsp.q_epoch_shuffle,
         "upsample": dsp.q_upsample,
         "mixture_weights": dsp.q_mixture_weights,
+        "term_cooc_top20": dsp.q_term_cooc_top20,
+        "keywords_top3": dsp.q_keywords_top3,
+        "fuzzy_terms": dsp.q_fuzzy_terms,
         # -- inverted-index build + query engine (SURVEY.md §2.1-2.7) -----
         "search_rare_top10": dsp.q_search_rare_top10,
         "search_hot_top10": dsp.q_search_hot_top10,
@@ -317,6 +320,53 @@ df AS (SELECT tok AS term, count(DISTINCT doc_id) AS df FROM toks
        WHERE tok LIKE 'S%' GROUP BY tok)
 SELECT term, CAST(df AS BIGINT) AS df FROM df
 ORDER BY df DESC, term LIMIT 10
+""",
+        # typo-tolerant dictionary probe: the engine's SymSpell deletion
+        # neighborhood + exact verify == levenshtein <= 1 (no transpositions
+        # in either, so the two agree exactly)
+        "fuzzy_terms": f"""
+WITH toks AS ({_TOKS}),
+df AS (SELECT tok AS term, count(DISTINCT doc_id) AS df FROM toks
+       GROUP BY tok),
+probes(probe) AS (VALUES ('BLG'), ('QUERY'), ('ROWS'), ('SCAM'), ('VALU'))
+SELECT p.probe, d.term, CAST(d.df AS BIGINT) AS df
+FROM probes p JOIN df d ON levenshtein(p.probe, d.term) <= 1
+""",
+        # co-occurrence lift = n_ab*N/(n_a*n_b): PMI ranking without ln()
+        # (monotone transform) so selection/order parity is exact IEEE —
+        # the engine computes the identical double expression
+        "term_cooc_top20": f"""
+WITH toks AS ({_TOKS}),
+dt AS (SELECT DISTINCT doc_id, tok FROM toks),
+df AS (SELECT tok, count(*) AS df FROM dt GROUP BY tok),
+pr AS (SELECT a.tok AS term_a, b.tok AS term_b, count(*) AS n_ab
+       FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+       GROUP BY 1, 2),
+sc AS (SELECT p.term_a, p.term_b, p.n_ab, da.df AS n_a, db.df AS n_b,
+              (CAST(p.n_ab AS DOUBLE) * (SELECT count(*) FROM documents))
+                / (da.df * db.df) AS lift
+       FROM pr p JOIN df da ON da.tok = p.term_a
+                 JOIN df db ON db.tok = p.term_b
+       WHERE da.df >= 2 AND db.df >= 2)
+SELECT term_a, term_b, CAST(n_ab AS BIGINT) AS n_ab,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       round(lift, 4) AS lift_r
+FROM sc ORDER BY lift DESC, term_a, term_b LIMIT 20
+""",
+        # per-doc keyword burstiness tf/df: one IEEE division both sides
+        "keywords_top3": f"""
+WITH toks AS ({_TOKS}),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+sc AS (SELECT t.doc_id, t.tok AS term, t.tf, d.df,
+              CAST(t.tf AS DOUBLE) / d.df AS s
+       FROM tf t JOIN df d USING (tok)
+       QUALIFY row_number() OVER (PARTITION BY t.doc_id
+                                  ORDER BY CAST(t.tf AS DOUBLE) / d.df DESC,
+                                           t.tok) <= 3)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       round(s, 4) AS kw_r
+FROM sc
 """,
         # matched-sequence proximity: adjacency bonus on top of BM25
         "search_sequence_top10": f"""

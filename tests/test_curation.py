@@ -421,6 +421,51 @@ def test_lm_surprisal_unigram_model(ray_session):
     assert exp2 > exp1
 
 
+def test_term_cooccurrence_lift_hand_worked(ray_session):
+    from trinity_ray.ops.text import term_cooccurrence
+
+    # docs: {a,b} x3, {a,c} x2, {b,c} x1, {d} x1 -> N=7
+    # df: a=5 b=4 c=3 d=1; pairs: (a,b)=3 (a,c)=2 (b,c)=1
+    t = pa.table({"doc_id": list(range(7)),
+                  "text": ["a b", "a b b", "b a", "a c", "c a", "b c", "d"]})
+    got = term_cooccurrence(rd.from_arrow(t), top=20, min_df=2).to_pandas()
+    rows = {(r.term_a, r.term_b): r for r in got.itertuples()}
+    # d is pruned by min_df=2, so only the three eligible pairs remain
+    assert set(rows) == {("A", "B"), ("A", "C"), ("B", "C")}
+    ab, ac, bc = rows[("A", "B")], rows[("A", "C")], rows[("B", "C")]
+    assert (ab.n_ab, ab.n_a, ab.n_b) == (3, 5, 4)
+    assert (ac.n_ab, ac.n_a, ac.n_b) == (2, 5, 3)
+    assert (bc.n_ab, bc.n_a, bc.n_b) == (1, 4, 3)
+    assert ab.lift_r == round(3 * 7 / (5 * 4), 4)
+    # ordering: lift desc -> (b,c)=0.583.. < (a,c)=0.933.. < (a,b)=1.05
+    assert got["term_a"].tolist() == ["A", "A", "B"]
+    assert got["lift_r"].tolist() == sorted(got["lift_r"], reverse=True)
+
+
+def test_keywords_tfdf_top_k_and_ties(ray_session):
+    from trinity_ray.ops.text import keywords_tfdf
+
+    # df: common=3, rare=1, mid=2; doc 1 tf: common=2 rare=1 mid=1
+    t = pa.table({"doc_id": [1, 2, 3],
+                  "text": ["common common rare mid", "common mid", "common"]})
+    got = keywords_tfdf(rd.from_arrow(t), k=2).to_pandas()
+    d1 = got[got.doc_id == 1].reset_index(drop=True)
+    # scores: rare 1/1=1.0 > common 2/3=0.667 > mid 1/2=0.5 -> top-2
+    assert d1["term"].tolist() == ["RARE", "COMMON"]
+    assert d1["kw_r"].tolist() == [1.0, 0.6667]
+    # doc 2: mid 1/2 > common 1/3; doc 3: single term
+    d2 = got[got.doc_id == 2]
+    assert d2["term"].tolist() == ["MID", "COMMON"]
+    assert got[got.doc_id == 3]["term"].tolist() == ["COMMON"]
+    # exact-tie (equal kw score) breaks by term ascending: craft tf/df so
+    # two terms tie at 0.5 = 1/2 = 2/4
+    t2 = pa.table({"doc_id": [1, 2, 3, 4],
+                   "text": ["zz zz yy", "zz yy", "zz", "zz yy"]})
+    # df: zz=4 yy=3; doc1 scores: zz 2/4=0.5, yy 1/3=0.333
+    got2 = keywords_tfdf(rd.from_arrow(t2), k=1).to_pandas()
+    assert got2[got2.doc_id == 1]["term"].tolist() == ["ZZ"]
+
+
 def test_new_ops_survive_empty_blocks(ray_session):
     """0-row blocks (e.g. after an aggressive filter) must flow through
     the round-5 curation ops without numpy broadcast errors."""

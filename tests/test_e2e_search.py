@@ -435,6 +435,55 @@ def test_suggest_terms_prefix_scan(index_dir, monkeypatch):
     assert lazy.suggest_terms("RE", k=20) == got
 
 
+def test_fuzzy_terms_edit1(index_dir, monkeypatch):
+    """SymSpell deletion-neighborhood probe == brute-force Levenshtein<=1
+    over the whole dictionary (identity, substitution, insertion,
+    deletion; transpositions are distance 2 and must be excluded); eager
+    and lazy dictionary modes agree; dfs match direct lookups."""
+    import trinity_ray.query.exec as qe
+    from trinity_ray.query.exec import _edit1
+    from trinity_ray.search import LocalSearcher
+
+    # _edit1 parity with a tiny reference implementation
+    def lev(a, b):
+        la, lb = len(a), len(b)
+        prev = list(range(lb + 1))
+        for i in range(1, la + 1):
+            cur = [i] + [0] * lb
+            for j in range(1, lb + 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                             prev[j - 1] + (a[i - 1] != b[j - 1]))
+            prev = cur
+        return prev[lb]
+
+    words = ["", "A", "AB", "BA", "ABC", "ACB", "BAC", "ABCD", "AXC",
+             "ABX", "XBC", "ABCX", "XABC", "AC", "ABCDE"]
+    for a in words:
+        for b in words:
+            assert _edit1(a, b) == (lev(a, b) <= 1), (a, b)
+
+    s = LocalSearcher(index_dir)
+    # pick a real dictionary term and probe a 1-char corruption of it
+    term, _ = s.suggest_terms("RE", k=1)[0]
+    probe = "X" + term[1:]
+    got = dict(s.fuzzy_terms(probe, k=100))
+    # brute-force over the full dictionary
+    want = {}
+    for r in s.readers:
+        for t, df in r._iter_terms():
+            if lev(probe, t) <= 1:
+                want[t] = want.get(t, 0) + df
+    assert got == want and term in got
+    # identity probe includes the term itself with its global df
+    got_id = dict(s.fuzzy_terms(term, k=100))
+    assert got_id[term] == sum(
+        r.lookup_terms([term])[term] for r in s.readers)
+    # lazy dictionary mode builds the same sidecar
+    monkeypatch.setattr(qe, "_EAGER_DICT_MAX", 0)
+    lazy = LocalSearcher(index_dir)
+    assert dict(lazy.fuzzy_terms(probe, k=100)) == want
+
+
 def test_batch_search_modes(index_dir, ray_session):
     """batch_search mode='rich'/'subtrees': per-query outputs equal the
     scalar API."""

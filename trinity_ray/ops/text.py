@@ -247,6 +247,194 @@ class _PartialTermCounts:
                          "cnt": pa.array(cnts, pa.int64())})
 
 
+class _PartialTermDocCounts:
+    """Per-batch combiner for DOCUMENT frequency: one (term, df) row per
+    distinct term with the number of batch docs containing it.  Exact
+    under composition because a document never splits across batches, so
+    per-batch distinct-doc counts sum to the global distinct-doc count."""
+
+    def __init__(self, text_column: str, tokenizer: str):
+        self.col = text_column
+        self.tokenize = get_tokenizer(tokenizer)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in batch.column(self.col).to_pylist():
+            c.update(set(self.tokenize(t or "")))
+        if not c:
+            return pa.table({"term": pa.array([], pa.large_string()),
+                             "df": pa.array([], pa.int64())})
+        terms, dfs = zip(*c.items())
+        return pa.table({"term": pa.array(terms, pa.large_string()),
+                         "df": pa.array(dfs, pa.int64())})
+
+
+def _doc_freqs(ds, *, text_column: str, tokenizer: str,
+               batch_size: int) -> dict[str, int]:
+    """Global term -> document frequency: batch-local distinct-doc
+    combiner -> vocabulary-sized groupby(term).sum -> driver dict (the
+    same broadcast-a-vocabulary shape as lm_surprisal's unigram model)."""
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(
+        _PartialTermDocCounts,
+        fn_constructor_kwargs=dict(text_column=text_column,
+                                   tokenizer=tokenizer),
+        batch_format="pyarrow", batch_size=batch_size, **_act({}))
+    vocab = partials.groupby("term").aggregate(
+        Sum("df", alias_name="df")).to_pandas()
+    return dict(zip(vocab["term"], vocab["df"].astype(int)))
+
+
+def term_cooccurrence(ds, *, top: int = 20, min_df: int = 2,
+                      text_column: str = "text", tokenizer: str = "simple",
+                      batch_size: int = 2048):
+    """Top-``top`` co-occurring term pairs ranked by lift
+    ``n_ab * N / (n_a * n_b)`` — the PMI ranking (PMI = ln(lift), a
+    monotone transform, so ranking by the rational lift avoids any
+    cross-engine libm-log divergence).  The standard collocation /
+    topic-seed signal over a training corpus.
+
+    Returns a pyarrow Table ``(term_a, term_b, n_ab, n_a, n_b, lift_r)``
+    with ``term_a < term_b``, ``n_*`` document frequencies, and ``lift_r``
+    the lift rounded half-away at 4 dp (the repo's float-oracle
+    convention); rows ordered by (lift desc, term_a, term_b).
+
+    Scale shape: document frequencies are the vocabulary-sized broadcast
+    from :func:`_doc_freqs`; pair counting explodes each doc's DISTINCT
+    eligible terms (df >= min_df prunes the tail, which is what unbounds
+    the pair space) through a batch-local Counter combiner, so the one
+    ``groupby(term_a, term_b)`` exchange moves distinct-pair partials
+    bounded by the eligible vocabulary squared — never corpus rows.  The
+    per-doc pair explode is itertools.combinations over at most
+    |eligible vocab| terms; corpora whose docs contain thousands of
+    distinct eligible terms need a higher ``min_df``."""
+    from itertools import combinations
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    dfs = _doc_freqs(ds, text_column=text_column, tokenizer=tokenizer,
+                     batch_size=batch_size)
+    n_docs = int(ds.count())
+    eligible = {t: d for t, d in dfs.items() if d >= int(min_df)}
+    elig_ref = ray.put(eligible)
+    tok = get_tokenizer(tokenizer)
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        elig = ray.get(elig_ref)
+        c: Counter = Counter()
+        for t in batch.column(text_column).to_pylist():
+            terms = sorted({tk for tk in tok(t or "") if tk in elig})
+            c.update(combinations(terms, 2))
+        if not c:
+            return pa.table({"term_a": pa.array([], pa.large_string()),
+                             "term_b": pa.array([], pa.large_string()),
+                             "n_ab": pa.array([], pa.int64())})
+        pairs_k, cnts = zip(*c.items())
+        return pa.table({
+            "term_a": pa.array([p[0] for p in pairs_k], pa.large_string()),
+            "term_b": pa.array([p[1] for p in pairs_k], pa.large_string()),
+            "n_ab": pa.array(cnts, pa.int64()),
+        })
+
+    from trinity_ray.rayutil import package_runtime_env
+
+    totals = ds.map_batches(pair_partials, batch_format="pyarrow",
+                            batch_size=batch_size,
+                            runtime_env=package_runtime_env()) \
+        .groupby(["term_a", "term_b"]).aggregate(
+            Sum("n_ab", alias_name="n_ab")).to_pandas()
+    if len(totals) == 0:
+        return pa.table({"term_a": pa.array([], pa.string()),
+                         "term_b": pa.array([], pa.string()),
+                         "n_ab": pa.array([], pa.int64()),
+                         "n_a": pa.array([], pa.int64()),
+                         "n_b": pa.array([], pa.int64()),
+                         "lift_r": pa.array([], pa.float64())})
+    n_a = totals["term_a"].map(eligible).to_numpy(dtype=np.int64)
+    n_b = totals["term_b"].map(eligible).to_numpy(dtype=np.int64)
+    n_ab = totals["n_ab"].to_numpy(dtype=np.int64)
+    # double ops in the same order as the SQL oracle: (n_ab * N) / (n_a*n_b)
+    # — every step exactly rounded IEEE, so selection/order match bit-wise
+    lift = (n_ab.astype(np.float64) * float(n_docs)) / \
+        (n_a * n_b).astype(np.float64)
+    out = totals.assign(n_a=n_a, n_b=n_b, lift=lift).sort_values(
+        ["lift", "term_a", "term_b"], ascending=[False, True, True],
+        kind="stable").head(int(top))
+    return pa.table({
+        "term_a": pa.array(out["term_a"], pa.string()),
+        "term_b": pa.array(out["term_b"], pa.string()),
+        "n_ab": pa.array(out["n_ab"].to_numpy(dtype=np.int64), pa.int64()),
+        "n_a": pa.array(out["n_a"].to_numpy(dtype=np.int64), pa.int64()),
+        "n_b": pa.array(out["n_b"].to_numpy(dtype=np.int64), pa.int64()),
+        "lift_r": pa.array(
+            np.floor(out["lift"].to_numpy() * 1e4 + 0.5) / 1e4, pa.float64()),
+    })
+
+
+def keywords_tfdf(ds, *, k: int = 3, text_column: str = "text",
+                  id_column: str = "doc_id", tokenizer: str = "simple",
+                  batch_size: int = 2048):
+    """Per-document keyword extraction: the top-``k`` terms by burstiness
+    ``tf / df`` (term frequency in the doc over corpus document
+    frequency — the tf-idf family with a rational weight, chosen over
+    ``tf*ln(N/df)`` because one IEEE division is bit-identical across
+    engines while libm logs are not; the ranking intent is the same).
+    Ties break by term ascending.  Output rows:
+    ``(<id_column>, term, tf, df, kw_r)`` with ``kw_r`` rounded
+    half-away at 4 dp.
+
+    Scale shape: document frequencies broadcast once (vocabulary-sized);
+    scoring + per-doc top-k run entirely inside a stateless
+    ``map_batches`` (a document never splits across batches), so there is
+    no shuffle beyond the df aggregate."""
+    import ray
+
+    dfs = _doc_freqs(ds, text_column=text_column, tokenizer=tokenizer,
+                     batch_size=batch_size)
+    dfs_ref = ray.put(dfs)
+    tok = get_tokenizer(tokenizer)
+    kk = int(k)
+
+    def extract(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        dmap = ray.get(dfs_ref)
+        ids = batch.column(id_column).to_numpy(zero_copy_only=False)
+        out_id, out_t, out_tf, out_df, out_s = [], [], [], [], []
+        for i, t in enumerate(batch.column(text_column).to_pylist()):
+            tf = Counter(tok(t or ""))
+            if not tf:
+                continue
+            scored = sorted(
+                ((-(float(c) / float(dmap[term])), term, c, dmap[term])
+                 for term, c in tf.items()))[:kk]
+            for neg_s, term, c, d in scored:
+                out_id.append(int(ids[i]))
+                out_t.append(term)
+                out_tf.append(int(c))
+                out_df.append(int(d))
+                out_s.append(np.floor(-neg_s * 1e4 + 0.5) / 1e4)
+        return pa.table({
+            id_column: pa.array(out_id, pa.int64()),
+            "term": pa.array(out_t, pa.string()),
+            "tf": pa.array(out_tf, pa.int64()),
+            "df": pa.array(out_df, pa.int64()),
+            "kw_r": pa.array(out_s, pa.float64()),
+        })
+
+    from trinity_ray.rayutil import package_runtime_env
+
+    return ds.map_batches(extract, batch_format="pyarrow",
+                          batch_size=batch_size,
+                          runtime_env=package_runtime_env())
+
+
 def top_terms(ds, k: int = 100, text_column: str = "text",
               tokenizer: str = "simple", batch_size: int = 4096,
               concurrency: int | None = None):

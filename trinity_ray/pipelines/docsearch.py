@@ -896,6 +896,49 @@ def q_lm_surprisal(sf_dir: str):
         ["doc_id", "text"]))
 
 
+def q_term_cooc_top20(sf_dir: str):
+    """Top-20 co-occurring term pairs by lift (the PMI ranking over the
+    rational n_ab*N/(n_a*n_b) — see ops.text.term_cooccurrence): the
+    collocation signal a corpus-analysis pass computes before topic
+    seeding; df and pair counts are exact document frequencies."""
+    from trinity_ray.ops.text import term_cooccurrence
+
+    return term_cooccurrence(
+        read_documents(sf_dir).select_columns(["doc_id", "text"]),
+        top=20, min_df=2)
+
+
+def q_keywords_top3(sf_dir: str):
+    """Per-document keyword extraction: top-3 terms by tf/df burstiness
+    (rational tf-idf weight; ties by term).  Corpus df broadcast once,
+    scoring + top-k fused in one stateless map_batches."""
+    from trinity_ray.ops.text import keywords_tfdf
+
+    return keywords_tfdf(
+        read_documents(sf_dir).select_columns(["doc_id", "text"]), k=3)
+
+
+def q_fuzzy_terms(sf_dir: str) -> pa.Table:
+    """Typo-tolerant dictionary lookup (SymSpell deletion-neighborhood
+    probe, SegmentReader.edit1_terms): for each probe, every index term
+    within Levenshtein distance 1 with its global df.  The probe set
+    exercises identity (QUERY), substitution (SCAM->SCAN, BLG->BIG),
+    probe-insertion (ROWS->ROW) and probe-deletion (VALU->VALUE)."""
+    searcher = _searcher(base_index(sf_dir))
+    probes = ["BLG", "QUERY", "ROWS", "SCAM", "VALU"]
+    out_p, out_t, out_d = [], [], []
+    for p in probes:
+        for t, df in searcher.fuzzy_terms(p, k=50):
+            out_p.append(p)
+            out_t.append(t)
+            out_d.append(int(df))
+    return pa.table({
+        "probe": pa.array(out_p, pa.string()),
+        "term": pa.array(out_t, pa.string()),
+        "df": pa.array(out_d, pa.int64()),
+    })
+
+
 def q_mixture_weights(sf_dir: str):
     """Deterministic corpus mixing: upsample rare languages (de 2.5x,
     fr 3x), downsample the dominant one (en 1/2), keep the rest at 1 —

@@ -344,6 +344,28 @@ class TermPostings:
         return flat, lens
 
 
+def _del1_variants(t: str) -> list[str]:
+    """The term plus every string obtained by deleting one character —
+    the SymSpell symmetric-delete neighborhood for max_edits=1."""
+    return [t] + [t[:i] + t[i + 1:] for i in range(len(t))]
+
+
+def _edit1(a: str, b: str) -> bool:
+    """Exact Levenshtein(a, b) <= 1 (no transpositions, matching SQL
+    levenshtein()): identity, one substitution, or one insert/delete."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) <= 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
 class SegmentReader:
     """Loaded-once per-segment state: the analogue of SegmentIndexSource's
     mmap'd terms dict + postings (segment_index_source.cpp:5-186), with the
@@ -382,6 +404,7 @@ class SegmentReader:
         self._sorted_terms: list[str] | None = None
         self._pred_cache: dict[str, np.ndarray] = {}  # DocPredicate.key -> ids
         self._docval_cache: dict = {}  # column -> (doc_ids, values)
+        self._del_index: dict[str, list[tuple[str, int]]] | None = None
 
     # -- dictionary probe ----------------------------------------------------
     def _ensure_dict(self) -> None:
@@ -594,6 +617,56 @@ class SegmentReader:
                         out[t] = df
                 if not cached:
                     self._rg_cache.pop((fi, rg), None)  # scan, don't pin
+        return out
+
+    def _iter_terms(self):
+        """Yield every (term, df) in this segment's dictionary — one full
+        sorted-dictionary sweep (eager dicts iterate the loaded map; lazy
+        dicts stream each row group once WITHOUT pinning it in the probe
+        cache).  Used only by one-time sidecar builds (fuzzy deletion
+        index); query paths never call it."""
+        self._ensure_dict()
+        if self._dict is not None:
+            for t, v in self._dict.items():
+                yield t, v[0]
+            return
+        for _lo, _hi, fi, rg in self._rg_index:
+            cached = (fi, rg) in self._rg_cache
+            tbl = self._load_rg_table(fi, rg)
+            yield from zip(tbl.column("term").to_pylist(),
+                           tbl.column("df").to_pylist())
+            if not cached:
+                self._rg_cache.pop((fi, rg), None)
+
+    def edit1_terms(self, term: str) -> dict[str, int]:
+        """term -> df for dictionary terms within Levenshtein distance 1 of
+        ``term`` (identity / substitution / insertion / deletion) — the
+        fuzzy single-term probe behind did-you-mean / typo-tolerant search.
+
+        SymSpell-style deletion neighborhood (Garbe's symmetric delete):
+        a sidecar index maps every dictionary term's 1-deletion variants
+        (plus the term itself) to the term; a probe looks up the query's
+        own deletion variants and exact-verifies the candidate union, so
+        probe cost is O(len(term)) lookups + a handful of verifies, never
+        a dictionary scan.  The sidecar is built lazily ONCE per reader
+        (one dictionary sweep, O(V * avg_len) memory) and reused across
+        queries; at 10^9-term scale it would be persisted next to
+        terms.parquet at build time instead — the probe path is unchanged.
+        Zero postings IO either way."""
+        if not term:
+            raise ValueError("empty term")
+        idx = self._del_index
+        if idx is None:
+            idx = {}
+            for t, df in self._iter_terms():
+                for v in _del1_variants(t):
+                    idx.setdefault(v, []).append((t, df))
+            self._del_index = idx
+        out: dict[str, int] = {}
+        for v in _del1_variants(term):
+            for t, df in idx.get(v, ()):
+                if t not in out and _edit1(term, t):
+                    out[t] = df
         return out
 
     def postings(self, term: str) -> TermPostings | None:

@@ -262,6 +262,23 @@ class LocalSearcher:
                 acc[t] = acc.get(t, 0) + df
         return sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
 
+    def fuzzy_terms(self, term: str, k: int = 10) -> list[tuple[str, int]]:
+        """Top-k dictionary terms within Levenshtein distance 1 of ``term``
+        by global df (typo-tolerant term lookup / did-you-mean).  The probe
+        is normalized through the index tokenizer when it maps to a single
+        token, like suggest_terms.  Per-segment SymSpell deletion-index
+        probes (SegmentReader.edit1_terms) — zero postings IO."""
+        from trinity_ray.tokenizer import get_tokenizer
+
+        toks = get_tokenizer(self.manifest.tokenizer)(term)
+        if len(toks) == 1:
+            term = toks[0]
+        acc: dict[str, int] = {}
+        for r in self.readers:
+            for t, df in r.edit1_terms(term).items():
+                acc[t] = acc.get(t, 0) + df
+        return sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
     def facet_counts(self, query: str | Node, column: str
                      ) -> list[tuple[object, int]]:
         """Per-value document counts of docs-metadata ``column`` over the
@@ -414,6 +431,15 @@ class SegmentSearchActor:
                 acc[t] = acc.get(t, 0) + df
         return acc
 
+    def fuzzy_partials(self, term: str) -> dict[str, int]:
+        """term -> df within edit distance 1 over this shard (deletion-index
+        probe, zero postings IO)."""
+        acc: dict[str, int] = {}
+        for r in self.readers:
+            for t, df in r.edit1_terms(term).items():
+                acc[t] = acc.get(t, 0) + df
+        return acc
+
     def facet_partials(self, node: Node, column: str) -> dict:
         """Per-value doc counts over this shard's match set — only the
         (value, count) dict crosses the wire, never ids or metadata."""
@@ -545,6 +571,22 @@ class RaySearcher:
         if len(toks) == 1:
             prefix = toks[0]
         futs = [a.prefix_partials.remote(prefix) for a in self.actors]
+        acc: dict[str, int] = {}
+        for part in self._ray.get(futs):
+            for t, df in part.items():
+                acc[t] = acc.get(t, 0) + df
+        return sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    def fuzzy_terms(self, term: str, k: int = 10) -> list[tuple[str, int]]:
+        """Distributed typo-tolerant term lookup: per-shard deletion-index
+        probes merged driver-side — same contract as
+        LocalSearcher.fuzzy_terms."""
+        from trinity_ray.tokenizer import get_tokenizer
+
+        toks = get_tokenizer(self.manifest.tokenizer)(term)
+        if len(toks) == 1:
+            term = toks[0]
+        futs = [a.fuzzy_partials.remote(term) for a in self.actors]
         acc: dict[str, int] = {}
         for part in self._ray.get(futs):
             for t, df in part.items():
