@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_cooc_top20": dsp.q_term_cooc_top20,
         "keywords_top3": dsp.q_keywords_top3,
         "fuzzy_terms": dsp.q_fuzzy_terms,
+        "search_fuzzy_top10": dsp.q_search_fuzzy_top10,
         # -- inverted-index build + query engine (SURVEY.md §2.1-2.7) -----
         "search_rare_top10": dsp.q_search_rare_top10,
         "search_hot_top10": dsp.q_search_hot_top10,
@@ -321,6 +322,15 @@ df AS (SELECT tok AS term, count(DISTINCT doc_id) AS df FROM toks
 SELECT term, CAST(df AS BIGINT) AS df FROM df
 ORDER BY df DESC, term LIMIT 10
 """,
+        # typo-tolerant search: [fuzzy scam blg] expands to the weighted OR
+        # of each probe's edit-1 neighborhood (SCAM->SCAN, BLG->BIG, both at
+        # the 0.5 expansion weight; the exact literals have df 0 and drop)
+        "search_fuzzy_top10": _scored_sql(
+            ["SCAN", "BIG"],
+            "SELECT doc_id FROM tf WHERE tok IN ('SCAN', 'BIG') "
+            "GROUP BY doc_id HAVING count(DISTINCT tok) = 2",
+            "sum(ln(1.0 + (nn.n - df.df + 0.5) / (df.df + 0.5)) "
+            f"* 0.5 * tf.tf / (tf.tf + {K1}))"),
         # typo-tolerant dictionary probe: the engine's SymSpell deletion
         # neighborhood + exact verify == levenshtein <= 1 (no transpositions
         # in either, so the two agree exactly)

@@ -484,6 +484,47 @@ def test_fuzzy_terms_edit1(index_dir, monkeypatch):
     assert dict(lazy.fuzzy_terms(probe, k=100)) == want
 
 
+def test_fuzzy_query_expansion(index_dir, ray_session):
+    """[fuzzy t] search == explicit weighted-OR expansion: exact term at
+    weight 1.0, edit-1 neighbors at 0.5; And of multiple fuzzy terms;
+    distributed path agrees with local (global-df expansion)."""
+    from trinity_ray.query.ast import And, Fuzzy, Or, Token, parse_query
+    from trinity_ray.search import LocalSearcher, RaySearcher
+
+    s = LocalSearcher(index_dir)
+    node = parse_query("[fuzzy return]", "trinity")
+    assert node == Fuzzy("RETURN")
+    assert parse_query("[fuzzy return static]", "trinity") == \
+        And((Fuzzy("RETURN"), Fuzzy("STATIC")))
+    # pick a dictionary term that actually HAS edit-1 neighbors (corpus is
+    # synthetic; don't hardcode which identifiers collide)
+    probe = None
+    for t, _df in sorted(s.readers[0]._iter_terms()):
+        if len(t) >= 3 and len(s._edit1_merged(t)) > 1:
+            probe = t
+            break
+    assert probe is not None, "fixture corpus has no edit-1 term pair"
+    near = s._edit1_merged(probe)
+    alts = sorted(((t, d) for t, d in near.items() if t != probe),
+                  key=lambda kv: (-kv[1], kv[0]))[:16]
+    manual = Or((Token(probe),) + tuple(Token(t, 0.5) for t, _ in alts))
+    q = f"[fuzzy {probe}]"
+    r_fuzzy = s.search(q, k=10)
+    r_manual = s.search(manual, k=10)
+    np.testing.assert_array_equal(r_fuzzy.doc_ids, r_manual.doc_ids)
+    np.testing.assert_allclose(r_fuzzy.scores, r_manual.scores)
+    # neighbors really contribute: never below the exact-only score
+    assert r_fuzzy.scores[0] >= s.search(probe, k=10).scores[0]
+    # distributed expansion uses merged global df -> identical results
+    rs = RaySearcher(index_dir, num_actors=2)
+    r_ray = rs.search(q, k=10)
+    np.testing.assert_array_equal(r_fuzzy.doc_ids, r_ray.doc_ids)
+    np.testing.assert_allclose(r_fuzzy.scores, r_ray.scores)
+    # unexpanded Fuzzy degrades to the exact term (no-index contexts)
+    from trinity_ray.oracle import OracleIndex  # noqa: F401 (import check)
+    assert Fuzzy("RETURN").term == "RETURN"
+
+
 def test_batch_search_modes(index_dir, ray_session):
     """batch_search mode='rich'/'subtrees': per-query outputs equal the
     scalar API."""

@@ -634,6 +634,21 @@ def q_search_rewrite_weighted_top10(sf_dir: str) -> pa.Table:
     })
 
 
+def q_search_fuzzy_top10(sf_dir: str) -> pa.Table:
+    """Typo-tolerant SEARCH: '[fuzzy scam blg]' parses to
+    And(Fuzzy(SCAM), Fuzzy(BLG)); the searcher expands each leaf through
+    the SymSpell deletion index into the weighted OR of its
+    edit-distance-1 neighborhood (exact term weight 1.0, neighbors 0.5 —
+    the rewrite-provenance convention).  Neither literal is in the
+    dictionary, so the match set is docs containing SCAN and BIG with
+    score 0.5*bm25(SCAN) + 0.5*bm25(BIG)."""
+    res = _searcher(base_index(sf_dir)).search("[fuzzy scam blg]", k=TOPK)
+    return pa.table({
+        "doc_id": pa.array(res.doc_ids.astype(np.int64), pa.int64()),
+        "score_r": pa.array(np.round(res.scores, 4), pa.float64()),
+    })
+
+
 def q_search_rewrite_top10(sf_dir: str) -> pa.Table:
     """Synonym rewrite hook (queries_rewrite.h:992): 'dup' expanded to
     (dup OR vector) via the callback, scored like the manual OR query."""

@@ -78,6 +78,22 @@ class Near(Phrase):
 
 
 @dataclass(frozen=True)
+class Fuzzy(Token):
+    """Typo-tolerant leaf: matches any dictionary term within Levenshtein
+    distance 1 of ``term``.  Needs dictionary state to expand, so the
+    searcher entry points rewrite it to ``Or(Token(exact, w), Token(
+    neighbor, 0.5*w), ...)`` via the SymSpell deletion index
+    (search.expand_fuzzy); the 0.5 multiplier is the same
+    original-outranks-expansion convention as rewrite provenance weights
+    (queries_rewrite.h lambda weighting).
+
+    Subclasses Token deliberately: every visitor (normalize / trim /
+    term collection / weights) treats an UNEXPANDED Fuzzy as the exact
+    term — so a context without an index (percolator parse checks,
+    oracles over raw ASTs) degrades to exact match instead of erroring."""
+
+
+@dataclass(frozen=True)
 class And(Node):
     children: tuple[Node, ...]
 
@@ -239,9 +255,13 @@ class _Parser:
                 # (the leading literal NEAR selects the mode; a MatchSome
                 # over the literal term "near" needs an explicit count:
                 # [1 near far])
+                # [fuzzy t1 t2 ...] — typo-tolerant terms (edit distance 1),
+                # AND-combined; same leading-literal convention ([1 fuzzy
+                # logic] match-somes the literal term "fuzzy")
                 parts: list[Node] = []
                 min_match = 1
                 near_window: int | None = None
+                fuzzy_mode = False
                 window_taken = False
                 first = True
                 while True:
@@ -254,6 +274,9 @@ class _Parser:
                     sub = self.parse_unary()
                     if first and isinstance(sub, Token) and sub.term == "NEAR":
                         near_window = 1
+                    elif first and isinstance(sub, Token) \
+                            and sub.term == "FUZZY":
+                        fuzzy_mode = True
                     elif isinstance(sub, Token) and str(sub.term).isdigit() \
                             and (first or (near_window is not None
                                            and not window_taken
@@ -277,6 +300,12 @@ class _Parser:
                     first = False
                 if not parts:
                     return MATCH_ALL
+                if fuzzy_mode:
+                    if any(not isinstance(t, Token) or isinstance(t, Fuzzy)
+                           for t in parts):
+                        raise ValueError("[fuzzy ...] takes plain terms only")
+                    fz = [Fuzzy(t.term) for t in parts]
+                    return fz[0] if len(fz) == 1 else And(tuple(fz))
                 if near_window is not None:
                     terms = tuple(t.term for t in parts
                                   if isinstance(t, Token))

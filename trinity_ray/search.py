@@ -36,7 +36,14 @@ from trinity_ray.index.segment import (
     segment_dir,
 )
 from trinity_ray.query.ast import (
+    And,
+    Fuzzy,
+    MatchSome,
     Node,
+    Not,
+    Optional_,
+    Or,
+    Token,
     assign_query_indices,
     collect_scorable_terms,
     collect_scorable_weights,
@@ -45,6 +52,39 @@ from trinity_ray.query.ast import (
 )
 from trinity_ray.query.exec import EMPTY_U64, SegmentReader, bm25_idf
 from trinity_ray.query.scorers import get_scorer
+
+
+def expand_fuzzy(node: Node, edit1, max_expand: int = 16) -> Node:
+    """Rewrite every :class:`Fuzzy` leaf into the weighted OR of its
+    edit-distance-1 dictionary neighborhood: the exact term keeps the
+    leaf's weight, neighbors score at HALF it (the rewrite-provenance
+    convention — originals outrank expansions at equal tf), capped at the
+    ``max_expand`` highest-df neighbors (the budget seam, like
+    rewrite_query's alternative budget).  ``edit1`` maps a term to its
+    GLOBAL term->df neighborhood (df merged across all segments/shards
+    BEFORE selection, so every shard executes the same expansion).  A
+    term with no neighbors degrades to the exact Token."""
+    if isinstance(node, Fuzzy):
+        near = {t: d for t, d in edit1(node.term).items()
+                if t != node.term}
+        alts = sorted(near.items(), key=lambda kv: (-kv[1], kv[0]))
+        alts = alts[:max_expand]
+        exact = Token(node.term, node.weight)
+        if not alts:
+            return exact
+        return Or((exact,) + tuple(
+            Token(t, 0.5 * node.weight) for t, _ in alts))
+    if isinstance(node, Not):
+        return Not(expand_fuzzy(node.child, edit1, max_expand))
+    if isinstance(node, Optional_):
+        return Optional_(expand_fuzzy(node.child, edit1, max_expand))
+    if isinstance(node, MatchSome):
+        return MatchSome(node.min_match, tuple(
+            expand_fuzzy(c, edit1, max_expand) for c in node.children))
+    if isinstance(node, (And, Or)):
+        return type(node)(tuple(
+            expand_fuzzy(c, edit1, max_expand) for c in node.children))
+    return node
 
 
 @dataclass
@@ -211,6 +251,24 @@ class LocalSearcher:
                           mask=masks.get(s.name))
             for s in self.manifest.segments
         ]
+        self._fuzzy_cache: dict[str, dict[str, int]] = {}
+
+    def _edit1_merged(self, term: str) -> dict[str, int]:
+        """Edit-distance-1 neighborhood with GLOBAL df (summed across all
+        segments before any selection), memoized per searcher."""
+        hit = self._fuzzy_cache.get(term)
+        if hit is None:
+            hit = {}
+            for r in self.readers:
+                for t, df in r.edit1_terms(term).items():
+                    hit[t] = hit.get(t, 0) + df
+            self._fuzzy_cache[term] = hit
+        return hit
+
+    def _parse(self, query: str | Node) -> Node:
+        node = parse_query(query, self.manifest.tokenizer) \
+            if isinstance(query, str) else query
+        return expand_fuzzy(node, self._edit1_merged)
 
     def resolve_idf(self, node: Node, scorer: str = "bm25") -> dict[str, float]:
         """Global df across segments -> per-term weight (similarity.h:238-250:
@@ -235,7 +293,7 @@ class LocalSearcher:
         seam) and/or ``doc_predicate`` (callable over each segment's docs
         metadata table — the IndexDocumentsFilter seam) restrict MATCHING;
         collection stats are untouched, exactly like delete masks."""
-        node = parse_query(query, self.manifest.tokenizer) if isinstance(query, str) else query
+        node = self._parse(query)
         idf = self.resolve_idf(node, scorer)
         parts = []
         for r in self.readers:
@@ -292,8 +350,7 @@ class LocalSearcher:
 
         from trinity_ray.query.exec import _setdiff
 
-        node = parse_query(query, self.manifest.tokenizer) \
-            if isinstance(query, str) else query
+        node = self._parse(query)
         acc: dict[object, int] = {}
         for r in self.readers:
             m = r.match(node)
@@ -313,8 +370,7 @@ class LocalSearcher:
         (DocsSetSpanForDisjunctionsWithSpansAndCost, docset_spans.cpp:304):
         each top-level OR branch contributes its own terms' scores only on
         docs matching that branch."""
-        node = parse_query(query, self.manifest.tokenizer) \
-            if isinstance(query, str) else query
+        node = self._parse(query)
         idf = self.resolve_idf(node, scorer)
         parts = [r.execute_subtrees(node, idf, k, scorer)
                  for r in self.readers]
@@ -325,8 +381,7 @@ class LocalSearcher:
         """Rich-match mode (the reference's default execution mode,
         exec.h:11-43): top-k plus per-(doc, term) tf and positions.
         Returns (SearchResult, pyarrow.Table)."""
-        node = parse_query(query, self.manifest.tokenizer) \
-            if isinstance(query, str) else query
+        node = self._parse(query)
         idf = self.resolve_idf(node, scorer)
         res = merge_topk([p for p in
                           (r.execute(node, idf, k, scorer)
@@ -355,8 +410,7 @@ class LocalSearcher:
         Default: ``assign_query_indices(node)`` — the reference geometry
         (phrases span consecutive indices, OR branches overlap, NOT
         leaves a 4-index gap, MatchSome members are excluded)."""
-        node = parse_query(query, self.manifest.tokenizer) \
-            if isinstance(query, str) else query
+        node = self._parse(query)
         idf = self.resolve_idf(node, scorer)
         seq = (index_terms if index_terms is not None
                else assign_query_indices(node))
@@ -488,6 +542,27 @@ class RaySearcher:
             for shard in shards
         ]
         self._ray = ray
+        self._fuzzy_cache: dict[str, dict[str, int]] = {}
+
+    def _edit1_merged(self, term: str) -> dict[str, int]:
+        """Neighborhood df merged across ALL shards BEFORE selection, so
+        every actor executes the identical expansion (partial-df selection
+        would let shards disagree on the alternative set — the same
+        global-before-scoring rule as resolve_idf)."""
+        hit = self._fuzzy_cache.get(term)
+        if hit is None:
+            hit = {}
+            futs = [a.fuzzy_partials.remote(term) for a in self.actors]
+            for part in self._ray.get(futs):
+                for t, df in part.items():
+                    hit[t] = hit.get(t, 0) + df
+            self._fuzzy_cache[term] = hit
+        return hit
+
+    def _parse(self, query: str | Node) -> Node:
+        node = parse_query(query, self.manifest.tokenizer) \
+            if isinstance(query, str) else query
+        return expand_fuzzy(node, self._edit1_merged)
 
     def resolve_idf(self, node: Node, scorer: str = "bm25") -> dict[str, float]:
         terms = collect_terms(node)
@@ -512,7 +587,7 @@ class RaySearcher:
         """App pre-filter seams as LocalSearcher.search; ``doc_predicate``
         is evaluated actor-side over each segment's docs metadata (only the
         pickled callable ships, never the metadata)."""
-        node = parse_query(query, self.manifest.tokenizer) if isinstance(query, str) else query
+        node = self._parse(query)
         idf = self.resolve_idf(node, scorer)
         futs = [a.execute.remote(node, idf, k, scorer, filter_ids,
                                  doc_predicate) for a in self.actors]
@@ -521,8 +596,7 @@ class RaySearcher:
 
     def search_subtrees(self, query: str | Node, k: int = 10,
                         scorer: str = "bm25") -> SearchResult:
-        node = parse_query(query, self.manifest.tokenizer) \
-            if isinstance(query, str) else query
+        node = self._parse(query)
         idf = self.resolve_idf(node, scorer)
         futs = [a.execute_subtrees.remote(node, idf, k, scorer)
                 for a in self.actors]
@@ -536,8 +610,7 @@ class RaySearcher:
         driver merges bonused partial top-k's — exact at any k.
         ``index_terms`` as LocalSearcher.search_sequence (rewrite
         provenance geometry)."""
-        node = parse_query(query, self.manifest.tokenizer) \
-            if isinstance(query, str) else query
+        node = self._parse(query)
         idf = self.resolve_idf(node, scorer)
         seq = (index_terms if index_terms is not None
                else assign_query_indices(node))
@@ -550,8 +623,7 @@ class RaySearcher:
         """Distributed rich-match: the top-k round as ``search``, then one
         targeted hit-gather round-trip per actor for ONLY the k winners
         (postings never leave their actor; the gather ships k ids + terms)."""
-        node = parse_query(query, self.manifest.tokenizer) \
-            if isinstance(query, str) else query
+        node = self._parse(query)
         idf = self.resolve_idf(node, scorer)
         futs = [a.execute.remote(node, idf, k, scorer) for a in self.actors]
         res = merge_topk([p for p in self._ray.get(futs) if p[0].size], k)
@@ -599,8 +671,7 @@ class RaySearcher:
         matched docs' ``column`` values segment-side; the driver merges
         value->count dicts (tiny: bounded by facet cardinality, never by
         corpus size).  Same result contract as LocalSearcher.facet_counts."""
-        node = parse_query(query, self.manifest.tokenizer) \
-            if isinstance(query, str) else query
+        node = self._parse(query)
         futs = [a.facet_partials.remote(node, column) for a in self.actors]
         acc: dict = {}
         for part in self._ray.get(futs):
@@ -610,8 +681,7 @@ class RaySearcher:
 
     def search_many(self, queries: list[str | Node], k: int = 10,
                     scorer: str = "bm25") -> list[SearchResult]:
-        nodes = [parse_query(q, self.manifest.tokenizer) if isinstance(q, str) else q
-                 for q in queries]
+        nodes = [self._parse(q) for q in queries]
         idfs = [self.resolve_idf(n, scorer) for n in nodes]
         futs = [a.execute_many.remote(nodes, idfs, k, scorer) for a in self.actors]
         per_actor = self._ray.get(futs)
@@ -788,8 +858,7 @@ def sequence_rerank(searcher, query: str, k: int = 10, pool: int = 50,
     # ordered distinct query tokens from the PARSED query (operator words
     # like AND/OR/NOT are syntax, not sequence members) — the
     # assign_query_indices "index within the original query"
-    node = parse_query(query, searcher.manifest.tokenizer) \
-        if isinstance(query, str) else query
+    node = searcher._parse(query)
     seen = collect_scorable_terms(node)
     by_doc: dict[int, dict[str, np.ndarray]] = {}
     for d, t, p in zip(tbl.column("doc_id").to_pylist(),
