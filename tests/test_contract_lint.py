@@ -17,7 +17,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def test_every_oracle_sql_parses_in_duckdb():
+def test_every_oracle_sql_parses_in_duckdb(ray_session):
     import __ray_entry__ as entrymod
 
     sf = "/root/testdata/sf0.001"
@@ -33,6 +33,15 @@ def test_every_oracle_sql_parses_in_duckdb():
     assert set(oracles) <= set(qs), sorted(set(oracles) - set(qs))
     bad = {}
     for name, sql in oracles.items():
+        if "/tmp/trinity_ray_driver_indexes" in sql:
+            # these oracles replay exports the query itself writes (the
+            # driver runs query -> oracle in that order); on a cold box
+            # the export parquet doesn't exist yet, so produce it first
+            try:
+                qs[name](sf)
+            except Exception as e:      # noqa: BLE001 — collect all failures
+                bad[name] = f"query failed producing export: {e}"
+                continue
         try:
             con.sql(f"EXPLAIN {sql}")
         except Exception as e:          # noqa: BLE001 — collect all failures
