@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keywords_top3": dsp.q_keywords_top3,
         "fuzzy_terms": dsp.q_fuzzy_terms,
         "search_fuzzy_top10": dsp.q_search_fuzzy_top10,
+        "semantic_dedup": dsp.q_semantic_dedup,
         # -- inverted-index build + query engine (SURVEY.md §2.1-2.7) -----
         "search_rare_top10": dsp.q_search_rare_top10,
         "search_hot_top10": dsp.q_search_hot_top10,
@@ -990,6 +991,31 @@ est AS (SELECT c.id_a, c.id_b,
              JOIN se y ON y.doc_id = c.id_b AND y.i = x.i
         GROUP BY c.id_a, c.id_b)
 SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
+""",
+        # SemDeDup keep/drop replay: the engine exports (vec_id, cluster)
+        # k-means assignments (the only non-SQL stage); the oracle rebuilds
+        # same-cluster lower-id pairs, computes exact cosine over the raw
+        # embeddings table, and elects min(id_a) per duplicate — the
+        # identical decision rule as ops/dedup.py semantic_dedup
+        "semantic_dedup": """
+WITH asg AS (SELECT vec_id, cluster FROM
+        read_parquet('/tmp/trinity_ray_driver_indexes/semdedup_assign/*.parquet')),
+cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM asg a JOIN asg b ON a.cluster = b.cluster
+              AND a.vec_id < b.vec_id),
+ev AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+              generate_subscripts(embedding, 1) AS i FROM embeddings),
+n2 AS (SELECT vec_id, sum(v * v) AS n2 FROM ev GROUP BY vec_id),
+dots AS (SELECT c.id_a, c.id_b, sum(x.v * y.v) AS dot
+         FROM cand c JOIN ev x ON x.vec_id = c.id_a
+              JOIN ev y ON y.vec_id = c.id_b AND y.i = x.i
+         GROUP BY c.id_a, c.id_b),
+cs AS (SELECT id_a, id_b, dot / (sqrt(na.n2) * sqrt(nb.n2)) AS c
+       FROM dots JOIN n2 na ON na.vec_id = id_a
+            JOIN n2 nb ON nb.vec_id = id_b)
+SELECT id_b AS dup_id, min(id_a) AS keep_id,
+       floor(arg_min(c, id_a) * 10000 + 0.5) / 10000 AS cos_r
+FROM cs WHERE c >= 0.3 GROUP BY id_b
 """,
         # hyperplane-LSH embedding near-dup: the engine exports (vec_id,
         # bucket) assignments; the oracle re-derives candidate pairs (same

@@ -222,6 +222,7 @@ def bench_ops(sf_dir: str) -> dict[str, float]:
     timed("ann_bruteforce", dsp.q_ann_bruteforce_top10)
     # round-4 ops
     timed("dedup_clusters", dsp.q_dedup_clusters)
+    timed("semantic_dedup", dsp.q_semantic_dedup)
     timed("pii_scrub", dsp.q_pii_scrub)
     timed("chunk_tokens", dsp.q_chunk_tokens)
     timed("events_hopping", dsp.q_events_hopping)

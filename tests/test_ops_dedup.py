@@ -332,3 +332,47 @@ def test_dedup_lines_first_occurrence_wins(ray_session):
         ).to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert (again["n_dropped"] == 0).all()
     assert again["text"].tolist() == out["text"].tolist()
+
+
+def test_semantic_dedup_exact_twins_and_outlier(ray_session, tmp_path):
+    import ray.data as rd
+
+    from trinity_ray.ops.dedup import semantic_dedup
+
+    # two exact-twin pairs on orthogonal axes + one 45-degree outlier:
+    # identical vectors ALWAYS share a cluster (identical argmax), so the
+    # twin dups are invariant to where k-means puts the boundary
+    vecs = [[1.0, 0.0], [1.0, 0.0], [0.0, 1.0], [0.0, 1.0],
+            [0.7071, 0.7071]]
+    t = pa.table({"vec_id": list(range(5)),
+                  "embedding": pa.array(vecs, pa.list_(pa.float64()))})
+    out = semantic_dedup(
+        rd.from_arrow(t), vec_column="embedding", id_column="vec_id",
+        threshold=0.95, n_clusters=2, sample_size=16,
+        assign_export_dir=str(tmp_path / "asg")).to_pandas(
+        ).sort_values("dup_id").reset_index(drop=True)
+    assert out["dup_id"].tolist() == [1, 3]
+    assert out["keep_id"].tolist() == [0, 2]
+    assert np.allclose(out["cosine"], 1.0)
+    # the export replays the assignment: every id exactly once
+    import pyarrow.dataset as pads
+
+    asg = pads.dataset(str(tmp_path / "asg")).to_table()
+    assert sorted(asg.column("vec_id").to_pylist()) == [0, 1, 2, 3, 4]
+
+
+def test_semantic_dedup_keep_is_smallest_qualifying_id(ray_session):
+    import ray.data as rd
+
+    from trinity_ray.ops.dedup import semantic_dedup
+
+    # 2 duplicates both of id 0 (not chained 0<-1<-2): keep_id is the
+    # SMALLEST lower id above threshold, per the SemDeDup election rule
+    vecs = [[1.0, 0.0], [1.0, 0.001], [1.0, -0.001]]
+    t = pa.table({"vec_id": [0, 1, 2],
+                  "embedding": pa.array(vecs, pa.list_(pa.float64()))})
+    out = semantic_dedup(
+        rd.from_arrow(t), threshold=0.99, n_clusters=1, sample_size=16
+        ).to_pandas().sort_values("dup_id").reset_index(drop=True)
+    assert out["dup_id"].tolist() == [1, 2]
+    assert out["keep_id"].tolist() == [0, 0]

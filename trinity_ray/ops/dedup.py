@@ -1078,3 +1078,79 @@ def dedup_lines(ds, *, text_column: str = "text", id_column: str = "doc_id",
 
     return marked.groupby(id_column).map_groups(reassemble,
                                                 batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (cluster-then-prune over embeddings)
+# ---------------------------------------------------------------------------
+
+def semantic_dedup(ds, *, vec_column: str = "embedding",
+                   id_column: str = "vec_id", threshold: float = 0.95,
+                   n_clusters: int = 16, sample_size: int = 2048,
+                   seed: int = 7, concurrency: int = 2,
+                   assign_export_dir: str | None = None):
+    """SemDeDup-style semantic deduplication (Abbas et al., arXiv
+    2303.09540): k-means over L2-normalized embeddings, then WITHIN each
+    cluster every vector whose cosine to a lower-id cluster member reaches
+    ``threshold`` is marked a duplicate of the SMALLEST such id.  Returns
+    ``(dup_id, keep_id, cosine)`` — the rows a curation pipeline drops;
+    keepers are every id that never appears as ``dup_id``.
+
+    Differs from :func:`embedding_dup_pairs` (LSH candidate PAIRS) in
+    shape and purpose: this is the keep/drop decision itself, and the
+    blocking key is a learned partition (near-dups of the same concept
+    land in one cluster) rather than random hyperplanes.  Cross-cluster
+    near-dups are missed by design — the paper's accepted approximation.
+
+    Scale shape: centroids are fit ONCE on a driver-side sample
+    (ann.kmeans_fit, deterministic) and broadcast to an actor-pool assign
+    stage; the only shuffle is one groupby on cluster id; per-cluster work
+    is O(|cluster|^2) dot products with |cluster| ~ N / n_clusters — at
+    100 TB, n_clusters grows with N (the paper runs ~50k clusters for
+    LAION-scale), keeping per-group cost flat, and skewed clusters are
+    bounded by re-fitting with larger k, not by a silent cap.
+
+    ``assign_export_dir``: optionally persist ``(id, cluster)`` as Parquet
+    so an oracle can replay the exact keep/drop decision independently
+    (the clustering is the only non-SQL-expressible stage)."""
+    from trinity_ray.ops.ann import ivf_build
+
+    _cent, assigned = ivf_build(
+        ds, n_clusters=n_clusters, sample_size=sample_size,
+        vec_column=vec_column, id_column=id_column, seed=seed,
+        concurrency=concurrency)
+    if assign_export_dir is not None:
+        assigned = assigned.materialize()  # consumed twice: export + prune
+        _clear_export_dir(assign_export_dir)
+        assigned.select_columns([id_column, "cluster"]).write_parquet(
+            assign_export_dir)
+
+    empty = pa.table({"dup_id": pa.array([], pa.int64()),
+                      "keep_id": pa.array([], pa.int64()),
+                      "cosine": pa.array([], pa.float64())})
+
+    def cluster_dups(g: pa.Table) -> pa.Table:
+        if g.num_rows < 2:
+            return empty
+        ids_all = g.column(id_column).to_numpy(zero_copy_only=False)
+        order = np.argsort(ids_all, kind="stable")
+        ids = ids_all[order].astype(np.int64)
+        v = g.column("nvec").combine_chunks().flatten() \
+             .to_numpy(zero_copy_only=False).reshape(g.num_rows, -1)[order]
+        sims = v @ v.T
+        # per column j: the FIRST row i < j with cosine >= threshold
+        m = np.triu(sims >= threshold, k=1)
+        hit = m.any(axis=0)
+        js = np.nonzero(hit)[0]
+        if js.size == 0:
+            return empty
+        firsts = m[:, js].argmax(axis=0)
+        return pa.table({
+            "dup_id": pa.array(ids[js], pa.int64()),
+            "keep_id": pa.array(ids[firsts], pa.int64()),
+            "cosine": pa.array(sims[firsts, js], pa.float64()),
+        })
+
+    return assigned.groupby("cluster").map_groups(
+        cluster_dups, batch_format="pyarrow",
+        runtime_env=package_runtime_env())

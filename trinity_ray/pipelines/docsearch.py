@@ -818,6 +818,35 @@ def q_dedup_embedding_pairs(sf_dir: str):
     return pairs.map_batches(cast_round, batch_format="pyarrow")
 
 
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup keep/drop decisions: k-means clusters over embeddings,
+    within-cluster smallest-lower-id representative election.  Oracle-exact:
+    the (id, cluster) assignments are exported, so the oracle replays the
+    identical decision — same-cluster pairs, exact cosine over the raw
+    embeddings table, min lower id per duplicate — independently of the
+    engine's shuffle strategy."""
+    from trinity_ray.ops.dedup import semantic_dedup
+
+    os.makedirs(INDEX_ROOT, exist_ok=True)
+    # random testdata embeddings top out near cosine 0.4; threshold 0.3 +
+    # few clusters keeps the output non-empty so the schema check bites
+    dups = semantic_dedup(
+        read_embeddings(sf_dir), vec_column="embedding", id_column="vec_id",
+        threshold=0.3, n_clusters=8, sample_size=4096,
+        assign_export_dir=os.path.join(INDEX_ROOT, "semdedup_assign"))
+
+    def cast_round(t: pa.Table) -> pa.Table:
+        # half-away rounding (matches DuckDB round(); np.round is banker's)
+        c = t.column("cosine").to_numpy()
+        return pa.table({
+            "dup_id": t.column("dup_id").cast(pa.int64()),
+            "keep_id": t.column("keep_id").cast(pa.int64()),
+            "cos_r": pa.array(np.floor(c * 1e4 + 0.5) / 1e4, pa.float64()),
+        })
+
+    return dups.map_batches(cast_round, batch_format="pyarrow")
+
+
 def q_pii_scrub(sf_dir: str):
     """PII redaction: emails -> <EMAIL>, IPv4 -> <IP>, phone-ish digit
     runs -> <PHONE>, applied in order as single Arrow RE2 passes; both
