@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_terms": dsp.q_fuzzy_terms,
         "search_fuzzy_top10": dsp.q_search_fuzzy_top10,
         "semantic_dedup": dsp.q_semantic_dedup,
+        "ann_pq_top10": dsp.q_ann_pq_top10,
         # -- inverted-index build + query engine (SURVEY.md §2.1-2.7) -----
         "search_rare_top10": dsp.q_search_rare_top10,
         "search_hot_top10": dsp.q_search_hot_top10,
@@ -991,6 +992,24 @@ est AS (SELECT c.id_a, c.id_b,
              JOIN se y ON y.doc_id = c.id_b AND y.i = x.i
         GROUP BY c.id_a, c.id_b)
 SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
+""",
+        # PQ/ADC replay: the engine exports its uint8 codes and the
+        # per-subspace query distance table (training is the only non-SQL
+        # stage); the oracle re-runs the ADC sum + top-k election.  The
+        # query vector's own row (vec_id 0) is excluded, as in ann_*
+        "ann_pq_top10": """
+WITH codes AS (SELECT vec_id, unnest(codes)::INT AS code,
+                      generate_subscripts(codes, 1) AS sub
+               FROM read_parquet(
+                   '/tmp/trinity_ray_driver_indexes/pq_codes/*.parquet')),
+dt AS (SELECT sub, code, d2 FROM read_parquet(
+           '/tmp/trinity_ray_driver_indexes/pq_dtable.parquet')),
+d AS (SELECT c.vec_id, sum(t.d2) AS adc
+      FROM codes c JOIN dt t ON t.sub = c.sub AND t.code = c.code
+      WHERE c.vec_id <> 0
+      GROUP BY c.vec_id)
+SELECT vec_id, floor(adc * 10000 + 0.5) / 10000 AS adc_r
+FROM d ORDER BY adc, vec_id LIMIT 10
 """,
         # SemDeDup keep/drop replay: the engine exports (vec_id, cluster)
         # k-means assignments (the only non-SQL stage); the oracle rebuilds

@@ -330,3 +330,144 @@ def ivf_topk_partitioned(index_dir: str, queries: np.ndarray, k: int = 10,
     assigned = assigned.map_batches(fix_cluster, batch_format="pyarrow")
     return ivf_topk(assigned, cent, queries, k, nprobe=nprobe,
                     id_column=id_column, batch_size=batch_size)
+
+
+# ---------------------------------------------------------------------------
+# PQ: product quantization + asymmetric-distance (ADC) scan
+# ---------------------------------------------------------------------------
+
+def _lloyd(x: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
+    """Deterministic plain-L2 Lloyd's k-means (UNLIKE kmeans_fit, no
+    normalization — PQ quantizes raw subvectors, not directions)."""
+    rng = np.random.default_rng(seed)
+    k = min(k, x.shape[0])
+    cent = x[rng.choice(x.shape[0], size=k, replace=False)]
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cent[None]) ** 2).sum(-1)
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            m = assign == c
+            if m.any():
+                cent[c] = x[m].mean(axis=0)
+    return cent
+
+
+def pq_train(sample: np.ndarray, *, m: int = 8, n_codes: int = 16,
+             iters: int = 15, seed: int = 7) -> np.ndarray:
+    """Train product-quantization codebooks (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011): split the
+    dimension into ``m`` contiguous subspaces and run an independent
+    k-means with ``n_codes`` centroids in each.  Returns codebooks of
+    shape ``(m, n_codes, dim // m)``.  Driver-side on a sample, like
+    kmeans_fit — the expensive part (encode + scan) is distributed."""
+    x = np.asarray(sample, dtype=np.float64)
+    n, dim = x.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    return np.stack([
+        _lloyd(x[:, s * dsub:(s + 1) * dsub], n_codes, iters, seed + s)
+        for s in range(m)
+    ])
+
+
+class PqEncode:
+    """Actor stage: nearest-codebook-entry code per subspace per vector —
+    the 64-dim float64 vector compresses to ``m`` uint8 codes (64x here),
+    which is what makes a 100-TB corpus scannable from memory."""
+
+    def __init__(self, codebooks: np.ndarray, vec_column: str = "embedding",
+                 id_column: str = "vec_id"):
+        self.cb = np.asarray(codebooks, dtype=np.float64)  # (m, K, dsub)
+        self.vec_column = vec_column
+        self.id_column = id_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m, _k, dsub = self.cb.shape
+        x = _as_matrix(batch.column(self.vec_column))
+        codes = np.zeros((len(x), m), dtype=np.uint8)
+        for s in range(m):
+            sub = x[:, s * dsub:(s + 1) * dsub]
+            d2 = ((sub[:, None, :] - self.cb[s][None]) ** 2).sum(-1)
+            codes[:, s] = d2.argmin(axis=1).astype(np.uint8)
+        return pa.table({
+            self.id_column: batch.column(self.id_column),
+            "codes": pa.array(codes.tolist(), pa.list_(pa.uint8(), m)),
+        })
+
+
+def pq_encode(ds, codebooks: np.ndarray, *, vec_column: str = "embedding",
+              id_column: str = "vec_id", concurrency: int = 2):
+    """Encode every vector to its PQ codes (map_batches actor pool; the
+    codebooks ship once per actor via constructor kwargs)."""
+    return ds.map_batches(
+        PqEncode,
+        fn_constructor_kwargs=dict(codebooks=codebooks, vec_column=vec_column,
+                                   id_column=id_column),
+        batch_format="pyarrow", concurrency=actor_pool(concurrency),
+        runtime_env=package_runtime_env(),
+    )
+
+
+def pq_topk(codes_ds, codebooks: np.ndarray, queries: np.ndarray,
+            k: int = 10, *, id_column: str = "vec_id",
+            batch_size: int = 8192, concurrency: int = 2):
+    """ADC (asymmetric distance) top-k: per query, a ``(m, n_codes)``
+    table of exact query-subvector-to-centroid squared distances is
+    precomputed ONCE; scanning a batch of codes is then pure table
+    lookups + a row sum — no float vectors are ever read.  Returns
+    ``(query_id, <id_column>, adc)`` with adc ascending, ties on id.
+
+    Scale shape identical to brute_force_topk: broadcast tables, per-batch
+    local top-k, driver merges O(num_blocks * Q * k) candidates — but each
+    batch touches m bytes per vector instead of 8*dim."""
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, n_codes, dsub = cb.shape
+    q = np.asarray(queries, dtype=np.float64)
+    # dtables[qi, s, c] = ||q_sub - centroid||^2
+    dtables = ((q.reshape(len(q), m, 1, dsub)
+                - cb[None]) ** 2).sum(-1)          # (Q, m, K)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_column).to_numpy(zero_copy_only=False
+                                               ).astype(np.int64)
+        codes = np.asarray(batch.column("codes").combine_chunks()
+                           .flatten().to_numpy(zero_copy_only=False)
+                           ).reshape(len(ids), m)
+        out_q, out_i, out_d = [], [], []
+        sub = np.arange(m)[None, :]
+        for qi in range(len(q)):
+            d = dtables[qi][sub, codes].sum(axis=1)
+            order = np.lexsort((ids, d))[:k]
+            out_q.append(np.full(order.size, qi, np.int64))
+            out_i.append(ids[order])
+            out_d.append(d[order])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            id_column: pa.array(np.concatenate(out_i), pa.int64()),
+            "adc": pa.array(np.concatenate(out_d), pa.float64()),
+        })
+
+    cands = codes_ds.map_batches(scan, batch_format="pyarrow",
+                                 batch_size=batch_size,
+                                 runtime_env=package_runtime_env())
+    t = _gather(cands, id_column)
+    if "adc" not in t.column_names or t.num_rows == 0:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         id_column: pa.array([], pa.int64()),
+                         "adc": pa.array([], pa.float64())})
+    qid = t.column("query_id").to_numpy()
+    ids = t.column(id_column).to_numpy()
+    adc = t.column("adc").to_numpy()
+    out_q, out_i, out_d = [], [], []
+    for qv in np.unique(qid):
+        msk = qid == qv
+        order = np.lexsort((ids[msk], adc[msk]))[:k]
+        out_q.append(np.full(order.size, qv, np.int64))
+        out_i.append(ids[msk][order])
+        out_d.append(adc[msk][order])
+    return pa.table({
+        "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+        id_column: pa.array(np.concatenate(out_i), pa.int64()),
+        "adc": pa.array(np.concatenate(out_d), pa.float64()),
+    })
