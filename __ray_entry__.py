@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_fuzzy_top10": dsp.q_search_fuzzy_top10,
         "semantic_dedup": dsp.q_semantic_dedup,
         "ann_pq_top10": dsp.q_ann_pq_top10,
+        "ann_ivfpq_top10": dsp.q_ann_ivfpq_top10,
         # -- inverted-index build + query engine (SURVEY.md §2.1-2.7) -----
         "search_rare_top10": dsp.q_search_rare_top10,
         "search_hot_top10": dsp.q_search_hot_top10,
@@ -1006,6 +1007,25 @@ dt AS (SELECT sub, code, d2 FROM read_parquet(
            '/tmp/trinity_ray_driver_indexes/pq_dtable.parquet')),
 d AS (SELECT c.vec_id, sum(t.d2) AS adc
       FROM codes c JOIN dt t ON t.sub = c.sub AND t.code = c.code
+      WHERE c.vec_id <> 0
+      GROUP BY c.vec_id)
+SELECT vec_id, floor(adc * 10000 + 0.5) / 10000 AS adc_r
+FROM d ORDER BY adc, vec_id LIMIT 10
+""",
+        # IVF-PQ replay: codes carry their coarse cluster; the distance
+        # table is per PROBED cluster (residual quantization), so the join
+        # key is (cluster, sub, code) and unprobed clusters drop out of the
+        # inner join — exactly the engine's nprobe restriction
+        "ann_ivfpq_top10": """
+WITH codes AS (SELECT vec_id, cluster, unnest(codes)::INT AS code,
+                      generate_subscripts(codes, 1) AS sub
+               FROM read_parquet(
+                   '/tmp/trinity_ray_driver_indexes/ivfpq_codes/*.parquet')),
+dt AS (SELECT cluster, sub, code, d2 FROM read_parquet(
+           '/tmp/trinity_ray_driver_indexes/ivfpq_dtable.parquet')),
+d AS (SELECT c.vec_id, sum(t.d2) AS adc
+      FROM codes c JOIN dt t ON t.cluster = c.cluster AND t.sub = c.sub
+           AND t.code = c.code
       WHERE c.vec_id <> 0
       GROUP BY c.vec_id)
 SELECT vec_id, floor(adc * 10000 + 0.5) / 10000 AS adc_r

@@ -246,6 +246,14 @@ def bench_ops(sf_dir: str) -> dict[str, float]:
         out["ann_pq_recall10"] = len(exact & pq_ids) / max(1, len(exact))
     except Exception:
         out["ann_pq_recall10"] = -1.0
+    try:
+        t0 = time.time()
+        ivfpq_ids = set(
+            dsp.q_ann_ivfpq_top10(sf_dir).column("vec_id").to_pylist())
+        out["ann_ivfpq"] = time.time() - t0
+        out["ann_ivfpq_recall10"] = len(exact & ivfpq_ids) / max(1, len(exact))
+    except Exception:
+        out["ann_ivfpq_recall10"] = -1.0
     return out
 
 

@@ -81,3 +81,45 @@ def test_pq_topk_merges_across_blocks(ray_session):
                    q[None, :], k=7, batch_size=32).to_pandas()
     assert one["vec_id"].tolist() == many["vec_id"].tolist()
     assert np.allclose(one["adc"], many["adc"])
+
+
+def test_ivfpq_adc_matches_slow_replay(ray_session):
+    """ivfpq_topk's vectorized probe-slot/table indexing vs a plain
+    per-row Python replay of the same math (catches permutation bugs in
+    the cluster -> probe-slot mapping)."""
+    from trinity_ray.ops.ann import _normalize, ivfpq_build, ivfpq_topk
+
+    rng = np.random.default_rng(21)
+    X = rng.standard_normal((200, 32))
+    t = pa.table({"vec_id": list(range(200)),
+                  "embedding": pa.array(X.tolist(), pa.list_(pa.float64()))})
+    cent, cb, coded = ivfpq_build(rd.from_arrow(t), n_clusters=4, m=8,
+                                  n_codes=16, sample_size=256)
+    coded = coded.materialize()
+    q = rng.standard_normal(32)
+    for nprobe in (1, 3, 4):
+        got = ivfpq_topk(coded, cent, cb, q[None, :], k=15,
+                         nprobe=nprobe).to_pandas()
+        qn = _normalize(q[None, :])[0]
+        probes = np.argsort(-(qn @ cent.T))[:nprobe]
+        m, _k, dsub = cb.shape
+        rows = coded.to_pandas()
+        cand = []
+        for vid, cl, codes in zip(rows["vec_id"], rows["cluster"],
+                                  rows["codes"]):
+            if cl not in probes:
+                continue
+            r = qn - cent[cl]
+            adc = sum(((r[s * dsub:(s + 1) * dsub] - cb[s][codes[s]]) ** 2
+                       ).sum() for s in range(m))
+            cand.append((adc, vid))
+        cand.sort()
+        want_ids = [v for _, v in cand[:15]]
+        want_adc = [a for a, _ in cand[:15]]
+        assert got["vec_id"].tolist() == want_ids, f"nprobe={nprobe}"
+        assert np.allclose(got["adc"], want_adc)
+    # block-merge invariance
+    a = ivfpq_topk(coded, cent, cb, q[None, :], k=9, nprobe=3).to_pandas()
+    b = ivfpq_topk(coded.repartition(16), cent, cb, q[None, :], k=9,
+                   nprobe=3, batch_size=16).to_pandas()
+    assert a["vec_id"].tolist() == b["vec_id"].tolist()

@@ -471,3 +471,135 @@ def pq_topk(codes_ds, codebooks: np.ndarray, queries: np.ndarray,
         id_column: pa.array(np.concatenate(out_i), pa.int64()),
         "adc": pa.array(np.concatenate(out_d), pa.float64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse clusters + residual PQ codes (the FAISS IVFPQ shape)
+# ---------------------------------------------------------------------------
+
+def ivfpq_build(ds, *, n_clusters: int = 16, m: int = 16, n_codes: int = 256,
+                sample_size: int = 2048, vec_column: str = "embedding",
+                id_column: str = "vec_id", seed: int = 7,
+                concurrency: int = 2):
+    """Coarse k-means + product quantization of the RESIDUALS
+    (v - centroid[cluster]) — residuals are far more compressible than raw
+    vectors because the coarse step removes the cluster mean.  Returns
+    ``(centroids, codebooks, coded)`` where ``coded`` has columns
+    ``(<id_column>, cluster, codes)``.
+
+    At 100 TB ``coded`` writes as cluster-partitioned Parquet of
+    ``m``-byte rows (ivf_write_partitioned's layout, 8*dim/m smaller):
+    a query reads only ``nprobe`` partitions of codes, never a float."""
+    cent, assigned = ivf_build(ds, n_clusters=n_clusters,
+                               sample_size=sample_size,
+                               vec_column=vec_column, id_column=id_column,
+                               seed=seed, concurrency=concurrency)
+    # residual sample for codebook training, driver-side like the centroids
+    sample = _as_matrix(
+        pa.chunked_array([b.column(vec_column).combine_chunks()
+                          for b in ds.limit(sample_size).iter_batches(
+                              batch_size=sample_size,
+                              batch_format="pyarrow")]))
+    sample = _normalize(sample)                 # assignment space
+    res = sample - cent[np.argmax(sample @ cent.T, axis=1)]
+    cb = pq_train(res, m=m, n_codes=n_codes, seed=seed)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        cl = batch.column("cluster").to_numpy(zero_copy_only=False
+                                              ).astype(np.int64)
+        v = _as_matrix(batch.column("nvec"))     # already normalized
+        r = v - cent[cl] if len(v) else v
+        mm, _k, dsub = cb.shape
+        codes = np.zeros((len(r), mm), dtype=np.uint8)
+        for s in range(mm):
+            sub = r[:, s * dsub:(s + 1) * dsub]
+            d2 = ((sub[:, None, :] - cb[s][None]) ** 2).sum(-1)
+            codes[:, s] = d2.argmin(axis=1).astype(np.uint8)
+        return pa.table({
+            id_column: batch.column(id_column),
+            "cluster": batch.column("cluster"),
+            "codes": pa.array(codes.tolist(), pa.list_(pa.uint8(), mm)),
+        })
+
+    coded = assigned.map_batches(encode, batch_format="pyarrow",
+                                 runtime_env=package_runtime_env())
+    return cent, cb, coded
+
+
+def ivfpq_topk(coded, centroids: np.ndarray, codebooks: np.ndarray,
+               queries: np.ndarray, k: int = 10, *, nprobe: int = 4,
+               id_column: str = "vec_id", batch_size: int = 8192):
+    """ADC top-k over residual codes, restricted to each query's ``nprobe``
+    nearest coarse clusters.  The residual distance table is PER PROBED
+    CLUSTER: ``d(q, v) ~= sum_s ||(q - c)_sub - codebook[s, code]||^2``.
+    Queries are L2-normalized (the assignment space); adc ascending,
+    ties on id — same merge shape as pq_topk."""
+    cent = np.asarray(centroids, dtype=np.float64)
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, n_codes, dsub = cb.shape
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    nprobe = min(nprobe, cent.shape[0])
+    probes = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]   # (Q, nprobe)
+    # dtables[qi, p, s, c] for the p-th probed cluster of query qi
+    resq = q[:, None, :] - cent[probes]                      # (Q, np, dim)
+    dtables = ((resq.reshape(len(q), nprobe, m, 1, dsub)
+                - cb[None, None]) ** 2).sum(-1)              # (Q, np, m, K)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_column).to_numpy(zero_copy_only=False
+                                               ).astype(np.int64)
+        cl = batch.column("cluster").to_numpy(zero_copy_only=False
+                                              ).astype(np.int64)
+        codes = np.asarray(batch.column("codes").combine_chunks()
+                           .flatten().to_numpy(zero_copy_only=False)
+                           ).reshape(len(ids), m)
+        out_q, out_i, out_d = [], [], []
+        sub = np.arange(m)[None, :]
+        for qi in range(len(q)):
+            sel_all = np.isin(cl, probes[qi])
+            if not sel_all.any():
+                continue
+            idx = np.nonzero(sel_all)[0]
+            # probe slot of each selected row's cluster for this query:
+            # order_p maps sorted-probe position -> probe slot, so
+            # slot[p] satisfies probes[qi][slot] == cl[idx]
+            order_p = np.argsort(probes[qi])
+            slot = order_p[np.searchsorted(probes[qi][order_p], cl[idx])]
+            d = dtables[qi][slot[:, None], sub, codes[idx]].sum(axis=1)
+            order = np.lexsort((ids[idx], d))[:k]
+            out_q.append(np.full(order.size, qi, np.int64))
+            out_i.append(ids[idx][order])
+            out_d.append(d[order])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             id_column: pa.array([], pa.int64()),
+                             "adc": pa.array([], pa.float64())})
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            id_column: pa.array(np.concatenate(out_i), pa.int64()),
+            "adc": pa.array(np.concatenate(out_d), pa.float64()),
+        })
+
+    cands = coded.map_batches(scan, batch_format="pyarrow",
+                              batch_size=batch_size,
+                              runtime_env=package_runtime_env())
+    t = _gather(cands, id_column)
+    if "adc" not in t.column_names or t.num_rows == 0:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         id_column: pa.array([], pa.int64()),
+                         "adc": pa.array([], pa.float64())})
+    qid = t.column("query_id").to_numpy()
+    ids = t.column(id_column).to_numpy()
+    adc = t.column("adc").to_numpy()
+    out_q, out_i, out_d = [], [], []
+    for qv in np.unique(qid):
+        msk = qid == qv
+        order = np.lexsort((ids[msk], adc[msk]))[:k]
+        out_q.append(np.full(order.size, qv, np.int64))
+        out_i.append(ids[msk][order])
+        out_d.append(adc[msk][order])
+    return pa.table({
+        "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+        id_column: pa.array(np.concatenate(out_i), pa.int64()),
+        "adc": pa.array(np.concatenate(out_d), pa.float64()),
+    })

@@ -1149,6 +1149,60 @@ def q_ann_pq_top10(sf_dir: str) -> pa.Table:
     })
 
 
+def q_ann_ivfpq_top10(sf_dir: str) -> pa.Table:
+    """IVF-PQ ANN (the FAISS IVFPQ shape on Ray Data): coarse clusters +
+    residual PQ codes, query scans only nprobe clusters' codes via
+    per-cluster ADC tables.  Oracle-exact like ann_pq_top10: the engine
+    exports (vec_id, cluster, codes) and the per-probed-cluster distance
+    tables; the oracle replays the restricted ADC sum + top-k election."""
+    import shutil
+
+    from trinity_ray.ops.ann import _normalize, ivfpq_build, ivfpq_topk
+
+    emb = pq.read_table(embeddings_parquet(sf_dir),
+                        columns=["vec_id", "embedding"])
+    qvec = np.asarray(emb.column("embedding")[0].as_py(), dtype=np.float64)
+    cent, cb, coded = ivfpq_build(
+        read_embeddings(sf_dir), n_clusters=8, m=16, n_codes=256,
+        sample_size=4096)
+    coded = coded.materialize()     # consumed twice: export + scan
+
+    os.makedirs(INDEX_ROOT, exist_ok=True)
+    codes_dir = os.path.join(INDEX_ROOT, "ivfpq_codes")
+    shutil.rmtree(codes_dir, ignore_errors=True)
+    coded.write_parquet(codes_dir)
+    nprobe = 3
+    qn = _normalize(qvec[None, :])[0]
+    probes = np.argsort(-(qn @ cent.T))[:nprobe]
+    m, n_codes, dsub = cb.shape
+    rows_c, rows_s, rows_k, rows_d = [], [], [], []
+    for c in probes:
+        dt = (((qn - cent[c]).reshape(m, 1, dsub) - cb) ** 2).sum(-1)
+        subs, cds = np.meshgrid(np.arange(1, m + 1), np.arange(n_codes),
+                                indexing="ij")
+        rows_c.append(np.full(m * n_codes, c, np.int64))
+        rows_s.append(subs.ravel())
+        rows_k.append(cds.ravel())
+        rows_d.append(dt.ravel())
+    pq.write_table(
+        pa.table({"cluster": pa.array(np.concatenate(rows_c), pa.int64()),
+                  "sub": pa.array(np.concatenate(rows_s), pa.int64()),
+                  "code": pa.array(np.concatenate(rows_k), pa.int64()),
+                  "d2": pa.array(np.concatenate(rows_d), pa.float64())}),
+        os.path.join(INDEX_ROOT, "ivfpq_dtable.parquet"))
+
+    def drop_query_row(t: pa.Table) -> pa.Table:
+        return t.filter(pc.not_equal(t.column("vec_id"), 0))
+
+    t = ivfpq_topk(coded.map_batches(drop_query_row, batch_format="pyarrow"),
+                   cent, cb, qvec[None, :], k=TOPK, nprobe=nprobe)
+    adc = t.column("adc").to_numpy()
+    return pa.table({
+        "vec_id": t.column("vec_id"),
+        "adc_r": pa.array(np.floor(adc * 1e4 + 0.5) / 1e4, pa.float64()),
+    })
+
+
 def _export_ivf_members(assigned, centroids, qvec: np.ndarray, nprobe: int,
                         out_name: str) -> None:
     """Write the probed clusters' member vec_ids to a fixed path so the
