@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": dsp.q_semantic_dedup,
         "ann_pq_top10": dsp.q_ann_pq_top10,
         "ann_ivfpq_top10": dsp.q_ann_ivfpq_top10,
+        "label_centroids": dsp.q_label_centroids,
         # -- inverted-index build + query engine (SURVEY.md §2.1-2.7) -----
         "search_rare_top10": dsp.q_search_rare_top10,
         "search_hot_top10": dsp.q_search_hot_top10,
@@ -1011,6 +1012,16 @@ d AS (SELECT c.vec_id, sum(t.d2) AS adc
       GROUP BY c.vec_id)
 SELECT vec_id, floor(adc * 10000 + 0.5) / 10000 AS adc_r
 FROM d ORDER BY adc, vec_id LIMIT 10
+""",
+        # per-label mean embedding, long form; rounding at 1e-6 absorbs
+        # partial-sum-order float drift between the engine's batch
+        # combiner and DuckDB's avg
+        "label_centroids": """
+WITH ev AS (SELECT label, unnest(embedding)::DOUBLE AS v,
+                   generate_subscripts(embedding, 1) AS i FROM embeddings)
+SELECT label::BIGINT AS label, i::BIGINT AS i,
+       floor(avg(v) * 1000000 + 0.5) / 1000000 AS mu_r
+FROM ev GROUP BY label, i
 """,
         # IVF-PQ replay: codes carry their coarse cluster; the distance
         # table is per PROBED cluster (residual quantization), so the join

@@ -123,3 +123,22 @@ def test_ivfpq_adc_matches_slow_replay(ray_session):
     b = ivfpq_topk(coded.repartition(16), cent, cb, q[None, :], k=9,
                    nprobe=3, batch_size=16).to_pandas()
     assert a["vec_id"].tolist() == b["vec_id"].tolist()
+
+
+def test_label_centroids_partition_independent(ray_session):
+    from trinity_ray.ops.ann import label_centroids
+
+    rng = np.random.default_rng(2)
+    X = rng.standard_normal((120, 8))
+    lab = rng.integers(0, 3, size=120)
+    t = pa.table({"embedding": pa.array(X.tolist(), pa.list_(pa.float64())),
+                  "label": pa.array(lab, pa.int32())})
+    got = label_centroids(rd.from_arrow(t)).to_pandas().sort_values(
+        ["label", "i"]).reset_index(drop=True)
+    got16 = label_centroids(rd.from_arrow(t).repartition(16)).to_pandas(
+        ).sort_values(["label", "i"]).reset_index(drop=True)
+    for L in range(3):
+        want = X[lab == L].mean(axis=0)
+        assert np.allclose(got[got.label == L]["mu"].to_numpy(), want)
+    assert got["label"].tolist() == got16["label"].tolist()
+    assert np.allclose(got["mu"], got16["mu"])

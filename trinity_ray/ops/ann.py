@@ -603,3 +603,55 @@ def ivfpq_topk(coded, centroids: np.ndarray, codebooks: np.ndarray,
         id_column: pa.array(np.concatenate(out_i), pa.int64()),
         "adc": pa.array(np.concatenate(out_d), pa.float64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# per-label centroids (class prototypes / nearest-class-mean)
+# ---------------------------------------------------------------------------
+
+def label_centroids(ds, *, vec_column: str = "embedding",
+                    label_column: str = "label"):
+    """Mean embedding per label — class prototypes for nearest-class-mean
+    classification, prototype-based curation, and embedding-quality checks.
+
+    Scale shape: a stateless ``map_batches`` reduces each batch to one
+    ``(label, n, sum-vector)`` row per label present (vectorized per-label
+    matmul-free segment sum), so the ``groupby(label)`` exchange moves
+    O(num_blocks * num_labels) rows, never the corpus.  Returns LONG form
+    ``(label, i, mu)`` with ``i`` 1-based — the layout a SQL oracle can
+    replay via unnest + group by."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = _as_matrix(batch.column(vec_column))
+        lab = batch.column(label_column).to_numpy(zero_copy_only=False
+                                                  ).astype(np.int64)
+        if not len(lab):
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "vsum": pa.array([], pa.list_(pa.float64()))})
+        uniq, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((uniq.size, v.shape[1]), dtype=np.float64)
+        np.add.at(sums, inv, v)
+        counts = np.bincount(inv, minlength=uniq.size)
+        return pa.table({
+            "label": pa.array(uniq, pa.int64()),
+            "n": pa.array(counts.astype(np.int64), pa.int64()),
+            "vsum": pa.array(sums.tolist(), pa.list_(pa.float64())),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           runtime_env=package_runtime_env())
+
+    def combine(g: pa.Table) -> pa.Table:
+        s = _as_matrix(g.column("vsum")).sum(axis=0)
+        n = int(pa.compute.sum(g.column("n")).as_py())
+        lab = g.column("label")[0].as_py()
+        mu = s / n
+        return pa.table({
+            "label": pa.array([lab] * mu.size, pa.int64()),
+            "i": pa.array(np.arange(1, mu.size + 1), pa.int64()),
+            "mu": pa.array(mu, pa.float64()),
+        })
+
+    return parts.groupby("label").map_groups(
+        combine, batch_format="pyarrow", runtime_env=package_runtime_env())

@@ -1149,6 +1149,25 @@ def q_ann_pq_top10(sf_dir: str) -> pa.Table:
     })
 
 
+def q_label_centroids(sf_dir: str):
+    """Class prototypes: mean embedding per label, long form (label, i,
+    mu).  The distributed part is a per-batch (label, n, sum) reduction —
+    the groupby moves O(blocks x labels) rows, never vectors."""
+    from trinity_ray.ops.ann import label_centroids
+
+    t = label_centroids(read_embeddings(sf_dir))
+
+    def cast_round(b: pa.Table) -> pa.Table:
+        mu = b.column("mu").to_numpy()
+        return pa.table({
+            "label": b.column("label"),
+            "i": b.column("i"),
+            "mu_r": pa.array(np.floor(mu * 1e6 + 0.5) / 1e6, pa.float64()),
+        })
+
+    return t.map_batches(cast_round, batch_format="pyarrow")
+
+
 def q_ann_ivfpq_top10(sf_dir: str) -> pa.Table:
     """IVF-PQ ANN (the FAISS IVFPQ shape on Ray Data): coarse clusters +
     residual PQ codes, query scans only nprobe clusters' codes via
