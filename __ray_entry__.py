@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_pq_top10": dsp.q_ann_pq_top10,
         "ann_ivfpq_top10": dsp.q_ann_ivfpq_top10,
         "label_centroids": dsp.q_label_centroids,
+        "knn_label_top10": dsp.q_knn_label_top10,
         # -- inverted-index build + query engine (SURVEY.md §2.1-2.7) -----
         "search_rare_top10": dsp.q_search_rare_top10,
         "search_hot_top10": dsp.q_search_hot_top10,
@@ -1012,6 +1013,30 @@ d AS (SELECT c.vec_id, sum(t.d2) AS adc
       GROUP BY c.vec_id)
 SELECT vec_id, floor(adc * 10000 + 0.5) / 10000 AS adc_r
 FROM d ORDER BY adc, vec_id LIMIT 10
+""",
+        # 10-NN label vote for the first 20 vectors, leave-self-out;
+        # prediction = most-voted neighbor label, ties to the smallest
+        "knn_label_top10": """
+WITH ev AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+                   generate_subscripts(embedding, 1) AS i FROM embeddings),
+n2 AS (SELECT vec_id, sum(v * v) AS n2 FROM ev GROUP BY vec_id),
+dots AS (SELECT q.vec_id AS qid, x.vec_id, sum(q.v * x.v) AS dot
+         FROM ev q JOIN ev x ON x.i = q.i AND x.vec_id <> q.vec_id
+         WHERE q.vec_id < 20
+         GROUP BY q.vec_id, x.vec_id),
+cs AS (SELECT qid, d.vec_id,
+              dot / (sqrt(na.n2) * sqrt(nb.n2)) AS c
+       FROM dots d JOIN n2 na ON na.vec_id = qid
+            JOIN n2 nb ON nb.vec_id = d.vec_id),
+top AS (SELECT qid, vec_id FROM cs
+        QUALIFY row_number() OVER (PARTITION BY qid
+                                   ORDER BY c DESC, vec_id) <= 10),
+votes AS (SELECT t.qid, e.label::BIGINT AS label, count(*) AS n
+          FROM top t JOIN embeddings e ON e.vec_id = t.vec_id
+          GROUP BY t.qid, e.label)
+SELECT qid AS query_id, label AS pred_label, n AS votes
+FROM votes
+QUALIFY row_number() OVER (PARTITION BY qid ORDER BY n DESC, label) = 1
 """,
         # per-label mean embedding, long form; rounding at 1e-6 absorbs
         # partial-sum-order float drift between the engine's batch

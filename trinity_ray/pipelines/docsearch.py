@@ -1149,6 +1149,41 @@ def q_ann_pq_top10(sf_dir: str) -> pa.Table:
     })
 
 
+def q_knn_label_top10(sf_dir: str) -> pa.Table:
+    """10-NN label prediction for the first 20 vectors (leave-self-out):
+    the standard kNN probe of embedding quality.  The distributed part is
+    the multi-query brute-force scan (20 queries broadcast as ONE matrix,
+    one matmul per batch); the election over 20x10 candidate rows is
+    driver-side by construction.  Prediction = most-voted label among the
+    10 nearest by cosine, ties to the smallest label."""
+    from trinity_ray.ops.ann import brute_force_topk
+
+    emb = pq.read_table(embeddings_parquet(sf_dir),
+                        columns=["vec_id", "embedding", "label"])
+    n_q = 20
+    qmat = np.asarray(emb.column("embedding")[:n_q].to_pylist(),
+                      dtype=np.float64)
+    # k=11 then drop the self row (ids are dense: query qi == vec_id qi)
+    t = brute_force_topk(read_embeddings(sf_dir), qmat, k=11)
+    qid = t.column("query_id").to_numpy()
+    vid = t.column("vec_id").to_numpy()
+    keep = qid != vid
+    qid, vid = qid[keep], vid[keep]
+    labels = np.asarray(emb.column("label").to_pylist(), dtype=np.int64)
+    out_q, out_l, out_v = [], [], []
+    for q in range(n_q):
+        m = qid == q
+        neigh = labels[vid[m][:10]]
+        vals, counts = np.unique(neigh, return_counts=True)
+        best = vals[counts == counts.max()].min()
+        out_q.append(q)
+        out_l.append(int(best))
+        out_v.append(int(counts.max()))
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     "pred_label": pa.array(out_l, pa.int64()),
+                     "votes": pa.array(out_v, pa.int64())})
+
+
 def q_label_centroids(sf_dir: str):
     """Class prototypes: mean embedding per label, long form (label, i,
     mu).  The distributed part is a per-batch (label, n, sum) reduction —
