@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivfpq_top10": dsp.q_ann_ivfpq_top10,
         "label_centroids": dsp.q_label_centroids,
         "knn_label_top10": dsp.q_knn_label_top10,
+        "chunk_overlap": dsp.q_chunk_overlap,
         # -- inverted-index build + query engine (SURVEY.md §2.1-2.7) -----
         "search_rare_top10": dsp.q_search_rare_top10,
         "search_hot_top10": dsp.q_search_hot_top10,
@@ -1013,6 +1014,33 @@ d AS (SELECT c.vec_id, sum(t.d2) AS adc
       GROUP BY c.vec_id)
 SELECT vec_id, floor(adc * 10000 + 0.5) / 10000 AS adc_r
 FROM d ORDER BY adc, vec_id LIMIT 10
+""",
+        # overlapping 32-token windows every 16 tokens; same vocab/checksum
+        # contract as chunk_tokens, windows materialized per doc via
+        # LATERAL generate_series and joined to token positions
+        "chunk_overlap": """
+WITH toks AS (SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts, 1) AS pos
+              FROM (SELECT doc_id, regexp_extract_all(upper(text), '[A-Z0-9]+') AS ts
+                    FROM documents)),
+cnts AS (SELECT tok, count(*) AS cnt FROM toks
+         WHERE length(tok) <= 64 GROUP BY tok),
+vocab AS (SELECT tok, vid FROM (
+            SELECT tok, row_number() OVER (ORDER BY cnt DESC, tok ASC) AS vid
+            FROM cnts) WHERE vid <= 1000),
+fpos AS (SELECT doc_id, tok,
+                row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS p
+         FROM toks WHERE length(tok) <= 64),
+ids AS (SELECT f.doc_id, f.p, coalesce(v.vid, 0) AS vid
+        FROM fpos f LEFT JOIN vocab v ON v.tok = f.tok),
+lens AS (SELECT doc_id, max(p) AS n FROM ids GROUP BY doc_id),
+chk AS (SELECT doc_id, CAST(k AS BIGINT) AS c FROM lens,
+        LATERAL unnest(generate_series(0, CAST((n - 1) // 16 AS BIGINT))
+                       ) AS t(k))
+SELECT i.doc_id, c.c AS chunk_idx, count(*) AS n_tokens,
+       CAST(sum((i.p - 1 - c.c * 16 + 1) * i.vid) AS BIGINT) AS checksum
+FROM chk c JOIN ids i ON i.doc_id = c.doc_id
+     AND i.p - 1 >= c.c * 16 AND i.p - 1 < c.c * 16 + 32
+GROUP BY i.doc_id, c.c
 """,
         # 10-NN label vote for the first 20 vectors, leave-self-out;
         # prediction = most-voted neighbor label, ties to the smallest

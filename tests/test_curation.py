@@ -305,6 +305,28 @@ def test_chunk_documents_windows(ray_session):
     assert got["checksum"].tolist() == [5, 5, 2, 2]
 
 
+def test_chunk_documents_overlapping_stride(ray_session):
+    from trinity_ray.ops.pack import chunk_documents
+
+    vocab = ["AA", "BB", "CC"]            # ids 1, 2, 3; OOV -> 0
+    t = pa.table({"doc_id": [7], "text": ["aa bb cc aa bb"]})
+    got = chunk_documents(rd.from_arrow(t), vocab, seq_len=3, stride=2,
+                          text_column="text").to_pandas().sort_values(
+        "chunk_idx").reset_index(drop=True)
+    # ids [1,2,3,1,2], windows every 2: [1,2,3] [3,1,2] [2]
+    #   checksums: 1+4+9=14, 3+2+6=11, 2
+    assert got["chunk_idx"].tolist() == [0, 1, 2]
+    assert got["n_tokens"].tolist() == [3, 3, 1]
+    assert got["checksum"].tolist() == [14, 11, 2]
+    # stride == seq_len reproduces the non-overlapping layout exactly
+    a = chunk_documents(rd.from_arrow(t), vocab, seq_len=2
+                        ).to_pandas().sort_values("chunk_idx")
+    b = chunk_documents(rd.from_arrow(t), vocab, seq_len=2, stride=2
+                        ).to_pandas().sort_values("chunk_idx")
+    assert a["checksum"].tolist() == b["checksum"].tolist()
+    assert a["n_tokens"].tolist() == b["n_tokens"].tolist()
+
+
 def test_pack_sequences_small(ray_session):
     from trinity_ray.ops.pack import pack_sequences
 

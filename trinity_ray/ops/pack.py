@@ -26,7 +26,7 @@ from trinity_ray.tokenizer import get_tokenizer
 __all__ = ["chunk_documents", "pack_sequences"]
 
 
-def chunk_documents(ds, vocab, *, seq_len: int = 128,
+def chunk_documents(ds, vocab, *, seq_len: int = 128, stride: int | None = None,
                     text_column: str = "text", id_column: str = "doc_id",
                     tokenizer: str = "simple", unk_id: int = 0):
     """Per-document fixed-length token-id windows.
@@ -37,7 +37,14 @@ def chunk_documents(ds, vocab, *, seq_len: int = 128,
     sum over the chunk of (1-based position within chunk) * token_id —
     order-sensitive, integer-exact, so an oracle can verify the full
     tokenize -> vocab-id -> window math without comparing id lists.
-    Empty documents emit no rows (they have no windows)."""
+    Empty documents emit no rows (they have no windows).
+
+    ``stride`` (default ``seq_len``): window start spacing.  A stride
+    below ``seq_len`` yields OVERLAPPING windows — the RAG-retrieval
+    chunking layout where each chunk shares ``seq_len - stride`` tokens
+    with its predecessor; chunk_idx counts strides, and the checksum
+    stays per-chunk-relative (computed via two prefix sums, so overlap
+    costs O(n + n_chunks), not O(n_chunks * seq_len))."""
     import ray
 
     if not isinstance(vocab, dict):
@@ -45,8 +52,9 @@ def chunk_documents(ds, vocab, *, seq_len: int = 128,
     vref = ray.put(vocab)
     tok = get_tokenizer(tokenizer)
     L = int(seq_len)
-    if L <= 0:
-        raise ValueError("seq_len must be positive")
+    S = L if stride is None else int(stride)
+    if L <= 0 or S <= 0:
+        raise ValueError("seq_len and stride must be positive")
 
     def chunks(batch: pa.Table) -> pa.Table:
         v = ray.get(vref)
@@ -60,12 +68,18 @@ def chunk_documents(ds, vocab, *, seq_len: int = 128,
                 continue
             ids = np.fromiter((get(x, unk_id) for x in toks),
                               dtype=np.int64, count=n)
-            starts = np.arange(0, n, L)
-            weighted = (np.arange(n, dtype=np.int64) % L + 1) * ids
+            starts = np.arange(0, n, S)
+            ends = np.minimum(starts + L, n)
+            # checksum(s) = sum_{j in [s, e)} (j - s + 1) * ids[j]
+            #            = (A[e] - A[s]) - s * (B[e] - B[s])
+            pw = np.concatenate(([0], np.cumsum(
+                (np.arange(n, dtype=np.int64) + 1) * ids)))
+            ps = np.concatenate(([0], np.cumsum(ids)))
             out_d.append(np.full(starts.size, int(d), np.int64))
-            out_ci.append(starts // L)
-            out_n.append(np.minimum(L, n - starts))
-            out_ck.append(np.add.reduceat(weighted, starts))
+            out_ci.append(starts // S)
+            out_n.append(ends - starts)
+            out_ck.append((pw[ends] - pw[starts])
+                          - starts * (ps[ends] - ps[starts]))
         if not out_d:
             return pa.table({
                 id_column: pa.array([], pa.int64()),

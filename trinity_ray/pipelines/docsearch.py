@@ -875,6 +875,21 @@ def q_chunk_tokens(sf_dir: str):
                            text_column="text", id_column="doc_id")
 
 
+def q_chunk_overlap(sf_dir: str):
+    """Sliding-window chunking (RAG layout): 32-token windows every 16
+    tokens, so consecutive chunks share half their tokens.  Same vocab +
+    checksum contract as chunk_tokens; chunk_idx counts strides."""
+    from trinity_ray.ops.pack import chunk_documents
+    from trinity_ray.ops.text import top_terms
+
+    vocab_tbl = top_terms(read_documents(sf_dir), k=1000,
+                          text_column="text").to_pandas()
+    vocab = vocab_tbl["term"].tolist()       # rank order; id = index + 1
+    return chunk_documents(read_documents(sf_dir), vocab, seq_len=32,
+                           stride=16, text_column="text",
+                           id_column="doc_id")
+
+
 def q_pack_sequences(sf_dir: str):
     """Cross-document concat-and-split packing into 256-token training
     sequences (ascending doc_id order): one row per (sequence, document)
