@@ -236,9 +236,10 @@ def bench_ops(sf_dir: str) -> dict[str, float]:
         out["ann_ivf_recall10"] = len(exact & approx) / max(1, len(exact))
     except Exception:
         out["ann_ivf_recall10"] = -1.0
-    # PQ recall@10 vs the same exact answer (8 subspaces x 16 codes; ADC
-    # ranks by L2 while brute force ranks by cosine, so this also absorbs
-    # the metric gap — report, don't gate)
+    # PQ recall@10 vs the same exact answer (16 subspaces x 256 codes,
+    # the byte-per-subspace config; ADC ranks by L2 while brute force
+    # ranks by cosine, so this also absorbs the metric gap — report,
+    # don't gate)
     try:
         t0 = time.time()
         pq_ids = set(dsp.q_ann_pq_top10(sf_dir).column("vec_id").to_pylist())

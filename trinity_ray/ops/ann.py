@@ -174,16 +174,25 @@ class IvfAssign:
         })
 
 
-def ivf_build(ds, *, n_clusters: int = 16, sample_size: int = 2048,
-              vec_column: str = "embedding", id_column: str = "vec_id",
-              seed: int = 7, concurrency: int = 2):
-    """Fit centroids on a sample, assign every vector.  Returns
-    (centroids, assigned Dataset with columns id/cluster/nvec)."""
-    sample = _as_matrix(
+def _sample_matrix(ds, vec_column: str, sample_size: int) -> np.ndarray:
+    """Driver-side (sample_size, dim) matrix from the head of the dataset
+    — the one small read that seeds every codebook/centroid fit."""
+    return _as_matrix(
         pa.chunked_array([b.column(vec_column).combine_chunks()
                           for b in ds.limit(sample_size).iter_batches(
-                              batch_size=sample_size, batch_format="pyarrow")])
-    )
+                              batch_size=sample_size,
+                              batch_format="pyarrow")]))
+
+
+def ivf_build(ds, *, n_clusters: int = 16, sample_size: int = 2048,
+              vec_column: str = "embedding", id_column: str = "vec_id",
+              seed: int = 7, concurrency: int = 2, sample=None):
+    """Fit centroids on a sample, assign every vector.  Returns
+    (centroids, assigned Dataset with columns id/cluster/nvec).
+    ``sample``: optionally pass a pre-drawn (n, dim) matrix so composed
+    builds (ivfpq_build) read the head of ``ds`` once, not twice."""
+    if sample is None:
+        sample = _sample_matrix(ds, vec_column, sample_size)
     cent = kmeans_fit(sample, n_clusters, seed=seed)
     assigned = ds.map_batches(
         IvfAssign,
@@ -364,11 +373,54 @@ def pq_train(sample: np.ndarray, *, m: int = 8, n_codes: int = 16,
     n, dim = x.shape
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
+    if n_codes > 256:
+        # codes persist as uint8; more would silently wrap modulo 256
+        raise ValueError(f"n_codes {n_codes} > 256 cannot be stored in "
+                         f"uint8 codes; raise m instead")
     dsub = dim // m
     return np.stack([
         _lloyd(x[:, s * dsub:(s + 1) * dsub], n_codes, iters, seed + s)
         for s in range(m)
     ])
+
+
+def _merge_adc_topk(cands, id_column: str, k: int) -> pa.Table:
+    """Driver merge of per-block ADC candidates: global top-k per query,
+    adc ascending, ties on id (shared by pq_topk / ivfpq_topk)."""
+    t = _gather(cands, id_column)
+    if "adc" not in t.column_names or t.num_rows == 0:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         id_column: pa.array([], pa.int64()),
+                         "adc": pa.array([], pa.float64())})
+    qid = t.column("query_id").to_numpy()
+    ids = t.column(id_column).to_numpy()
+    adc = t.column("adc").to_numpy()
+    out_q, out_i, out_d = [], [], []
+    for qv in np.unique(qid):
+        msk = qid == qv
+        order = np.lexsort((ids[msk], adc[msk]))[:k]
+        out_q.append(np.full(order.size, qv, np.int64))
+        out_i.append(ids[msk][order])
+        out_d.append(adc[msk][order])
+    return pa.table({
+        "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+        id_column: pa.array(np.concatenate(out_i), pa.int64()),
+        "adc": pa.array(np.concatenate(out_d), pa.float64()),
+    })
+
+
+def _pq_assign_codes(x: np.ndarray, cb: np.ndarray) -> np.ndarray:
+    """(n, m) uint8 nearest-centroid codes of ``x`` under per-subspace
+    codebooks ``cb`` (m, K, dsub); empty input yields (0, m)."""
+    m, _k, dsub = cb.shape
+    codes = np.zeros((len(x), m), dtype=np.uint8)
+    if not len(x):
+        return codes
+    for s in range(m):
+        sub = x[:, s * dsub:(s + 1) * dsub]
+        d2 = ((sub[:, None, :] - cb[s][None]) ** 2).sum(-1)
+        codes[:, s] = d2.argmin(axis=1).astype(np.uint8)
+    return codes
 
 
 class PqEncode:
@@ -383,16 +435,12 @@ class PqEncode:
         self.id_column = id_column
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        m, _k, dsub = self.cb.shape
         x = _as_matrix(batch.column(self.vec_column))
-        codes = np.zeros((len(x), m), dtype=np.uint8)
-        for s in range(m):
-            sub = x[:, s * dsub:(s + 1) * dsub]
-            d2 = ((sub[:, None, :] - self.cb[s][None]) ** 2).sum(-1)
-            codes[:, s] = d2.argmin(axis=1).astype(np.uint8)
+        codes = _pq_assign_codes(x, self.cb)
         return pa.table({
             self.id_column: batch.column(self.id_column),
-            "codes": pa.array(codes.tolist(), pa.list_(pa.uint8(), m)),
+            "codes": pa.array(codes.tolist(),
+                              pa.list_(pa.uint8(), self.cb.shape[0])),
         })
 
 
@@ -451,26 +499,7 @@ def pq_topk(codes_ds, codebooks: np.ndarray, queries: np.ndarray,
     cands = codes_ds.map_batches(scan, batch_format="pyarrow",
                                  batch_size=batch_size,
                                  runtime_env=package_runtime_env())
-    t = _gather(cands, id_column)
-    if "adc" not in t.column_names or t.num_rows == 0:
-        return pa.table({"query_id": pa.array([], pa.int64()),
-                         id_column: pa.array([], pa.int64()),
-                         "adc": pa.array([], pa.float64())})
-    qid = t.column("query_id").to_numpy()
-    ids = t.column(id_column).to_numpy()
-    adc = t.column("adc").to_numpy()
-    out_q, out_i, out_d = [], [], []
-    for qv in np.unique(qid):
-        msk = qid == qv
-        order = np.lexsort((ids[msk], adc[msk]))[:k]
-        out_q.append(np.full(order.size, qv, np.int64))
-        out_i.append(ids[msk][order])
-        out_d.append(adc[msk][order])
-    return pa.table({
-        "query_id": pa.array(np.concatenate(out_q), pa.int64()),
-        id_column: pa.array(np.concatenate(out_i), pa.int64()),
-        "adc": pa.array(np.concatenate(out_d), pa.float64()),
-    })
+    return _merge_adc_topk(cands, id_column, k)
 
 
 # ---------------------------------------------------------------------------
@@ -490,16 +519,14 @@ def ivfpq_build(ds, *, n_clusters: int = 16, m: int = 16, n_codes: int = 256,
     At 100 TB ``coded`` writes as cluster-partitioned Parquet of
     ``m``-byte rows (ivf_write_partitioned's layout, 8*dim/m smaller):
     a query reads only ``nprobe`` partitions of codes, never a float."""
+    # ONE head read seeds both the coarse centroids and, via residuals,
+    # the PQ codebooks (review finding: ivf_build used to re-draw it)
+    sample = _sample_matrix(ds, vec_column, sample_size)
     cent, assigned = ivf_build(ds, n_clusters=n_clusters,
                                sample_size=sample_size,
                                vec_column=vec_column, id_column=id_column,
-                               seed=seed, concurrency=concurrency)
-    # residual sample for codebook training, driver-side like the centroids
-    sample = _as_matrix(
-        pa.chunked_array([b.column(vec_column).combine_chunks()
-                          for b in ds.limit(sample_size).iter_batches(
-                              batch_size=sample_size,
-                              batch_format="pyarrow")]))
+                               seed=seed, concurrency=concurrency,
+                               sample=sample)
     sample = _normalize(sample)                 # assignment space
     res = sample - cent[np.argmax(sample @ cent.T, axis=1)]
     cb = pq_train(res, m=m, n_codes=n_codes, seed=seed)
@@ -509,16 +536,12 @@ def ivfpq_build(ds, *, n_clusters: int = 16, m: int = 16, n_codes: int = 256,
                                               ).astype(np.int64)
         v = _as_matrix(batch.column("nvec"))     # already normalized
         r = v - cent[cl] if len(v) else v
-        mm, _k, dsub = cb.shape
-        codes = np.zeros((len(r), mm), dtype=np.uint8)
-        for s in range(mm):
-            sub = r[:, s * dsub:(s + 1) * dsub]
-            d2 = ((sub[:, None, :] - cb[s][None]) ** 2).sum(-1)
-            codes[:, s] = d2.argmin(axis=1).astype(np.uint8)
+        codes = _pq_assign_codes(r, cb)
         return pa.table({
             id_column: batch.column(id_column),
             "cluster": batch.column("cluster"),
-            "codes": pa.array(codes.tolist(), pa.list_(pa.uint8(), mm)),
+            "codes": pa.array(codes.tolist(),
+                              pa.list_(pa.uint8(), cb.shape[0])),
         })
 
     coded = assigned.map_batches(encode, batch_format="pyarrow",
@@ -583,26 +606,7 @@ def ivfpq_topk(coded, centroids: np.ndarray, codebooks: np.ndarray,
     cands = coded.map_batches(scan, batch_format="pyarrow",
                               batch_size=batch_size,
                               runtime_env=package_runtime_env())
-    t = _gather(cands, id_column)
-    if "adc" not in t.column_names or t.num_rows == 0:
-        return pa.table({"query_id": pa.array([], pa.int64()),
-                         id_column: pa.array([], pa.int64()),
-                         "adc": pa.array([], pa.float64())})
-    qid = t.column("query_id").to_numpy()
-    ids = t.column(id_column).to_numpy()
-    adc = t.column("adc").to_numpy()
-    out_q, out_i, out_d = [], [], []
-    for qv in np.unique(qid):
-        msk = qid == qv
-        order = np.lexsort((ids[msk], adc[msk]))[:k]
-        out_q.append(np.full(order.size, qv, np.int64))
-        out_i.append(ids[msk][order])
-        out_d.append(adc[msk][order])
-    return pa.table({
-        "query_id": pa.array(np.concatenate(out_q), pa.int64()),
-        id_column: pa.array(np.concatenate(out_i), pa.int64()),
-        "adc": pa.array(np.concatenate(out_d), pa.float64()),
-    })
+    return _merge_adc_topk(cands, id_column, k)
 
 
 # ---------------------------------------------------------------------------
@@ -644,7 +648,7 @@ def label_centroids(ds, *, vec_column: str = "embedding",
 
     def combine(g: pa.Table) -> pa.Table:
         s = _as_matrix(g.column("vsum")).sum(axis=0)
-        n = int(pa.compute.sum(g.column("n")).as_py())
+        n = int(g.column("n").to_numpy(zero_copy_only=False).sum())
         lab = g.column("label")[0].as_py()
         mu = s / n
         return pa.table({

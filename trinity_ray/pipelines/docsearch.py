@@ -1175,7 +1175,7 @@ def q_knn_label_top10(sf_dir: str) -> pa.Table:
 
     emb = pq.read_table(embeddings_parquet(sf_dir),
                         columns=["vec_id", "embedding", "label"])
-    n_q = 20
+    n_q = min(20, emb.num_rows)
     qmat = np.asarray(emb.column("embedding")[:n_q].to_pylist(),
                       dtype=np.float64)
     # k=11 then drop the self row (ids are dense: query qi == vec_id qi)
