@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": dsp.q_label_centroids,
         "knn_label_top10": dsp.q_knn_label_top10,
         "chunk_overlap": dsp.q_chunk_overlap,
+        "budget_trim": dsp.q_budget_trim,
         # -- inverted-index build + query engine (SURVEY.md §2.1-2.7) -----
         "search_rare_top10": dsp.q_search_rare_top10,
         "search_hot_top10": dsp.q_search_hot_top10,
@@ -1014,6 +1015,20 @@ d AS (SELECT c.vec_id, sum(t.d2) AS adc
       GROUP BY c.vec_id)
 SELECT vec_id, floor(adc * 10000 + 0.5) / 10000 AS adc_r
 FROM d ORDER BY adc, vec_id LIMIT 10
+""",
+        # token-budget trim: longest-first (n_chars desc, doc_id asc)
+        # running token sum capped at 15000; the engine's two-pass prefix
+        # sum must reproduce the window sum exactly
+        "budget_trim": """
+WITH w AS (SELECT doc_id, n_chars,
+                  len(list_filter(regexp_extract_all(text, '[A-Za-z0-9]+'),
+                                  x -> len(x) <= 64)) AS n_tokens
+           FROM documents),
+c AS (SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY n_chars DESC, doc_id) AS cum
+      FROM w)
+SELECT doc_id, n_tokens, CAST(cum AS BIGINT) AS cum_weight
+FROM c WHERE cum <= 15000
 """,
         # overlapping 32-token windows every 16 tokens; same vocab/checksum
         # contract as chunk_tokens, windows materialized per doc via

@@ -615,3 +615,33 @@ def test_export_packed_resumable(ray_session, tmp_path):
     again = export_packed(rd.from_arrow(t), out, seq_len=16,
                           seqs_per_partition=2, range_span=4)
     assert again == manifest
+
+
+def test_budget_trim_order_and_cutoff(ray_session):
+    from trinity_ray.ops.sample import budget_trim
+
+    t = pa.table({
+        "doc_id": [1, 2, 3, 4, 5],
+        "score":  [9, 9, 5, 7, 5],
+        "w":      [4, 3, 2, 5, 1],
+    })
+    # order: (9,1) w4 cum4 | (9,2) w3 cum7 | (7,4) w5 cum12 | (5,3) w2
+    # cum14 > 13 -> dropped, and so is (5,5) even though it would fit —
+    # the budget is a prefix cut, not a knapsack
+    got = budget_trim(rd.from_arrow(t), 13, score_column="score",
+                      weight_column="w").to_pandas().sort_values(
+        "cum_weight").reset_index(drop=True)
+    assert got["doc_id"].tolist() == [1, 2, 4]
+    assert got["cum_weight"].tolist() == [4, 7, 12]
+    # partition independence
+    got16 = budget_trim(rd.from_arrow(t).repartition(4), 13,
+                        score_column="score", weight_column="w"
+                        ).to_pandas().sort_values("cum_weight")
+    assert got16["doc_id"].tolist() == [1, 2, 4]
+    # float scores refuse (exact bucketing contract)
+    import pytest as _pt
+
+    bad = pa.table({"doc_id": [1], "score": [1.5], "w": [1]})
+    with _pt.raises(Exception, match="integer"):
+        budget_trim(rd.from_arrow(bad), 10, score_column="score",
+                    weight_column="w").materialize()

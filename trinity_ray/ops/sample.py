@@ -335,3 +335,69 @@ def mixture_weights(ds, weights: dict, *, strata_column: str = "lang",
 
     return ds.map_batches(rep, batch_format="pyarrow",
                           runtime_env=package_runtime_env())
+
+
+def budget_trim(ds, budget: int, *, score_column: str,
+                weight_column: str, id_column: str = "doc_id"):
+    """Global token-budget selection: keep rows in DESCENDING
+    ``score_column`` order (ties by ascending id) while the running sum of
+    ``weight_column`` stays within ``budget`` — "take the best documents
+    until N tokens", the terminal step of mixing corpora under a token
+    budget.  Scores must be integers (exact bucketing); weights are
+    integer token counts.  Output: ``(<id_column>, <weight_column>,
+    cum_weight)`` for every KEPT row, where ``cum_weight`` is the
+    inclusive running sum — replayable in SQL as ``SUM(w) OVER (ORDER BY
+    score DESC, id) <= budget``.
+
+    Distributed shape (the epoch_shuffle two-pass prefix sum, over the
+    score domain instead of hash ranges): per-score-bucket weight totals
+    (one row per DISTINCT score) reach the driver for the exclusive
+    prefix sum; each bucket then orders locally by id and adds its
+    broadcast offset.  No global sort; buckets holding one score value
+    each make cross-bucket order exact.  A corpus where most rows share
+    one score value makes that bucket a hot groupby key — pre-bin scores
+    upstream if that happens."""
+    import ray
+
+    from trinity_ray.rayutil import (exclusive_prefix_offsets,
+                                     package_runtime_env)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        s = batch.column(score_column).to_numpy(zero_copy_only=False)
+        if not np.issubdtype(s.dtype, np.integer):
+            raise TypeError(f"{score_column} must be integer-typed for "
+                            f"exact bucketing; bin it upstream")
+        return pa.table({
+            id_column: batch.column(id_column),
+            weight_column: batch.column(weight_column),
+            # ascending _rid == descending score
+            "_rid": pa.array(-s.astype(np.int64), pa.int64()),
+        })
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow",
+                            runtime_env=package_runtime_env()).materialize()
+    from ray.data.aggregate import Sum
+
+    totals = tagged.groupby("_rid").aggregate(
+        Sum(weight_column, alias_name="_w")).to_pandas()
+    offsets = exclusive_prefix_offsets(totals, "_rid", "_w")
+    off_ref = ray.put(offsets)
+
+    def trim(group: pa.Table) -> pa.Table:
+        offs = ray.get(off_ref)
+        rid = int(group.column("_rid")[0].as_py())
+        ids = group.column(id_column).to_numpy(zero_copy_only=False
+                                               ).astype(np.int64)
+        w = group.column(weight_column).to_numpy(zero_copy_only=False
+                                                 ).astype(np.int64)
+        order = np.argsort(ids, kind="stable")   # one score per bucket
+        cum = int(offs[rid]) + np.cumsum(w[order])
+        keep = cum <= budget
+        return pa.table({
+            id_column: pa.array(ids[order][keep], pa.int64()),
+            weight_column: pa.array(w[order][keep], pa.int64()),
+            "cum_weight": pa.array(cum[keep], pa.int64()),
+        })
+
+    return tagged.groupby("_rid").map_groups(
+        trim, batch_format="pyarrow", runtime_env=package_runtime_env())

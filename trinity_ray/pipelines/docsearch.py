@@ -1028,6 +1028,20 @@ def q_text_token_counts(sf_dir: str):
                        ).select_columns(["doc_id", "n_tokens"])
 
 
+def q_budget_trim(sf_dir: str):
+    """Token-budget selection: keep the longest documents (n_chars desc,
+    ties by doc_id) until the 15000-token budget is spent — the terminal
+    step of corpus mixing under a token budget.  The running sum replays
+    in SQL as SUM OVER (ORDER BY n_chars DESC, doc_id)."""
+    from trinity_ray.ops.sample import budget_trim
+    from trinity_ray.ops.text import token_count
+
+    ds = token_count(read_documents(sf_dir), text_column="text"
+                     ).select_columns(["doc_id", "n_chars", "n_tokens"])
+    return budget_trim(ds, 15000, score_column="n_chars",
+                       weight_column="n_tokens")
+
+
 def q_text_quality(sf_dir: str):
     from trinity_ray.ops.text import quality_score
 
