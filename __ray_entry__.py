@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_label_top10": dsp.q_knn_label_top10,
         "chunk_overlap": dsp.q_chunk_overlap,
         "budget_trim": dsp.q_budget_trim,
+        "dedup_incremental": dsp.q_dedup_incremental,
         # -- inverted-index build + query engine (SURVEY.md §2.1-2.7) -----
         "search_rare_top10": dsp.q_search_rare_top10,
         "search_hot_top10": dsp.q_search_hot_top10,
@@ -1015,6 +1016,17 @@ d AS (SELECT c.vec_id, sum(t.d2) AS adc
       GROUP BY c.vec_id)
 SELECT vec_id, floor(adc * 10000 + 0.5) / 10000 AS adc_r
 FROM d ORDER BY adc, vec_id LIMIT 10
+""",
+        # incremental dedup: new shard = doc_id % 5 == 0, corpus = the
+        # rest; key = md5 of the 40-char text prefix (both sides coalesce
+        # NULL text to '')
+        "dedup_incremental": """
+WITH corpus AS (SELECT DISTINCT md5(substr(coalesce(text, ''), 1, 40)) AS h
+                FROM documents WHERE doc_id % 5 <> 0),
+nw AS (SELECT doc_id, md5(substr(coalesce(text, ''), 1, 40)) AS h
+       FROM documents WHERE doc_id % 5 = 0)
+SELECT n.doc_id, (c.h IS NOT NULL) AS is_dup
+FROM nw n LEFT JOIN corpus c ON c.h = n.h
 """,
         # token-budget trim: longest-first (n_chars desc, doc_id asc)
         # running token sum capped at 15000; the engine's two-pass prefix

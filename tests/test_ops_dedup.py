@@ -376,3 +376,24 @@ def test_semantic_dedup_keep_is_smallest_qualifying_id(ray_session):
         ).to_pandas().sort_values("dup_id").reset_index(drop=True)
     assert out["dup_id"].tolist() == [1, 2]
     assert out["keep_id"].tolist() == [0, 0]
+
+
+def test_dedup_against_incremental(ray_session):
+    import ray.data as rd
+
+    from trinity_ray.ops.dedup import dedup_against
+
+    corpus = pa.table({"doc_id": [10, 11, 12],
+                       "text": ["hello world", "other text", None]})
+    new = pa.table({"doc_id": [1, 2, 3, 4],
+                    "text": ["hello world", "fresh stuff", "", "other text"]})
+    out = dedup_against(rd.from_arrow(new), rd.from_arrow(corpus)
+                        ).to_pandas().sort_values("doc_id"
+                        ).reset_index(drop=True)
+    # NULL corpus text keys as '' and matches the empty new doc
+    assert out["doc_id"].tolist() == [1, 2, 3, 4]
+    assert out["is_dup"].tolist() == [True, False, True, True]
+    # prefix fingerprint: same 5-char opening counts as a dup
+    out2 = dedup_against(rd.from_arrow(new), rd.from_arrow(corpus),
+                         prefix_chars=5).to_pandas().sort_values("doc_id")
+    assert out2["is_dup"].tolist() == [True, False, True, True]

@@ -1154,3 +1154,56 @@ def semantic_dedup(ds, *, vec_column: str = "embedding",
     return assigned.groupby("cluster").map_groups(
         cluster_dups, batch_format="pyarrow",
         runtime_env=package_runtime_env())
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup (new shard vs an existing corpus)
+# ---------------------------------------------------------------------------
+
+def dedup_against(new_ds, corpus_ds, *, text_column: str = "text",
+                  id_column: str = "doc_id", prefix_chars: int = 0,
+                  num_partitions: int = 8):
+    """Flag rows of ``new_ds`` whose text key already exists ANYWHERE in
+    ``corpus_ds`` — the incremental shape every recurring ingest needs
+    (dedup the new crawl against history, not against itself).  The key
+    is ``md5`` of the first ``prefix_chars`` characters (0 = the whole
+    text; a small prefix catches shared boilerplate openings).  Returns
+    ``(<id_column>, is_dup)`` for every new row.
+
+    Scale shape: both sides reduce to (id, h) / distinct-h rows before
+    anything moves; the corpus side collapses to ONE row per distinct key
+    (groupby h), and the hash-partitioned left-outer join ships only
+    hashes — never text.  At 10^12 docs the corpus key set is a persisted
+    artifact re-read per ingest, not recomputed (same md5, same join)."""
+    import hashlib
+
+    def key_stage(keep_id: bool):
+        def stage(batch: pa.Table) -> pa.Table:
+            texts = batch.column(text_column).to_pylist()
+            if prefix_chars:
+                texts = [(t or "")[:prefix_chars] for t in texts]
+            hs = pa.array([hashlib.md5((t or "").encode()).hexdigest()
+                           for t in texts], pa.string())
+            if keep_id:
+                return pa.table({id_column: batch.column(id_column),
+                                 "h": hs})
+            return pa.table({"h": hs})
+        return stage
+
+    new_h = new_ds.map_batches(key_stage(True), batch_format="pyarrow",
+                               runtime_env=package_runtime_env())
+    seen = corpus_ds.map_batches(key_stage(False), batch_format="pyarrow",
+                                 runtime_env=package_runtime_env()
+                                 ).groupby("h").count()
+    joined = new_h.join(seen, "left_outer", num_partitions=num_partitions,
+                        on=("h",))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        cnt = batch.column("count()")
+        return pa.table({
+            id_column: batch.column(id_column),
+            "is_dup": pc.is_valid(cnt),
+        })
+
+    return joined.map_batches(flag, batch_format="pyarrow",
+                              runtime_env=package_runtime_env())

@@ -1028,6 +1028,26 @@ def q_text_token_counts(sf_dir: str):
                        ).select_columns(["doc_id", "n_tokens"])
 
 
+def q_dedup_incremental(sf_dir: str):
+    """Incremental dedup: the docs with doc_id % 5 == 0 play the NEW
+    ingest shard, the rest the existing corpus; a new row is a dup when
+    its 40-char text prefix fingerprint already exists in the corpus
+    (shared boilerplate openings).  Only hashes cross the join."""
+    from trinity_ray.ops.dedup import dedup_against
+
+    def split(rem: int):
+        def f(t: pa.Table) -> pa.Table:
+            did = t.column("doc_id").to_numpy()
+            mask = (did % 5 == 0) if rem == 0 else (did % 5 != 0)
+            return t.filter(pa.array(mask))
+        return f
+
+    docs = read_documents(sf_dir).select_columns(["doc_id", "text"])
+    new = docs.map_batches(split(0), batch_format="pyarrow")
+    corpus = docs.map_batches(split(1), batch_format="pyarrow")
+    return dedup_against(new, corpus, prefix_chars=40)
+
+
 def q_budget_trim(sf_dir: str):
     """Token-budget selection: keep the longest documents (n_chars desc,
     ties by doc_id) until the 15000-token budget is spent — the terminal
