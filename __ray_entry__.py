@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_overlap": dsp.q_chunk_overlap,
         "budget_trim": dsp.q_budget_trim,
         "dedup_incremental": dsp.q_dedup_incremental,
+        "search_prefix_top10": dsp.q_search_prefix_top10,
         # -- inverted-index build + query engine (SURVEY.md §2.1-2.7) -----
         "search_rare_top10": dsp.q_search_rare_top10,
         "search_hot_top10": dsp.q_search_hot_top10,
@@ -1016,6 +1017,33 @@ d AS (SELECT c.vec_id, sum(t.d2) AS adc
       GROUP BY c.vec_id)
 SELECT vec_id, floor(adc * 10000 + 0.5) / 10000 AS adc_r
 FROM d ORDER BY adc, vec_id LIMIT 10
+""",
+        # prefix search: the oracle DERIVES the expansion set (terms LIKE
+        # 'S%', df-desc cap 16, mirroring the engine's dictionary range
+        # scan) and scores the AND with every matched completion at
+        # weight 1.0
+        "search_prefix_top10": """
+WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(upper(text), '[A-Z0-9]+')) AS tok FROM documents),
+dfall AS (SELECT tok, count(DISTINCT doc_id)::DOUBLE AS df FROM toks GROUP BY tok),
+exp AS (SELECT tok FROM dfall WHERE tok LIKE 'S%'
+        ORDER BY df DESC, tok LIMIT 16),
+sel AS (SELECT tok FROM exp UNION SELECT 'BIG'),
+tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM toks
+       WHERE tok IN (SELECT tok FROM sel) GROUP BY doc_id, tok),
+df AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok),
+nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+matched AS (SELECT doc_id FROM tf WHERE tok IN (SELECT tok FROM exp)
+            INTERSECT
+            SELECT doc_id FROM tf WHERE tok = 'BIG'),
+scores AS (
+  SELECT m.doc_id,
+         sum(ln(1.0 + (nn.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf / (tf.tf + 1.2)) AS score
+  FROM matched m JOIN tf ON tf.doc_id = m.doc_id
+       JOIN df ON df.tok = tf.tok CROSS JOIN nn
+  GROUP BY m.doc_id)
+SELECT doc_id, round(score, 4) AS score_r
+FROM scores ORDER BY score DESC, doc_id LIMIT 10
 """,
         # incremental dedup: new shard = doc_id % 5 == 0, corpus = the
         # rest; key = md5 of the 40-char text prefix (both sides coalesce

@@ -1108,3 +1108,41 @@ def test_hybrid_rerank_changes_pure_bm25_order(ray_session, sf_dir):
     assert hybrid.doc_id.tolist() == [d for _, d in expect]
     assert hybrid.score_r.tolist() == [
         float(np.floor(-c * 1e4 + 0.5) / 1e4) for c, _ in expect]
+
+
+def test_prefix_query_expansion(index_dir, ray_session):
+    """[prefix p] search == explicit OR of the dictionary completions at
+    weight 1.0 (df-desc cap 16); Local and Ray paths agree; no-completion
+    prefixes degrade to the exact term."""
+    from trinity_ray.query.ast import And, Or, Prefix, Token, parse_query
+    from trinity_ray.search import LocalSearcher, RaySearcher
+
+    s = LocalSearcher(index_dir)
+    assert parse_query("[prefix return]", "trinity") == Prefix("RETURN")
+    assert parse_query("[prefix ret sta]", "trinity") == \
+        And((Prefix("RET"), Prefix("STA")))
+    # pick a 2-char prefix with several completions from the dictionary
+    probe = None
+    for t, _df in sorted(s.readers[0]._iter_terms()):
+        if len(t) >= 2 and len(s._prefix_merged(t[:2])) > 1:
+            probe = t[:2]
+            break
+    assert probe is not None, "fixture corpus has no shared 2-char prefix"
+    comp = s._prefix_merged(probe)
+    alts = sorted(comp.items(), key=lambda kv: (-kv[1], kv[0]))[:16]
+    manual = Or(tuple(Token(t) for t, _ in alts))
+    r_pref = s.search(f"[prefix {probe}]", k=10)
+    r_manual = s.search(manual, k=10)
+    np.testing.assert_array_equal(r_pref.doc_ids, r_manual.doc_ids)
+    np.testing.assert_allclose(r_pref.scores, r_manual.scores)
+    # distributed expansion uses merged global df -> identical results
+    rs = RaySearcher(index_dir, num_actors=2)
+    r_ray = rs.search(f"[prefix {probe}]", k=10)
+    np.testing.assert_array_equal(r_pref.doc_ids, r_ray.doc_ids)
+    np.testing.assert_allclose(r_pref.scores, r_ray.scores)
+    # a prefix matching nothing degrades to the exact (absent) term
+    r_none = s.search("[prefix zzzzqqqq]", k=10)
+    assert r_none.doc_ids.size == 0
+    # mixed with boolean ops: AND restricts like any other leaf
+    r_and = s.search(f"[prefix {probe}] AND [prefix zzzzqqqq]", k=10)
+    assert r_and.doc_ids.size == 0

@@ -649,6 +649,20 @@ def q_search_fuzzy_top10(sf_dir: str) -> pa.Table:
     })
 
 
+def q_search_prefix_top10(sf_dir: str) -> pa.Table:
+    """Prefix SEARCH: '[prefix s] AND big' parses to And(Prefix(S),
+    Token(BIG)); the searcher expands the Prefix leaf through the sorted
+    dictionary into Or(SORT, SPARK, STREAM, SCAN, SMALL, SLOW) — all at
+    weight 1.0 (a completion IS the intended term), capped at the 16
+    highest-df completions.  Score = sum of bm25 over every matched
+    completion plus bm25(BIG)."""
+    res = _searcher(base_index(sf_dir)).search("[prefix s] AND big", k=TOPK)
+    return pa.table({
+        "doc_id": pa.array(res.doc_ids.astype(np.int64), pa.int64()),
+        "score_r": pa.array(np.round(res.scores, 4), pa.float64()),
+    })
+
+
 def q_search_rewrite_top10(sf_dir: str) -> pa.Table:
     """Synonym rewrite hook (queries_rewrite.h:992): 'dup' expanded to
     (dup OR vector) via the callback, scored like the manual OR query."""

@@ -94,6 +94,19 @@ class Fuzzy(Token):
 
 
 @dataclass(frozen=True)
+class Prefix(Token):
+    """Prefix leaf: matches any dictionary term starting with ``term``
+    (``[prefix sca]`` → SCAN, SCALE, …).  Like :class:`Fuzzy` it needs
+    dictionary state to expand, so searcher entry points rewrite it to
+    the OR of its completions (all at the leaf's own weight — a
+    completion IS the intended term, unlike fuzzy's half-weight typo
+    neighbors) via the sorted-dictionary range scan behind suggest_terms.
+
+    Subclasses Token deliberately (same degrade contract as Fuzzy): an
+    UNEXPANDED Prefix behaves as the exact term in index-less contexts."""
+
+
+@dataclass(frozen=True)
 class And(Node):
     children: tuple[Node, ...]
 
@@ -262,6 +275,7 @@ class _Parser:
                 min_match = 1
                 near_window: int | None = None
                 fuzzy_mode = False
+                prefix_mode = False
                 window_taken = False
                 first = True
                 while True:
@@ -277,6 +291,9 @@ class _Parser:
                     elif first and isinstance(sub, Token) \
                             and sub.term == "FUZZY":
                         fuzzy_mode = True
+                    elif first and isinstance(sub, Token) \
+                            and sub.term == "PREFIX":
+                        prefix_mode = True
                     elif isinstance(sub, Token) and str(sub.term).isdigit() \
                             and (first or (near_window is not None
                                            and not window_taken
@@ -306,6 +323,14 @@ class _Parser:
                         raise ValueError("[fuzzy ...] takes plain terms only")
                     fz = [Fuzzy(t.term) for t in parts]
                     return fz[0] if len(fz) == 1 else And(tuple(fz))
+                if prefix_mode:
+                    if any(not isinstance(t, Token)
+                           or isinstance(t, (Fuzzy, Prefix))
+                           for t in parts):
+                        raise ValueError(
+                            "[prefix ...] takes plain terms only")
+                    pz = [Prefix(t.term) for t in parts]
+                    return pz[0] if len(pz) == 1 else And(tuple(pz))
                 if near_window is not None:
                     terms = tuple(t.term for t in parts
                                   if isinstance(t, Token))

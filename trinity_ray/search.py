@@ -43,6 +43,7 @@ from trinity_ray.query.ast import (
     Not,
     Optional_,
     Or,
+    Prefix,
     Token,
     assign_query_indices,
     collect_scorable_terms,
@@ -54,37 +55,54 @@ from trinity_ray.query.exec import EMPTY_U64, SegmentReader, bm25_idf
 from trinity_ray.query.scorers import get_scorer
 
 
-def expand_fuzzy(node: Node, edit1, max_expand: int = 16) -> Node:
-    """Rewrite every :class:`Fuzzy` leaf into the weighted OR of its
-    edit-distance-1 dictionary neighborhood: the exact term keeps the
-    leaf's weight, neighbors score at HALF it (the rewrite-provenance
-    convention — originals outrank expansions at equal tf), capped at the
-    ``max_expand`` highest-df neighbors (the budget seam, like
-    rewrite_query's alternative budget).  ``edit1`` maps a term to its
-    GLOBAL term->df neighborhood (df merged across all segments/shards
-    BEFORE selection, so every shard executes the same expansion).  A
-    term with no neighbors degrades to the exact Token."""
-    if isinstance(node, Fuzzy):
-        near = {t: d for t, d in edit1(node.term).items()
-                if t != node.term}
-        alts = sorted(near.items(), key=lambda kv: (-kv[1], kv[0]))
-        alts = alts[:max_expand]
-        exact = Token(node.term, node.weight)
-        if not alts:
-            return exact
-        return Or((exact,) + tuple(
-            Token(t, 0.5 * node.weight) for t, _ in alts))
-    if isinstance(node, Not):
-        return Not(expand_fuzzy(node.child, edit1, max_expand))
-    if isinstance(node, Optional_):
-        return Optional_(expand_fuzzy(node.child, edit1, max_expand))
-    if isinstance(node, MatchSome):
-        return MatchSome(node.min_match, tuple(
-            expand_fuzzy(c, edit1, max_expand) for c in node.children))
-    if isinstance(node, (And, Or)):
-        return type(node)(tuple(
-            expand_fuzzy(c, edit1, max_expand) for c in node.children))
-    return node
+def expand_fuzzy(node: Node, edit1, max_expand: int = 16,
+                 prefix_df=None) -> Node:
+    """Rewrite dictionary-dependent leaves into concrete weighted ORs:
+
+    - :class:`Fuzzy` → the exact term at the leaf's weight plus its
+      edit-distance-1 neighborhood at HALF it (the rewrite-provenance
+      convention — originals outrank expansions at equal tf), capped at
+      the ``max_expand`` highest-df neighbors (the budget seam, like
+      rewrite_query's alternative budget).
+    - :class:`Prefix` → the OR of its completions, ALL at the leaf's
+      weight (a completion IS the intended term), same df-ordered cap.
+
+    ``edit1`` / ``prefix_df`` map a term to its GLOBAL term->df
+    expansion set (df merged across all segments/shards BEFORE
+    selection, so every shard executes the same expansion).  A leaf with
+    no expansions degrades to the exact Token."""
+    def walk(n: Node) -> Node:
+        if isinstance(n, Fuzzy):
+            near = {t: d for t, d in edit1(n.term).items()
+                    if t != n.term}
+            alts = sorted(near.items(), key=lambda kv: (-kv[1], kv[0]))
+            alts = alts[:max_expand]
+            exact = Token(n.term, n.weight)
+            if not alts:
+                return exact
+            return Or((exact,) + tuple(
+                Token(t, 0.5 * n.weight) for t, _ in alts))
+        if isinstance(n, Prefix):
+            comp = dict(prefix_df(n.term)) if prefix_df is not None else {}
+            alts = sorted(comp.items(), key=lambda kv: (-kv[1], kv[0]))
+            alts = alts[:max_expand]
+            if not alts:
+                return Token(n.term, n.weight)
+            if len(alts) == 1:
+                return Token(alts[0][0], n.weight)
+            return Or(tuple(Token(t, n.weight) for t, _ in alts))
+        if isinstance(n, Not):
+            return Not(walk(n.child))
+        if isinstance(n, Optional_):
+            return Optional_(walk(n.child))
+        if isinstance(n, MatchSome):
+            return MatchSome(n.min_match, tuple(
+                walk(c) for c in n.children))
+        if isinstance(n, (And, Or)):
+            return type(n)(tuple(walk(c) for c in n.children))
+        return n
+
+    return walk(node)
 
 
 @dataclass
@@ -252,6 +270,7 @@ class LocalSearcher:
             for s in self.manifest.segments
         ]
         self._fuzzy_cache: dict[str, dict[str, int]] = {}
+        self._prefix_cache: dict[str, dict[str, int]] = {}
 
     def _edit1_merged(self, term: str) -> dict[str, int]:
         """Edit-distance-1 neighborhood with GLOBAL df (summed across all
@@ -265,10 +284,23 @@ class LocalSearcher:
             self._fuzzy_cache[term] = hit
         return hit
 
+    def _prefix_merged(self, prefix: str) -> dict[str, int]:
+        """Prefix completions with GLOBAL df (same global-before-selection
+        rule as _edit1_merged), memoized per searcher."""
+        hit = self._prefix_cache.get(prefix)
+        if hit is None:
+            hit = {}
+            for r in self.readers:
+                for t, df in r.prefix_terms(prefix).items():
+                    hit[t] = hit.get(t, 0) + df
+            self._prefix_cache[prefix] = hit
+        return hit
+
     def _parse(self, query: str | Node) -> Node:
         node = parse_query(query, self.manifest.tokenizer) \
             if isinstance(query, str) else query
-        return expand_fuzzy(node, self._edit1_merged)
+        return expand_fuzzy(node, self._edit1_merged,
+                            prefix_df=self._prefix_merged)
 
     def resolve_idf(self, node: Node, scorer: str = "bm25") -> dict[str, float]:
         """Global df across segments -> per-term weight (similarity.h:238-250:
@@ -543,6 +575,7 @@ class RaySearcher:
         ]
         self._ray = ray
         self._fuzzy_cache: dict[str, dict[str, int]] = {}
+        self._prefix_cache: dict[str, dict[str, int]] = {}
 
     def _edit1_merged(self, term: str) -> dict[str, int]:
         """Neighborhood df merged across ALL shards BEFORE selection, so
@@ -559,10 +592,24 @@ class RaySearcher:
             self._fuzzy_cache[term] = hit
         return hit
 
+    def _prefix_merged(self, prefix: str) -> dict[str, int]:
+        """Prefix completions, df merged across ALL shards before selection
+        (same rule as _edit1_merged)."""
+        hit = self._prefix_cache.get(prefix)
+        if hit is None:
+            hit = {}
+            futs = [a.prefix_partials.remote(prefix) for a in self.actors]
+            for part in self._ray.get(futs):
+                for t, df in part.items():
+                    hit[t] = hit.get(t, 0) + df
+            self._prefix_cache[prefix] = hit
+        return hit
+
     def _parse(self, query: str | Node) -> Node:
         node = parse_query(query, self.manifest.tokenizer) \
             if isinstance(query, str) else query
-        return expand_fuzzy(node, self._edit1_merged)
+        return expand_fuzzy(node, self._edit1_merged,
+                            prefix_df=self._prefix_merged)
 
     def resolve_idf(self, node: Node, scorer: str = "bm25") -> dict[str, float]:
         terms = collect_terms(node)
