@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "budget_trim": dsp.q_budget_trim,
         "dedup_incremental": dsp.q_dedup_incremental,
         "search_prefix_top10": dsp.q_search_prefix_top10,
+        "events_retention": dsp.q_events_retention,
         # -- inverted-index build + query engine (SURVEY.md §2.1-2.7) -----
         "search_rare_top10": dsp.q_search_rare_top10,
         "search_hot_top10": dsp.q_search_hot_top10,
@@ -1017,6 +1018,17 @@ d AS (SELECT c.vec_id, sum(t.d2) AS adc
       GROUP BY c.vec_id)
 SELECT vec_id, floor(adc * 10000 + 0.5) / 10000 AS adc_r
 FROM d ORDER BY adc, vec_id LIMIT 10
+""",
+        # weekly retention triangle: cohort = first active week
+        # (floor(epoch / week), the tumbling convention), cell = distinct
+        # users of that cohort active period_offset weeks later
+        "events_retention": """
+WITH p AS (SELECT DISTINCT user_id,
+                  epoch_us(ts) // 604800000000 AS period FROM events),
+c AS (SELECT user_id, min(period) AS cohort FROM p GROUP BY user_id)
+SELECT c.cohort, p.period - c.cohort AS period_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM p JOIN c USING (user_id) GROUP BY 1, 2
 """,
         # prefix search: the oracle DERIVES the expansion set (terms LIKE
         # 'S%', df-desc cap 16, mirroring the engine's dictionary range

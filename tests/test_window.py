@@ -987,3 +987,37 @@ def test_range_count_join_left_column_named_sum_cents(ray_session):
                            ts_column="ts", left_columns=("sum_cents",),
                            window_s=10).to_pandas()
     assert int(res.sum_cents[0]) == 77 and int(res.n_in_window[0]) == 1
+
+
+def test_retention_cohorts_hand_worked(ray_session):
+    import ray.data as rd
+
+    from trinity_ray.ops.window import retention_cohorts
+
+    WEEK = 7 * 86400
+    rows = [
+        # user 1: weeks 0, 1, 3  -> cohort 0, offsets 0/1/3
+        (1, 0), (1, 1), (1, WEEK + 5), (1, 3 * WEEK),
+        # user 2: weeks 1, 1, 2  -> cohort 1, offsets 0/1 (dup week dedups)
+        (2, WEEK), (2, WEEK + 9), (2, 2 * WEEK),
+        # user 3: week 3 only    -> cohort 3, offset 0
+        (3, 3 * WEEK),
+    ]
+    t = pa.table({
+        "user_id": pa.array([u for u, _ in rows], pa.int64()),
+        "ts": pa.array([s * 1_000_000 for _, s in rows],
+                       pa.timestamp("us")),
+    })
+    want = {(0, 0): 1, (0, 1): 1, (0, 3): 1,
+            (1, 0): 1, (1, 1): 1, (3, 0): 2}  # week-3: users 1 and 3? no —
+    # user 1's week 3 belongs to cohort 0 offset 3; cohort 3 holds user 3
+    want[(3, 0)] = 1
+    got = retention_cohorts(rd.from_arrow(t)).to_pandas()
+    got_map = {(int(r.cohort), int(r.period_offset)): int(r.n_users)
+               for r in got.itertuples()}
+    assert got_map == want
+    # partition independence (cross-batch (user, week) dups must dedup)
+    got16 = retention_cohorts(rd.from_arrow(t).repartition(6)).to_pandas()
+    got16_map = {(int(r.cohort), int(r.period_offset)): int(r.n_users)
+                 for r in got16.itertuples()}
+    assert got16_map == want

@@ -206,3 +206,65 @@ def sessionize(ds, *, ts_column: str = "ts", user_column: str = "user_id",
         .groupby(user_column).map_groups(
             merge_minis, batch_format="pyarrow",
             runtime_env=package_runtime_env())
+
+
+def retention_cohorts(ds, *, ts_column: str = "ts",
+                      user_column: str = "user_id",
+                      period_s: int = 7 * 86400):
+    """Cohort retention: ``cohort`` = a user's FIRST activity period
+    (floor(epoch / period_s), the tumbling_window convention), and cell
+    ``(cohort, period_offset)`` counts the cohort's distinct users still
+    active that many periods later — the standard product-analytics
+    retention triangle.  Output: (cohort, period_offset, n_users).
+
+    Scale shape: events reduce to per-batch-distinct (user, period)
+    pairs before anything shuffles (rows = user-periods, never events);
+    ONE groupby(user) computes each user's cohort and offsets in-group
+    (group size = a user's distinct periods — cross-batch duplicate
+    pairs collapse there too); the final aggregate is vocabulary-sized
+    (cohorts x offsets).  No stage ever holds a whale user's raw event
+    volume, and no join is needed."""
+    from ray.data.aggregate import Count
+
+    period_us = period_s * US
+
+    def pairs_stage(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_column).cast(pa.timestamp("us")).cast(pa.int64())
+        per = ts.to_numpy() // period_us
+        usr = batch.column(user_column).to_numpy(zero_copy_only=False
+                                                 ).astype(np.int64)
+        # batch-local dedup: one packed (user, period) key per pair.
+        # Packing needs non-negative fields: period 2^20 covers epoch
+        # weeks to year ~21800, users to 2^43 — guard, don't corrupt
+        if len(usr) and (per.min() < 0 or per.max() >= (1 << 20)
+                         or usr.min() < 0 or usr.max() >= (1 << 43)):
+            raise ValueError("user_id/period out of packable range "
+                             "(pre-epoch timestamps or 2^43+ user ids)")
+        packed = np.unique((usr.astype(np.uint64) << np.uint64(20))
+                           | per.astype(np.uint64))
+        return pa.table({
+            user_column: pa.array((packed >> np.uint64(20)).astype(np.int64),
+                                  pa.int64()),
+            "period": pa.array((packed & np.uint64((1 << 20) - 1)
+                                ).astype(np.int64), pa.int64()),
+        })
+
+    pairs = ds.map_batches(pairs_stage, batch_format="pyarrow",
+                           runtime_env=package_runtime_env())
+
+    def user_offsets(g: pa.Table) -> pa.Table:
+        # one group per user: cohort = min period, one output row per
+        # DISTINCT period (cross-batch dups collapse here) — group size
+        # is a user's distinct periods, never their raw event volume
+        per = np.unique(g.column("period").to_numpy(zero_copy_only=False))
+        return pa.table({
+            "cohort": pa.array(np.full(per.size, per.min(), np.int64),
+                               pa.int64()),
+            "period_offset": pa.array(per - per.min(), pa.int64()),
+        })
+
+    return pairs.groupby(user_column).map_groups(
+        user_offsets, batch_format="pyarrow",
+        runtime_env=package_runtime_env()) \
+        .groupby(["cohort", "period_offset"]).aggregate(
+            Count(alias_name="n_users"))

@@ -1042,6 +1042,27 @@ def q_text_token_counts(sf_dir: str):
                        ).select_columns(["doc_id", "n_tokens"])
 
 
+def q_events_retention(sf_dir: str):
+    """Weekly retention triangle over the events table: cohort = first
+    active week, cell = distinct users active period_offset weeks later."""
+    from trinity_ray.ops.window import retention_cohorts
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts", "user_id"])
+    out = retention_cohorts(ds)
+
+    def cast_types(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "cohort": t.column("cohort").cast(pa.int64()),
+            "period_offset": t.column("period_offset").cast(pa.int64()),
+            "n_users": t.column("n_users").cast(pa.int64()),
+        })
+
+    return out.map_batches(cast_types, batch_format="pyarrow")
+
+
 def q_dedup_incremental(sf_dir: str):
     """Incremental dedup: the docs with doc_id % 5 == 0 play the NEW
     ingest shard, the rest the existing corpus; a new row is a dup when
