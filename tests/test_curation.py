@@ -645,3 +645,28 @@ def test_budget_trim_order_and_cutoff(ray_session):
     with _pt.raises(Exception, match="integer"):
         budget_trim(rd.from_arrow(bad), 10, score_column="score",
                     weight_column="w").materialize()
+
+
+def test_budget_trim_random_vs_pandas(ray_session):
+    import pandas as pd
+
+    from trinity_ray.ops.sample import budget_trim
+
+    rng = np.random.RandomState(3)
+    n = 500
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n), pa.int64()),
+        "score": pa.array(rng.randint(0, 40, n), pa.int64()),
+        "w": pa.array(rng.randint(1, 30, n), pa.int64()),
+    })
+    budget = 2000
+    got = budget_trim(rd.from_arrow(t).repartition(7), budget,
+                      score_column="score", weight_column="w"
+                      ).to_pandas().sort_values("doc_id"
+                      ).reset_index(drop=True)
+    df = t.to_pandas().sort_values(["score", "doc_id"],
+                                   ascending=[False, True])
+    df["cum"] = df["w"].cumsum()
+    want = df[df["cum"] <= budget].sort_values("doc_id")
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["cum_weight"].tolist() == want["cum"].tolist()

@@ -1021,3 +1021,35 @@ def test_retention_cohorts_hand_worked(ray_session):
     got16_map = {(int(r.cohort), int(r.period_offset)): int(r.n_users)
                  for r in got16.itertuples()}
     assert got16_map == want
+
+
+def test_retention_cohorts_random_vs_duckdb(ray_session):
+    import duckdb
+
+    import ray.data as rd
+
+    from trinity_ray.ops.window import retention_cohorts
+
+    rng = np.random.RandomState(11)
+    n = 2000
+    t = pa.table({
+        "user_id": pa.array(rng.randint(0, 80, n), pa.int64()),
+        "ts": pa.array(rng.randint(0, 90 * 86400, n) * 1_000_000,
+                       pa.timestamp("us")),
+    })
+    got = retention_cohorts(rd.from_arrow(t).repartition(9)
+                            ).to_pandas().sort_values(
+        ["cohort", "period_offset"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("ev", t)
+    want = con.sql("""
+        WITH p AS (SELECT DISTINCT user_id,
+                          epoch_us(ts) // 604800000000 AS period FROM ev),
+        c AS (SELECT user_id, min(period) AS cohort FROM p GROUP BY user_id)
+        SELECT c.cohort, p.period - c.cohort AS period_offset,
+               count(*) AS n_users
+        FROM p JOIN c USING (user_id) GROUP BY 1, 2
+        ORDER BY 1, 2""").df()
+    assert got["cohort"].tolist() == want["cohort"].tolist()
+    assert got["period_offset"].tolist() == want["period_offset"].tolist()
+    assert got["n_users"].tolist() == want["n_users"].tolist()
