@@ -210,3 +210,28 @@ def test_build_from_jsonl_matches_parquet(ray_session, tmp_path):
         b = LocalSearcher(idx_p).search(q, k=10)
         assert list(a.doc_ids) == list(b.doc_ids)
         assert list(a.scores) == list(b.scores)
+
+
+def test_cli_ann_methods(tmp_path, capsys, ray_session):
+    import numpy as np
+
+    rng = np.random.default_rng(4)
+    vecs = rng.standard_normal((96, 16))
+    pqf = tmp_path / "emb.parquet"
+    pq.write_table(pa.table({
+        "vec_id": pa.array(np.arange(96), pa.int64()),
+        "embedding": pa.array(vecs.tolist(), pa.list_(pa.float64())),
+    }), pqf)
+    outs = {}
+    for method in ("brute", "ivf", "pq", "ivfpq"):
+        assert main(["ann", "--embeddings", str(pqf), "--method", method,
+                     "--query-id", "3", "-k", "5",
+                     "--n-clusters", "4", "--nprobe", "4",
+                     "--pq-m", "4", "--pq-codes", "16"]) == 0
+        rows = [json.loads(ln) for ln in
+                capsys.readouterr().out.strip().splitlines()]
+        assert len(rows) == 5
+        assert all(r["vec_id"] != 3 for r in rows)
+        outs[method] = [r["vec_id"] for r in rows]
+    # with nprobe == n_clusters, IVF scans everything: exact == brute
+    assert outs["ivf"] == outs["brute"]

@@ -5,6 +5,8 @@
     ray job submit -- python -m trinity_ray search --index idx/ --query 'a AND b'
     ray job submit -- python -m trinity_ray percolate --input corpus/ \
         --query name1='a AND b' --query name2='"x y"' --out matches/
+    ray job submit -- python -m trinity_ray ann --embeddings emb.parquet \
+        --method ivfpq --query-id 7 -k 10
 
 On a cluster, ``ray job submit`` sets RAY_ADDRESS and the driver connects to
 the running cluster; standalone, Ray auto-initialises in local mode.  The
@@ -162,6 +164,72 @@ def cmd_curate(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_ann(args: argparse.Namespace) -> int:
+    """Embedding similarity search over a Parquet table: exact brute
+    force, IVF (nprobe clusters), PQ (ADC code scan), or IVF-PQ
+    (residual codes).  The query is a row of the table itself
+    (--query-id), excluded from its own result."""
+    _ensure_ray()
+    import numpy as np
+    import pyarrow.parquet as pq_mod
+    import ray.data as rd
+
+    emb = pq_mod.read_table(args.embeddings,
+                            columns=[args.id_column, args.vec_column])
+    ids = emb.column(args.id_column).to_numpy()
+    pos = int(np.nonzero(ids == args.query_id)[0][0])
+    qvec = np.asarray(emb.column(args.vec_column)[pos].as_py(),
+                      dtype=np.float64)
+    ds = rd.read_parquet(args.embeddings,
+                         columns=[args.id_column, args.vec_column])
+    if args.method == "brute":
+        from trinity_ray.ops.ann import brute_force_topk
+
+        t = brute_force_topk(ds, qvec[None, :], k=args.k,
+                             vec_column=args.vec_column,
+                             id_column=args.id_column,
+                             exclude_ids=(args.query_id,))
+        val_col = "cosine"
+    elif args.method == "ivf":
+        from trinity_ray.ops.ann import ivf_build, ivf_topk
+
+        cent, assigned = ivf_build(ds, n_clusters=args.n_clusters,
+                                   vec_column=args.vec_column,
+                                   id_column=args.id_column)
+        t = ivf_topk(assigned, cent, qvec[None, :], k=args.k + 1,
+                     nprobe=args.nprobe, id_column=args.id_column)
+        val_col = "cosine"
+    elif args.method == "pq":
+        from trinity_ray.ops.ann import (_as_matrix, pq_encode, pq_topk,
+                                         pq_train)
+
+        cb = pq_train(_as_matrix(emb.column(args.vec_column)),
+                      m=args.pq_m, n_codes=args.pq_codes)
+        t = pq_topk(pq_encode(ds, cb, vec_column=args.vec_column,
+                              id_column=args.id_column),
+                    cb, qvec[None, :], k=args.k + 1,
+                    id_column=args.id_column)
+        val_col = "adc"
+    else:   # ivfpq
+        from trinity_ray.ops.ann import ivfpq_build, ivfpq_topk
+
+        cent, cb, coded = ivfpq_build(ds, n_clusters=args.n_clusters,
+                                      m=args.pq_m, n_codes=args.pq_codes,
+                                      vec_column=args.vec_column,
+                                      id_column=args.id_column)
+        t = ivfpq_topk(coded, cent, cb, qvec[None, :], k=args.k + 1,
+                       nprobe=args.nprobe, id_column=args.id_column)
+        val_col = "adc"
+    n_out = 0
+    for row in t.to_pylist():
+        if row[args.id_column] == args.query_id or n_out >= args.k:
+            continue
+        n_out += 1
+        print(json.dumps({"rank": n_out, args.id_column: row[args.id_column],
+                          val_col: row[val_col]}))
+    return 0
+
+
 def cmd_percolate(args: argparse.Namespace) -> int:
     import ray.data as rd
 
@@ -269,6 +337,23 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--prefix", required=True)
     g.add_argument("-k", type=int, default=10)
     g.set_defaults(fn=cmd_suggest)
+
+    an = sub.add_parser("ann", help="embedding similarity search: brute / "
+                                    "IVF / PQ / IVF-PQ top-k for a row of "
+                                    "the table")
+    an.add_argument("--embeddings", required=True,
+                    help="Parquet table with an id + vector column")
+    an.add_argument("--method", default="brute",
+                    choices=["brute", "ivf", "pq", "ivfpq"])
+    an.add_argument("--query-id", type=int, default=0)
+    an.add_argument("-k", type=int, default=10)
+    an.add_argument("--id-column", default="vec_id")
+    an.add_argument("--vec-column", default="embedding")
+    an.add_argument("--n-clusters", type=int, default=16)
+    an.add_argument("--nprobe", type=int, default=4)
+    an.add_argument("--pq-m", type=int, default=16)
+    an.add_argument("--pq-codes", type=int, default=256)
+    an.set_defaults(fn=cmd_ann)
 
     pc = sub.add_parser("percolate", help="reverse search: stream docs "
                                           "through standing queries")
