@@ -142,3 +142,33 @@ def test_label_centroids_partition_independent(ray_session):
         assert np.allclose(got[got.label == L]["mu"].to_numpy(), want)
     assert got["label"].tolist() == got16["label"].tolist()
     assert np.allclose(got["mu"], got16["mu"])
+
+
+def test_empty_inputs_yield_empty_results(ray_session):
+    """Empty datasets flow through every ANN/dedup stage without error —
+    a filtered-out shard must not kill the pipeline."""
+    from trinity_ray.ops.ann import (ivf_build, ivfpq_build, ivfpq_topk,
+                                     label_centroids, pq_encode, pq_topk,
+                                     pq_train)
+    from trinity_ray.ops.dedup import dedup_against, semantic_dedup
+
+    empty = rd.from_arrow(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float64()))}))
+    assert semantic_dedup(empty, n_clusters=2, threshold=0.9).count() == 0
+    assert ivf_build(empty, n_clusters=2)[1].count() == 0
+    cent, cb, coded = ivfpq_build(empty, n_clusters=2, m=2, n_codes=4)
+    assert ivfpq_topk(coded, cent, cb, np.zeros((1, 2)), k=3).num_rows == 0
+    cb2 = pq_train(np.zeros((0, 4)), m=2, n_codes=4)
+    assert pq_topk(pq_encode(empty, cb2), cb2, np.zeros((1, 4)),
+                   k=3).num_rows == 0
+    edocs = rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()),
+                                    "text": pa.array([], pa.string())}))
+    docs = rd.from_arrow(pa.table({"doc_id": [1], "text": ["x"]}))
+    out = dedup_against(docs, edocs).to_pandas()
+    assert out["is_dup"].tolist() == [False]  # empty corpus: nothing dups
+    assert dedup_against(edocs, docs).count() == 0
+    elab = rd.from_arrow(pa.table({
+        "embedding": pa.array([], pa.list_(pa.float64())),
+        "label": pa.array([], pa.int32())}))
+    assert label_centroids(elab).count() == 0

@@ -141,6 +141,8 @@ def kmeans_fit(sample: np.ndarray, n_clusters: int, iters: int = 15,
     x = _normalize(np.asarray(sample, dtype=np.float64))
     rng = np.random.default_rng(seed)
     n = x.shape[0]
+    if n == 0:                      # empty sample: no centroids to fit
+        return np.zeros((0, x.shape[1] if x.ndim == 2 else 0), np.float64)
     k = min(n_clusters, n)
     cent = x[rng.choice(n, size=k, replace=False)]
     for _ in range(iters):
@@ -177,11 +179,12 @@ class IvfAssign:
 def _sample_matrix(ds, vec_column: str, sample_size: int) -> np.ndarray:
     """Driver-side (sample_size, dim) matrix from the head of the dataset
     — the one small read that seeds every codebook/centroid fit."""
-    return _as_matrix(
-        pa.chunked_array([b.column(vec_column).combine_chunks()
-                          for b in ds.limit(sample_size).iter_batches(
-                              batch_size=sample_size,
-                              batch_format="pyarrow")]))
+    chunks = [b.column(vec_column).combine_chunks()
+              for b in ds.limit(sample_size).iter_batches(
+                  batch_size=sample_size, batch_format="pyarrow")]
+    if not chunks:                       # empty dataset: (0, 0) matrix
+        return np.zeros((0, 0), dtype=np.float64)
+    return _as_matrix(pa.chunked_array(chunks))
 
 
 def ivf_build(ds, *, n_clusters: int = 16, sample_size: int = 2048,
@@ -349,6 +352,8 @@ def _lloyd(x: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
     """Deterministic plain-L2 Lloyd's k-means (UNLIKE kmeans_fit, no
     normalization — PQ quantizes raw subvectors, not directions)."""
     rng = np.random.default_rng(seed)
+    if x.shape[0] == 0:             # empty sample: zero-code codebook
+        return np.zeros((0, x.shape[1]), np.float64)
     k = min(k, x.shape[0])
     cent = x[rng.choice(x.shape[0], size=k, replace=False)]
     for _ in range(iters):
@@ -471,6 +476,10 @@ def pq_topk(codes_ds, codebooks: np.ndarray, queries: np.ndarray,
     batch touches m bytes per vector instead of 8*dim."""
     cb = np.asarray(codebooks, dtype=np.float64)
     m, n_codes, dsub = cb.shape
+    if n_codes == 0:                        # empty codebook: empty index
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         id_column: pa.array([], pa.int64()),
+                         "adc": pa.array([], pa.float64())})
     q = np.asarray(queries, dtype=np.float64)
     # dtables[qi, s, c] = ||q_sub - centroid||^2
     dtables = ((q.reshape(len(q), m, 1, dsub)
@@ -528,7 +537,10 @@ def ivfpq_build(ds, *, n_clusters: int = 16, m: int = 16, n_codes: int = 256,
                                seed=seed, concurrency=concurrency,
                                sample=sample)
     sample = _normalize(sample)                 # assignment space
-    res = sample - cent[np.argmax(sample @ cent.T, axis=1)]
+    if sample.shape[0]:
+        res = sample - cent[np.argmax(sample @ cent.T, axis=1)]
+    else:                                       # empty input: no residuals
+        res = np.zeros((0, m), np.float64)      # keeps dim % m == 0
     cb = pq_train(res, m=m, n_codes=n_codes, seed=seed)
 
     def encode(batch: pa.Table) -> pa.Table:
@@ -560,6 +572,10 @@ def ivfpq_topk(coded, centroids: np.ndarray, codebooks: np.ndarray,
     cent = np.asarray(centroids, dtype=np.float64)
     cb = np.asarray(codebooks, dtype=np.float64)
     m, n_codes, dsub = cb.shape
+    if cent.shape[0] == 0 or n_codes == 0:   # empty index: nothing matches
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         id_column: pa.array([], pa.int64()),
+                         "adc": pa.array([], pa.float64())})
     q = _normalize(np.asarray(queries, dtype=np.float64))
     nprobe = min(nprobe, cent.shape[0])
     probes = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]   # (Q, nprobe)

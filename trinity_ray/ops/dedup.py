@@ -1191,10 +1191,23 @@ def dedup_against(new_ds, corpus_ds, *, text_column: str = "text",
         return stage
 
     new_h = new_ds.map_batches(key_stage(True), batch_format="pyarrow",
-                               runtime_env=package_runtime_env())
+                               runtime_env=package_runtime_env()
+                               ).materialize()
     seen = corpus_ds.map_batches(key_stage(False), batch_format="pyarrow",
                                  runtime_env=package_runtime_env()
-                                 ).groupby("h").count()
+                                 ).groupby("h").count().materialize()
+    # an empty side leaves column-less blocks that break the hash join's
+    # key resolution — and with an empty corpus nothing can be a dup
+    # anyway.  (Both sides are reduced hash rows; the join materializes
+    # them into hash partitions regardless, so this costs nothing extra.)
+    if new_h.count() == 0 or seen.count() == 0:
+        def all_fresh(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                id_column: batch.column(id_column),
+                "is_dup": pa.array(np.zeros(batch.num_rows, bool)),
+            })
+        return new_h.map_batches(all_fresh, batch_format="pyarrow",
+                                 runtime_env=package_runtime_env())
     joined = new_h.join(seen, "left_outer", num_partitions=num_partitions,
                         on=("h",))
 
