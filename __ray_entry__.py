@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental": dsp.q_dedup_incremental,
         "search_prefix_top10": dsp.q_search_prefix_top10,
         "events_retention": dsp.q_events_retention,
+        "audio_features": dsp.q_audio_features,
         # -- inverted-index build + query engine (SURVEY.md §2.1-2.7) -----
         "search_rare_top10": dsp.q_search_rare_top10,
         "search_hot_top10": dsp.q_search_hot_top10,
@@ -1018,6 +1019,24 @@ d AS (SELECT c.vec_id, sum(t.d2) AS adc
       GROUP BY c.vec_id)
 SELECT vec_id, floor(adc * 10000 + 0.5) / 10000 AS adc_r
 FROM d ORDER BY adc, vec_id LIMIT 10
+""",
+        # REAL audio path: the oracle replays the integer sawtooth the
+        # engine synthesizes, encodes to PCM16 WAV and decodes back —
+        # sum_sq and zcr are integer-exact, so any encode/decode bug
+        # hash-mismatches with zero float tolerance
+        "audio_features": """
+WITH d AS (SELECT doc_id, 100 + doc_id % 40 AS f,
+                  2000 + (doc_id % 5) * 100 AS n FROM documents),
+s AS (SELECT doc_id, n, i,
+             ((i * f) % 8000) * 65535 // 8000 - 32767 AS v
+      FROM d, LATERAL unnest(generate_series(0, n - 1)) AS t(i)),
+lagged AS (SELECT doc_id, n, v,
+                  lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+           FROM s)
+SELECT doc_id, any_value(n)::BIGINT AS n_samples,
+       CAST(sum(v * v) AS BIGINT) AS sum_sq,
+       CAST(sum(CASE WHEN prev * v < 0 THEN 1 ELSE 0 END) AS BIGINT) AS zcr
+FROM lagged GROUP BY doc_id
 """,
         # weekly retention triangle: cohort = first active week
         # (floor(epoch / week), the tumbling convention), cell = distinct

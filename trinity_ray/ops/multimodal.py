@@ -1,11 +1,12 @@
 """Multimodal column plumbing: opaque ``binary`` payloads + typed metadata.
 
-The decode kernels themselves are STUBBED (this container ships no image /
-audio libraries): ``decode_image`` / ``sample_audio_frames`` raise
-``NotImplementedError`` unless a real backend is importable, and the
-pipeline stages default to a clearly-marked deterministic fake decoder so
-the Ray-side plumbing — schema, batch sizing, actor-pool signature, output
-layout — is real and tested end to end.
+Decode kernels: PNG/BMP image decode is REAL (ops/imagecodec.py, pure
+numpy+zlib) and PCM WAV audio decode is REAL (ops/audiocodec.py, pure
+numpy); JPEG/GIF/MP3/video remain honestly STUBBED — they need codec
+libraries this container doesn't ship — raising ``NotImplementedError``,
+with a clearly-marked deterministic fake decoder available so the
+Ray-side plumbing — schema, batch sizing, actor-pool signature, output
+layout — is real and tested end to end for every media type.
 
 Stage shapes (all actor-pool ``map_batches``, setup once in ``__init__``):
 

@@ -1703,6 +1703,34 @@ def q_multimodal_meta(sf_dir: str):
         ["doc_id", "media_type", "n_bytes", "payload_sha256"])
 
 
+def q_audio_features(sf_dir: str):
+    """REAL audio path end to end: per doc_id a deterministic integer
+    sawtooth is synthesized, encoded as PCM16 WAV bytes (an opaque binary
+    column), decoded by the actor-pool AudioFeatures stage, and reduced
+    to integer-exact features — so the SQL oracle replays the whole
+    synthesize -> encode -> decode -> feature path with zero tolerance.
+    Sample i of doc d: ((i * f) % 8000) * 65535 // 8000 - 32767 with
+    f = 100 + d % 40, n = 2000 + (d % 5) * 100 samples at 8 kHz."""
+    from trinity_ray.ops.audiocodec import encode_wav_pcm16, extract_audio_features
+
+    def synth(batch: pa.Table) -> pa.Table:
+        dids = batch.column("doc_id").to_numpy()
+        payloads = []
+        for d in dids:
+            f = 100 + int(d) % 40
+            n = 2000 + (int(d) % 5) * 100
+            i = np.arange(n, dtype=np.int64)
+            v = ((i * f) % 8000) * 65535 // 8000 - 32767
+            payloads.append(encode_wav_pcm16(v.astype(np.int16), 8000))
+        return pa.table({"doc_id": pa.array(dids, pa.int64()),
+                         "payload": pa.array(payloads, pa.binary())})
+
+    ds = read_documents(sf_dir).select_columns(["doc_id"]) \
+        .map_batches(synth, batch_format="pyarrow")
+    return extract_audio_features(ds).select_columns(
+        ["doc_id", "n_samples", "sum_sq", "zcr"])
+
+
 # --------------------------------------------------------------------------
 # flagship entry
 # --------------------------------------------------------------------------
