@@ -82,3 +82,16 @@ def test_extract_audio_features_stage(ray_session):
     assert out["sum_sq"].tolist() == [1000 * 1000 * 100 * (i + 1)
                                       for i in range(4)]
     assert out["zcr"].tolist() == [0, 0, 0, 0]   # constant sign per wave
+
+
+def test_decode_malformed_raises_valueerror():
+    raw = encode_wav_pcm16(np.zeros(4, np.int16), 8000)
+    # truncated fmt chunk body
+    truncated = raw[:12] + b"fmt " + struct.pack("<I", 16) + raw[20:28]
+    with pytest.raises(ValueError):
+        decode_wav(truncated)
+    # zero channels
+    bad = bytearray(raw)
+    bad[22:24] = struct.pack("<H", 0)
+    with pytest.raises(ValueError):
+        decode_wav(bytes(bad))

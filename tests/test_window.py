@@ -1008,10 +1008,10 @@ def test_retention_cohorts_hand_worked(ray_session):
         "ts": pa.array([s * 1_000_000 for _, s in rows],
                        pa.timestamp("us")),
     })
+    # user 1's week-3 activity lands in cohort 0 at offset 3; cohort 3
+    # holds only user 3 (whose first week IS 3)
     want = {(0, 0): 1, (0, 1): 1, (0, 3): 1,
-            (1, 0): 1, (1, 1): 1, (3, 0): 2}  # week-3: users 1 and 3? no —
-    # user 1's week 3 belongs to cohort 0 offset 3; cohort 3 holds user 3
-    want[(3, 0)] = 1
+            (1, 0): 1, (1, 1): 1, (3, 0): 1}
     got = retention_cohorts(rd.from_arrow(t)).to_pandas()
     got_map = {(int(r.cohort), int(r.period_offset)): int(r.n_users)
                for r in got.itertuples()}
@@ -1053,3 +1053,21 @@ def test_retention_cohorts_random_vs_duckdb(ray_session):
     assert got["cohort"].tolist() == want["cohort"].tolist()
     assert got["period_offset"].tolist() == want["period_offset"].tolist()
     assert got["n_users"].tolist() == want["n_users"].tolist()
+
+
+def test_retention_cohorts_string_user_ids(ray_session):
+    import ray.data as rd
+
+    from trinity_ray.ops.window import retention_cohorts
+
+    WEEK = 7 * 86400
+    t = pa.table({
+        "user_id": pa.array(["alice", "alice", "bob", "alice"]),
+        "ts": pa.array([0, WEEK * 1_000_000, WEEK * 1_000_000,
+                        WEEK * 1_000_000 + 5], pa.timestamp("us")),
+    })
+    got = retention_cohorts(rd.from_arrow(t).repartition(3)).to_pandas()
+    got_map = {(int(r.cohort), int(r.period_offset)): int(r.n_users)
+               for r in got.itertuples()}
+    # alice: weeks 0,1 (dup week-1 rows dedup); bob: week 1 only
+    assert got_map == {(0, 0): 1, (0, 1): 1, (1, 0): 1}

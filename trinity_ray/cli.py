@@ -174,11 +174,16 @@ def cmd_ann(args: argparse.Namespace) -> int:
     import pyarrow.parquet as pq_mod
     import ray.data as rd
 
-    emb = pq_mod.read_table(args.embeddings,
-                            columns=[args.id_column, args.vec_column])
-    ids = emb.column(args.id_column).to_numpy()
-    pos = int(np.nonzero(ids == args.query_id)[0][0])
-    qvec = np.asarray(emb.column(args.vec_column)[pos].as_py(),
+    # fetch ONLY the query row (row-group-pruned filter read): the full
+    # table must never land on the driver
+    qrow = pq_mod.read_table(
+        args.embeddings, columns=[args.vec_column],
+        filters=[(args.id_column, "==", args.query_id)])
+    if qrow.num_rows == 0:
+        print(f"error: {args.id_column}={args.query_id} not found in "
+              f"{args.embeddings}", file=sys.stderr)
+        return 1
+    qvec = np.asarray(qrow.column(args.vec_column)[0].as_py(),
                       dtype=np.float64)
     ds = rd.read_parquet(args.embeddings,
                          columns=[args.id_column, args.vec_column])
@@ -200,10 +205,12 @@ def cmd_ann(args: argparse.Namespace) -> int:
                      nprobe=args.nprobe, id_column=args.id_column)
         val_col = "cosine"
     elif args.method == "pq":
-        from trinity_ray.ops.ann import (_as_matrix, pq_encode, pq_topk,
+        from trinity_ray.ops.ann import (_sample_matrix, pq_encode, pq_topk,
                                          pq_train)
 
-        cb = pq_train(_as_matrix(emb.column(args.vec_column)),
+        # codebooks train on a head sample, like ivf/ivfpq — never the
+        # whole table on the driver
+        cb = pq_train(_sample_matrix(ds, args.vec_column, 4096),
                       m=args.pq_m, n_codes=args.pq_codes)
         t = pq_topk(pq_encode(ds, cb, vec_column=args.vec_column,
                               id_column=args.id_column),

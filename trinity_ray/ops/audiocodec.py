@@ -60,6 +60,8 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         (size,) = struct.unpack("<I", p[pos + 4:pos + 8])
         body = p[pos + 8:pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated fmt chunk")
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
             data = body
@@ -67,6 +69,8 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
     audio_format, ch, rate, _br, _ba, bits = fmt
+    if ch == 0:
+        raise ValueError("fmt chunk declares zero channels")
     if audio_format != 1 or bits != 16:
         raise NotImplementedError(
             f"only PCM16 decodes here (format={audio_format}, bits={bits});"

@@ -231,23 +231,31 @@ def retention_cohorts(ds, *, ts_column: str = "ts",
     def pairs_stage(batch: pa.Table) -> pa.Table:
         ts = batch.column(ts_column).cast(pa.timestamp("us")).cast(pa.int64())
         per = ts.to_numpy() // period_us
-        usr = batch.column(user_column).to_numpy(zero_copy_only=False
-                                                 ).astype(np.int64)
-        # batch-local dedup: one packed (user, period) key per pair.
-        # Packing needs non-negative fields: period 2^20 covers epoch
-        # weeks to year ~21800, users to 2^43 — guard, don't corrupt
-        if len(usr) and (per.min() < 0 or per.max() >= (1 << 20)
-                         or usr.min() < 0 or usr.max() >= (1 << 43)):
-            raise ValueError("user_id/period out of packable range "
-                             "(pre-epoch timestamps or 2^43+ user ids)")
-        packed = np.unique((usr.astype(np.uint64) << np.uint64(20))
-                           | per.astype(np.uint64))
-        return pa.table({
-            user_column: pa.array((packed >> np.uint64(20)).astype(np.int64),
-                                  pa.int64()),
-            "period": pa.array((packed & np.uint64((1 << 20) - 1)
-                                ).astype(np.int64), pa.int64()),
-        })
+        ucol = batch.column(user_column)
+        if pa.types.is_integer(ucol.type):
+            # fast path: one packed (user, period) uint64 per pair.
+            # Packing needs non-negative fields: period 2^20 covers epoch
+            # weeks to year ~21800, users to 2^43 — guard, don't corrupt
+            usr = ucol.to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(usr) and (per.min() < 0 or per.max() >= (1 << 20)
+                             or usr.min() < 0 or usr.max() >= (1 << 43)):
+                raise ValueError("user_id/period out of packable range "
+                                 "(pre-epoch timestamps or 2^43+ user ids)")
+            packed = np.unique((usr.astype(np.uint64) << np.uint64(20))
+                               | per.astype(np.uint64))
+            return pa.table({
+                user_column: pa.array(
+                    (packed >> np.uint64(20)).astype(np.int64), pa.int64()),
+                "period": pa.array((packed & np.uint64((1 << 20) - 1)
+                                    ).astype(np.int64), pa.int64()),
+            })
+        # generic path (string/UUID user ids): C-side per-batch distinct
+        if len(per) and per.min() < 0:
+            raise ValueError("pre-epoch timestamps not supported "
+                             "(period bucketing truncates at zero)")
+        both = pa.table({user_column: ucol,
+                         "period": pa.array(per, pa.int64())})
+        return both.group_by([user_column, "period"]).aggregate([])
 
     pairs = ds.map_batches(pairs_stage, batch_format="pyarrow",
                            runtime_env=package_runtime_env())

@@ -317,23 +317,23 @@ class _Parser:
                     first = False
                 if not parts:
                     return MATCH_ALL
+                # "plain terms only" means the exact Token class: a nested
+                # Fuzzy/Prefix must error, not silently lose its semantics
+                # (Prefix IS a Token subclass, so isinstance is too loose)
                 if fuzzy_mode:
-                    if any(not isinstance(t, Token) or isinstance(t, Fuzzy)
-                           for t in parts):
+                    if any(type(t) is not Token for t in parts):
                         raise ValueError("[fuzzy ...] takes plain terms only")
                     fz = [Fuzzy(t.term) for t in parts]
                     return fz[0] if len(fz) == 1 else And(tuple(fz))
                 if prefix_mode:
-                    if any(not isinstance(t, Token)
-                           or isinstance(t, (Fuzzy, Prefix))
-                           for t in parts):
+                    if any(type(t) is not Token for t in parts):
                         raise ValueError(
                             "[prefix ...] takes plain terms only")
                     pz = [Prefix(t.term) for t in parts]
                     return pz[0] if len(pz) == 1 else And(tuple(pz))
                 if near_window is not None:
                     terms = tuple(t.term for t in parts
-                                  if isinstance(t, Token))
+                                  if type(t) is Token)
                     if len(terms) != len(parts) or not terms:
                         raise ValueError(
                             "[near w ...] takes plain terms only")
