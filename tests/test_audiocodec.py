@@ -95,3 +95,19 @@ def test_decode_malformed_raises_valueerror():
     bad[22:24] = struct.pack("<H", 0)
     with pytest.raises(ValueError):
         decode_wav(bytes(bad))
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=40, deadline=None)
+@given(n=st.integers(0, 400), ch=st.integers(1, 4),
+       rate=st.sampled_from([8000, 16000, 22050, 44100]),
+       seed=st.integers(0, 2**31 - 1))
+def test_wav_roundtrip_property(n, ch, rate, seed):
+    s = np.random.default_rng(seed).integers(
+        -32768, 32768, size=(n, ch)).astype(np.int16)
+    dec, r = decode_wav(encode_wav_pcm16(s, rate))
+    assert r == rate and dec.shape == (n, ch)
+    np.testing.assert_array_equal(dec, s)

@@ -670,3 +670,39 @@ def test_budget_trim_random_vs_pandas(ray_session):
     want = df[df["cum"] <= budget].sort_values("doc_id")
     assert got["doc_id"].tolist() == want["doc_id"].tolist()
     assert got["cum_weight"].tolist() == want["cum"].tolist()
+
+
+def test_chunk_overlap_property_vs_bruteforce(ray_session):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from trinity_ray.ops.pack import chunk_documents
+    from trinity_ray.tokenizer import simple_tokenize
+
+    vocab_terms = ["AA", "BB", "CC", "DD"]
+    vmap = {t: i + 1 for i, t in enumerate(vocab_terms)}
+
+    @settings(max_examples=25, deadline=None)
+    @given(n_tok=st.integers(0, 60), L=st.integers(1, 9),
+           S=st.integers(1, 9), seed=st.integers(0, 10_000))
+    def inner(n_tok, L, S, seed):
+        rng = np.random.default_rng(seed)
+        words = rng.choice(["aa", "bb", "cc", "dd", "zz"], size=n_tok)
+        text = " ".join(words)
+        got = chunk_documents(rd.from_arrow(pa.table(
+            {"doc_id": [1], "text": [text]})), vocab_terms,
+            seq_len=L, stride=S).to_pandas()
+        ids = [vmap.get(t, 0) for t in simple_tokenize(text)]
+        if not ids:   # empty docs emit no rows (and no columns)
+            assert len(got) == 0
+            return
+        got = got.sort_values("chunk_idx").reset_index(drop=True)
+        want = []
+        for ci, s in enumerate(range(0, len(ids), S)):
+            chunk = ids[s:s + L]
+            want.append((ci, len(chunk),
+                         sum((j + 1) * v for j, v in enumerate(chunk))))
+        assert list(zip(got["chunk_idx"], got["n_tokens"],
+                        got["checksum"])) == want
+
+    inner()
