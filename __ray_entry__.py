@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_prefix_top10": dsp.q_search_prefix_top10,
         "events_retention": dsp.q_events_retention,
         "audio_features": dsp.q_audio_features,
+        "video_meta": dsp.q_video_meta,
         # -- inverted-index build + query engine (SURVEY.md §2.1-2.7) -----
         "search_rare_top10": dsp.q_search_rare_top10,
         "search_hot_top10": dsp.q_search_hot_top10,
@@ -1019,6 +1020,16 @@ d AS (SELECT c.vec_id, sum(t.d2) AS adc
       GROUP BY c.vec_id)
 SELECT vec_id, floor(adc * 10000 + 0.5) / 10000 AS adc_r
 FROM d ORDER BY adc, vec_id LIMIT 10
+""",
+        # REAL MP4 container-metadata path: the engine synthesizes a valid
+        # box tree per doc (32/64-bit mvhd alternating) and parses it back;
+        # the oracle replays the synthesis parameters in closed form, so a
+        # box-walk bug (offsets, largesize, trak counting) hash-mismatches
+        "video_meta": """
+SELECT doc_id,
+       CAST((doc_id % 100 + 1) * 500 AS BIGINT) AS duration_ms,
+       CAST(1 + doc_id % 3 AS BIGINT) AS n_tracks
+FROM documents
 """,
         # REAL audio path: the oracle replays the integer sawtooth the
         # engine synthesizes, encodes to PCM16 WAV and decodes back —

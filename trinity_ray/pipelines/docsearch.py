@@ -1731,6 +1731,31 @@ def q_audio_features(sf_dir: str):
         ["doc_id", "n_samples", "sum_sq", "zcr"])
 
 
+def q_video_meta(sf_dir: str):
+    """REAL MP4 container-metadata path: per doc_id a minimal valid
+    ISO-BMFF stream is synthesized (ftyp + moov/mvhd + trak boxes,
+    alternating 32/64-bit mvhd layouts), parsed back by the actor-pool
+    VideoMeta stage, and reduced to integer-exact metadata the oracle
+    replays in closed form: duration = (d % 100 + 1) * 500 at timescale
+    1000, n_tracks = 1 + d % 3, mvhd version = d % 2."""
+    from trinity_ray.ops.videometa import extract_video_meta, synthesize_mp4
+
+    def synth(batch: pa.Table) -> pa.Table:
+        dids = batch.column("doc_id").to_numpy()
+        payloads = [synthesize_mp4(duration=(int(d) % 100 + 1) * 500,
+                                   timescale=1000,
+                                   n_tracks=1 + int(d) % 3,
+                                   version=int(d) % 2)
+                    for d in dids]
+        return pa.table({"doc_id": pa.array(dids, pa.int64()),
+                         "payload": pa.array(payloads, pa.binary())})
+
+    ds = read_documents(sf_dir).select_columns(["doc_id"]) \
+        .map_batches(synth, batch_format="pyarrow")
+    return extract_video_meta(ds).select_columns(
+        ["doc_id", "duration_ms", "n_tracks"])
+
+
 # --------------------------------------------------------------------------
 # flagship entry
 # --------------------------------------------------------------------------
