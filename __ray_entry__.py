@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_lang": dsp.q_facet_lang,
         "search_snippets": dsp.q_search_snippets,
         "dedup_clusters": dsp.q_dedup_clusters,
+        "dedup_spans": dsp.q_dedup_spans,
         "pii_scrub": dsp.q_pii_scrub,
         "chunk_tokens": dsp.q_chunk_tokens,
         "pack_sequences": dsp.q_pack_sequences,
@@ -1242,6 +1243,21 @@ cs AS (SELECT id_a, id_b, dot / (sqrt(na.n2) * sqrt(nb.n2)) AS c
             JOIN n2 nb ON nb.vec_id = id_b)
 SELECT id_a, id_b, floor(c * 10000 + 0.5) / 10000 AS cos_r
 FROM cs WHERE c >= 0.3
+""",
+        # cross-doc duplicated 8-token windows, per occurrence: identical
+        # tokenization (string_split on ' ', empties kept), identical
+        # window hash (md5 of the space-joined slice), >= 2 distinct docs
+        # expressed as min(doc)<>max(doc) in both engines
+        "dedup_spans": """
+WITH toks AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t
+              FROM documents),
+idx AS (SELECT doc_id, t, unnest(range(1, greatest(1, len(t) - 8 + 2))) AS i
+        FROM toks),
+wins AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS token_start,
+                md5(array_to_string(t[i:i+7], ' ')) AS h
+         FROM idx),
+dups AS (SELECT h FROM wins GROUP BY h HAVING MIN(doc_id) <> MAX(doc_id))
+SELECT w.doc_id, w.token_start, w.h FROM wins w JOIN dups USING (h)
 """,
         # near-dup clustering: re-derive the MinHash-LSH edges exactly as
         # dedup_minhash_pairs does (from the engine's signature/band

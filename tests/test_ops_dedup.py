@@ -397,3 +397,114 @@ def test_dedup_against_incremental(ray_session):
     out2 = dedup_against(rd.from_arrow(new), rd.from_arrow(corpus),
                          prefix_chars=5).to_pandas().sort_values("doc_id")
     assert out2["is_dup"].tolist() == [True, False, True, True]
+
+
+# ---------------------------------------------------------------------------
+# dup_spans (cross-document duplicated token windows)
+# ---------------------------------------------------------------------------
+
+def _brute_dup_spans(texts: list[str], w: int):
+    """Reference: every w-token window occurring in >= 2 distinct docs."""
+    from collections import defaultdict
+
+    occ = defaultdict(list)
+    for did, t in enumerate(texts):
+        toks = t.split(" ")
+        for i in range(len(toks) - w + 1):
+            occ[" ".join(toks[i:i + w])].append((did, i))
+    out = set()
+    for sites in occ.values():
+        if len({d for d, _ in sites}) >= 2:
+            out.update(sites)
+    return out
+
+
+def test_dup_spans_md5_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from trinity_ray.ops.dedup import dup_spans
+
+    texts = [
+        "a b c d e f",          # shares "b c d" with doc 1
+        "x b c d y",
+        "a b c q e f",          # "b c" too short for w=3 -> no hit vs doc 0
+        "z z z",                # within-doc repeat only (single doc)
+        "z z z",                # ...now cross-doc with doc 3
+        "",                     # empty text
+        "p q",                  # shorter than the window
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    res = dup_spans(ds, window=3).to_pandas()
+    got = set(zip(res.doc_id, res.token_start))
+    assert got == _brute_dup_spans(texts, 3)
+    # every reported hash really does span >= 2 docs
+    for h, grp in res.groupby("h"):
+        assert grp.doc_id.nunique() >= 2
+
+
+def test_dup_spans_rolling_occurrences_match_md5(ray_session):
+    import ray.data as rd
+
+    from trinity_ray.ops.dedup import dup_spans
+
+    docs = corpus()
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.string()),
+    }))
+    md5 = dup_spans(ds, window=5, hash_method="md5").to_pandas()
+    roll = dup_spans(ds, window=5, hash_method="rolling").to_pandas()
+    assert set(zip(md5.doc_id, md5.token_start)) == \
+        set(zip(roll.doc_id, roll.token_start))
+    assert len(md5) == len(roll)
+    assert roll.h.dtype == np.int64          # groupby-safe key type
+
+
+def test_dup_spans_within_doc_repeats_excluded(ray_session):
+    import ray.data as rd
+
+    from trinity_ray.ops.dedup import dup_spans
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["r s t r s t", "u v w"], pa.string()),
+    }))
+    res = dup_spans(ds, window=3).to_pandas()
+    assert len(res) == 0          # "r s t" twice, but only inside doc 0
+
+
+def test_dup_spans_max_group_cap(ray_session):
+    import ray.data as rd
+
+    from trinity_ray.ops.dedup import dup_spans
+
+    texts = [f"pad{i} k l m" for i in range(8)]   # "k l m" in 8 docs
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    full = dup_spans(ds, window=3).to_pandas()
+    assert len(full) == 8
+    capped = dup_spans(ds, window=3, max_group=3).to_pandas()
+    # deterministic: lowest (doc_id, token_start) sites survive the cap
+    assert sorted(zip(capped.doc_id, capped.token_start)) == \
+        sorted(zip(full.sort_values(["doc_id", "token_start"]
+                                    ).head(3).doc_id,
+                   full.sort_values(["doc_id", "token_start"]
+                                    ).head(3).token_start))
+
+
+def test_dup_spans_validates_args(ray_session):
+    import ray.data as rd
+
+    from trinity_ray.ops.dedup import dup_spans
+
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array([0], pa.int64()),
+                                 "text": pa.array(["a"], pa.string())}))
+    with pytest.raises(ValueError):
+        dup_spans(ds, window=0)
+    with pytest.raises(ValueError):
+        dup_spans(ds, hash_method="sha1")

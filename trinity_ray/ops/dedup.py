@@ -1220,3 +1220,131 @@ def dedup_against(new_ds, corpus_ds, *, text_column: str = "text",
 
     return joined.map_batches(flag, batch_format="pyarrow",
                               runtime_env=package_runtime_env())
+
+
+# ---------------------------------------------------------------------------
+# cross-document duplicated token windows (ExactSubstr shape)
+# ---------------------------------------------------------------------------
+
+def dup_spans(ds, *, window: int = 8, text_column: str = "text",
+              id_column: str = "doc_id", hash_method: str = "md5",
+              max_group: int | None = None):
+    """Every length-``window`` token span whose hash occurs in >= 2
+    DISTINCT documents, reported per occurrence as ``(<id_column>,
+    token_start, h)`` — the candidate-generation core of exact-substring
+    dedup (Lee et al. 2021, "Deduplicating Training Data Makes Language
+    Models Better": duplicated >=50-token spans are removed, not whole
+    docs; the reference engine has no such operator — this is part of the
+    training-data layer).  Downstream span removal is a per-doc merge of
+    the reported (start, start+window) intervals.
+
+    Tokens are ``text.split(' ')`` — DuckDB ``string_split(text, ' ')``
+    parity, empty tokens kept — so the entry is exactly SQL-checkable.
+
+    hash_method:
+
+    * ``"md5"`` — hex md5 of the space-joined window, identical to DuckDB
+      ``md5(array_to_string(t[i:i+w-1], ' '))``; per-window hashlib loop,
+      fine at driver-entry scale (the oracle-parity backend, same
+      tradeoff as ops.sample's md5 path).
+    * ``"rolling"`` — vectorized 64-bit polynomial over per-token
+      splitmix hashes (numpy, zero Python per token) — the 100-TB path;
+      same semantics up to 64-bit collisions (rows-only checkable).
+
+    Scale shape: windows explode to light ``(h, id, start)`` rows in one
+    stateless ``map_batches`` — the ONLY shuffle payload; document text
+    never moves.  One ``groupby(h)`` then keeps groups with
+    ``min(id) != max(id)`` (exactly >= 2 distinct docs).  A single
+    exchange does candidate generation AND the cross-doc test — no
+    second pass over the corpus, no join.  Hot windows (a license header
+    duplicated across millions of files) form one group each; pass
+    ``max_group`` to cap emitted occurrences per hash (lowest (id, start)
+    first, deterministic) when span-level removal only needs to know the
+    span is duplicated, not every site.  The cap is OFF by default so the
+    oracle can replay the full output.
+    """
+    w = int(window)
+    if w < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if hash_method not in ("md5", "rolling"):
+        raise ValueError(f"unknown hash_method {hash_method!r}")
+    use_md5 = hash_method == "md5"
+    h_type = pa.string() if use_md5 else pa.int64()
+    _empty = pa.table({id_column: pa.array([], pa.int64()),
+                       "token_start": pa.array([], pa.int64()),
+                       "h": pa.array([], h_type)})
+
+    def explode_md5(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty
+        ids = batch.column(id_column).cast(pa.int64()
+                                           ).to_numpy(zero_copy_only=False)
+        txts = pc.fill_null(batch.column(text_column), "").to_pylist()
+        out_id, out_st, out_h = [], [], []
+        for did, t in zip(ids, txts):
+            toks = t.split(" ")
+            for i in range(len(toks) - w + 1):
+                out_id.append(int(did))
+                out_st.append(i)
+                out_h.append(hashlib.md5(
+                    " ".join(toks[i:i + w]).encode()).hexdigest())
+        return pa.table({id_column: pa.array(out_id, pa.int64()),
+                         "token_start": pa.array(out_st, pa.int64()),
+                         "h": pa.array(out_h, pa.string())})
+
+    def explode_rolling(batch: pa.Table) -> pa.Table:
+        from trinity_ray.ops.sketch import _hash64
+
+        if batch.num_rows == 0:
+            return _empty
+        ids = batch.column(id_column).cast(pa.int64()
+                                           ).to_numpy(zero_copy_only=False)
+        txt = pc.fill_null(batch.column(text_column), "")
+        parts = pc.split_pattern(txt, " ")
+        lens = pc.list_value_length(parts).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(parts).combine_chunks()
+        if isinstance(flat, pa.ChunkedArray):
+            flat = (flat.chunk(0) if flat.num_chunks
+                    else pa.array([], pa.string()))
+        th = _hash64(flat) if len(flat) else np.empty(0, np.uint64)
+        counts = np.maximum(lens - w + 1, 0)
+        total = int(counts.sum())
+        if total == 0:
+            return _empty
+        base = np.concatenate(([0], np.cumsum(lens[:-1], dtype=np.int64)))
+        cum = np.concatenate(([0], np.cumsum(counts[:-1], dtype=np.int64)))
+        local = np.arange(total, dtype=np.int64) - np.repeat(cum, counts)
+        starts = np.repeat(base, counts) + local
+        # 64-bit polynomial in the odd constant P: order-sensitive (the
+        # window "a b" != "b a"), O(window) vector passes per batch
+        P = np.uint64(0x100000001B3)          # FNV-1a 64 prime (odd)
+        acc = np.zeros(total, np.uint64)
+        for j in range(w):
+            acc = acc * P + th[starts + j]
+        return pa.table({
+            id_column: pa.array(np.repeat(ids, counts), pa.int64()),
+            "token_start": pa.array(local, pa.int64()),
+            # 63-bit int64 (survives every groupby round-trip unsigned-safe)
+            "h": pa.array((acc >> np.uint64(1)).astype(np.int64),
+                          pa.int64())})
+
+    occ = ds.map_batches(explode_md5 if use_md5 else explode_rolling,
+                         batch_format="pyarrow",
+                         runtime_env=package_runtime_env())
+
+    cap = None if max_group is None else int(max_group)
+
+    def cross_doc_only(group: pa.Table) -> pa.Table:
+        ids = group.column(id_column)
+        if group.num_rows < 2 or pc.min(ids) == pc.max(ids):
+            return _empty
+        if cap is not None and group.num_rows > cap:
+            idv = ids.to_numpy(zero_copy_only=False)
+            st = group.column("token_start").to_numpy(zero_copy_only=False)
+            keep = np.lexsort((st, idv))[:cap]
+            return group.take(np.sort(keep))
+        return group
+
+    return occ.groupby("h").map_groups(cross_doc_only,
+                                       batch_format="pyarrow")

@@ -782,6 +782,21 @@ def q_dedup_clusters(sf_dir: str):
                              id_column="doc_id")
 
 
+def q_dedup_spans(sf_dir: str):
+    """Cross-document duplicated 8-token windows (the ExactSubstr dedup
+    candidate core, Lee et al. 2021), per occurrence.  Oracle-exact: the
+    md5 backend hashes exactly DuckDB's md5(array_to_string(...)) over
+    string_split tokens, and >= 2 distinct docs is min(doc)<>max(doc) in
+    both engines.  The rolling (vectorized splitmix-polynomial) backend
+    is the 100-TB path — occurrence-set parity with md5 is pinned by
+    tests/test_dedup.py."""
+    from trinity_ray.ops.dedup import dup_spans
+
+    return dup_spans(read_documents(sf_dir), window=8,
+                     text_column="text", id_column="doc_id",
+                     hash_method="md5")
+
+
 def q_dedup_simhash_pairs(sf_dir: str):
     """SimHash near-dup pairs.  Oracle-exact: signatures are exported so
     the oracle brute-forces bit_count(xor(sig_a, sig_b)) <= 3 over them —
