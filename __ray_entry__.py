@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_snippets": dsp.q_search_snippets,
         "dedup_clusters": dsp.q_dedup_clusters,
         "dedup_spans": dsp.q_dedup_spans,
+        "quantize_embeddings": dsp.q_quantize_embeddings,
         "pii_scrub": dsp.q_pii_scrub,
         "chunk_tokens": dsp.q_chunk_tokens,
         "pack_sequences": dsp.q_pack_sequences,
@@ -1243,6 +1244,18 @@ cs AS (SELECT id_a, id_b, dot / (sqrt(na.n2) * sqrt(nb.n2)) AS c
             JOIN n2 nb ON nb.vec_id = id_b)
 SELECT id_a, id_b, floor(c * 10000 + 0.5) / 10000 AS cos_r
 FROM cs WHERE c >= 0.3
+""",
+        # symmetric per-vector int8 quantization, one row per dimension;
+        # scale/q math is IEEE-identical double arithmetic in both engines
+        # (cast to DOUBLE first: the stored column is float32)
+        "quantize_embeddings": """
+WITH ev AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+                   generate_subscripts(embedding, 1) AS dim FROM embeddings),
+s AS (SELECT vec_id, greatest(max(abs(v)), 1e-30) AS scale
+      FROM ev GROUP BY vec_id)
+SELECT ev.vec_id, CAST(dim - 1 AS BIGINT) AS dim_idx,
+       CAST(floor(v * 127.0 / scale + 0.5) AS BIGINT) AS q, scale
+FROM ev JOIN s USING (vec_id)
 """,
         # cross-doc duplicated 8-token windows, per occurrence: identical
         # tokenization (string_split on ' ', empties kept), identical

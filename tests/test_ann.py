@@ -172,3 +172,59 @@ def test_empty_inputs_yield_empty_results(ray_session):
         "embedding": pa.array([], pa.list_(pa.float64())),
         "label": pa.array([], pa.int32())}))
     assert label_centroids(elab).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization
+# ---------------------------------------------------------------------------
+
+def test_quantize_roundtrip_error_bound(ray_session):
+    import ray.data as rd
+
+    from trinity_ray.ops.ann import (_as_matrix, dequantize_matrix,
+                                     quantize_embeddings)
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(50, 16)).astype(np.float32)
+    vecs[7] = 0.0                                 # all-zero vector
+    tbl = pa.table({
+        "vec_id": pa.array(range(50), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+    })
+    out = quantize_embeddings(rd.from_arrow(tbl)).to_pandas()
+    out = out.sort_values("vec_id").reset_index(drop=True)
+    qcol = pa.array(out.qvec.tolist(), pa.list_(pa.int8()))
+    deq = dequantize_matrix(qcol, out.scale.to_numpy())
+    orig = _as_matrix(tbl.column("embedding"))
+    # per-value error <= half a quantization step of that vector's scale
+    step = out.scale.to_numpy()[:, None] / 127.0
+    assert (np.abs(deq - orig) <= step * 0.5 + 1e-12).all()
+    assert (deq[7] == 0.0).all()                  # zero vector stays zero
+    # int8 range respected
+    flat = np.concatenate(out.qvec.to_numpy())
+    assert flat.min() >= -127 and flat.max() <= 127
+
+
+def test_quantize_flatten_matches_compact(ray_session):
+    import ray.data as rd
+
+    from trinity_ray.ops.ann import quantize_embeddings
+
+    rng = np.random.default_rng(12)
+    tbl = pa.table({
+        "vec_id": pa.array(range(20), pa.int64()),
+        "embedding": pa.array(
+            [list(map(float, rng.normal(size=8))) for _ in range(20)],
+            pa.list_(pa.float32())),
+    })
+    compact = quantize_embeddings(rd.from_arrow(tbl)).to_pandas(
+        ).sort_values("vec_id").reset_index(drop=True)
+    flat = quantize_embeddings(rd.from_arrow(tbl), flatten=True).to_pandas(
+        ).sort_values(["vec_id", "dim_idx"]).reset_index(drop=True)
+    assert len(flat) == 20 * 8
+    for vid in range(20):
+        rows = flat[flat.vec_id == vid]
+        assert list(rows.q.astype(np.int64)) == \
+            [int(x) for x in compact.qvec[vid]]
+        assert (rows.scale.to_numpy() == compact.scale[vid]).all()

@@ -675,3 +675,77 @@ def label_centroids(ds, *, vec_column: str = "embedding",
 
     return parts.groupby("label").map_groups(
         combine, batch_format="pyarrow", runtime_env=package_runtime_env())
+
+
+# ---------------------------------------------------------------------------
+# embedding quantization (int8 storage/serving format)
+# ---------------------------------------------------------------------------
+
+def quantize_embeddings(ds, *, vec_column: str = "embedding",
+                        id_column: str = "vec_id", flatten: bool = False):
+    """Symmetric per-vector int8 quantization: ``scale = max(|x|)`` and
+    ``q_i = floor(x_i * 127 / scale + 0.5)`` (half-away rounding — exactly
+    DuckDB ``floor(v * 127.0 / scale + 0.5)``, never numpy's banker's
+    round).  4x smaller vectors with a per-vector scale for dequantize
+    (``x ≈ q * scale / 127``) — the standard storage/serving layout for
+    billion-vector ANN corpora.
+
+    Output (``flatten=False``, the production layout): one row per vector,
+    ``(<id_column>, qvec list<int8>, scale float64)``.  With
+    ``flatten=True``: one row per dimension ``(<id_column>, dim_idx, q,
+    scale)`` — every quantized value individually SQL-checkable (the
+    driver-entry form; list columns don't hash portably).
+
+    Scale shape: stateless vectorized map_batches — no shuffle, no state;
+    all-zero vectors quantize to zeros under a clamped scale (1e-30), not
+    NaN.  Cast to float64 BEFORE the scale math so Python and SQL see the
+    same doubles (the input column is float32)."""
+    def quantize(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            if flatten:
+                return pa.table({
+                    id_column: pa.array([], pa.int64()),
+                    "dim_idx": pa.array([], pa.int64()),
+                    "q": pa.array([], pa.int64()),
+                    "scale": pa.array([], pa.float64())})
+            return pa.table({
+                id_column: pa.array([], pa.int64()),
+                "qvec": pa.array([], pa.list_(pa.int8())),
+                "scale": pa.array([], pa.float64())})
+        m = _as_matrix(batch.column(vec_column))
+        d = m.shape[1]
+        scale = np.maximum(np.abs(m).max(axis=1), 1e-30)
+        q = np.floor(m * 127.0 / scale[:, None] + 0.5)
+        ids = batch.column(id_column).cast(pa.int64())
+        if flatten:
+            return pa.table({
+                id_column: pa.array(np.repeat(
+                    ids.to_numpy(zero_copy_only=False), d), pa.int64()),
+                "dim_idx": pa.array(np.tile(np.arange(d, dtype=np.int64), n),
+                                    pa.int64()),
+                "q": pa.array(q.ravel().astype(np.int64), pa.int64()),
+                "scale": pa.array(np.repeat(scale, d), pa.float64())})
+        qvec = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32)),
+            pa.array(q.ravel().astype(np.int8), pa.int8()))
+        return pa.table({id_column: ids,
+                         "qvec": qvec,
+                         "scale": pa.array(scale, pa.float64())})
+
+    from trinity_ray.rayutil import package_runtime_env
+
+    return ds.map_batches(quantize, batch_format="pyarrow",
+                          runtime_env=package_runtime_env())
+
+
+def dequantize_matrix(qvec: pa.ChunkedArray | pa.Array,
+                      scale: np.ndarray) -> np.ndarray:
+    """(N, D) float64 from a quantized list<int8> column + per-vector
+    scales — the serving-side inverse (``q * scale / 127``)."""
+    if isinstance(qvec, pa.ChunkedArray):
+        qvec = qvec.combine_chunks()
+    flat = qvec.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(qvec)
+    m = flat.reshape(n, -1) if n else flat.reshape(0, 0)
+    return m * (np.asarray(scale, np.float64)[:, None] / 127.0)

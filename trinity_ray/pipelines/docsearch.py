@@ -782,6 +782,16 @@ def q_dedup_clusters(sf_dir: str):
                              id_column="doc_id")
 
 
+def q_quantize_embeddings(sf_dir: str):
+    """Symmetric per-vector int8 quantization, flattened to one row per
+    dimension so EVERY quantized value is individually SQL-checked (the
+    float64 scale itself matches DuckDB bit-exactly: abs/max/multiply/
+    divide/floor are IEEE exact-rounded in both engines)."""
+    from trinity_ray.ops.ann import quantize_embeddings
+
+    return quantize_embeddings(read_embeddings(sf_dir), flatten=True)
+
+
 def q_dedup_spans(sf_dir: str):
     """Cross-document duplicated 8-token windows (the ExactSubstr dedup
     candidate core, Lee et al. 2021), per occurrence.  Oracle-exact: the
