@@ -706,3 +706,79 @@ def test_chunk_overlap_property_vs_bruteforce(ray_session):
                         got["checksum"])) == want
 
     inner()
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination (scale path)
+# ---------------------------------------------------------------------------
+
+def _rand_doc(rng, n_words: int) -> str:
+    return " ".join(f"w{rng.integers(0, 5000)}" for _ in range(n_words))
+
+
+def test_bloom_decontaminate_matches_exact(ray_session):
+    """With planted passages the Bloom path must flag exactly the exact
+    path's docs (zero false negatives ALWAYS; here the corpus is small
+    enough that fp also lands at zero) and agree on distinct counts."""
+    from trinity_ray.ops.decontam import decontaminate, decontaminate_bloom
+
+    rng = np.random.default_rng(7)
+    passage = "the quick brown fox jumps over the lazy dog"
+    texts = [_rand_doc(rng, 30) for _ in range(40)]
+    texts[5] = f"x y {passage} z"
+    texts[17] = passage
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    exact = decontaminate(rd.from_arrow(t), [passage], n=3,
+                          min_overlap=3).to_pandas().sort_values("doc_id")
+    bloom = decontaminate_bloom(rd.from_arrow(t), [passage], n=3,
+                                min_overlap=3, fp_rate=0.001
+                                ).to_pandas().sort_values("doc_id")
+    # superset property: every exactly-contaminated doc is Bloom-flagged
+    assert not (exact["contaminated"] & ~bloom["contaminated"]).any()
+    # counts can only over-count
+    assert (bloom["n_contaminated"] >= exact["n_contaminated"]).all()
+    # with min_overlap=3, isolated fp hits (deterministically 1 here —
+    # a ~1.5e-4/probe filter over ~1.1k probes) never flip a flag
+    assert bloom["contaminated"].tolist() == exact["contaminated"].tolist()
+    # the planted docs agree exactly (no fp needed to reach their counts)
+    assert bloom["n_contaminated"][5] == exact["n_contaminated"][5]
+    assert bloom["n_contaminated"][17] == exact["n_contaminated"][17]
+    # total over-count stays tiny: the fp budget, not a semantics gap
+    assert (bloom["n_contaminated"] - exact["n_contaminated"]).sum() <= 2
+
+
+def test_bloom_no_false_negatives_and_bounded_fp():
+    """Direct filter properties on a large random hash population."""
+    from trinity_ray.ops.decontam import ShingleBloom
+
+    rng = np.random.default_rng(13)
+    members = rng.integers(0, 1 << 63, 20_000, dtype=np.uint64)
+    others = rng.integers(0, 1 << 63, 100_000, dtype=np.uint64)
+    others = others[~np.isin(others, members)]
+    b = ShingleBloom(len(members), fp_rate=0.01)
+    b.add_many(members)
+    assert b.contains_many(members).all()          # zero false negatives
+    fp = b.contains_many(others).mean()
+    assert fp <= 0.02                              # ~2x slack on 1% target
+    # the advertised size win vs a Python set of the same hashes
+    assert b.nbytes < 20_000 * 16
+
+
+def test_bloom_decontaminate_empty_benchmark(ray_session):
+    from trinity_ray.ops.decontam import decontaminate_bloom
+
+    t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array(["a b c d", "e f g h"])})
+    out = decontaminate_bloom(rd.from_arrow(t), [], n=3).to_pandas()
+    assert out["n_contaminated"].tolist() == [0, 0]
+    assert not out["contaminated"].any()
+
+
+def test_bloom_validates_fp_rate():
+    from trinity_ray.ops.decontam import ShingleBloom
+
+    with pytest.raises(ValueError):
+        ShingleBloom(100, fp_rate=0.0)
+    with pytest.raises(ValueError):
+        ShingleBloom(100, fp_rate=1.5)
