@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": dsp.q_dedup_clusters,
         "dedup_spans": dsp.q_dedup_spans,
         "quantize_embeddings": dsp.q_quantize_embeddings,
+        "remove_dup_spans": dsp.q_remove_dup_spans,
         "pii_scrub": dsp.q_pii_scrub,
         "chunk_tokens": dsp.q_chunk_tokens,
         "pack_sequences": dsp.q_pack_sequences,
@@ -1256,6 +1257,41 @@ s AS (SELECT vec_id, greatest(max(abs(v)), 1e-30) AS scale
 SELECT ev.vec_id, CAST(dim - 1 AS BIGINT) AS dim_idx,
        CAST(floor(v * 127.0 / scale + 0.5) AS BIGINT) AS q, scale
 FROM ev JOIN s USING (vec_id)
+""",
+        # span-level exact-substring dedup: first site (lowest doc_id,
+        # token_start per window hash) keeps its tokens, every other
+        # site's [start, start+8) range is deleted; docs reassemble from
+        # surviving tokens in order (ordered string_agg)
+        "remove_dup_spans": """
+WITH toks AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t
+              FROM documents),
+idx AS (SELECT doc_id, t, unnest(range(1, greatest(1, len(t) - 8 + 2))) AS i
+        FROM toks),
+wins AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS token_start,
+                md5(array_to_string(t[i:i+7], ' ')) AS h
+         FROM idx),
+dups AS (SELECT h FROM wins GROUP BY h HAVING MIN(doc_id) <> MAX(doc_id)),
+occ AS (SELECT w.doc_id, w.token_start,
+               row_number() OVER (PARTITION BY w.h
+                                  ORDER BY w.doc_id, w.token_start) AS rn
+        FROM wins w JOIN dups USING (h)),
+covered AS (SELECT DISTINCT doc_id, token_start + o AS ti
+            FROM occ, unnest(range(0, 8)) AS u(o) WHERE rn > 1),
+tokix AS (SELECT doc_id, unnest(t) AS tok,
+                 CAST(generate_subscripts(t, 1) - 1 AS BIGINT) AS ti
+          FROM toks),
+kept AS (SELECT x.doc_id, x.ti, x.tok
+         FROM tokix x LEFT JOIN covered c USING (doc_id, ti)
+         WHERE c.ti IS NULL)
+SELECT d.doc_id,
+       COALESCE(k.text, '') AS text,
+       COALESCE(k.n_kept, 0) AS n_kept,
+       CAST(len(string_split(coalesce(d.text, ''), ' '))
+            - COALESCE(k.n_kept, 0) AS BIGINT) AS n_dropped
+FROM documents d LEFT JOIN (
+    SELECT doc_id, string_agg(tok, ' ' ORDER BY ti) AS text,
+           CAST(count(*) AS BIGINT) AS n_kept
+    FROM kept GROUP BY doc_id) k USING (doc_id)
 """,
         # cross-doc duplicated 8-token windows, per occurrence: identical
         # tokenization (string_split on ' ', empties kept), identical

@@ -508,3 +508,59 @@ def test_dup_spans_validates_args(ray_session):
         dup_spans(ds, window=0)
     with pytest.raises(ValueError):
         dup_spans(ds, hash_method="sha1")
+
+
+def test_remove_dup_spans_keeps_first_site(ray_session):
+    import ray.data as rd
+
+    from trinity_ray.ops.dedup import remove_dup_spans
+
+    texts = [
+        "a b c d e f g h i j",      # first site of the shared window
+        "x y a b c d e f g h w",    # loses the 8 shared tokens
+        "p q r s t u v m n o",      # untouched
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(3), pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+    out = remove_dup_spans(ds, window=8).to_pandas(
+        ).sort_values("doc_id").reset_index(drop=True)
+    assert out.text.tolist() == ["a b c d e f g h i j", "x y w",
+                                 "p q r s t u v m n o"]
+    assert out.n_dropped.tolist() == [0, 8, 0]
+    assert out.n_kept.tolist() == [10, 3, 10]
+
+
+def test_remove_dup_spans_overlapping_intervals_merge(ray_session):
+    import ray.data as rd
+
+    from trinity_ray.ops.dedup import remove_dup_spans
+
+    # doc 1 repeats a 5-token run of doc 0: overlapping 3-windows cover
+    # the whole run once (diff-array merge), not window-size times
+    texts = ["k l m n o z1 z2", "q r k l m n o s"]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(2), pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+    out = remove_dup_spans(ds, window=3).to_pandas(
+        ).sort_values("doc_id").reset_index(drop=True)
+    assert out.text[0] == texts[0]
+    assert out.text[1] == "q r s"
+    assert out.n_dropped.tolist() == [0, 5]
+
+
+def test_remove_dup_spans_rolling_matches_md5(ray_session):
+    import ray.data as rd
+
+    from trinity_ray.ops.dedup import remove_dup_spans
+
+    docs = corpus()
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.string())}))
+    a = remove_dup_spans(ds, window=5, hash_method="md5").to_pandas(
+        ).sort_values("doc_id").reset_index(drop=True)
+    b = remove_dup_spans(ds, window=5, hash_method="rolling").to_pandas(
+        ).sort_values("doc_id").reset_index(drop=True)
+    assert a.text.tolist() == b.text.tolist()
+    assert a.n_dropped.tolist() == b.n_dropped.tolist()

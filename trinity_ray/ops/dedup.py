@@ -1263,6 +1263,34 @@ def dup_spans(ds, *, window: int = 8, text_column: str = "text",
     span is duplicated, not every site.  The cap is OFF by default so the
     oracle can replay the full output.
     """
+    exploder, _empty = _span_exploder(window, text_column, id_column,
+                                      hash_method)
+    occ = ds.map_batches(exploder, batch_format="pyarrow",
+                         runtime_env=package_runtime_env())
+
+    cap = None if max_group is None else int(max_group)
+
+    def cross_doc_only(group: pa.Table) -> pa.Table:
+        ids = group.column(id_column)
+        if group.num_rows < 2 or pc.min(ids) == pc.max(ids):
+            return _empty
+        if cap is not None and group.num_rows > cap:
+            idv = ids.to_numpy(zero_copy_only=False)
+            st = group.column("token_start").to_numpy(zero_copy_only=False)
+            keep = np.lexsort((st, idv))[:cap]
+            return group.take(np.sort(keep))
+        return group
+
+    return occ.groupby("h").map_groups(cross_doc_only,
+                                       batch_format="pyarrow")
+
+
+def _span_exploder(window: int, text_column: str, id_column: str,
+                   hash_method: str):
+    """Shared window-hash explode stage for :func:`dup_spans` /
+    :func:`remove_dup_spans`: returns ``(fn, empty_table)`` where ``fn``
+    maps a document batch to light ``(<id_column>, token_start, h)``
+    occurrence rows (see dup_spans for the two hash backends)."""
     w = int(window)
     if w < 1:
         raise ValueError(f"window must be >= 1, got {window}")
@@ -1329,22 +1357,103 @@ def dup_spans(ds, *, window: int = 8, text_column: str = "text",
             "h": pa.array((acc >> np.uint64(1)).astype(np.int64),
                           pa.int64())})
 
-    occ = ds.map_batches(explode_md5 if use_md5 else explode_rolling,
-                         batch_format="pyarrow",
+    return (explode_md5 if use_md5 else explode_rolling), _empty
+
+
+def remove_dup_spans(ds, *, window: int = 8, text_column: str = "text",
+                     id_column: str = "doc_id", hash_method: str = "md5",
+                     join_partitions: int = 16):
+    """Span-level exact-substring dedup (the removal step of Lee et al.
+    2021): for every window hash occurring in >= 2 distinct documents,
+    the occurrence with the lowest ``(doc id, token_start)`` KEEPS its
+    tokens; every other occurrence's ``[start, start+window)`` token
+    range is deleted from its document.  Documents are reassembled from
+    surviving tokens in order.  Output rows: ``(<id_column>, text,
+    n_kept, n_dropped)`` — every input document appears exactly once
+    (unaffected docs pass through with n_dropped = 0).
+
+    Same tokenization / hash backends as :func:`dup_spans` (md5 =
+    SQL-oracle-exact; rolling = vectorized scale path).
+
+    Scale shape: one explode ``map_batches`` (light occurrence rows are
+    the only full-corpus shuffle payload), one ``groupby(h)`` that both
+    finds cross-doc hashes and emits the non-first occurrences, one
+    ``groupby(id)`` collapsing those to a per-doc drop-start list
+    (bounded by the doc's own token count), and one hash join back to
+    the documents — text moves exactly once, through the join."""
+    exploder, _empty = _span_exploder(window, text_column, id_column,
+                                      hash_method)
+    w = int(window)
+    occ = ds.map_batches(exploder, batch_format="pyarrow",
                          runtime_env=package_runtime_env())
 
-    cap = None if max_group is None else int(max_group)
+    _empty_drop = pa.table({id_column: pa.array([], pa.int64()),
+                            "token_start": pa.array([], pa.int64())})
 
-    def cross_doc_only(group: pa.Table) -> pa.Table:
+    def non_first_sites(group: pa.Table) -> pa.Table:
         ids = group.column(id_column)
         if group.num_rows < 2 or pc.min(ids) == pc.max(ids):
-            return _empty
-        if cap is not None and group.num_rows > cap:
-            idv = ids.to_numpy(zero_copy_only=False)
-            st = group.column("token_start").to_numpy(zero_copy_only=False)
-            keep = np.lexsort((st, idv))[:cap]
-            return group.take(np.sort(keep))
-        return group
+            return _empty_drop
+        idv = ids.to_numpy(zero_copy_only=False)
+        st = group.column("token_start").to_numpy(zero_copy_only=False)
+        order = np.lexsort((st, idv))
+        keep_away = order[1:]                     # all but the first site
+        return pa.table({
+            id_column: pa.array(idv[keep_away], pa.int64()),
+            "token_start": pa.array(st[keep_away], pa.int64())})
 
-    return occ.groupby("h").map_groups(cross_doc_only,
-                                       batch_format="pyarrow")
+    drops = occ.groupby("h").map_groups(non_first_sites,
+                                        batch_format="pyarrow")
+
+    def collect_starts(group: pa.Table) -> pa.Table:
+        st = np.unique(group.column("token_start"
+                                    ).to_numpy(zero_copy_only=False))
+        # little-endian int64 blob: Acero hash joins reject list<> payload
+        # columns, binary rides through (same encoding as the Jaccard
+        # join path's shingle blobs)
+        return pa.table({
+            id_column: group.column(id_column).slice(0, 1),
+            "drop_starts": pa.array([st.astype("<i8").tobytes()],
+                                    pa.binary())})
+
+    per_doc = drops.groupby(id_column).map_groups(collect_starts,
+                                                  batch_format="pyarrow")
+
+    joined = ds.join(per_doc, "left_outer",
+                     num_partitions=int(join_partitions), on=(id_column,))
+
+    def rebuild(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({id_column: pa.array([], pa.int64()),
+                             "text": pa.array([], pa.string()),
+                             "n_kept": pa.array([], pa.int64()),
+                             "n_dropped": pa.array([], pa.int64())})
+        ids = batch.column(id_column).cast(pa.int64())
+        txts = pc.fill_null(batch.column(text_column), "").to_pylist()
+        starts_col = batch.column("drop_starts").to_pylist()
+        out_t, out_k, out_d = [], [], []
+        for t, blob in zip(txts, starts_col):
+            toks = t.split(" ")
+            if not blob:                  # null (no dups) or empty blob
+                out_t.append(t)
+                out_k.append(len(toks))
+                out_d.append(0)
+                continue
+            s = np.frombuffer(blob, dtype="<i8")
+            # mark [start, start+w) via a diff array (intervals overlap
+            # heavily for repeated regions; O(tokens), not O(sites*w))
+            d = np.zeros(len(toks) + 1, dtype=np.int64)
+            np.add.at(d, np.clip(s, 0, len(toks)), 1)
+            np.add.at(d, np.clip(s + w, 0, len(toks)), -1)
+            covered = np.cumsum(d[:-1]) > 0
+            kept = [tok for tok, c in zip(toks, covered) if not c]
+            out_t.append(" ".join(kept))
+            out_k.append(len(kept))
+            out_d.append(int(covered.sum()))
+        return pa.table({id_column: ids,
+                         "text": pa.array(out_t, pa.string()),
+                         "n_kept": pa.array(out_k, pa.int64()),
+                         "n_dropped": pa.array(out_d, pa.int64())})
+
+    return joined.map_batches(rebuild, batch_format="pyarrow",
+                              runtime_env=package_runtime_env())

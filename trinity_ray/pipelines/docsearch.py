@@ -807,6 +807,21 @@ def q_dedup_spans(sf_dir: str):
                      hash_method="md5")
 
 
+def q_remove_dup_spans(sf_dir: str):
+    """Span-level exact-substring dedup: duplicated 8-token windows keep
+    only their globally-first site; documents reassemble from surviving
+    tokens.  Oracle replays the whole pipeline in SQL — window hashing,
+    first-site row_number, interval cover via LATERAL range unnest, and
+    ordered string_agg reassembly — so text, n_kept and n_dropped are all
+    value-checked."""
+    from trinity_ray.ops.dedup import remove_dup_spans
+
+    return remove_dup_spans(
+        read_documents(sf_dir).select_columns(["doc_id", "text"]),
+        window=8, text_column="text", id_column="doc_id",
+        hash_method="md5")
+
+
 def q_dedup_simhash_pairs(sf_dir: str):
     """SimHash near-dup pairs.  Oracle-exact: signatures are exported so
     the oracle brute-forces bit_count(xor(sig_a, sig_b)) <= 3 over them —
