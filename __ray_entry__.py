@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_spans": dsp.q_dedup_spans,
         "quantize_embeddings": dsp.q_quantize_embeddings,
         "remove_dup_spans": dsp.q_remove_dup_spans,
+        "hard_negatives": dsp.q_hard_negatives,
         "pii_scrub": dsp.q_pii_scrub,
         "chunk_tokens": dsp.q_chunk_tokens,
         "pack_sequences": dsp.q_pack_sequences,
@@ -1144,6 +1145,28 @@ GROUP BY i.doc_id, c.c
 """,
         # 10-NN label vote for the first 20 vectors, leave-self-out;
         # prediction = most-voted neighbor label, ties to the smallest
+        # hard negatives: 5 nearest different-label vectors per query
+        # (first 20 vecs); cosine via unnest dot / norms, label anti-join
+        "hard_negatives": """
+WITH ev AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+                   generate_subscripts(embedding, 1) AS i FROM embeddings),
+n2 AS (SELECT vec_id, sum(v * v) AS n2 FROM ev GROUP BY vec_id),
+lab AS (SELECT vec_id, label::BIGINT AS label FROM embeddings),
+dots AS (SELECT q.vec_id AS qid, x.vec_id, sum(q.v * x.v) AS dot
+         FROM ev q JOIN ev x ON x.i = q.i
+         JOIN lab lq ON lq.vec_id = q.vec_id
+         JOIN lab lx ON lx.vec_id = x.vec_id
+         WHERE q.vec_id < 20 AND lq.label <> lx.label
+         GROUP BY q.vec_id, x.vec_id),
+cs AS (SELECT qid, d.vec_id, dot / (sqrt(na.n2) * sqrt(nb.n2)) AS c
+       FROM dots d JOIN n2 na ON na.vec_id = qid
+            JOIN n2 nb ON nb.vec_id = d.vec_id)
+SELECT qid AS query_id,
+       CAST(row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id)
+            AS BIGINT) AS rank,
+       vec_id, floor(c * 10000 + 0.5) / 10000 AS cos_r
+FROM cs QUALIFY rank <= 5
+""",
         "knn_label_top10": """
 WITH ev AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
                    generate_subscripts(embedding, 1) AS i FROM embeddings),

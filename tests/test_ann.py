@@ -228,3 +228,57 @@ def test_quantize_flatten_matches_compact(ray_session):
         assert list(rows.q.astype(np.int64)) == \
             [int(x) for x in compact.qvec[vid]]
         assert (rows.scale.to_numpy() == compact.scale[vid]).all()
+
+
+def test_hard_negatives_excludes_same_label_and_self(ray_session):
+    from trinity_ray.ops.ann import hard_negatives
+
+    rng = np.random.default_rng(21)
+    vecs = rng.normal(size=(60, 8)).astype(np.float64)
+    labels = np.arange(60) % 3
+    # make vec 1 (label 1) nearly identical to query 0 (label 0): it must
+    # rank first; make vec 3 (label 0, same as query) identical — excluded
+    vecs[1] = vecs[0] + 1e-6
+    vecs[3] = vecs[0]
+    tbl = pa.table({
+        "vec_id": pa.array(range(60), pa.int64()),
+        "embedding": pa.array([list(v) for v in vecs], pa.list_(pa.float32())),
+        "label": pa.array(labels.astype(np.int32), pa.int32()),
+    })
+    out = hard_negatives(rd.from_arrow(tbl), vecs[:2], np.array([0, 1]),
+                         labels[:2], k=4).to_pandas()
+    q0 = out[out.query_id == 0].sort_values("rank")
+    got_labels = labels[q0.vec_id.to_numpy()]
+    assert (got_labels != 0).all()                  # never the query label
+    assert 0 not in q0.vec_id.tolist()              # never itself
+    assert q0.vec_id.iloc[0] == 1                   # the planted near-dup
+    assert len(q0) == 4
+    # ranks are 1..k ordered by cosine desc
+    assert q0["rank"].tolist() == [1, 2, 3, 4]
+    assert (np.diff(q0.cosine.to_numpy()) <= 1e-12).all()
+
+
+def test_hard_negatives_matches_bruteforce(ray_session):
+    from trinity_ray.ops.ann import _normalize, hard_negatives
+
+    rng = np.random.default_rng(22)
+    vecs = rng.normal(size=(80, 6))
+    labels = rng.integers(0, 4, 80)
+    tbl = pa.table({
+        "vec_id": pa.array(range(80), pa.int64()),
+        "embedding": pa.array([list(v) for v in vecs], pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int64()),
+    })
+    k = 6
+    out = hard_negatives(rd.from_arrow(tbl), vecs[:5],
+                         np.arange(5), labels[:5], k=k,
+                         batch_size=16).to_pandas()
+    # brute force on float32-truncated vectors (what the engine reads)
+    v32 = _normalize(vecs.astype(np.float32).astype(np.float64))
+    for q in range(5):
+        sims = v32 @ v32[q]
+        mask = (labels == labels[q]) | (np.arange(80) == q)
+        sims[mask] = -np.inf
+        order = np.lexsort((np.arange(80), -sims))[:k]
+        got = out[out.query_id == q].sort_values("rank").vec_id.tolist()
+        assert got == order.tolist()

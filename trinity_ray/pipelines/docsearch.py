@@ -1308,6 +1308,32 @@ def q_knn_label_top10(sf_dir: str) -> pa.Table:
                      "votes": pa.array(out_v, pa.int64())})
 
 
+def q_hard_negatives(sf_dir: str) -> pa.Table:
+    """Hard-negative mining for the first 20 vectors: the 5 most-cosine-
+    similar DIFFERENT-label corpus vectors per query (nearest in
+    embedding space, semantically negative — triplet/contrastive
+    training data).  Same broadcast-matmul scan shape as knn_label;
+    exact unnest-cosine + label-anti-join + QUALIFY oracle."""
+    from trinity_ray.ops.ann import hard_negatives
+
+    emb = pq.read_table(embeddings_parquet(sf_dir),
+                        columns=["vec_id", "embedding", "label"])
+    n_q = min(20, emb.num_rows)
+    qmat = np.asarray(emb.column("embedding")[:n_q].to_pylist(),
+                      dtype=np.float64)
+    qids = np.arange(n_q, dtype=np.int64)   # ids are dense from 0
+    qlab = np.asarray(emb.column("label")[:n_q].to_pylist(), np.int64)
+    t = hard_negatives(read_embeddings(sf_dir), qmat, qids, qlab, k=5)
+    c = t.column("cosine").to_numpy()
+    return pa.table({
+        "query_id": t.column("query_id"),
+        "rank": t.column("rank"),
+        "vec_id": t.column("vec_id"),
+        # half-away rounding (matches DuckDB floor(c*1e4+0.5)/1e4)
+        "cos_r": pa.array(np.floor(c * 1e4 + 0.5) / 1e4, pa.float64()),
+    })
+
+
 def q_label_centroids(sf_dir: str):
     """Class prototypes: mean embedding per label, long form (label, i,
     mu).  The distributed part is a per-batch (label, n, sum) reduction —
