@@ -235,3 +235,51 @@ def test_cli_ann_methods(tmp_path, capsys, ray_session):
         outs[method] = [r["vec_id"] for r in rows]
     # with nprobe == n_clusters, IVF scans everything: exact == brute
     assert outs["ivf"] == outs["brute"]
+
+
+def test_cli_curate_span_dedup(tmp_path, ray_session, capsys):
+    """--dedup-span-window strips cross-doc duplicated token runs before
+    doc-level cleaning: docs sharing a long boilerplate prefix keep it
+    only in the first doc."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from trinity_ray.cli import main
+
+    header = ("this license header grants permission to use copy and "
+              "modify the software freely")           # shared boilerplate
+    bodies = [
+        "the quick brown fox jumps over the lazy dog tonight",
+        "pack my box with five dozen liquor jugs for the party",
+        "how vexingly quick daft zebras jump over fences today",
+        "sphinx of black quartz judge my vow and speak plainly",
+        "the five boxing wizards jump quickly over the tall wall",
+        "bright vixens jump while dozy fowl quack in the barn",
+        "jinxed wizards pluck ivy from the big quilt every morning",
+        "amazingly few discotheques provide jukeboxes for dancing crowds",
+    ]
+    docs = pa.table({
+        "doc_id": pa.array(range(8), pa.int64()),
+        "text": pa.array([f"{header} {b}" for b in bodies]),
+    })
+    src = tmp_path / "docs.parquet"
+    pq.write_table(docs, str(src))
+    out = tmp_path / "curated_spans"
+    rc = main(["curate", "--input", str(src), "--out", str(out),
+               "--min-words", "3", "--dedup-span-window", "8"])
+    assert rc == 0
+    manifest = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # bodies are distinct (no near-dup collapse); one row may still fall
+    # to the quality/lang heuristics, which is clean_corpus's business
+    assert manifest["rows"] >= 6
+    import glob
+
+    got = pq.ParquetDataset(sorted(glob.glob(f"{out}/**/*.parquet",
+                                             recursive=True))).read()
+    texts = sorted(got.column("text").to_pylist())
+    # exactly one doc still carries the boilerplate header
+    assert sum(t.startswith("this license header") for t in texts) == 1
+    assert any("quick brown fox" in t for t in texts)
+    assert any("discotheques" in t for t in texts)

@@ -564,3 +564,20 @@ def test_remove_dup_spans_rolling_matches_md5(ray_session):
         ).sort_values("doc_id").reset_index(drop=True)
     assert a.text.tolist() == b.text.tolist()
     assert a.n_dropped.tolist() == b.n_dropped.tolist()
+
+
+def test_remove_dup_spans_join_fallback_matches_broadcast(ray_session):
+    import ray.data as rd
+
+    from trinity_ray.ops.dedup import remove_dup_spans
+
+    docs = corpus()
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.string())}))
+    bc = remove_dup_spans(ds, window=5).to_pandas(
+        ).sort_values("doc_id").reset_index(drop=True)
+    jn = remove_dup_spans(ds, window=5, broadcast_max_docs=0).to_pandas(
+        ).sort_values("doc_id").reset_index(drop=True)
+    assert bc.text.tolist() == jn.text.tolist()
+    assert bc.n_dropped.tolist() == jn.n_dropped.tolist()

@@ -153,6 +153,17 @@ def cmd_curate(args: argparse.Namespace) -> int:
                          "column (export partitioning is what makes the "
                          "write resumable)")
     ds = rd.read_parquet(args.input)
+    if args.dedup_span_window:
+        # span-level exact-substring pass BEFORE doc-level cleaning:
+        # duplicated w-token runs keep only their globally-first site, so
+        # boilerplate (license headers) stops inflating near-dup scores
+        from trinity_ray.ops.dedup import remove_dup_spans
+
+        stripped = remove_dup_spans(
+            ds.select_columns([args.id_column, args.text_column]),
+            window=args.dedup_span_window, text_column=args.text_column,
+            id_column=args.id_column, hash_method="rolling")
+        ds = stripped.drop_columns(["n_kept", "n_dropped"])
     cleaned = clean_corpus(ds, id_column=args.id_column,
                            text_column=args.text_column,
                            jaccard_threshold=args.jaccard_threshold,
@@ -383,6 +394,10 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--min-words", type=int, default=5)
     cu.add_argument("--lang", default="en")
     cu.add_argument("--partition-cols", nargs="*", default=["lang_pred"])
+    cu.add_argument("--dedup-span-window", type=int, default=0,
+                    help="if > 0, strip cross-doc duplicated token spans "
+                         "of this window size before doc-level cleaning "
+                         "(ExactSubstr pass; 0 = off)")
     cu.set_defaults(fn=cmd_curate)
 
 

@@ -1362,7 +1362,8 @@ def _span_exploder(window: int, text_column: str, id_column: str,
 
 def remove_dup_spans(ds, *, window: int = 8, text_column: str = "text",
                      id_column: str = "doc_id", hash_method: str = "md5",
-                     join_partitions: int = 16):
+                     join_partitions: int = 16,
+                     broadcast_max_docs: int = 5_000_000):
     """Span-level exact-substring dedup (the removal step of Lee et al.
     2021): for every window hash occurring in >= 2 distinct documents,
     the occurrence with the lowest ``(doc id, token_start)`` KEEPS its
@@ -1379,8 +1380,11 @@ def remove_dup_spans(ds, *, window: int = 8, text_column: str = "text",
     the only full-corpus shuffle payload), one ``groupby(h)`` that both
     finds cross-doc hashes and emits the non-first occurrences, one
     ``groupby(id)`` collapsing those to a per-doc drop-start list
-    (bounded by the doc's own token count), and one hash join back to
-    the documents — text moves exactly once, through the join."""
+    (bounded by the doc's own token count).  Affected docs are a small
+    subset of the corpus, so the default reattach is a broadcast dict
+    (``ray.put`` once, read per actor — the exact_dedup loser-set
+    pattern); above ``broadcast_max_docs`` affected docs it switches to
+    a hash-partitioned join so the driver never holds the map."""
     exploder, _empty = _span_exploder(window, text_column, id_column,
                                       hash_method)
     w = int(window)
@@ -1416,11 +1420,35 @@ def remove_dup_spans(ds, *, window: int = 8, text_column: str = "text",
             "drop_starts": pa.array([st.astype("<i8").tobytes()],
                                     pa.binary())})
 
-    per_doc = drops.groupby(id_column).map_groups(collect_starts,
-                                                  batch_format="pyarrow")
+    per_doc = drops.groupby(id_column).map_groups(
+        collect_starts, batch_format="pyarrow").materialize()
 
-    joined = ds.join(per_doc, "left_outer",
-                     num_partitions=int(join_partitions), on=(id_column,))
+    n_affected = per_doc.count()
+    if n_affected <= int(broadcast_max_docs):
+        import ray
+
+        dmap: dict = {}
+        for b in per_doc.iter_batches(batch_size=65536,
+                                      batch_format="pyarrow"):
+            dmap.update(zip(
+                b.column(id_column).to_pylist(),
+                b.column("drop_starts").to_pylist()))
+        dmap_ref = ray.put(dmap)
+
+        def attach(batch: pa.Table) -> pa.Table:
+            m = ray.get(dmap_ref)
+            ids = batch.column(id_column).cast(pa.int64()
+                                               ).to_pylist()
+            return batch.append_column(
+                "drop_starts",
+                pa.array([m.get(i) for i in ids], pa.binary()))
+
+        joined = ds.map_batches(attach, batch_format="pyarrow",
+                                runtime_env=package_runtime_env())
+    else:
+        joined = ds.join(per_doc, "left_outer",
+                         num_partitions=int(join_partitions),
+                         on=(id_column,))
 
     def rebuild(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
