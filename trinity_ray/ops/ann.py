@@ -54,23 +54,41 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 
 class BruteForceTopK:
-    """Actor stage: per-batch cosine top-k against a broadcast query matrix."""
+    """Actor stage: per-batch cosine top-k against a broadcast query
+    matrix.  Optional per-query exclusion masks (``query_ids`` +
+    ``query_labels`` with ``label_column``) turn the same scan into
+    hard-negative mining: candidates sharing the query's label, or being
+    the query row itself, are masked to -inf before the top-k."""
 
     def __init__(self, queries: np.ndarray, k: int,
                  vec_column: str = "embedding", id_column: str = "vec_id",
-                 exclude_ids: tuple[int, ...] = ()):
+                 exclude_ids: tuple[int, ...] = (),
+                 query_ids: np.ndarray | None = None,
+                 query_labels: np.ndarray | None = None,
+                 label_column: str = "label"):
         self.q = _normalize(np.asarray(queries, dtype=np.float64))
         self.k = k
         self.vec_column = vec_column
         self.id_column = id_column
         self.exclude = np.asarray(sorted(exclude_ids), dtype=np.int64)
+        self.qids = (None if query_ids is None
+                     else np.asarray(query_ids, dtype=np.int64))
+        self.qlab = (None if query_labels is None
+                     else np.asarray(query_labels, dtype=np.int64))
+        self.label_column = label_column
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column(self.id_column).to_numpy()
         v = _normalize(_as_matrix(batch.column(self.vec_column)))
+        labels = None
+        if self.qlab is not None:
+            labels = batch.column(self.label_column).cast(
+                pa.int64()).to_numpy(zero_copy_only=False)
         if self.exclude.size:
             keep = ~np.isin(ids, self.exclude)
             ids, v = ids[keep], v[keep]
+            if labels is not None:
+                labels = labels[keep]
         if ids.size == 0:
             return pa.table({
                 "query_id": pa.array([], pa.int64()),
@@ -78,14 +96,20 @@ class BruteForceTopK:
                 "cosine": pa.array([], pa.float64()),
             })
         sims = self.q @ v.T                      # (Q, B)
+        if self.qlab is not None:
+            mask = self.qlab[:, None] == labels[None, :]
+            if self.qids is not None:
+                mask |= self.qids[:, None] == ids[None, :]
+            sims[mask] = -np.inf
         k = min(self.k, ids.size)
         # local top-k per query (argpartition then exact ordering)
         part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
         out_q, out_i, out_c = [], [], []
         for qi in range(self.q.shape[0]):
             sel = part[qi]
+            sel = sel[np.isfinite(sims[qi, sel])]    # drop masked slots
             order = np.lexsort((ids[sel], -sims[qi, sel]))
-            out_q.append(np.full(k, qi, np.int64))
+            out_q.append(np.full(order.size, qi, np.int64))
             out_i.append(ids[sel][order])
             out_c.append(sims[qi, sel][order])
         return pa.table({
@@ -99,14 +123,21 @@ class BruteForceTopK:
 def brute_force_topk(ds, queries: np.ndarray, k: int = 10, *,
                      vec_column: str = "embedding", id_column: str = "vec_id",
                      exclude_ids: tuple[int, ...] = (),
+                     query_ids: np.ndarray | None = None,
+                     query_labels: np.ndarray | None = None,
+                     label_column: str = "label",
                      batch_size: int = 4096, concurrency: int = 2):
     """Exact cosine top-k: returns a pyarrow Table
     (query_id, <id_column>, cosine), globally merged with tie-break
-    (cosine desc, id asc)."""
+    (cosine desc, id asc).  ``query_ids``/``query_labels`` switch on the
+    per-query hard-negative mask (see BruteForceTopK)."""
     cands = ds.map_batches(
         BruteForceTopK,
         fn_constructor_kwargs=dict(queries=queries, k=k, vec_column=vec_column,
-                                   id_column=id_column, exclude_ids=exclude_ids),
+                                   id_column=id_column, exclude_ids=exclude_ids,
+                                   query_ids=query_ids,
+                                   query_labels=query_labels,
+                                   label_column=label_column),
         batch_format="pyarrow", batch_size=batch_size, concurrency=actor_pool(concurrency),
         runtime_env=package_runtime_env(),
     )
@@ -755,59 +786,6 @@ def dequantize_matrix(qvec: pa.ChunkedArray | pa.Array,
 # hard-negative mining (contrastive-training data)
 # ---------------------------------------------------------------------------
 
-class HardNegativeTopK:
-    """Actor stage: per-batch cosine top-k against a broadcast query
-    matrix, masking candidates that share the query's label (and the
-    query row itself) — the mining step for triplet/contrastive losses:
-    nearest in embedding space, semantically negative."""
-
-    def __init__(self, queries: np.ndarray, query_ids: np.ndarray,
-                 query_labels: np.ndarray, k: int,
-                 vec_column: str = "embedding", id_column: str = "vec_id",
-                 label_column: str = "label"):
-        self.q = _normalize(np.asarray(queries, dtype=np.float64))
-        self.qids = np.asarray(query_ids, dtype=np.int64)
-        self.qlab = np.asarray(query_labels, dtype=np.int64)
-        self.k = int(k)
-        self.vec_column = vec_column
-        self.id_column = id_column
-        self.label_column = label_column
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        empty = pa.table({
-            "query_id": pa.array([], pa.int64()),
-            self.id_column: pa.array([], pa.int64()),
-            "cosine": pa.array([], pa.float64())})
-        if batch.num_rows == 0:
-            return empty
-        ids = batch.column(self.id_column).cast(pa.int64()
-                                                ).to_numpy(zero_copy_only=False)
-        labels = batch.column(self.label_column).cast(
-            pa.int64()).to_numpy(zero_copy_only=False)
-        v = _normalize(_as_matrix(batch.column(self.vec_column)))
-        sims = self.q @ v.T                               # (Q, B)
-        mask = (self.qlab[:, None] == labels[None, :]) | \
-            (self.qids[:, None] == ids[None, :])
-        sims[mask] = -np.inf
-        k = min(self.k, ids.size)
-        part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
-        out_q, out_i, out_c = [], [], []
-        for qi in range(self.q.shape[0]):
-            sel = part[qi]
-            sel = sel[np.isfinite(sims[qi, sel])]         # drop masked
-            order = np.lexsort((ids[sel], -sims[qi, sel]))
-            out_q.append(np.full(order.size, self.qids[qi], np.int64))
-            out_i.append(ids[sel][order])
-            out_c.append(sims[qi, sel][order])
-        if not out_q:
-            return empty
-        return pa.table({
-            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
-            self.id_column: pa.array(
-                np.concatenate(out_i).astype(np.int64), pa.int64()),
-            "cosine": pa.array(np.concatenate(out_c), pa.float64())})
-
-
 def hard_negatives(ds, queries: np.ndarray, query_ids, query_labels,
                    k: int = 5, *, vec_column: str = "embedding",
                    id_column: str = "vec_id", label_column: str = "label",
@@ -815,40 +793,38 @@ def hard_negatives(ds, queries: np.ndarray, query_ids, query_labels,
     """Mine the ``k`` nearest DIFFERENT-label corpus vectors for each
     query — hard negatives for contrastive/triplet training.  Returns
     (query_id, <id_column>, cosine, rank), rank 1-based by
-    (cosine desc, id asc).
+    (cosine desc, id asc); query_id carries the caller's ``query_ids``
+    values.  A thin seam over :func:`brute_force_topk`'s label-mask mode
+    (one scan kernel, defined once).
 
     Scale shape: the query matrix broadcasts once (actor ``__init__``);
     each corpus batch pays one matmul + a label mask; per-batch top-k
-    candidates (k × blocks rows) merge on the driver.  At 100-TB corpus
+    candidates (k x blocks rows) merge on the driver.  At 100-TB corpus
     scale swap the scan for :func:`ivf_topk_partitioned`'s probed-
     partition read (same candidate/merge contract) — mining quality only
     needs NEAR negatives, which live in the probed clusters by
-    construction."""
-    cands = ds.map_batches(
-        HardNegativeTopK,
-        fn_constructor_kwargs=dict(
-            queries=queries, query_ids=query_ids, query_labels=query_labels,
-            k=k, vec_column=vec_column, id_column=id_column,
-            label_column=label_column),
-        batch_format="pyarrow", batch_size=batch_size,
-        concurrency=actor_pool(concurrency),
-        runtime_env=package_runtime_env())
-    t = _gather(cands, id_column)
+    construction.
+
+    Rank/cos exposure caveat (same as the other ann_* oracles): near-tie
+    candidates whose cosines differ below float64 evaluation-order noise
+    could rank differently in SQL; the synthetic corpora carry no such
+    ties."""
+    qids = np.asarray(query_ids, dtype=np.int64)
+    t = brute_force_topk(ds, queries, k=k, vec_column=vec_column,
+                         id_column=id_column, query_ids=qids,
+                         query_labels=query_labels,
+                         label_column=label_column,
+                         batch_size=batch_size, concurrency=concurrency)
     if t.num_rows == 0:
         return t.append_column("rank", pa.array([], pa.int64()))
-    qid = t.column("query_id").to_numpy()
-    ids = t.column(id_column).to_numpy()
-    cos = t.column("cosine").to_numpy()
-    out_q, out_i, out_c, out_r = [], [], [], []
-    for q in np.unique(qid):
-        m = qid == q
-        order = np.lexsort((ids[m], -cos[m]))[:k]
-        out_q.append(np.full(order.size, q, np.int64))
-        out_i.append(ids[m][order])
-        out_c.append(cos[m][order])
-        out_r.append(np.arange(1, order.size + 1, dtype=np.int64))
+    qix = t.column("query_id").to_numpy()
+    # per-query 1-based rank: brute_force_topk already emits each query's
+    # rows merged in (cosine desc, id asc) order
+    counts = np.bincount(qix, minlength=len(qids))
+    rank = np.concatenate([np.arange(1, c + 1, dtype=np.int64)
+                           for c in counts if c > 0])
     return pa.table({
-        "query_id": pa.array(np.concatenate(out_q), pa.int64()),
-        id_column: pa.array(np.concatenate(out_i), pa.int64()),
-        "cosine": pa.array(np.concatenate(out_c), pa.float64()),
-        "rank": pa.array(np.concatenate(out_r), pa.int64())})
+        "query_id": pa.array(qids[qix], pa.int64()),
+        id_column: t.column(id_column),
+        "cosine": t.column("cosine"),
+        "rank": pa.array(rank, pa.int64())})

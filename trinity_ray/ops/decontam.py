@@ -84,6 +84,12 @@ def decontaminate(ds, benchmark_texts, n: int = 3, min_overlap: int = 1,
         _Decontaminator, fn_constructor_args=(bench_ref, n, text_column),
         batch_format="pyarrow", concurrency=actor_pool(concurrency),
         runtime_env=package_runtime_env())
+    return _finish(out, mode, min_overlap)
+
+
+def _finish(out, mode: str, min_overlap: int):
+    """Shared flag/drop tail of the exact and Bloom decontaminators —
+    ONE definition so the two paths cannot silently diverge."""
     if mode == "drop":
         return out.filter(expr=f"n_contaminated < {int(min_overlap)}") \
                   .drop_columns(["n_contaminated"])
@@ -170,30 +176,20 @@ class ShingleBloom:
 
 def _shingle_window_hashes(texts: list, n: int):
     """All n-gram window hashes of a batch, vectorized: one Arrow hash
-    pass over the flattened tokens, one O(n)-vector-ops polynomial —
-    zero Python objects per shingle.  Returns (doc_idx, window_hash)
+    pass over the flattened tokens, then the SHARED window-polynomial
+    kernel (ops.sketch.window_poly_hashes — same index arithmetic as the
+    span-dedup exploder, defined once).  Returns (doc_idx, window_hash)
     arrays; hashes collide with probability ~2^-64 (the Bloom adds its
     own documented fp on top)."""
-    from trinity_ray.ops.sketch import _hash64
+    from trinity_ray.ops.sketch import _hash64, window_poly_hashes
 
     toks_per_doc = [_TOKEN_RE.findall((t or "").upper()) for t in texts]
     lens = np.array([len(t) for t in toks_per_doc], dtype=np.int64)
     flat = [w for toks in toks_per_doc for w in toks]
     th = (_hash64(pa.array(flat, pa.string())) if flat
           else np.empty(0, np.uint64))
-    counts = np.maximum(lens - n + 1, 0)
-    total = int(counts.sum())
-    if total == 0:
-        return (np.empty(0, np.int64), np.empty(0, np.uint64))
-    base = np.concatenate(([0], np.cumsum(lens[:-1], dtype=np.int64)))
-    cum = np.concatenate(([0], np.cumsum(counts[:-1], dtype=np.int64)))
-    local = np.arange(total, dtype=np.int64) - np.repeat(cum, counts)
-    starts = np.repeat(base, counts) + local
-    P = np.uint64(0x100000001B3)
-    acc = np.zeros(total, np.uint64)
-    for j in range(n):
-        acc = acc * P + th[starts + j]
-    return (np.repeat(np.arange(len(texts), dtype=np.int64), counts), acc)
+    doc_idx, _, acc = window_poly_hashes(th, lens, n)
+    return doc_idx, acc
 
 
 class _BloomDecontaminator:
@@ -240,11 +236,10 @@ def decontaminate_bloom(ds, benchmark_texts, n: int = 3,
     exact counts matter (the flagged side is tiny by definition)."""
     import ray
 
-    bench_hashes: set = set()
-    for t in benchmark_texts:
-        _, wh = _shingle_window_hashes([t], n)
-        bench_hashes.update(wh.tolist())
-    arr = np.array(sorted(bench_hashes), dtype=np.uint64)
+    # one vectorized pass over the whole benchmark list (the per-batch
+    # shape _BloomDecontaminator uses), not a hash pass per text
+    _, wh = _shingle_window_hashes(list(benchmark_texts), n)
+    arr = np.unique(wh)
     bloom = ShingleBloom(len(arr), fp_rate)
     if len(arr):
         bloom.add_many(arr)
@@ -253,15 +248,4 @@ def decontaminate_bloom(ds, benchmark_texts, n: int = 3,
         _BloomDecontaminator, fn_constructor_args=(bloom_ref, n, text_column),
         batch_format="pyarrow", concurrency=actor_pool(concurrency),
         runtime_env=package_runtime_env())
-    if mode == "drop":
-        return out.filter(expr=f"n_contaminated < {int(min_overlap)}") \
-                  .drop_columns(["n_contaminated"])
-    if mode != "flag":
-        raise ValueError(f"unknown mode {mode!r}")
-
-    def add_flag(batch: pa.Table) -> pa.Table:
-        c = batch.column("n_contaminated").to_numpy()
-        return batch.append_column(
-            "contaminated", pa.array(c >= min_overlap))
-
-    return out.map_batches(add_flag, batch_format="pyarrow")
+    return _finish(out, mode, min_overlap)

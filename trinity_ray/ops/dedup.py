@@ -1321,7 +1321,7 @@ def _span_exploder(window: int, text_column: str, id_column: str,
                          "h": pa.array(out_h, pa.string())})
 
     def explode_rolling(batch: pa.Table) -> pa.Table:
-        from trinity_ray.ops.sketch import _hash64
+        from trinity_ray.ops.sketch import _hash64, window_poly_hashes
 
         if batch.num_rows == 0:
             return _empty
@@ -1336,22 +1336,12 @@ def _span_exploder(window: int, text_column: str, id_column: str,
             flat = (flat.chunk(0) if flat.num_chunks
                     else pa.array([], pa.string()))
         th = _hash64(flat) if len(flat) else np.empty(0, np.uint64)
-        counts = np.maximum(lens - w + 1, 0)
-        total = int(counts.sum())
-        if total == 0:
+        # order-sensitive window polynomial ("a b" != "b a"), shared kernel
+        doc_idx, local, acc = window_poly_hashes(th, lens, w)
+        if doc_idx.size == 0:
             return _empty
-        base = np.concatenate(([0], np.cumsum(lens[:-1], dtype=np.int64)))
-        cum = np.concatenate(([0], np.cumsum(counts[:-1], dtype=np.int64)))
-        local = np.arange(total, dtype=np.int64) - np.repeat(cum, counts)
-        starts = np.repeat(base, counts) + local
-        # 64-bit polynomial in the odd constant P: order-sensitive (the
-        # window "a b" != "b a"), O(window) vector passes per batch
-        P = np.uint64(0x100000001B3)          # FNV-1a 64 prime (odd)
-        acc = np.zeros(total, np.uint64)
-        for j in range(w):
-            acc = acc * P + th[starts + j]
         return pa.table({
-            id_column: pa.array(np.repeat(ids, counts), pa.int64()),
+            id_column: pa.array(ids[doc_idx], pa.int64()),
             "token_start": pa.array(local, pa.int64()),
             # 63-bit int64 (survives every groupby round-trip unsigned-safe)
             "h": pa.array((acc >> np.uint64(1)).astype(np.int64),
@@ -1446,14 +1436,21 @@ def remove_dup_spans(ds, *, window: int = 8, text_column: str = "text",
         joined = ds.map_batches(attach, batch_format="pyarrow",
                                 runtime_env=package_runtime_env())
     else:
-        joined = ds.join(per_doc, "left_outer",
-                         num_partitions=int(join_partitions),
-                         on=(id_column,))
+        def cast_id(batch: pa.Table) -> pa.Table:
+            # per_doc ids were force-cast int64 by the exploder; align the
+            # left side so the Acero join never sees mixed key types
+            i = batch.schema.get_field_index(id_column)
+            return batch.set_column(i, id_column,
+                                    batch.column(id_column).cast(pa.int64()))
+
+        joined = ds.map_batches(cast_id, batch_format="pyarrow").join(
+            per_doc, "left_outer", num_partitions=int(join_partitions),
+            on=(id_column,))
 
     def rebuild(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return pa.table({id_column: pa.array([], pa.int64()),
-                             "text": pa.array([], pa.string()),
+                             text_column: pa.array([], pa.string()),
                              "n_kept": pa.array([], pa.int64()),
                              "n_dropped": pa.array([], pa.int64())})
         ids = batch.column(id_column).cast(pa.int64())
@@ -1479,7 +1476,7 @@ def remove_dup_spans(ds, *, window: int = 8, text_column: str = "text",
             out_k.append(len(kept))
             out_d.append(int(covered.sum()))
         return pa.table({id_column: ids,
-                         "text": pa.array(out_t, pa.string()),
+                         text_column: pa.array(out_t, pa.string()),
                          "n_kept": pa.array(out_k, pa.int64()),
                          "n_dropped": pa.array(out_d, pa.int64())})
 

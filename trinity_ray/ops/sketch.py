@@ -105,6 +105,40 @@ def _hash64(values: pa.Array) -> np.ndarray:
     return out
 
 
+# FNV-1a 64 prime: the odd multiplier of the shared window polynomial
+_POLY_P = np.uint64(0x100000001B3)
+
+
+def window_poly_hashes(th: np.ndarray, lens: np.ndarray, w: int):
+    """Order-sensitive 64-bit hashes of every length-``w`` window over
+    per-document token-hash runs — THE shared windowed-hash kernel
+    (ops.dedup._span_exploder's rolling backend and
+    ops.decontam's shingle path both build on it, so the tricky
+    cumsum index arithmetic exists exactly once).
+
+    ``th``: uint64 hashes of the concatenated tokens of all docs;
+    ``lens``: int64 token count per doc (sum = len(th)).  Returns
+    ``(doc_idx, local_start, acc)`` int64/int64/uint64 arrays, one row
+    per window (docs shorter than ``w`` contribute none); ``acc`` is the
+    polynomial acc = acc * P + th[i] over the window, O(w) vector passes.
+    """
+    lens = np.asarray(lens, dtype=np.int64)
+    counts = np.maximum(lens - w + 1, 0)
+    total = int(counts.sum())
+    if total == 0:
+        return (np.empty(0, np.int64), np.empty(0, np.int64),
+                np.empty(0, np.uint64))
+    base = np.concatenate(([0], np.cumsum(lens[:-1], dtype=np.int64)))
+    cum = np.concatenate(([0], np.cumsum(counts[:-1], dtype=np.int64)))
+    local = np.arange(total, dtype=np.int64) - np.repeat(cum, counts)
+    starts = np.repeat(base, counts) + local
+    acc = np.zeros(total, np.uint64)
+    for j in range(w):
+        acc = acc * _POLY_P + th[starts + j]
+    doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), counts)
+    return doc_idx, local, acc
+
+
 class HyperLogLog:
     """2^p uint8 registers; add is vectorized, merge is element-wise max."""
 
