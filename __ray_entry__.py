@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantize_embeddings": dsp.q_quantize_embeddings,
         "remove_dup_spans": dsp.q_remove_dup_spans,
         "hard_negatives": dsp.q_hard_negatives,
+        "more_like_this_top10": dsp.q_more_like_this_top10,
         "pii_scrub": dsp.q_pii_scrub,
         "chunk_tokens": dsp.q_chunk_tokens,
         "pack_sequences": dsp.q_pack_sequences,
@@ -1145,6 +1146,30 @@ GROUP BY i.doc_id, c.c
 """,
         # 10-NN label vote for the first 20 vectors, leave-self-out;
         # prediction = most-voted neighbor label, ties to the smallest
+        # more-like-this: doc 0's top-5 burstiness terms (seed-tf/df, the
+        # keywords rule) OR'd into BM25 over the rest of the corpus; the
+        # oracle derives the SAME term set, then replays the scoring
+        "more_like_this_top10": f"""
+WITH toks AS ({_TOKS}),
+alltf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfall AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+seed AS (SELECT tok FROM alltf JOIN dfall USING (tok) WHERE doc_id = 0
+         QUALIFY row_number() OVER (ORDER BY CAST(tf AS DOUBLE) / df DESC,
+                                    tok) <= 5),
+tf AS (SELECT doc_id, tok, tf::DOUBLE AS tf FROM alltf
+       WHERE tok IN (SELECT tok FROM seed)),
+df AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok),
+nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+matched AS (SELECT DISTINCT doc_id FROM tf WHERE doc_id <> 0),
+scores AS (
+  SELECT m.doc_id,
+         sum(ln(1.0 + (nn.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf / (tf.tf + {K1})) AS score
+  FROM matched m JOIN tf ON tf.doc_id = m.doc_id
+  JOIN df ON df.tok = tf.tok CROSS JOIN nn GROUP BY m.doc_id)
+SELECT doc_id, round(score, 4) AS score_r
+FROM scores ORDER BY score DESC, doc_id LIMIT 10
+""",
         # hard negatives: 5 nearest different-label vectors per query
         # (first 20 vecs); cosine via unnest dot / norms, label anti-join
         "hard_negatives": """

@@ -1146,3 +1146,39 @@ def test_prefix_query_expansion(index_dir, ray_session):
     # mixed with boolean ops: AND restricts like any other leaf
     r_and = s.search(f"[prefix {probe}] AND [prefix zzzzqqqq]", k=10)
     assert r_and.doc_ids.size == 0
+
+
+def test_more_like_this(ray_session, tmp_path):
+    """Seed-doc similarity: term selection = seed-tf/dictionary-df, seed
+    excluded, results ranked by the ordinary BM25 OR over chosen terms."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from trinity_ray.index.build import build_index
+    from trinity_ray.search import LocalSearcher, more_like_this
+
+    docs = [
+        "zebra quokka yak zebra zebra quokka",     # seed: bursty rare terms
+        "zebra quokka yak in the meadow today",    # shares all three
+        "zebra alone in the field tonight maybe",  # shares one
+        "completely different words here to see",  # shares none
+        "the common filler words appear in every document here",
+    ]
+    src = tmp_path / "docs.parquet"
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs)}), str(src))
+    idx = tmp_path / "idx"
+    build_index(str(src), str(idx), content_column="text",
+                tokenizer="simple", positions=True)
+    s = LocalSearcher(str(idx))
+    res = more_like_this(s, docs[0], k=4, n_terms=3, exclude_doc_id=0)
+    assert 0 not in res.doc_ids.astype(np.int64).tolist()   # seed excluded
+    ids = res.doc_ids.astype(np.int64).tolist()
+    assert ids[0] == 1                       # richest term overlap first
+    assert 2 in ids                          # partial overlap matches
+    assert 3 not in ids                      # no overlap never matches
+    # empty / OOV seeds degrade to empty results, not errors
+    assert more_like_this(s, "", k=3).doc_ids.size == 0
+    assert more_like_this(s, "xx9zz8qq7", k=3).doc_ids.size == 0

@@ -792,6 +792,25 @@ def q_quantize_embeddings(sf_dir: str):
     return quantize_embeddings(read_embeddings(sf_dir), flatten=True)
 
 
+def q_more_like_this_top10(sf_dir: str) -> pa.Table:
+    """Similar-document search (Lucene MoreLikeThis shape): doc 0's top-5
+    burstiness terms (seed-tf / dictionary-df, the keywords rule) OR'd
+    into a standard BM25 query, seed excluded via the doc-predicate
+    seam.  Oracle derives the SAME term set in SQL (QUALIFY over
+    tf/df), then replays the BM25 OR scoring."""
+    from trinity_ray.search import more_like_this
+
+    s = _searcher(base_index(sf_dir))
+    seed = pq.read_table(documents_parquet(sf_dir), columns=["doc_id", "text"]
+                         ).filter(pc.equal(pc.field("doc_id"), 0))
+    res = more_like_this(s, seed.column("text")[0].as_py(), k=TOPK,
+                         n_terms=5, exclude_doc_id=0)
+    return pa.table({
+        "doc_id": pa.array(res.doc_ids.astype(np.int64), pa.int64()),
+        "score_r": pa.array(np.round(res.scores, 4), pa.float64()),
+    })
+
+
 def q_dedup_spans(sf_dir: str):
     """Cross-document duplicated 8-token windows (the ExactSubstr dedup
     candidate core, Lee et al. 2021), per occurrence.  Oracle-exact: the

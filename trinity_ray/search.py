@@ -920,3 +920,47 @@ def sequence_rerank(searcher, query: str, k: int = 10, pool: int = 50,
         scores[i] = scores[i] + bonus * (L - 1)
     order = np.lexsort((res.doc_ids, -scores))[:k]
     return SearchResult(res.doc_ids[order], scores[order])
+
+
+def more_like_this(searcher, text: str, *, k: int = 10, n_terms: int = 5,
+                   exclude_doc_id: int | None = None,
+                   scorer: str = "bm25") -> SearchResult:
+    """Similar-document search from a seed text (the Lucene MoreLikeThis
+    shape): tokenize the seed with the index tokenizer, score its
+    DISTINCT terms by seed-tf / global-df (the keywords_tfdf burstiness
+    rule, df read from the DICTIONARY — zero postings IO for term
+    selection), take the top ``n_terms`` by (score desc, term asc), and
+    run their OR as a standard scored query.  ``exclude_doc_id`` masks
+    the seed document itself via the doc-predicate seam (collection
+    stats untouched, like delete masks — index_source.h:199-216).
+
+    The whole pipeline is index-native: term selection costs n dictionary
+    lookups, matching/scoring is the ordinary cost-ordered OR execution.
+    """
+    from collections import Counter
+
+    from trinity_ray.tokenizer import get_tokenizer
+
+    toks = get_tokenizer(searcher.manifest.tokenizer)(text or "")
+    if not toks:
+        return SearchResult(np.empty(0, np.uint64), np.empty(0, np.float64))
+    tf = Counter(toks)
+    terms = sorted(tf)
+    df: dict[str, int] = {t: 0 for t in terms}
+    for r in searcher.readers:
+        for t, d in r.lookup_terms(terms).items():
+            df[t] += d
+    scored = [(tf[t] / df[t], t) for t in terms if df[t] > 0]
+    scored.sort(key=lambda st: (-st[0], st[1]))
+    chosen = [t for _, t in scored[:max(1, int(n_terms))]]
+    if not chosen:
+        return SearchResult(np.empty(0, np.uint64), np.empty(0, np.float64))
+    query = " OR ".join(chosen)
+    pred = None
+    if exclude_doc_id is not None:
+        ex = int(exclude_doc_id)
+
+        def pred(docs):                     # noqa: E306
+            return docs.column("doc_id").to_numpy() != ex
+
+    return searcher.search(query, k=k, scorer=scorer, doc_predicate=pred)
